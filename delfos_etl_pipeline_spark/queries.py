@@ -1,0 +1,613 @@
+"""Oracle-paired query registry — the driver-checkable operator inventory.
+
+Each entry implements one operator family from SURVEY.md §2 as an idiomatic
+Spark DataFrame plan over the driver testdata (TESTDATA.md), with an ANSI
+SQL twin that DuckDB runs on the same parquet for differential testing
+(SURVEY.md §5 strategy 1). Alias discipline (R2) is load-bearing: the
+driver hash-matches on column names, so every computed column is aliased
+identically in both the Spark plan and the oracle SQL.
+
+Float discipline: aggregates whose accumulation order is nondeterministic
+(sums/averages over large groups) are rounded to a fixed number of decimals
+in BOTH implementations so last-ulp differences cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.plans.pipeline import (
+    default_signal_dim,
+    sensor_pipeline,
+    signal_names,
+    to_long,
+    windowed_stats,
+)
+from delfos_etl_pipeline_spark.sources.parquet import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable, optionally with its
+    DuckDB oracle SQL (omitted → driver records rows-only check)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# S/P — scans, projections, range predicates (SURVEY §2.1, §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s1_scan_project_filter",
+    oracle="""
+    SELECT event_id, ts, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def s1_scan_project_filter(spark, sf_dir):
+    """S1+P1+P3 — projected scan with inclusive timestamp-range predicate,
+    the API's dynamic SELECT (/root/reference/api/app/database.py:41-64).
+    Both the projection and the range filter reach the parquet scan
+    (PushedFilters / ReadSchema in .explain)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", "ts", "event_type", "value").where(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00"))
+        & (F.col("ts") <= F.lit("2024-01-20 00:00:00"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A — aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_tumbling_window_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+           round(avg(value), 6)         AS value_mean,
+           min(value)                   AS value_min,
+           max(value)                   AS value_max,
+           round(stddev_samp(value), 6) AS value_std
+    FROM events
+    GROUP BY 1
+    """,
+)
+def a1_tumbling_window_agg(spark, sf_dir):
+    """A1 — the flagship tumbling 10-minute multi-aggregate
+    (pandas resample('10T').agg(mean/min/max/std),
+    /root/reference/etl/etl_process.py:86-96). stddev is SAMPLE std
+    (ddof=1) — SURVEY §2.10(2)."""
+    ev = _t(spark, sf_dir, "events")
+    wide = windowed_stats(ev, "ts", ("value",), "10 minutes")
+    return wide.select(
+        "window_start",
+        F.round("value_mean", 6).alias("value_mean"),
+        "value_min",
+        "value_max",
+        F.round("value_std", 6).alias("value_std"),
+    )
+
+
+@query(
+    "a1_pipeline_long",
+    oracle="""
+    WITH wide AS (
+      SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+             round(avg(value), 6)         AS value_mean,
+             min(value)                   AS value_min,
+             max(value)                   AS value_max,
+             round(stddev_samp(value), 6) AS value_std
+      FROM events GROUP BY 1
+    ), long AS (
+      SELECT window_start, 'value_mean' AS signal_name, value_mean AS value FROM wide
+      UNION ALL SELECT window_start, 'value_min',  value_min  FROM wide
+      UNION ALL SELECT window_start, 'value_max',  value_max  FROM wide
+      UNION ALL SELECT window_start, 'value_std',  value_std  FROM wide
+    ), dim(id, name) AS (
+      VALUES (1, 'value_mean'), (2, 'value_min'), (3, 'value_max'), (4, 'value_std')
+    )
+    SELECT l.window_start AS timestamp, d.id AS signal_id, l.value AS value
+    FROM long l JOIN dim d ON l.signal_name = d.name
+    WHERE l.value IS NOT NULL
+    """,
+)
+def a1_pipeline_long(spark, sf_dir):
+    """The full flagship pipeline e2e: A1 window agg → R1 unpivot → A2 null
+    pruning → J1/J2 broadcast dim join → P4 projection — the entire
+    reference transform+load (/root/reference/dagster/assets.py:75-126)
+    as one declarative plan."""
+    ev = _t(spark, sf_dir, "events")
+    dim = default_signal_dim(spark, ("value",))
+    wide = windowed_stats(ev, "ts", ("value",), "10 minutes")
+    wide = wide.select(
+        "window_start",
+        F.round("value_mean", 6).alias("value_mean"),
+        "value_min",
+        "value_max",
+        F.round("value_std", 6).alias("value_std"),
+    )
+    from delfos_etl_pipeline_spark.plans.pipeline import map_signals
+
+    long_df = to_long(wide, ["window_start"], signal_names(("value",)))
+    mapped = map_signals(long_df, dim)
+    return mapped.select(
+        F.col("window_start").alias("timestamp"), "signal_id", "value"
+    )
+
+
+@query(
+    "a5_group_multi_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)      AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6)      AS avg_disc,
+           count(*)                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a5_group_multi_agg(spark, sf_dir):
+    """A5 — grouped multi-aggregate (TPC-H Q1 shape), the per-signal
+    summary report (/root/reference/dagster/assets.py:201-210) scaled to a
+    real fact table. Partial (map-side) aggregation + single shuffle on the
+    group keys; survives 100× scale because group cardinality is tiny."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a6_daily_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def a6_daily_rollup(spark, sf_dir):
+    """A6 — grouped count by computed day key
+    (/root/reference/dagster/assets.py:216-221)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@query(
+    "a4_minmax_scalar",
+    oracle="""
+    SELECT min(ts) AS ts_min, max(ts) AS ts_max, count(*) AS n_rows
+    FROM events
+    """,
+)
+def a4_minmax_scalar(spark, sf_dir):
+    """A3/A4 — whole-table scalar aggregates (date-range + cardinality,
+    /root/reference/api/app/database.py:66-74). With parquet aggregate
+    pushdown these come straight from footer stats — no data scan."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "a8_distinct_values",
+    oracle="SELECT DISTINCT event_type FROM events",
+)
+def a8_distinct_values(spark, sf_dir):
+    """A8 — distinct-value collection (unmapped-signal introspection,
+    /root/reference/etl/etl_process.py:145)."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+@query(
+    "agg_rollup_hierarchy",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS event_date, count(*) AS n_events
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+    """,
+)
+def agg_rollup_hierarchy(spark, sf_dir):
+    """ROLLUP grouping-sets — beyond the reference's surface (SURVEY §2.4
+    notes Spark provides these free); subtotal + grand-total rows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.to_date("ts").alias("event_date"))
+        .rollup("event_type", "event_date")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J — joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_broadcast_dim_join",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_customers,
+           round(avg(c.c_acctbal), 6) AS avg_acctbal,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def j1_broadcast_dim_join(spark, sf_dir):
+    """J1/J3 — fact→dim snowflake join with explicit broadcast of the small
+    dimensions (the reference's dict-map lookup, SURVEY §2.3 J1). At 100 TB
+    the fact side never shuffles for these joins — both dims broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "j2_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    """,
+)
+def j2_anti_join(spark, sf_dir):
+    """J2 — unmatched-key elimination as LEFT ANTI join (the reference's
+    isna-drop + warning, /root/reference/etl/etl_process.py:145-148):
+    customers with no recent orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j3_fact_dim_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j3_fact_dim_join(spark, sf_dir):
+    """J3 — fact–dimension INNER equi-join + grouped rollup
+    (/root/reference/dagster/assets.py:207, exports/export_alvo_db.py:49-51)."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "j4_left_join_stats",
+    oracle="""
+    SELECT n.n_name,
+           count(c.c_custkey) AS n_customers,
+           round(avg(c.c_acctbal), 6) AS avg_acctbal,
+           min(c.c_acctbal) AS min_acctbal,
+           max(c.c_acctbal) AS max_acctbal
+    FROM nation n
+    LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j4_left_join_stats(spark, sf_dir):
+    """J4 — LEFT OUTER join keeping empty dimensions in per-dim stats
+    (/root/reference/dagster/assets.py:327-340)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
+    )
+
+
+@query(
+    "j5_outer_window_align",
+    oracle="""
+    WITH p AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             round(sum(value), 4) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), e AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             count(*) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT window_start, purchase_value, n_errors
+    FROM p FULL JOIN e USING (window_start)
+    """,
+)
+def j5_outer_window_align(spark, sf_dir):
+    """J5 — column-wise concat on a shared time index ≡ FULL OUTER join on
+    the window key (pandas pd.concat(axis=1),
+    /root/reference/etl/etl_process.py:96)."""
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 hour").start.alias("window_start"))
+        .agg(F.round(F.sum("value"), 4).alias("purchase_value"))
+    )
+    e = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.window("ts", "1 hour").start.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return p.join(e, "window_start", "full_outer").select(
+        "window_start", "purchase_value", "n_errors"
+    )
+
+
+# ---------------------------------------------------------------------------
+# R — reshaping (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r1_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+             round(avg(value), 6)         AS value_mean,
+             min(value)                   AS value_min,
+             max(value)                   AS value_max,
+             round(stddev_samp(value), 6) AS value_std
+      FROM events GROUP BY 1
+    )
+    SELECT window_start, signal_name, value FROM (
+      SELECT window_start, 'value_mean' AS signal_name, value_mean AS value FROM wide
+      UNION ALL SELECT window_start, 'value_min',  value_min  FROM wide
+      UNION ALL SELECT window_start, 'value_max',  value_max  FROM wide
+      UNION ALL SELECT window_start, 'value_std',  value_std  FROM wide
+    ) WHERE value IS NOT NULL
+    """,
+)
+def r1_unpivot(spark, sf_dir):
+    """R1 — unpivot/melt wide→long with explicit NULL pruning
+    (pd.melt + dropna, /root/reference/etl/etl_process.py:104-112)."""
+    ev = _t(spark, sf_dir, "events")
+    wide = windowed_stats(ev, "ts", ("value",), "10 minutes")
+    wide = wide.select(
+        "window_start",
+        F.round("value_mean", 6).alias("value_mean"),
+        "value_min",
+        "value_max",
+        F.round("value_std", 6).alias("value_std"),
+    )
+    return to_long(wide, ["window_start"], signal_names(("value",)))
+
+
+@query(
+    "r4_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def r4_pivot(spark, sf_dir):
+    """R4 — pivot long→wide, the inverse of R1 (SURVEY §2.5). The pivot
+    value list is supplied explicitly so Spark skips the extra
+    distinct-values job — mandatory at scale."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # Spark pivot yields NULL for absent (day, type) combos; DuckDB's
+    # FILTER count yields 0 — align on 0.
+    return wide.na.fill(0, subset=types)
+
+
+# ---------------------------------------------------------------------------
+# O — sorts / top-k (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o2_topk",
+    oracle="""
+    SELECT event_id, ts, event_type, value
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 10
+    """,
+)
+def o2_topk(spark, sf_dir):
+    """O2 — ORDER BY ... DESC LIMIT k: Spark plans TakeOrderedAndProject
+    (true distributed top-k, no global sort) — the latest-sample report
+    (/root/reference/dagster/assets.py:311-322)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "ts", "event_type", "value")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F — scalar function suite (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_scalar_suite",
+    oracle="""
+    SELECT event_id,
+           date_trunc('day', ts)                      AS day_start,
+           ts + INTERVAL 1 DAY                        AS next_day,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S')          AS iso_ts,
+           CAST(ts AS DATE)                           AS event_date,
+           least(greatest(value, 10.0), 100.0)        AS clipped,
+           CASE WHEN value < 50 THEN 0.0
+                WHEN value > 150 THEN 2000.0
+                ELSE round(value * value * 0.08, 6) END AS piecewise,
+           floor(value / 8)                           AS bucket8,
+           round(sin(value), 6)                       AS sin_val,
+           round(pow(value, 2), 4)                    AS squared
+    FROM events
+    """,
+)
+def f_scalar_suite(spark, sf_dir):
+    """F1-F10 — scalar function battery: timestamp trunc/format/arithmetic
+    (F2-F4), clip via least/greatest (F7), piecewise power-curve (F8/F10),
+    integer bucketing (F12), sinusoid (F9) — all JVM-side expressions
+    inside whole-stage codegen, zero Python UDFs (SURVEY §2.11 goal)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("next_day"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+        F.to_date("ts").alias("event_date"),
+        F.least(F.greatest(v, F.lit(10.0)), F.lit(100.0)).alias("clipped"),
+        F.when(v < 50, F.lit(0.0))
+        .when(v > 150, F.lit(2000.0))
+        .otherwise(F.round(v * v * 0.08, 6))
+        .alias("piecewise"),
+        F.floor(v / 8).alias("bucket8"),
+        F.round(F.sin(v), 6).alias("sin_val"),
+        F.round(F.pow(v, 2), 4).alias("squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W — analytic window functions (SURVEY §2.8 — beyond-reference surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, ts, value
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def w1_latest_per_key(spark, sf_dir):
+    """row_number() latest-per-key — re-expresses O2's 'latest sample' and
+    dedup-style logic as a ranking window (SURVEY §2.8)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+@query(
+    "w2_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 6) AS value_delta
+    FROM events
+    """,
+)
+def w2_lag_delta(spark, sf_dir):
+    """lag() frame-based delta per key — analytic window surface."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)

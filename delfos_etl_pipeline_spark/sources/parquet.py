@@ -1,0 +1,96 @@
+"""Parquet source adapter + table catalog.
+
+Replaces the reference's Postgres scans (S1/S2, SURVEY.md §2.1;
+/root/reference/api/app/database.py:41-64) with columnar parquet reads.
+Projection/predicate pushdown is automatic via Catalyst — callers express
+``.select``/``.where`` and the scan node shows PushedFilters/ReadSchema.
+
+One real-world wrinkle handled here: parquet TIMESTAMP(NANOS) columns
+(e.g. the driver testdata's ``events.ts``) are illegal for Spark's native
+reader. With ``spark.sql.legacy.parquet.nanosAsLong=true`` they surface as
+int64 nanoseconds; :func:`load_table` detects them from the parquet footer
+(driver-side pyarrow, one file, no data read) and converts to microsecond
+timestamps — the same truncation DuckDB applies when casting ns→us, so
+oracle comparisons line up.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from functools import lru_cache
+
+import pyarrow.parquet as _pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver materializes at each scale factor (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Column names stored as nanosecond timestamps in ``path``'s footer."""
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return ()
+        path = files[0]
+    try:
+        schema = _pq.read_schema(path)
+    except Exception:
+        return ()
+    cols = []
+    for field in schema:
+        t = field.type
+        if getattr(t, "unit", None) == "ns":
+            cols.append(field.name)
+    return tuple(cols)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table, normalizing ns-timestamp columns.
+
+    ns→us conversion uses integer division (``div``), never float division:
+    epoch-nanos ≈ 1.7e18 exceeds double's 2^53 integer range, so a float
+    path would corrupt low-order digits.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        # Runtime-settable SQL conf — the caller's session (e.g. the
+        # driver's) need not have it at startup.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        if c in df.columns:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every catalog table present under ``sf_dir``."""
+    out = {}
+    for name in TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            out[name] = load_table(spark, sf_dir, name)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view — the SQL façade (SURVEY.md §3.3
+    replacement for the reference API's hand-built SQL strings,
+    /root/reference/api/app/database.py:50-62)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
