@@ -1,0 +1,88 @@
+"""Benchmark runner — times the headline queries and prints ONE JSON line.
+
+Usage: python bench.py
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+Each query is forced to full execution with the noop sink (no driver-side
+collect, so we measure the engine, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Representative spread: flagship pipeline, heavy aggregation, joins,
+#: window functions, dedup (exact + LSH), similarity, text, as-of.
+HEADLINE = [
+    "a1_pipeline_long",
+    "a1_tumbling_window_agg",
+    "a5_group_multi_agg",
+    "j1_broadcast_dim_join",
+    "j3_fact_dim_join",
+    "w1_latest_per_key",
+    "o2_topk",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_knn_allpairs",
+    "text_stats",
+    "asof_join_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from delfos_etl_pipeline_spark import get_spark
+    from delfos_etl_pipeline_spark.queries import queries
+
+    spark = get_spark(
+        "delfos-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    # JVM/codegen warmup on a trivial scan, not counted.
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Near-duplicate detection via word n-gram shingles + exact Jaccard.
+
+The exact baseline the approximate methods (minhash.py, simhash.py) are
+measured against. All expression-level Spark (split/transform/slice/
+explode) — no Python UDFs, so the whole plan stays in codegen.
+
+Scale posture: the candidate join is keyed on shingle; a shingle occurring
+in f documents yields O(f²) candidate rows. On web-scale corpora pass
+``max_shingle_freq`` to drop ubiquitous shingles (boilerplate) before the
+self-join — the standard trick to keep the blow-up bounded — and/or use
+MinHash-LSH (minhash.py) which replaces the exact join with banded
+buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """(id, shingle) — DISTINCT word n-gram shingles per document.
+
+    Tokenization is lower + whitespace split; shingles are n consecutive
+    words joined by a single space (positions via ``transform(sequence)``,
+    all JVM-side).
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold.
+
+    shared(a,b) via self-equi-join on shingle, |A| and |B| via a per-doc
+    count, jaccard = shared / (|A| + |B| - shared). Output:
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    if max_shingle_freq is not None:
+        freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        keep = freq.where(F.col("df") <= max_shingle_freq).select("shingle")
+        shingles = shingles.join(keep, "shingle", "left_semi")
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, ["shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,64 @@
+"""As-of join — natural extension for the reference's sensor domain
+(SURVEY.md §2.3 "extension candidate"): align each left row with the most
+recent right row at or before it, per key.
+
+Spark has no native as-of join; the scalable re-expression is the
+union-and-carry-forward pattern: tag both sides, union, and use a
+``last(..., ignorenulls=True)`` window ordered by (time, side) per key.
+Cost: ONE shuffle keyed on the join key (same as the join itself would
+need) and a linear window pass — no range-condition nested loop, no
+per-key collect. Skewed keys fall out of AQE skew handling like any other
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest right ``value_cols`` with
+    ``right.on <= left.on`` within the same ``by`` key (backward as-of,
+    inclusive — ties at equal timestamps take the right row).
+
+    Right value columns are emitted as ``{name}{suffix}``; left rows with
+    no earlier right row get NULLs (left-outer semantics).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in {on, *by}]
+
+    lt = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    rt = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in {on, *by}],
+        *[F.col(k) for k in [on, *by]],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    ).select(*lt.columns)
+
+    unioned = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__side"),
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("__side") == 1).drop("__side")

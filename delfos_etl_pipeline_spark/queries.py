@@ -605,6 +605,352 @@ def w2_lag_delta(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Dedup — training-data-pipeline extensions (SURVEY §7 M5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup summary: one surviving id + multiplicity per distinct
+    document text (hash-groupBy, single shuffle)."""
+    from delfos_etl_pipeline_spark.dedup.exact import exact_dedup_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_summary(docs, ["text"], "doc_id").select("doc_id", "n_copies")
+
+
+@query(
+    "dedup_exact_rows",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact_rows(spark, sf_dir):
+    """Exact dedup keeping full surviving rows — deterministic min-id
+    winner (vs Spark's nondeterministic dropDuplicates). Shuffles a 16-byte
+    md5 key, not the document body."""
+    from delfos_etl_pipeline_spark.dedup.exact import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id", hash_key=True).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by EXACT word-3-gram Jaccard ≥ 0.6 — the correctness
+    baseline for the approximate detectors (minhash/simhash)."""
+    from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(shingle_sets(docs, "doc_id", "text", n=3), threshold=0.6)
+
+
+@query("dedup_minhash_lsh")  # approximate: LSH recall < 100% → rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64)+LSH(16 bands) candidates verified by exact Jaccard ≥0.6
+    — the 100 TB-scale near-dup path; compared against dedup_ngram_jaccard
+    in tests/test_dedup.py."""
+    from delfos_etl_pipeline_spark.dedup.minhash import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+@query("dedup_simhash")  # signature formula has no portable SQL twin
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs with Hamming ≤ 3 via pigeonhole banding
+    (exact w.r.t. the signature, no recall loss)."""
+    from delfos_etl_pipeline_spark.dedup.simhash import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", hamming_max=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (SURVEY §7 M5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(
+             list_dot_product(e.embedding::DOUBLE[], q.qv) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 vs a fixed query vector (vec_id=0) — one scan,
+    expression-level dot products, TakeOrderedAndProject top-k."""
+    from delfos_etl_pipeline_spark.similarity.knn import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return brute_force_topk(
+        emb.where(F.col("vec_id") != 0), qvec, "vec_id", "embedding", k=10
+    )
+
+
+@query(
+    "sim_knn_allpairs",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine_sim,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.e, b.e) / (a.nrm * b.nrm) DESC, b.vec_id
+           ) AS rank
+    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    QUALIFY rank <= 5
+    """,
+)
+def sim_knn_allpairs(spark, sf_dir):
+    """Exact 5-NN for every vector (N² brute force) — eval-set scale; the
+    LSH variant is the corpus-scale path."""
+    from pyspark.sql import Window as W
+
+    from delfos_etl_pipeline_spark.similarity.knn import _as_double, _dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double("embedding").alias("e")).withColumn(
+        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b")
+    )
+    sim = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    w = W.partitionBy("id_a").orderBy(sim.desc(), F.col("id_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(sim, 6).alias("cosine_sim"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= 5)
+    )
+
+
+@query("sim_lsh_bucketed")  # approximate bucket recall → rows-only check
+def sim_lsh_bucketed(spark, sf_dir):
+    """Random-hyperplane LSH-bucketed ANN top-10 for the vec_id=0 query —
+    scans one of 256 buckets instead of the corpus."""
+    from delfos_etl_pipeline_spark.similarity.knn import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    # 4 planes → 16 buckets: sized so a 500-vector corpus keeps ~30
+    # candidates per bucket; at corpus scale raise n_planes to keep the
+    # per-bucket candidate count roughly constant.
+    return lsh_bucketed_topk(
+        emb.where(F.col("vec_id") != 0), qvec, "vec_id", "embedding", k=10, n_planes=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (SURVEY §7 M5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(words) AS n_words,
+           len(list_distinct(words)) AS n_distinct_words,
+           round((length(text) - (len(words) - 1)) * 1.0 / len(words), 6) AS avg_word_len,
+           round(len(list_filter(words, x -> x IN ('the','a','of','and','in','to','is')))
+                 * 1.0 / len(words), 6) AS stopword_ratio,
+           len(regexp_extract_all(text, '[a-zA-Z]+')) AS alpha_token_count,
+           round(len(list_distinct(words)) * 1.0 / len(words), 6) AS diversity,
+           round(least(len(words) / 100.0, 1.0) * 0.4
+                 + round(len(list_distinct(words)) * 1.0 / len(words), 6) * 0.4
+                 + least(round(len(list_filter(words, x -> x IN ('the','a','of','and','in','to','is')))
+                               * 1.0 / len(words), 6) * 5.0, 1.0) * 0.2, 6) AS quality_score
+    FROM w
+    """,
+)
+def text_stats_q(spark, sf_dir):
+    """Quality scoring: length/diversity/stopword statistics + a blended
+    [0,1] quality score — all codegen expressions."""
+    from delfos_etl_pipeline_spark.text.analysis import text_stats
+
+    return text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             len(list_filter(words, x -> x IN ('the','and','of','a','in')))   AS hits_en,
+             len(list_filter(words, x -> x IN ('der','die','und','das','ist'))) AS hits_de,
+             len(list_filter(words, x -> x IN ('le','la','et','les','des')))  AS hits_fr,
+             len(list_filter(words, x -> x IN ('el','los','y','que','una')))  AS hits_es
+      FROM w
+    )
+    SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+           CASE
+             WHEN hits_en > 0 AND hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+             WHEN hits_de > 0 AND hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+             WHEN hits_fr > 0 AND hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+             WHEN hits_es > 0 AND hits_es = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'es'
+             ELSE 'unk'
+           END AS lang_guess
+    FROM h
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Stopword-marker language heuristic with deterministic argmax."""
+    from delfos_etl_pipeline_spark.text.analysis import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(
+             list_sort(list_distinct(regexp_split_to_array(lower(text), '\\s+'))),
+             ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Canonical-form document fingerprint: md5 of the sorted distinct
+    word bag — order/duplication-invariant dedup key."""
+    from delfos_etl_pipeline_spark.text.analysis import document_fingerprint
+
+    return document_fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (SURVEY §7 M5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark, sf_dir):
+    """Binary payload column + typed metadata struct — metadata-only reads
+    prune the payload column entirely (columnar win at 100 TB)."""
+    from delfos_etl_pipeline_spark.multimodal.binary import attach_binary_payload
+
+    docs = _t(spark, sf_dir, "documents")
+    bin_df = attach_binary_payload(docs, "doc_id", "text")
+    return bin_df.select("doc_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.mime").alias("mime"))
+
+
+@query("mm_byte_histogram")  # numpy featurizer — no portable SQL twin
+def mm_byte_histogram(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction (16-bin byte histogram
+    + entropy) over binary payloads — the real-decoder batch contract."""
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        attach_binary_payload,
+        byte_histogram_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return byte_histogram_features(attach_binary_payload(docs, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# As-of join (SURVEY §2.3 extension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, l.value, r.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """Backward as-of join: each purchase gets the latest error value at or
+    before it per user — union-and-carry-forward pattern, ONE shuffle
+    (operators/asof.py), vs DuckDB's native ASOF JOIN as oracle."""
+    from delfos_etl_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.where(F.col("event_type") == "error").select("user_id", "ts", "value")
+    return asof_join(left, right, on="ts", by=["user_id"], value_cols=["value"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

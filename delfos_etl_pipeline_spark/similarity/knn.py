@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline extension (SURVEY.md §7 M5). Two tiers:
+
+- **brute force** — exact cosine top-k via expression-level dot products
+  (``zip_with`` + ``aggregate``, all JVM-side, no UDFs). For one query
+  vector this is a single scan: broadcast the query, O(N·d) work, top-k
+  via TakeOrderedAndProject. The correctness baseline.
+- **LSH-bucketed** — random-hyperplane signatures (deterministic seeded
+  pseudo-random planes derived per (plane, dim) so the plan is stable
+  across runs) bucket vectors; search within matching buckets only. The
+  scale path: at 100 TB the candidate set per query is a bucket, not the
+  corpus.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns — built-in
+    higher-order functions only, stays in codegen."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(c: str | Column) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("array<double>")
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``.
+
+    One scan; the query vector is a literal array folded into the plan.
+    Output: (id, cosine_sim) ordered desc with id tiebreak.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    sim = cosine_similarity_col(_as_double(vec_col), q)
+    if round_decimals is not None:
+        sim = F.round(sim, round_decimals)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def all_pairs_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact k nearest neighbors for EVERY vector (brute-force N²).
+
+    Feasible for dimension tables / eval sets; for corpus-scale use
+    :func:`lsh_bucketed_topk`. Normalizes once before the self-join so the
+    pair computation is a plain dot product.
+    """
+    from pyspark.sql import Window
+
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            _as_double(vec_col),
+            lambda x: x / _norm(_as_double(vec_col)),
+        ).alias("unit"),
+    )
+    a = normed.select(F.col("id").alias("id_a"), F.col("unit").alias("unit_a"))
+    b = normed.select(F.col("id").alias("id_b"), F.col("unit").alias("unit_b"))
+    pairs = a.crossJoin(b).where(F.col("id_a") != F.col("id_b"))
+    sim = _dot(F.col("unit_a"), F.col("unit_b")).alias("cosine_sim")
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 pseudo-random hyperplanes from a splitmix-style
+    integer mix — stable across runs/machines without Math.random."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            z = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) & (
+                (1 << 64) - 1
+            )
+            z = (z ^ (z >> 31)) * 0xD6E8FEB86659FD93 & ((1 << 64) - 1)
+            row.append(1.0 if (z >> 63) else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket of the query vector is
+    scanned exactly; other buckets are skipped.
+
+    n_planes=8 → 256 buckets; recall depends on bucket granularity vs
+    corpus density. Output schema matches brute_force_topk.
+    """
+    dim = len(query_vec)
+    planes = _hyperplane(n_planes, dim)
+
+    def bucket_of(vec_col_: Column) -> Column:
+        bits = []
+        for i, plane in enumerate(planes):
+            pl = F.array(*[F.lit(x) for x in plane]).cast("array<double>")
+            bits.append(F.shiftleft((_dot(vec_col_, pl) > 0).cast("long"), i))
+        return reduce(lambda x, y: x.bitwiseOR(y), bits)
+
+    qbucket = sum(
+        (1 << i)
+        for i, plane in enumerate(planes)
+        if sum(x * y for x, y in zip(query_vec, plane)) > 0
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    cand = df.where(bucket_of(_as_double(vec_col)) == F.lit(qbucket))
+    sim = cosine_similarity_col(_as_double(vec_col), q)
+    if round_decimals is not None:
+        sim = F.round(sim, round_decimals)
+    return (
+        cand.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )

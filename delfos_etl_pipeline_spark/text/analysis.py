@@ -1,0 +1,103 @@
+"""Text analysis for training-data pipelines (SURVEY.md §7 M5).
+
+Language-ID (stopword-marker heuristic), quality scoring (length/
+punctuation/stopword ratios), token counting (whitespace + regex word
+tokens), and document fingerprinting (normalized bag-of-words md5). All
+expression-level Spark SQL — columnar, codegen-friendly, no Python in the
+hot path — so throughput at 100 TB is bounded by the scan, not the UDF
+serialization boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Stopword markers per language for the n-gram-free heuristic. Ordered —
+#: first match wins ties so the output is deterministic.
+LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "and", "of", "a", "in")),
+    ("de", ("der", "die", "und", "das", "ist")),
+    ("fr", ("le", "la", "et", "les", "des")),
+    ("es", ("el", "los", "y", "que", "una")),
+]
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def _words(text_col: Column) -> Column:
+    return F.split(F.lower(text_col), r"\s+")
+
+
+def _marker_hits(words: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality statistics:
+
+    n_chars, n_words, n_distinct_words, avg_word_len, stopword_ratio,
+    alpha_token_count (regex word tokens), quality_score — a deterministic
+    [0,1] blend of length/diversity/stopword signals usable as a filter
+    threshold in data-cleaning pipelines.
+    """
+    t = F.col(text_col)
+    words = _words(t)
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    avg_word_len = F.round(
+        (F.length(t) - (n_words - 1)) / n_words, 6
+    )  # total chars minus separators, over word count
+    stop_ratio = F.round(n_stop / n_words, 6)
+    diversity = F.round(n_distinct / n_words, 6)
+    quality = F.round(
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.4
+        + diversity * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        F.regexp_count(t, F.lit("[a-zA-Z]+")).alias("alpha_token_count"),
+        diversity.alias("diversity"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-stopword language heuristic: count marker hits per language,
+    argmax with deterministic first-wins tie-break. Returns
+    (id, lang_guess, marker columns)."""
+    words = _words(F.col(text_col))
+    hits = {lang: _marker_hits(words, m) for lang, m in LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    guess = F.lit("unk")
+    # reversed: earlier languages override later ones on ties
+    for lang, _ in reversed(LANG_MARKERS):
+        guess = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            guess
+        )
+    cols = [F.col(id_col)] + [
+        hits[lang].alias(f"hits_{lang}") for lang, _ in LANG_MARKERS
+    ]
+    return df.select(*cols, guess.alias("lang_guess"))
+
+
+def document_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized content fingerprint: md5 over the sorted distinct word
+    bag — invariant to word order and duplication, so reordered copies of
+    a document collide (a cheap canonical-form dedup key)."""
+    words = _words(F.col(text_col))
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
+    return df.select(
+        F.col(id_col),
+        F.md5(canon).alias("fingerprint"),
+    )

@@ -1,0 +1,81 @@
+"""Dedup operators: exact baseline, MinHash-LSH recall, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.dedup.exact import exact_dedup, exact_dedup_summary
+from delfos_etl_pipeline_spark.dedup.minhash import minhash_lsh_pairs
+from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
+from delfos_etl_pipeline_spark.dedup.simhash import simhash_pairs
+from delfos_etl_pipeline_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_exact_dedup_deterministic_winner(spark):
+    df = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "same text"), (7, "other")],
+        "doc_id long, text string",
+    )
+    kept = exact_dedup(df, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 7]
+    summary = exact_dedup_summary(df, ["text"], "doc_id")
+    rows = {r.doc_id: r.n_copies for r in summary.collect()}
+    assert rows == {1: 3, 7: 1}
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH candidates verified by exact Jaccard must recover (almost) all
+    exact pairs; with 64 hashes / 16 bands at t=0.6 expected recall ≈97%+.
+    On the planted testdata duplicates (J ≥ 0.8) recall should be total."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(
+            shingle_sets(docs, "doc_id", "text"), threshold=0.6
+        ).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6).collect()
+    }
+    assert approx <= exact  # verification step guarantees no false positives
+    assert len(exact) > 0
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below bound"
+
+
+def test_simhash_finds_planted_near_dups(docs):
+    """SimHash@hamming<=3 pairs should overlap heavily with the exact
+    near-dup set (planted pairs have Jaccard ≥ 0.8)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(
+            shingle_sets(docs, "doc_id", "text"), threshold=0.6
+        ).collect()
+    }
+    sim = {(r.doc_a, r.doc_b) for r in simhash_pairs(docs, "doc_id", "text").collect()}
+    assert len(sim) > 0
+    # not exact equality (different similarity notion) but strong agreement
+    overlap = len(sim & exact) / max(len(sim), 1)
+    assert overlap >= 0.5, f"simhash/exact overlap only {overlap:.2f}"
+
+
+def test_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q r")],
+        "doc_id long, text string",
+    )
+    pairs = jaccard_pairs(shingle_sets(df, "doc_id", "text"), threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].doc_a, pairs[0].doc_b, pairs[0].jaccard) == (1, 2, 1.0)
+
+
+def test_max_shingle_freq_prunes(docs):
+    shingles = shingle_sets(docs, "doc_id", "text")
+    pruned = jaccard_pairs(shingles, threshold=0.6, max_shingle_freq=5)
+    full = jaccard_pairs(shingles, threshold=0.6)
+    # pruning ubiquitous shingles can only shrink the candidate space
+    assert pruned.count() <= full.count()
