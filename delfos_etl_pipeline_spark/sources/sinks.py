@@ -1,0 +1,105 @@
+"""Sinks — S5-S9 (SURVEY.md §2.1), Spark-first.
+
+The reference appends via SQLAlchemy ``to_sql(chunksize=1000)``
+(/root/reference/etl/etl_process.py:156-163) with no idempotency (T4:
+re-running a partition duplicates rows). Here:
+
+- parquet is the native store (columnar, stats, partition pruning);
+- ``mode="overwrite_partitions"`` uses dynamic partition overwrite to make
+  daily re-runs idempotent — the deliberate T4 fix (SURVEY.md §2.9);
+- JDBC remains an edge connector with the reference's batch size;
+- Excel export (S7/S8) is a driver-side, small-result convenience, gated
+  on openpyxl availability.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "event_date",
+    ts_col: str | None = None,
+    mode: str = "overwrite_partitions",
+) -> None:
+    """Date-partitioned parquet sink (T1 partitioning as physical layout).
+
+    mode:
+    - ``append`` — reference-compatible append-only (re-runs duplicate, T4)
+    - ``overwrite_partitions`` — dynamic partition overwrite: only the
+      partitions present in ``df`` are replaced → idempotent daily re-runs
+    - ``overwrite`` — full truncate-and-load
+    """
+    if ts_col is not None and partition_col not in df.columns:
+        df = df.withColumn(partition_col, F.to_date(F.col(ts_col)))
+    writer = df.write.partitionBy(partition_col)
+    if mode == "overwrite_partitions":
+        writer = writer.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+    elif mode in {"append", "overwrite"}:
+        writer = writer.mode(mode)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    writer.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 1000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """S5/S6 — JDBC batch append sink; ``batchsize`` mirrors the
+    reference's chunked insert (etl_process.py:162, seed_fonte.py:65)."""
+    df.write.jdbc(url, table, mode=mode, properties={
+        "batchsize": str(batchsize),
+        **(properties or {}),
+    })
+
+
+def seed_guard(spark, path: str) -> bool:
+    """S9 — idempotent-seed guard: True if the target is absent/empty so
+    the caller should seed (/root/reference/database/seed_fonte_docker.py:78-83)."""
+    try:
+        return spark.read.parquet(path).isEmpty()
+    except Exception:
+        return True
+
+
+def export_excel(
+    frames: dict[str, DataFrame],
+    path: str,
+    max_rows: int = 1_048_576,
+) -> str:
+    """S7/S8 — multi-sheet Excel export, driver-side (small results only —
+    the reference's exports/*.py dump whole Postgres tables; here the cap
+    is explicit and enforced). Returns the written path.
+
+    Requires openpyxl (not part of the engine's hot path); raises a clear
+    error if absent.
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "Excel export needs openpyxl; use write_partitioned/CSV for "
+            "large or automated outputs"
+        ) from exc
+    import pandas as pd
+
+    with pd.ExcelWriter(path, engine="openpyxl") as writer:
+        for sheet, df in frames.items():
+            pdf = df.limit(max_rows).toPandas()
+            pdf.to_excel(writer, sheet_name=sheet[:31], index=False)
+    return path
+
+
+def export_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """Scale-friendly export fallback for S7/S8."""
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)

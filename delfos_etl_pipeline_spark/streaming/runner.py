@@ -1,0 +1,79 @@
+"""M4 — Structured Streaming runner: the SAME windowed-agg operators under
+a streaming source (SURVEY.md §2.9).
+
+The reference is micro-batch-by-convention (daily cron partitions,
+/root/reference/dagster/jobs.py:40-52) with append-only loads that
+duplicate on re-run (T4). The streaming upgrade is additive:
+
+- ``withWatermark`` bounds state for late data — the reference has no
+  late-data story at all;
+- ``dropDuplicates`` on (ts, key) within the watermark fixes T4 at the
+  ingestion edge;
+- ``trigger(availableNow=True)`` replaces cron: drain everything that has
+  arrived, then stop — an orchestrator-free incremental batch.
+
+The batch pipeline (plans/pipeline.py) and this runner share the
+aggregation spec, so batch/stream parity is by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from delfos_etl_pipeline_spark.plans.pipeline import DEFAULT_STATS, _STAT_FN
+
+
+def streaming_windowed_stats(
+    stream: DataFrame,
+    ts_col: str,
+    measures: tuple[str, ...],
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    stats: tuple[str, ...] = DEFAULT_STATS,
+    dedup_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """A1 under streaming: watermark → (optional) dedup → tumbling window
+    multi-agg. Output schema matches the batch ``windowed_stats``."""
+    s = stream.withWatermark(ts_col, watermark)
+    if dedup_cols:
+        s = s.dropDuplicates([ts_col, *dedup_cols])
+    aggs = [_STAT_FN[st](F.col(m)).alias(f"{m}_{st}") for m in measures for st in stats]
+    wide = s.groupBy(F.window(F.col(ts_col), window)).agg(*aggs)
+    return wide.select(
+        F.col("window.start").alias("window_start"),
+        *[F.col(f"{m}_{st}") for m in measures for st in stats],
+    )
+
+
+def read_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory (the engine's stand-in
+    for Kafka/rate sources in this container)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def run_available_now(
+    result: DataFrame,
+    checkpoint_dir: str,
+    sink_table: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """T2 replacement — drain all available input once (availableNow),
+    write to an in-memory sink table, return the query (caller awaits)."""
+    return (
+        result.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,122 @@
+"""Sources & sinks: synthetic generator laws, partitioned sink semantics,
+HTTP connector (fake fetcher), catalog introspection."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.operators.introspect import (
+    foreign_keys,
+    schema_structure,
+    table_columns,
+)
+from delfos_etl_pipeline_spark.sources.http_json import read_sensor_api
+from delfos_etl_pipeline_spark.sources.sinks import seed_guard, write_partitioned
+from delfos_etl_pipeline_spark.sources.synthetic import (
+    generate_sensor_data,
+    with_null_injection,
+)
+
+
+@pytest.fixture(scope="module")
+def sensor(spark):
+    return generate_sensor_data(
+        spark, "2025-08-10 00:00:00", "2025-08-11 23:59:00", num_partitions=4
+    ).cache()
+
+
+def test_generator_shape_and_grid(sensor):
+    assert sensor.count() == 2 * 1440  # 2 days × 1440 minutes
+    # exact 1-minute grid, inclusive bounds (seed_fonte.py:14-17)
+    r = sensor.agg(F.min("timestamp"), F.max("timestamp")).first()
+    assert r[0] == dt.datetime(2025, 8, 10, 0, 0)
+    assert r[1] == dt.datetime(2025, 8, 11, 23, 59)
+    assert sensor.select("timestamp").distinct().count() == 2 * 1440
+
+
+def test_generator_laws(sensor):
+    row = sensor.agg(
+        F.min("wind_speed"), F.max("wind_speed"),
+        F.min("power"), F.max("power"),
+        F.avg("ambient_temprature"),
+    ).first()
+    assert 0.0 <= row[0] and row[1] <= 25.0  # wind clip [0,25]
+    assert 0.0 <= row[2] and row[3] <= 2000.0  # power clip [0,2000]
+    assert 15.0 < row[4] < 25.0  # temp sinusoid around 20
+    # power curve: ws<3 → 0, ws>20 → 2000 (seed_fonte.py:24-27)
+    bad = sensor.where(
+        ((F.col("wind_speed") < 3) & (F.col("power") != 0))
+        | ((F.col("wind_speed") > 20) & (F.col("power") != 2000))
+    ).count()
+    assert bad == 0
+
+
+def test_generator_deterministic(spark, sensor):
+    again = generate_sensor_data(
+        spark, "2025-08-10 00:00:00", "2025-08-11 23:59:00", num_partitions=4
+    )
+    assert again.exceptAll(sensor).count() == 0
+    assert sensor.exceptAll(again).count() == 0
+
+
+def test_null_injection(sensor):
+    nulled = with_null_injection(sensor, ["wind_speed", "power"], 0.05)
+    n = nulled.count()
+    n_null = nulled.where(F.col("wind_speed").isNull()).count()
+    assert 0 < n_null < n * 0.15
+
+
+def test_partitioned_sink_idempotent_rerun(spark, tmp_path, sensor):
+    """T4 fix: overwrite_partitions re-run does NOT duplicate (vs the
+    reference's append duplication, etl_process.py:156-163)."""
+    path = str(tmp_path / "fact")
+    assert seed_guard(spark, path)  # absent → seed
+    day1 = sensor.where(F.to_date("timestamp") == "2025-08-10")
+    write_partitioned(day1, path, ts_col="timestamp")
+    first = spark.read.parquet(path).count()
+    write_partitioned(day1, path, ts_col="timestamp")  # re-run same day
+    assert spark.read.parquet(path).count() == first  # idempotent
+    write_partitioned(day1, path, ts_col="timestamp", mode="append")
+    assert spark.read.parquet(path).count() == 2 * first  # compat append dupes
+    assert not seed_guard(spark, path)
+
+
+def test_http_json_fake_fetcher(spark):
+    envelope = {
+        "data": [
+            {"timestamp": "2025-08-10T00:00:00Z", "wind_speed": 10.5, "power": 880.0},
+            {"timestamp": "2025-08-10T00:01:00", "wind_speed": 11.0, "power": 900.0},
+        ],
+        "count": 2,
+    }
+    urls = []
+
+    def fake(url, timeout):
+        urls.append(url)
+        return envelope
+
+    df = read_sensor_api(
+        spark, "http://api:8000", "2025-08-10", "2025-08-11",
+        variables=["wind_speed", "power"], fetch=fake,
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0].timestamp == dt.datetime(2025, 8, 10, 0, 0)
+    assert "start_date=2025-08-10" in urls[0]
+    with pytest.raises(ValueError, match="unknown variables"):
+        read_sensor_api(spark, "http://api:8000", variables=["nope"], fetch=fake)
+
+
+def test_introspection(spark, sensor):
+    sensor.createOrReplaceTempView("sensor_raw")
+    cols = table_columns(spark, "sensor_raw").collect()
+    assert {c.column_name for c in cols} == {
+        "id", "timestamp", "wind_speed", "power", "ambient_temprature"
+    }
+    struct = schema_structure(spark, ["sensor_raw"])
+    assert struct.count() == 5
+    fks = foreign_keys(spark, ["lineitem"]).collect()
+    assert {(r.column_name, r.foreign_table_name) for r in fks} == {
+        ("l_orderkey", "orders"), ("l_partkey", "part"), ("l_suppkey", "supplier")
+    }

@@ -1,0 +1,72 @@
+"""Streaming runner: batch/stream parity for the flagship window agg."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.plans.pipeline import windowed_stats
+from delfos_etl_pipeline_spark.sources.synthetic import generate_sensor_data
+from delfos_etl_pipeline_spark.streaming.runner import (
+    read_parquet_stream,
+    run_available_now,
+    streaming_windowed_stats,
+)
+
+
+def test_stream_batch_parity(spark, tmp_path):
+    sensor = generate_sensor_data(
+        spark, "2025-08-10 00:00:00", "2025-08-10 05:59:00", num_partitions=4
+    )
+    src = str(tmp_path / "src")
+    sensor.write.parquet(src)
+
+    stream = read_parquet_stream(spark, src, sensor.schema, max_files_per_trigger=1)
+    result = streaming_windowed_stats(
+        stream, "timestamp", ("wind_speed", "power"), "10 minutes"
+    )
+    q = run_available_now(
+        result, str(tmp_path / "ckpt"), "stream_out", output_mode="complete"
+    )
+    q.awaitTermination(240)
+
+    got = spark.table("stream_out").orderBy("window_start").collect()
+    want = (
+        windowed_stats(sensor, "timestamp", ("wind_speed", "power"))
+        .orderBy("window_start")
+        .collect()
+    )
+    assert len(got) == len(want) == 36  # 6h × 6 windows/h
+    for g, w in zip(got, want):
+        assert g.window_start == w.window_start
+        assert g.wind_speed_mean == pytest.approx(w.wind_speed_mean, rel=1e-9)
+        assert g.power_std == pytest.approx(w.power_std, rel=1e-9)
+
+
+def test_stream_dedup_fixes_duplicate_ingest(spark, tmp_path):
+    """T4 fix at the ingestion edge: duplicated input rows collapse via
+    watermarked dropDuplicates."""
+    sensor = generate_sensor_data(
+        spark, "2025-08-10 00:00:00", "2025-08-10 00:59:00", num_partitions=2
+    )
+    src = str(tmp_path / "dup_src")
+    sensor.write.parquet(src)
+    sensor.write.mode("append").parquet(src)  # simulate re-delivered batch
+
+    stream = read_parquet_stream(spark, src, sensor.schema)
+    result = streaming_windowed_stats(
+        stream, "timestamp", ("wind_speed",), "10 minutes", dedup_cols=("id",)
+    )
+    q = run_available_now(
+        result, str(tmp_path / "ckpt2"), "dedup_out", output_mode="complete"
+    )
+    q.awaitTermination(240)
+
+    got = {r.window_start: r for r in spark.table("dedup_out").collect()}
+    want = {
+        r.window_start: r
+        for r in windowed_stats(sensor, "timestamp", ("wind_speed",)).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].wind_speed_mean == pytest.approx(
+            want[k].wind_speed_mean, rel=1e-9
+        )
