@@ -71,7 +71,9 @@ def minhash_lsh_pairs(
     (semi-join pruning of the shingle sets), so its cost is proportional
     to the number of candidates, not the corpus size squared.
     """
-    shingles = shingle_sets(df, id_col, text_col, n)
+    # Shingles feed BOTH the signature pass and the exact-verify pass —
+    # persist to scan/explode/distinct the corpus once, not twice.
+    shingles = shingle_sets(df, id_col, text_col, n).persist()
     cands = lsh_candidates(minhash_signatures(shingles, num_hashes), num_hashes, bands)
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
@@ -81,3 +83,16 @@ def minhash_lsh_pairs(
     pruned = shingles.join(cand_docs, "doc_id", "left_semi")
     exact = jaccard_pairs(pruned, threshold)
     return exact.join(cands, ["doc_a", "doc_b"], "left_semi")
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """End-to-end near-dedup: drop the higher-id member of every near-dup
+    pair (connected via the pair list) and return surviving rows."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -68,11 +68,13 @@ def s1_scan_project_filter(spark, sf_dir):
     the API's dynamic SELECT (/root/reference/api/app/database.py:41-64).
     Both the projection and the range filter reach the parquet scan
     (PushedFilters / ReadSchema in .explain)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.select("event_id", "ts", "event_type", "value").where(
-        (F.col("ts") >= F.lit("2024-01-10 00:00:00"))
-        & (F.col("ts") <= F.lit("2024-01-20 00:00:00"))
+    from delfos_etl_pipeline_spark.sources.parquet import load_table_range
+
+    ev = load_table_range(
+        spark, sf_dir, "events", "ts",
+        "2024-01-10 00:00:00", "2024-01-20 00:00:00", inclusive_end=True,
     )
+    return ev.select("event_id", "ts", "event_type", "value")
 
 
 # ---------------------------------------------------------------------------
@@ -605,6 +607,142 @@ def w2_lag_delta(spark, sf_dir):
     )
 
 
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE grouping-sets over the fact table — all 4 grouping combos in
+    one pass (Spark expands to a single Expand+HashAggregate, not 4 scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "a_distinct_count",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a_distinct_count(spark, sf_dir):
+    """Exact grouped distinct-count (two-phase partial aggregation under
+    the hood). The approximate sibling is a_approx_distinct."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("a_approx_distinct")  # HLL++ sketch differs from DuckDB's → rows-only
+def a_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++, rsd=1%) — the 100 TB path for
+    cardinality: mergeable sketches, no exact-distinct shuffle blow-up."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → two joins → grouped revenue
+    → top-10. Customer side broadcasts; lineitem⋈orders shuffles on the
+    order key; filters push to all three scans."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table snowflake join. region/nation/supplier
+    broadcast; the lineitem⋈orders shuffle is the only large exchange —
+    the plan a 1000-executor cluster wants."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup — training-data-pipeline extensions (SURVEY §7 M5)
 # ---------------------------------------------------------------------------
@@ -751,35 +889,13 @@ def sim_knn_bruteforce(spark, sf_dir):
     """,
 )
 def sim_knn_allpairs(spark, sf_dir):
-    """Exact 5-NN for every vector (N² brute force) — eval-set scale; the
-    LSH variant is the corpus-scale path."""
-    from pyspark.sql import Window as W
-
-    from delfos_etl_pipeline_spark.similarity.knn import _as_double, _dot
+    """Exact 5-NN for every vector — broadcast reference matrix + Arrow
+    batches + one BLAS matmul per batch (similarity/knn.py
+    all_pairs_topk_blas); ~10× the interpreted-expression N² plan."""
+    from delfos_etl_pipeline_spark.similarity.knn import all_pairs_topk_blas
 
     emb = _t(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double("embedding").alias("e")).withColumn(
-        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
-    )
-    a = v.select(
-        F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a")
-    )
-    b = v.select(
-        F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b")
-    )
-    sim = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
-    w = W.partitionBy("id_a").orderBy(sim.desc(), F.col("id_b"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(sim, 6).alias("cosine_sim"),
-            F.row_number().over(w).alias("rank"),
-        )
-        .where(F.col("rank") <= 5)
-    )
+    return all_pairs_topk_blas(emb, "vec_id", "embedding", k=5)
 
 
 @query("sim_lsh_bucketed")  # approximate bucket recall → rows-only check

@@ -99,6 +99,69 @@ def all_pairs_topk(
     )
 
 
+def all_pairs_topk_blas(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact k-NN for every vector via broadcast + Arrow-batched BLAS.
+
+    The scale design for brute-force kNN: the *reference* matrix (all
+    vectors) is broadcast once per executor; the *query* side streams
+    through ``mapInPandas`` in Arrow batches, and each batch is one numpy
+    matmul (batch×d @ d×N) + argpartition top-k. ~10-100× faster than
+    per-pair expression evaluation (one BLAS call vs 4M interpreted
+    lambdas at N=2000), and the pattern extends to corpus-scale queries
+    against a broadcastable index shard.
+
+    Output schema/ordering matches :func:`all_pairs_topk`:
+    (id_a, id_b, cosine_sim, rank) with rank by (sim desc, id_b asc).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    ref = df.select(id_col, vec_col).toPandas()
+    ids = ref[id_col].to_numpy()
+    mat = np.stack(ref[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def topk(batches):
+        ref_ids, ref_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ ref_mat.T  # one BLAS call per Arrow batch
+            out_a, out_b, out_s, out_r = [], [], [], []
+            for row_idx, qid in enumerate(pdf[id_col].to_numpy()):
+                s = sims[row_idx]
+                mask = ref_ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                take = min(k, cand_idx.size)
+                part = cand_idx[np.argpartition(-s[cand_idx], take - 1)[:take]]
+                # final order: sim desc, id asc (matches SQL tiebreak)
+                order = np.lexsort((ref_ids[part], -s[part]))
+                sel = part[order]
+                out_a.extend([qid] * take)
+                out_b.extend(ref_ids[sel])
+                out_s.extend(s[sel])
+                out_r.extend(range(1, take + 1))
+            sims_out = np.asarray(out_s)
+            if round_decimals is not None:
+                sims_out = sims_out.round(round_decimals)
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "cosine_sim": sims_out, "rank": out_r}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        topk, "id_a long, id_b long, cosine_sim double, rank integer"
+    )
+
+
 def _hyperplane(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 pseudo-random hyperplanes from a splitmix-style
     integer mix — stable across runs/machines without Math.random."""

@@ -79,6 +79,61 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_range(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_col: str,
+    start=None,
+    end=None,
+    inclusive_end: bool = True,
+) -> DataFrame:
+    """Range-filtered scan that KEEPS parquet predicate pushdown even for
+    nanosecond timestamp columns.
+
+    A filter on the converted ``timestamp_micros(ts div 1000)`` column is a
+    function of the raw attribute, so Catalyst cannot push it into the
+    scan — the whole file would be read. Here the bounds are translated
+    driver-side to raw epoch-nanos and applied to the long column *before*
+    conversion: the predicate reaches the parquet reader (row-group
+    min/max skipping), which at 100 TB is the difference between scanning
+    a day and scanning a decade.
+    """
+    import datetime as _dt
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+
+    def _to_ns(v) -> int:
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        return int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000) * 1000
+
+    if ts_col in ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        c = F.col(ts_col)
+        if start is not None:
+            df = df.where(c >= F.lit(_to_ns(start)))
+        if end is not None:
+            # inclusive on the truncated-µs value ⇒ include every ns value
+            # below the next µs boundary
+            bound = _to_ns(end) + (999 if inclusive_end else -1)
+            df = df.where(c <= F.lit(bound))
+        for col in ns_cols:
+            if col in df.columns:
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        return df
+
+    df = load_table(spark, sf_dir, name)
+    c = F.col(ts_col)
+    if start is not None:
+        df = df.where(c >= F.lit(start))
+    if end is not None:
+        df = df.where(c <= F.lit(end) if inclusive_end else c < F.lit(end))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every catalog table present under ``sf_dir``."""
     out = {}

@@ -108,6 +108,23 @@ def test_http_json_fake_fetcher(spark):
         read_sensor_api(spark, "http://api:8000", variables=["nope"], fetch=fake)
 
 
+def test_load_table_range_ns_pushdown(spark, sf_dir):
+    """Range scan on a ns-timestamp table: predicate must reach the
+    parquet scan (raw int64 bounds) and results must equal post-hoc
+    filtering on the converted column."""
+    from delfos_etl_pipeline_spark.sources.parquet import load_table, load_table_range
+
+    lo, hi = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    fast = load_table_range(spark, sf_dir, "events", "ts", lo, hi)
+    slow = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= lo) & (F.col("ts") <= hi)
+    )
+    assert fast.count() == slow.count()
+    assert fast.exceptAll(slow).count() == 0
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(ts," in plan  # pushed to the scan
+
+
 def test_introspection(spark, sensor):
     sensor.createOrReplaceTempView("sensor_raw")
     cols = table_columns(spark, "sensor_raw").collect()
