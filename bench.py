@@ -24,6 +24,9 @@ HEADLINE = [
     "a1_pipeline_long",
     "a1_tumbling_window_agg",
     "a5_group_multi_agg",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "session_windows",
     "j1_broadcast_dim_join",
     "j3_fact_dim_join",
     "w1_latest_per_key",

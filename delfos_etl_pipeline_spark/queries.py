@@ -266,6 +266,131 @@ def agg_rollup_hierarchy(spark, sf_dir):
     )
 
 
+@query(
+    "a1_sliding_window_agg",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+             value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 10 MINUTE, ts, INTERVAL 5 MINUTE) AS window_start,
+             value FROM events
+    )
+    SELECT window_start,
+           count(*) AS n_events,
+           round(avg(value), 6) AS value_mean
+    FROM b GROUP BY 1
+    """,
+)
+def a1_sliding_window_agg(spark, sf_dir):
+    """Sliding (hopping) window: 10-minute windows every 5 minutes — each
+    event lands in exactly 2 windows. Beyond the reference's tumbling-only
+    surface; same single-shuffle group-by plan."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").start.alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("value_mean"),
+        )
+    )
+
+
+@query(
+    "session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 4) AS session_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def session_windows(spark, sf_dir):
+    """Session windows (30-minute inactivity gap) per user via Spark's
+    native session_window — stateful sessionization as ONE group-by (the
+    oracle re-derives sessions with lag+cumsum, proving semantics match)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "streaming_window_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+           round(avg(value), 6)         AS value_mean,
+           min(value)                   AS value_min,
+           max(value)                   AS value_max,
+           round(stddev_samp(value), 6) AS value_std
+    FROM events
+    GROUP BY 1
+    """,
+)
+def streaming_window_agg(spark, sf_dir):
+    """A1 under Structured Streaming: file-source stream over the events
+    parquet, watermarked tumbling windows, availableNow drain to a memory
+    sink — and the result STILL hash-matches the batch oracle (batch/
+    stream parity by construction, streaming/runner.py)."""
+    import os as _os
+    import tempfile
+
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+    from delfos_etl_pipeline_spark.streaming.runner import (
+        read_parquet_stream,
+        run_available_now,
+        streaming_windowed_stats,
+    )
+
+    # stream the ns-normalized events as a fresh parquet dir (the file
+    # source needs a directory it can treat as an append log)
+    src = _os.path.join(tempfile.mkdtemp(prefix="delfos_stream_"), "events")
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    ev.write.parquet(src)
+
+    stream = read_parquet_stream(spark, src, ev.schema)
+    result = streaming_windowed_stats(
+        stream, "ts", ("value",), "10 minutes", watermark="1 hour"
+    )
+    q = run_available_now(
+        result,
+        _os.path.join(tempfile.mkdtemp(prefix="delfos_ckpt_"), "ckpt"),
+        "streaming_window_agg_sink",
+        output_mode="complete",
+    )
+    q.awaitTermination(300)
+    out = spark.table("streaming_window_agg_sink")
+    return out.select(
+        "window_start",
+        F.round("value_mean", 6).alias("value_mean"),
+        "value_min",
+        "value_max",
+        F.round("value_std", 6).alias("value_std"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # J — joins (SURVEY §2.3)
 # ---------------------------------------------------------------------------
