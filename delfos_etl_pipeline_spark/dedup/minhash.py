@@ -6,10 +6,15 @@ r; documents sharing any band bucket become candidates, then candidates
 are verified with exact Jaccard. For threshold t, recall follows
 1-(1-t^r)^b — with k=64, b=16, r=4: ≈97% at t=0.6, >99.9% at t=0.8.
 
-Everything is expression-level: ``xxhash64(seed, shingle)`` provides the k
-"permutations" (one seed per hash), the per-doc sketch is k min-aggregates
-(map-side partial agg → one shuffle keyed by doc), and banding is a hash
-of each r-slice. No Python UDFs.
+The sketch is computed ARRAY-SIDE from each document's shingle array
+(ngram.shingle_arrays): sig[i] = min over shingles of xxhash64(i, shingle)
+as one nested higher-order expression, and each band bucket is a hash of a
+signature slice. That makes signatures + banding a pure narrow projection —
+no groupBy shuffle, and none of the k-wide aggregate codegen whose
+cold-start compile time dominated the grouped formulation (measured: the
+64-column agg plan cost ~10s of first-run codegen at any data size). The
+only shuffles left are the bucket self-join and the candidate-bounded
+exact-verify join. No Python UDFs anywhere.
 """
 
 from __future__ import annotations
@@ -17,16 +22,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
+from delfos_etl_pipeline_spark.dedup.ngram import (
+    explode_shingles,
+    jaccard_pairs,
+    shingle_arrays,
+)
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """(doc_id, h0..h{k-1}) — k min-hash values per document."""
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+def minhash_signatures(shingle_arrs: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(doc_id, sig: array<long>) — k min-hash values per document.
+
+    Input is ngram.shingle_arrays output (one array row per doc). The k
+    "permutations" are xxhash64 seeded with the hash index; with hashed
+    (long) shingles each is constant-cost on 8-byte input. Documents with
+    no shingles (< n words) are dropped — an empty set has no sketch, and
+    keeping them would make every empty doc band-collide with every other.
+    """
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(i, s))
+        ),
+    )
+    return shingle_arrs.where(F.size("shingles") > 0).select(
+        "doc_id", sig.alias("sig")
+    )
 
 
 def lsh_candidates(
@@ -34,16 +54,16 @@ def lsh_candidates(
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs sharing ≥1 LSH band bucket."""
     rows = num_hashes // bands
-    band_cols = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.xxhash64(*[F.col(f"h{j * rows + i}") for i in range(rows)]).alias("bucket"),
-        )
-        for j in range(bands)
-    ]
-    buckets = signatures.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bb = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.struct(
+            j.alias("band"),
+            F.xxhash64(F.slice(F.col("sig"), j * rows + 1, rows)).alias("bucket"),
+        ),
+    )
+    buckets = signatures.select("doc_id", F.explode(bb).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -68,19 +88,26 @@ def minhash_lsh_pairs(
     ngram.jaccard_pairs but with LSH-bounded candidate generation.
 
     The verify step computes exact Jaccard only for candidate pairs
-    (semi-join pruning of the shingle sets), so its cost is proportional
-    to the number of candidates, not the corpus size squared.
+    (semi-join pruning of the shingle arrays BEFORE exploding them), so its
+    cost is proportional to the number of candidates, not corpus².
     """
-    # Shingles feed BOTH the signature pass and the exact-verify pass —
-    # persist to scan/explode/distinct the corpus once, not twice.
-    shingles = shingle_sets(df, id_col, text_col, n).persist()
-    cands = lsh_candidates(minhash_signatures(shingles, num_hashes), num_hashes, bands)
+    # The per-doc shingle arrays feed BOTH the signature pass and the
+    # exact-verify pass — persist to scan/tokenize the corpus once.
+    arrs = shingle_arrays(df, id_col, text_col, n, hashed=True).persist()
+    # cands is referenced three times below (two cand_docs branches + the
+    # final semi-join); without persist the signature+banding subtree would
+    # execute once per reference.
+    cands = lsh_candidates(
+        minhash_signatures(arrs, num_hashes), num_hashes, bands
+    ).persist()
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .union(cands.select("doc_b"))
         .distinct()
     )
-    pruned = shingles.join(cand_docs, "doc_id", "left_semi")
+    pruned = explode_shingles(
+        arrs.join(cand_docs, "doc_id", "left_semi"), with_size=True
+    )
     exact = jaccard_pairs(pruned, threshold)
     return exact.join(cands, ["doc_a", "doc_b"], "left_semi")
 

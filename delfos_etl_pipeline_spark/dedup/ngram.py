@@ -16,6 +16,54 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def shingle_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    hashed: bool = False,
+) -> DataFrame:
+    """(doc_id, shingles) — each document's DISTINCT word n-gram shingles
+    as ONE array row. The per-doc set form: minhash signatures, set sizes,
+    and the exploded (doc_id, shingle) relation all derive from it with no
+    shuffle.
+
+    Tokenization is lower + whitespace split; shingles are n consecutive
+    words joined by a single space. ``hashed=True`` emits xxhash64 longs
+    instead of strings — the preferred form for every consumer that doesn't
+    need the literal text (8-byte join/shuffle keys; 64-bit collision risk
+    ~|shingles|²/2⁶⁴, negligible for real corpora).
+
+    Per-document dedup runs as ``array_distinct`` BEFORE any explode:
+    (doc_id, shingle) uniqueness is local to each document, so a global
+    ``.distinct()`` shuffle would move the whole corpus for nothing."""
+    # Bind the words array as a materialized column BEFORE the transform
+    # lambda uses it: referencing the raw split(...) expression inside the
+    # lambda re-evaluates the regex split once per shingle position —
+    # O(words²) regex work per document (measured 4× on the whole stage).
+    # The repartition spreads the CPU-bound shingle construction across all
+    # cores (doc corpora often arrive as few fat files → few scan splits)
+    # and pre-aligns partitioning for doc_id-keyed consumers; the count is
+    # pinned because AQE would coalesce the small shuffle to one partition
+    # and serialize the work.
+    bound = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    words = F.col("_w")
+
+    def mk_shingle(i):
+        s = F.concat_ws(" ", F.slice(words, i, n))
+        return F.xxhash64(s) if hashed else s
+
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        mk_shingle,
+    )
+    return bound.select("doc_id", F.array_distinct(arr).alias("shingles"))
 
 
 def shingle_sets(
@@ -23,22 +71,25 @@ def shingle_sets(
     id_col: str,
     text_col: str,
     n: int = 3,
+    hashed: bool = False,
+    with_size: bool = False,
 ) -> DataFrame:
-    """(id, shingle) — DISTINCT word n-gram shingles per document.
+    """(doc_id[, sz], shingle) — exploded row form of shingle_arrays.
 
-    Tokenization is lower + whitespace split; shingles are n consecutive
-    words joined by a single space (positions via ``transform(sequence)``,
-    all JVM-side).
-    """
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    ``with_size=True`` adds ``sz`` (the doc's distinct-shingle count),
+    computed array-side for free, letting jaccard_pairs skip its sizes
+    shuffle."""
+    return explode_shingles(
+        shingle_arrays(df, id_col, text_col, n, hashed), with_size
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+
+
+def explode_shingles(arrs: DataFrame, with_size: bool = False) -> DataFrame:
+    """(doc_id, shingles array) → (doc_id[, sz], shingle) rows."""
+    cols = [F.col("doc_id")]
+    if with_size:
+        cols.append(F.size("shingles").alias("sz"))
+    return arrs.select(*cols, F.explode("shingles").alias("shingle"))
 
 
 def jaccard_pairs(
@@ -59,26 +110,33 @@ def jaccard_pairs(
     is ~|shingles|²/2⁶⁴ (≪1e-9 for real corpora); pass False for the
     literal-string join.
     """
-    if hash_shingles:
-        shingles = shingles.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    already_hashed = isinstance(shingles.schema["shingle"].dataType, LongType)
+    if hash_shingles and not already_hashed:
+        shingles = shingles.withColumn("shingle", F.xxhash64("shingle"))
+    # A carried `sz` column (shingle_sets(with_size=True)) means set sizes
+    # ride along through the self-join — no sizes aggregation and no two
+    # post-agg joins. Under max_shingle_freq the carried sizes would be
+    # pre-prune and wrong, so fall back to recomputing after the prune.
     if max_shingle_freq is not None:
+        if "sz" in shingles.columns:
+            shingles = shingles.drop("sz")
         freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         keep = freq.where(F.col("df") <= max_shingle_freq).select("shingle")
         shingles = shingles.join(keep, "shingle", "left_semi")
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
+    if "sz" not in shingles.columns:
+        sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        shingles = shingles.join(sizes, "doc_id")
+    a = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle")
+    return (
         a.join(b, ["shingle"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
         .select(
             "doc_a",
             "doc_b",

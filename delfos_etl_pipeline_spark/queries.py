@@ -939,7 +939,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
 
     docs = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(shingle_sets(docs, "doc_id", "text", n=3), threshold=0.6)
+    return jaccard_pairs(
+        shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True),
+        threshold=0.6,
+    )
 
 
 @query("dedup_minhash_lsh")  # approximate: LSH recall < 100% → rows-only check

@@ -26,6 +26,10 @@ _STARTUP_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # By default Spark pins cached-plan output partitioning, which disables
+    # AQE partition coalescing under .persist() — the dedup/LSH pipelines
+    # cache intermediates, so allow AQE to re-plan them too.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # The driver testdata's `events.ts` is parquet TIMESTAMP(NANOS) which
     # Spark cannot read natively; read as long and let the source adapter
     # convert (truncate) to microsecond timestamps.
