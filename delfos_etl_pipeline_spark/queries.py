@@ -956,6 +956,29 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
 
 
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.4): broadcast the
+    normalized reference matrix, one BLAS matmul per Arrow batch, emit
+    each unordered pair once (dedup/embedding.py). The semantic tier of
+    the dedup family; the testdata embeddings are synthetic/near-uniform
+    so the threshold sits in the far tail rather than at a realistic 0.9."""
+    from delfos_etl_pipeline_spark.dedup.embedding import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
 @query("dedup_simhash")  # signature formula has no portable SQL twin
 def dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs with Hamming ≤ 3 via pigeonhole banding

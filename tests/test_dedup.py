@@ -79,3 +79,32 @@ def test_max_shingle_freq_prunes(docs):
     full = jaccard_pairs(shingles, threshold=0.6)
     # pruning ubiquitous shingles can only shrink the candidate space
     assert pruned.count() <= full.count()
+
+
+def test_embedding_cosine_exact_vs_lsh(spark, sf_dir):
+    from delfos_etl_pipeline_spark.dedup.embedding import (
+        embedding_dedup,
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert exact, "threshold 0.4 should yield pairs on the testdata"
+    assert all(a < b for a, b in exact)
+    assert all(s >= 0.4 for s in exact.values())
+    # LSH candidates are a subset of exact pairs (verify step is exact
+    # cosine), and the pair values agree where both found the pair.
+    approx = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_dup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert abs(v - exact[k]) < 1e-6
+    # dedup drops exactly the distinct higher-id members
+    survivors = embedding_dedup(emb, threshold=0.4).count()
+    assert survivors == emb.count() - len({b for _, b in exact})
