@@ -48,9 +48,10 @@ def schema_structure(spark: SparkSession, tables: list[str]) -> DataFrame:
 
 
 def foreign_keys(spark: SparkSession, tables: list[str] | None = None) -> DataFrame:
-    """FK relationships from the engine registry, filtered to ``tables``
-    when given — replaces the reference's 3-way information_schema join
-    (assets.py:292-307)."""
+    """J6/S10 — FK relationships from the engine registry, filtered to
+    ``tables`` when given — replaces the reference's 3-way
+    information_schema join (assets.py:292-307): Spark has no FK catalog,
+    so the registry is the engine's own schema metadata."""
     rows = FOREIGN_KEYS
     if tables is not None:
         keep = set(tables)

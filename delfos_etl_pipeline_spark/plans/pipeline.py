@@ -11,6 +11,10 @@ single declarative plan:
     → NULL-value pruning (A2) → broadcast dimension join (J1) with
     unmapped-key elimination (J2) → projection (P4)
 
+R3 (the reference's set_index/reset_index around resample,
+etl_process.py:86,104) is deliberately absent: Spark has no index concept;
+projecting ``window.start`` replaces the reset_index round-trip.
+
 Everything is built-in Spark SQL expressions — zero Python UDFs — so
 Catalyst sees through the whole plan (predicate pushdown into the scan,
 partial aggregation map-side, broadcast hash join for the dimension).
@@ -222,7 +226,7 @@ def run_day(
             df, ts_col, start, end, columns=[ts_col, *measures], inclusive_end=inclusive_end
         )
         extracted = day_df.count()
-        if extracted == 0:
+        if extracted == 0:  # P6 — empty-input short-circuit (etl_process.py:79-81)
             return RunResult(day, "no_data")
         out = sensor_pipeline(day_df, signal_dim, ts_col, measures)
         if sink is not None:

@@ -11,9 +11,9 @@ from pyspark.sql import functions as F
 
 
 def per_signal_summary(fact: DataFrame, dim: DataFrame) -> DataFrame:
-    """A5/J3 — per-signal COUNT/AVG/MIN/MAX/STDDEV ordered by id
-    (assets.py:201-210; STDDEV variant :327-340 — sample stddev, like
-    Postgres STDDEV)."""
+    """A5/J3/O3 — per-signal COUNT/AVG/MIN/MAX/STDDEV ordered by
+    dimension id (assets.py:201-210; STDDEV variant :327-340 — sample
+    stddev, like Postgres STDDEV; O3 stable report ordering :209)."""
     joined = fact.join(F.broadcast(dim), fact.signal_id == dim.id, "inner")
     return (
         joined.groupBy("id", "name")

@@ -238,6 +238,39 @@ def a4_minmax_scalar(spark, sf_dir):
 
 
 @query(
+    "a7_column_stats",
+    oracle="""
+    SELECT count(*)                    AS n_rows,
+           round(avg(value), 6)        AS value_mean,
+           min(value)                  AS value_min,
+           max(value)                  AS value_max,
+           round(stddev_samp(value), 6) AS value_std
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+    """,
+)
+def a7_column_stats(spark, sf_dir):
+    """A7 — ungrouped whole-column statistics over one day's raw slice
+    (the run-metadata stats, /root/reference/dagster/assets.py:155-166);
+    sample stddev per §2.10-2. One partial-agg pass, range filter pushed
+    to the scan."""
+    from delfos_etl_pipeline_spark.sources.parquet import load_table_range
+
+    ev = load_table_range(
+        spark, sf_dir, "events", "ts",
+        "2024-01-10 00:00:00", "2024-01-11 00:00:00", inclusive_end=False,
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.round(F.stddev_samp("value"), 6).alias("value_std"),
+    )
+
+
+@query(
     "a8_distinct_values",
     oracle="SELECT DISTINCT event_type FROM events",
 )
@@ -658,17 +691,25 @@ def o2_topk(spark, sf_dir):
                 ELSE round(value * value * 0.08, 6) END AS piecewise,
            floor(value / 8)                           AS bucket8,
            round(sin(value), 6)                       AS sin_val,
-           round(pow(value, 2), 4)                    AS squared
+           round(pow(value, 2), 4)                    AS squared,
+           CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                WHEN 'purchase' THEN 3 ELSE -1 END    AS type_code
     FROM events
     """,
 )
 def f_scalar_suite(spark, sf_dir):
-    """F1-F10 — scalar function battery: timestamp trunc/format/arithmetic
-    (F2-F4), clip via least/greatest (F7), piecewise power-curve (F8/F10),
-    integer bucketing (F12), sinusoid (F9) — all JVM-side expressions
-    inside whole-stage codegen, zero Python UDFs (SURVEY §2.11 goal)."""
+    """F1-F12 — scalar function battery: timestamp trunc + day arithmetic
+    (F3), format (F2), date extract (F4), clip via least/greatest (F7),
+    piecewise power-curve (F8/F10), integer bucketing (F12), sinusoid
+    (F9), literal-map recode via create_map+getItem (F11, the engine form
+    of the reference's dict .map() — /root/reference/etl/etl_process.py:143)
+    — all JVM-side expressions inside whole-stage codegen, zero Python
+    UDFs (SURVEY §2.11 goal)."""
     ev = _t(spark, sf_dir, "events")
     v = F.col("value")
+    recode = F.create_map(
+        F.lit("click"), F.lit(1), F.lit("view"), F.lit(2), F.lit("purchase"), F.lit(3)
+    )
     return ev.select(
         "event_id",
         F.date_trunc("day", "ts").alias("day_start"),
@@ -683,6 +724,7 @@ def f_scalar_suite(spark, sf_dir):
         F.floor(v / 8).alias("bucket8"),
         F.round(F.sin(v), 6).alias("sin_val"),
         F.round(F.pow(v, 2), 4).alias("squared"),
+        F.coalesce(recode[F.col("event_type")], F.lit(-1)).alias("type_code"),
     )
 
 

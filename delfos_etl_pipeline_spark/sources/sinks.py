@@ -64,8 +64,12 @@ def write_jdbc(
 
 
 def seed_guard(spark, path: str) -> bool:
-    """S9 — idempotent-seed guard: True if the target is absent/empty so
-    the caller should seed (/root/reference/database/seed_fonte_docker.py:78-83)."""
+    """S9/P6 — idempotent-seed / empty-input guard: True if the target is
+    absent/empty so the caller should seed
+    (/root/reference/database/seed_fonte_docker.py:78-83). The same
+    ``isEmpty()`` is the engine's P6 short-circuit (the reference's
+    ``df.empty`` skips at transform and load, etl_process.py:79,133) —
+    see plans/pipeline.py, which skips the write for empty slices."""
     try:
         return spark.read.parquet(path).isEmpty()
     except Exception:

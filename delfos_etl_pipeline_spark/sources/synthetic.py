@@ -48,6 +48,7 @@ def generate_sensor_data(
     i = F.col("id")
     ts = F.to_timestamp(F.lit(start)) + F.make_interval(mins=i * freq_minutes)
 
+    # F6 — gaussian noise (seed_fonte.py:21); F7 clip below.
     wind_raw = F.randn(seed) * 5.0 + 12.0
     wind = F.least(F.greatest(wind_raw, F.lit(0.0)), F.lit(25.0))
 
