@@ -1110,6 +1110,26 @@ def sim_lsh_bucketed(spark, sf_dir):
     )
 
 
+@query("sim_ivf_topk")  # approximate cell recall → rows-only check
+def sim_ivf_topk(spark, sf_dir):
+    """IVF ANN top-10 for the vec_id=0 query: k-means coarse quantizer
+    (8 cells), probe the 2 nearest cells, exact cosine inside them
+    (similarity/ivf.py). With the index persisted partitionBy(cluster),
+    each probe is a partition-pruned scan of n_probe/n_clusters of the
+    corpus — the build-once/search-many scale path beside LSH."""
+    from delfos_etl_pipeline_spark.similarity.ivf import build_ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    assigned, centroids = build_ivf_index(
+        emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
+    )
+    return ivf_topk(assigned, centroids, qvec, "vec_id", "embedding", k=10, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (SURVEY §7 M5)
 # ---------------------------------------------------------------------------

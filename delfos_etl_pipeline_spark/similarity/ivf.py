@@ -1,0 +1,95 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The second scale path for similarity search beside random-hyperplane LSH
+(knn.lsh_bucketed_topk): a coarse k-means quantizer splits the corpus into
+n_clusters cells; a query probes only the n_probe cells whose centroids
+are most cosine-similar, then runs exact cosine inside them.
+
+Scale posture: build once, search many. ``build_ivf_index`` assigns every
+vector a cell id — persist that table ``partitionBy("cluster")`` (see
+``write_ivf_index``) and every probe becomes a *partition-pruned* scan:
+at 100 TB a 1024-cell index turns a full-corpus scan into reading
+n_probe/1024 of the data. Centroids are tiny (n_clusters × dim floats) and
+live driver-side like any other broadcastable dimension.
+
+Vectors are L2-normalized before clustering so Euclidean k-means cells
+approximate cosine cells (standard IVF-flat practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.similarity.knn import _as_double, cosine_similarity_col
+
+
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 7,
+) -> tuple[DataFrame, list[list[float]]]:
+    """(assigned, centroids): corpus with a ``cluster`` cell id per row,
+    plus the centroid list (driver-side, broadcast-sized)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    # L2-normalize via the ml Normalizer (one JVM pass) rather than a
+    # higher-order divide — an expression-level norm referenced inside a
+    # transform() lambda re-evaluates per element (the O(d²) trap).
+    raw = df.withColumn("_fv0", array_to_vector(_as_double(vec_col)))
+    feat = Normalizer(p=2.0, inputCol="_fv0", outputCol="_fv").transform(raw)
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="cluster"
+    ).fit(feat)
+    assigned = model.transform(feat).drop("_fv", "_fv0")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def write_ivf_index(assigned: DataFrame, path: str) -> None:
+    """Persist the assigned corpus partitioned by cell — probes then scan
+    only their cells' files (partition pruning, no data skipped manually)."""
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def probe_cells(query_vec: list[float], centroids: list[list[float]], n_probe: int) -> list[int]:
+    """Driver-side: the n_probe cell ids whose centroids are most
+    cosine-similar to the query."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    scored = []
+    for cid, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        scored.append((sum(x * y for x, y in zip(query_vec, c)) / (qn * cn), cid))
+    scored.sort(reverse=True)
+    return [cid for _, cid in scored[:n_probe]]
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: exact cosine inside the n_probe nearest cells.
+    n_probe = n_clusters degenerates to exact brute force."""
+    cells = probe_cells(query_vec, centroids, n_probe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    sim = cosine_similarity_col(_as_double(vec_col), q)
+    if round_decimals is not None:
+        sim = F.round(sim, round_decimals)
+    return (
+        assigned.where(F.col("cluster").isin(cells))
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -61,6 +61,60 @@ def read_parquet_stream(
     return reader.parquet(path)
 
 
+def stateful_running_totals(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (n, total, vmin, vmax) held in GroupState across micro-batches;
+    every batch that touches a key emits that key's updated totals.
+
+    This is the engine's template for stateful logic the built-in
+    streaming surface can't express (custom accumulators, decaying
+    counters, online sketches): state lives in Spark's state store —
+    checkpointed, partitioned by key, recoverable — while the update
+    function is plain pandas over Arrow batches. The reference has no
+    stateful processing at all (SURVEY.md §2.9: append-only loads, T4);
+    this is the M4 additive surface.
+    """
+    import pandas as pd
+
+    key_type = stream.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, n long, total double, vmin double, vmax double"
+    )
+    state_schema = "n long, total double, vmin double, vmax double"
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, total, vmin, vmax = state.get
+        else:
+            n, total, vmin, vmax = 0, 0.0, None, None
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            if not len(vals):
+                continue
+            n += int(len(vals))
+            total += float(vals.sum())
+            bmin, bmax = float(vals.min()), float(vals.max())
+            vmin = bmin if vmin is None else min(vmin, bmin)
+            vmax = bmax if vmax is None else max(vmax, bmax)
+        state.update((n, total, vmin, vmax))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n": [n], "total": [total], "vmin": [vmin], "vmax": [vmax]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def run_available_now(
     result: DataFrame,
     checkpoint_dir: str,

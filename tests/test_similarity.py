@@ -58,3 +58,55 @@ def test_all_pairs_topk_shape(emb):
     assert len(rows) == 50 * 3
     assert all(1 <= r.rank <= 3 for r in rows)
     assert all(r.id_a != r.id_b for r in rows)
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """Probing every cell degenerates IVF to exact brute force; fewer
+    probes return a subset with identical similarity values."""
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        build_ivf_index,
+        ivf_topk,
+        write_ivf_index,
+    )
+    from delfos_etl_pipeline_spark.similarity.knn import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.where(F.col("vec_id") != 0)
+    assigned, centroids = build_ivf_index(corpus, n_clusters=8)
+
+    exact = [(r.vec_id, r.cosine_sim) for r in brute_force_topk(corpus, qvec, k=10).collect()]
+    full = [
+        (r.vec_id, r.cosine_sim)
+        for r in ivf_topk(assigned, centroids, qvec, k=10, n_probe=8).collect()
+    ]
+    assert full == exact
+
+    some = ivf_topk(assigned, centroids, qvec, k=10, n_probe=2).collect()
+    exact_sims = dict(exact)
+    hits = [r for r in some if r.vec_id in exact_sims]
+    for r in hits:
+        assert r.cosine_sim == exact_sims[r.vec_id]
+    assert len(hits) >= 3  # probing the 2 best of 8 cells keeps most of top-10
+
+
+def test_ivf_partitioned_index_prunes(spark, sf_dir, tmp_path):
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        build_ivf_index,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, centroids = build_ivf_index(emb.where(F.col("vec_id") != 0), n_clusters=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, path)
+    back = spark.read.parquet(path)
+    got = ivf_topk(back, centroids, qvec, k=10, n_probe=2)
+    # the cluster filter must reach the scan as a partition filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cluster" in seg, f"cluster filter not pushed to partitions: {seg}"
+    assert got.count() == 10

@@ -70,3 +70,52 @@ def test_stream_dedup_fixes_duplicate_ingest(spark, tmp_path):
         assert got[k].wind_speed_mean == pytest.approx(
             want[k].wind_speed_mean, rel=1e-9
         )
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-key state accumulates across
+    micro-batches (maxFilesPerTrigger=1 forces multiple), and the final
+    emitted totals match a batch groupBy over the same data."""
+    from delfos_etl_pipeline_spark.streaming.runner import stateful_running_totals
+
+    ev = (
+        spark.createDataFrame(
+            [(u, float(v)) for u in (1, 2, 3) for v in range(10 * u, 10 * u + 5)],
+            "user_id long, value double",
+        )
+        .repartition(3)
+    )
+    src = str(tmp_path / "state_src")
+    ev.write.parquet(src)
+    ev.write.mode("append").parquet(src)  # second delivery → more batches
+
+    stream = read_parquet_stream(spark, src, ev.schema, max_files_per_trigger=1)
+    result = stateful_running_totals(stream, "user_id", "value")
+    q = run_available_now(
+        result, str(tmp_path / "state_ckpt"), "state_out", output_mode="update"
+    )
+    q.awaitTermination(240)
+
+    # memory sink in update mode appends one row per (batch, key) — the
+    # LAST row per key is the final running state
+    final = {
+        r.user_id: r
+        for r in spark.table("state_out").collect()  # ordered by batch
+    }
+    want = {
+        r.user_id: r
+        for r in ev.union(ev)
+        .groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert set(final) == {1, 2, 3}
+    for uid, w in want.items():
+        g = final[uid]
+        assert g.n == w.n and g.total == pytest.approx(w.total)
+        assert g.vmin == w.vmin and g.vmax == w.vmax
