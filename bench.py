@@ -24,6 +24,7 @@ HEADLINE = [
     "a1_pipeline_long",
     "a1_tumbling_window_agg",
     "a5_group_multi_agg",
+    "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "session_windows",

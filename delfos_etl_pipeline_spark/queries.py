@@ -828,6 +828,48 @@ def a_approx_distinct(spark, sf_dir):
 
 
 @query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                    AS avg_qty,
+           round(avg(l_extendedprice), 6)                               AS avg_price,
+           round(avg(l_discount), 6)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical wide scan-aggregate — 8 aggregates
+    over a near-full lineitem scan, grouped on a 4-ish-value key. The
+    whole reduction happens map-side (partial HashAggregate); the exchange
+    moves only |groups|×|partitions| rows. The plan every columnar engine
+    is judged on: filter pushed to parquet, all expressions in codegen."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
     "tpch_q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
@@ -1214,6 +1256,28 @@ def text_fingerprint(spark, sf_dir):
     from delfos_etl_pipeline_spark.text.analysis import document_fingerprint
 
     return document_fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(lower(text), '\\s+'))      AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+'))           AS n_word_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                                                                AS n_bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting at three granularities — whitespace, letter-run
+    words, and BPE-style pre-tokenization (letter runs + digit runs +
+    single punctuation marks): the cheap LLM-token-budget proxy. The
+    pattern sticks to ASCII classes so Java regex and the DuckDB RE2
+    oracle count identically."""
+    from delfos_etl_pipeline_spark.text.analysis import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------

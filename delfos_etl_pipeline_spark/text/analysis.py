@@ -72,6 +72,30 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2-style, ASCII-simplified): letter
+#: runs, digit runs, and single non-alphanumeric marks each count as one
+#: token — the standard approximation for "how many tokens will the
+#: tokenizer produce" without shipping a tokenizer. Kept to ASCII classes
+#: so Java regex (Spark) and RE2 (DuckDB oracle) agree exactly.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token counts at three granularities:
+
+    n_ws_tokens (whitespace split), n_word_tokens (letter runs), and
+    n_bpe_ish_tokens (BPE-style pre-tokenization: letter runs + digit runs
+    + individual punctuation marks) — the cheap proxy for LLM token budget
+    accounting over a corpus. All regexp_count, zero UDFs."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(_words(t)).alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit("[A-Za-z]+")).alias("n_word_tokens"),
+        F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).alias("n_bpe_ish_tokens"),
+    )
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Marker-stopword language heuristic: count marker hits per language,
     argmax with deterministic first-wins tie-break. Returns

@@ -46,3 +46,18 @@ def test_language_id_markers(spark):
     )
     out = {r.doc_id: r.lang_guess for r in language_id(df, "doc_id", "text").collect()}
     assert out == {1: "en", 2: "de", 3: "fr", 4: "unk"}
+
+
+def test_token_counts_granularities(spark):
+    from delfos_etl_pipeline_spark.text.analysis import token_counts
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world! GPT-4 costs $0.03 per 1k tokens.")],
+        "doc_id long, text string",
+    )
+    r = token_counts(df, "doc_id", "text").first()
+    assert r.n_ws_tokens == 8
+    # Hello world GPT costs per k tokens
+    assert r.n_word_tokens == 7
+    # letter runs (7) + digit runs (4 0 03 1) + marks (, ! - $ . .) = 17
+    assert r.n_bpe_ish_tokens == 17
