@@ -828,6 +828,51 @@ def a_approx_distinct(spark, sf_dir):
 
 
 @query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           count(*)              AS n_events,
+           round(sum(value), 4) AS total_value,
+           round(avg(value), 6) AS avg_value,
+           min(value)           AS min_value,
+           max(value)           AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py): groupBy on a
+    5-value key — every key is 'hot' — via (key, salt) partials then a
+    per-key merge. Bit-identical to the plain groupBy (the oracle IS the
+    plain groupBy); the point is no reduce task ever holds more than
+    ~1/n_salts of one key's rows. AQE splits skewed join partitions but
+    NOT skewed aggregations — this is the engine's answer for those."""
+    from delfos_etl_pipeline_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "*"),
+            "total_value": ("sum", "value"),
+            "avg_value": ("avg", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@query(
     "tpch_q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
