@@ -424,6 +424,65 @@ def streaming_window_agg(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           count(value)          AS n,
+           round(sum(value), 4)  AS total,
+           min(value)            AS vmin,
+           max(value)            AS vmax
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_stateful_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) drained over the
+    events stream: per-user running totals held in the checkpointed state
+    store across micro-batches. The memory sink keeps every update; the
+    LAST emitted row per key is the final state — which must equal the
+    batch groupBy (the oracle)."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+    from delfos_etl_pipeline_spark.streaming.runner import (
+        read_parquet_stream,
+        run_available_now,
+        stateful_running_totals,
+    )
+
+    src = _os.path.join(tempfile.mkdtemp(prefix="delfos_state_"), "events")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    ev.write.parquet(src)
+
+    stream = read_parquet_stream(spark, src, ev.schema, max_files_per_trigger=8)
+    result = stateful_running_totals(stream, "user_id", "value")
+    q = run_available_now(
+        result,
+        _os.path.join(tempfile.mkdtemp(prefix="delfos_state_ckpt_"), "ckpt"),
+        "streaming_stateful_sink",
+        output_mode="update",
+    )
+    q.awaitTermination(300)
+    sink = spark.table("streaming_stateful_sink")
+    # last update per key = final running state (n is monotone per key)
+    w = W.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n",
+            F.round("total", 4).alias("total"),
+            "vmin",
+            "vmax",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # J — joins (SURVEY §2.3)
 # ---------------------------------------------------------------------------
