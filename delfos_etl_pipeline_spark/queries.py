@@ -887,6 +887,44 @@ def a_approx_distinct(spark, sf_dir):
 
 
 @query(
+    "range_join_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id AS err_id, ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end
+      FROM events WHERE event_type = 'error' AND event_id % 41 = 0
+    )
+    SELECT iv.err_id, e.event_id, e.ts, e.event_type
+    FROM events e JOIN iv ON e.ts >= iv.w_start AND e.ts <= iv.w_end
+    """,
+)
+def range_join_intervals(spark, sf_dir):
+    """Range (interval-containment) join: every event inside a 30-minute
+    window after selected error events — bucketed equi-join prefilter +
+    exact refine (operators/rangejoin.py), a shuffle hash join instead of
+    the BroadcastNestedLoopJoin Spark would plan for the raw BETWEEN."""
+    from delfos_etl_pipeline_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (
+        ev.where((F.col("event_type") == "error") & (F.col("event_id") % 41 == 0))
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+        )
+    )
+    joined = interval_join(
+        ev.select("event_id", "ts", "event_type"),
+        iv,
+        "ts",
+        "w_start",
+        "w_end",
+        grain_seconds=1800,
+    )
+    return joined.select("err_id", "event_id", "ts", "event_type")
+
+
+@query(
     "agg_salted_skew",
     oracle="""
     SELECT event_type,
