@@ -1,0 +1,90 @@
+"""Hypertable-style multi-resolution rollup (continuous aggregates).
+
+Time-series stores (TimescaleDB hypertables, Druid rollup segments)
+maintain the same aggregate at several grains — 10 minutes for dashboards,
+1 hour for alerting, 1 day for retention. The naive Spark translation
+scans the raw table once per grain; this operator scans it ONCE at the
+finest grain and derives every coarser grain from the finer *partials*:
+
+    raw → 10-min (n, sum, min, max) → 1-hour (re-agg of partials) → 1-day
+
+count/sum/min/max re-aggregate exactly (they are algebraic); mean is
+derived sum/count at read time. At 100 TB the raw scan dominates — the
+coarser rollups cost |finest windows| rows each, effectively free, and the
+same cascade works incrementally: append a day's raw data, recompute only
+that day's fine windows, re-roll the coarser grains from partials.
+
+Sums accumulate in DECIMAL so re-aggregating partials is bit-identical to
+aggregating raw rows directly (double sums are accumulation-order-
+dependent; decimal sums are exact).
+
+Resolutions must nest: each coarser grain a whole multiple of the finer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: (label, window duration) — finest first; each must divide the next.
+DEFAULT_RESOLUTIONS: tuple[tuple[str, str], ...] = (
+    ("10m", "10 minutes"),
+    ("1h", "1 hour"),
+    ("1d", "1 day"),
+)
+
+
+def multi_resolution_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    resolutions: tuple[tuple[str, str], ...] = DEFAULT_RESOLUTIONS,
+) -> DataFrame:
+    """One raw scan → stacked rollups at every resolution.
+
+    Output: (resolution, window_start, n_rows, total, vmin, vmax,
+    value_mean) with total rounded to 4 and mean to 6 decimals.
+    """
+    label0, dur0 = resolutions[0]
+    dec = F.col(value_col).cast("decimal(18,6)")
+    fine = df.groupBy(F.window(ts_col, dur0).start.alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec).alias("_total"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+
+    levels = {label0: fine}
+    prev = fine
+    for label, dur in resolutions[1:]:
+        # persist each level feeding two consumers (its output branch +
+        # the next coarser grain) — otherwise the union recomputes the
+        # whole finer cascade per branch and the one-scan claim is void
+        prev.persist()
+        prev = prev.groupBy(
+            F.window("window_start", dur).start.alias("window_start")
+        ).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("_total").alias("_total"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        levels[label] = prev
+
+    stacked = None
+    for label, level in levels.items():
+        part = level.select(
+            F.lit(label).alias("resolution"),
+            "window_start",
+            "n_rows",
+            F.round(F.col("_total").cast("double"), 4).alias("total"),
+            "vmin",
+            "vmax",
+            # mean from the EXACT decimal total, divided in double space —
+            # decimal/decimal division scale rules differ across engines
+            F.round(F.col("_total").cast("double") / F.col("n_rows"), 6).alias(
+                "value_mean"
+            ),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    return stacked

@@ -887,6 +887,40 @@ def a_approx_distinct(spark, sf_dir):
 
 
 @query(
+    "hypertable_rollup",
+    oracle="""
+    WITH g AS (
+      SELECT '10m' AS resolution, time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+             value FROM events
+      UNION ALL
+      SELECT '1h', time_bucket(INTERVAL 1 HOUR, ts), value FROM events
+      UNION ALL
+      SELECT '1d', time_bucket(INTERVAL 1 DAY, ts), value FROM events
+    )
+    SELECT resolution, window_start,
+           count(*)                                              AS n_rows,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total,
+           min(value)                                            AS vmin,
+           max(value)                                            AS vmax,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+                                                                 AS value_mean
+    FROM g GROUP BY resolution, window_start
+    """,
+)
+def hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: 10m/1h/1d rollups from ONE
+    raw scan — coarser grains re-aggregate the finer grain's partials
+    (operators/rollup.py) instead of rescanning raw. The oracle computes
+    each grain directly from raw rows, so the exact hash match proves
+    partial re-aggregation loses nothing (sums in decimal, so
+    accumulation order can't drift the values)."""
+    from delfos_etl_pipeline_spark.operators.rollup import multi_resolution_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return multi_resolution_rollup(ev, "ts", "value")
+
+
+@query(
     "range_join_intervals",
     oracle="""
     WITH iv AS (
@@ -1008,6 +1042,111 @@ def tpch_q1_pricing_summary(spark, sf_dir):
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue,
+           round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: 4-way join (two broadcastable dims), quarter
+    filter + returnflag filter pushed to the scans, grouped revenue,
+    top-20. lineitem⋈orders shuffles on the order key; customer and
+    nation broadcast. Revenue accumulates in DECIMAL: double sums are
+    accumulation-order-dependent and this group count sits on a 2-decimal
+    rounding boundary — decimal arithmetic is exact on both engines."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(14,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-derived semi-join (orders whose total
+    quantity clears a threshold) feeding a 3-way join + regroup. The
+    HAVING subquery is a left-semi join against a pre-aggregated lineitem
+    — both sides shuffle on the order key, so AQE can reuse the exchange."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
     )
 
 
