@@ -834,6 +834,56 @@ def w2_lag_delta(spark, sf_dir):
 
 
 @query(
+    "w3_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 4) AS running_value
+    FROM events
+    """,
+)
+def w3_running_sum(spark, sf_dir):
+    """Explicit frame spec: cumulative per-key sum with ROWS UNBOUNDED
+    PRECEDING — the frame-based analytic surface beyond ranking/lag."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+@query(
+    "a_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a_percentiles(spark, sf_dir):
+    """Exact grouped percentiles (continuous interpolation) — Spark's
+    percentile() matches SQL quantile_cont semantics; swap in
+    approx_percentile at corpus scale for one-pass sketching (that variant
+    stays rows-only-checkable, like a_approx_distinct)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@query(
     "agg_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
