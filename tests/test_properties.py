@@ -1,0 +1,105 @@
+"""Property-based tests (SURVEY.md §5 strategy 3, hypothesis).
+
+Each example runs real Spark jobs, so examples are few and deadlines off;
+the value is the generated edge cases (empty frames, all-null measures,
+single-row bins, equal timestamps), not volume.
+"""
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.plans.pipeline import to_long, windowed_stats
+
+BASE = dt.datetime(2025, 8, 10, 0, 0, 0)
+
+# (minute offset, wind, power) — None models sensor dropout
+row_st = st.tuples(
+    st.integers(min_value=0, max_value=59),
+    st.one_of(st.none(), st.floats(min_value=0, max_value=25, allow_nan=False)),
+    st.one_of(st.none(), st.floats(min_value=0, max_value=5000, allow_nan=False)),
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _frame(spark, rows):
+    data = [
+        (BASE + dt.timedelta(minutes=m), w, p) for m, w, p in rows
+    ]
+    return spark.createDataFrame(
+        data, "timestamp timestamp, wind_speed double, power double"
+    )
+
+
+@given(rows=st.lists(row_st, min_size=0, max_size=40))
+@SLOW
+def test_window_agg_invariants(spark, rows):
+    df = _frame(spark, rows)
+    agg = windowed_stats(df, "timestamp", ("wind_speed", "power")).collect()
+    # bins tile 10-minute marks; per-measure: min <= mean <= max,
+    # std is NULL iff the bin holds exactly one non-null value
+    per_bin = {}
+    for m, w, p in rows:
+        b = (m // 10) * 10
+        per_bin.setdefault(b, {"wind_speed": [], "power": []})
+        if w is not None:
+            per_bin[b]["wind_speed"].append(w)
+        if p is not None:
+            per_bin[b]["power"].append(p)
+    for r in agg:
+        assert r.window_start.minute % 10 == 0 and r.window_start.second == 0
+        vals = per_bin[r.window_start.minute]
+        for m in ("wind_speed", "power"):
+            lo, mean, hi, std = (
+                r[f"{m}_min"], r[f"{m}_mean"], r[f"{m}_max"], r[f"{m}_std"]
+            )
+            n = len(vals[m])
+            if n == 0:
+                assert mean is None and lo is None and hi is None and std is None
+            else:
+                assert lo <= mean <= hi
+                assert lo == pytest.approx(min(vals[m]))
+                assert hi == pytest.approx(max(vals[m]))
+                assert (std is None) == (n == 1)
+
+
+@given(rows=st.lists(row_st, min_size=1, max_size=30))
+@SLOW
+def test_unpivot_pivot_roundtrip(spark, rows):
+    # distinct minutes so timestamp is a key
+    seen, uniq = set(), []
+    for m, w, p in rows:
+        if m not in seen:
+            seen.add(m)
+            uniq.append((m, w, p))
+    df = _frame(spark, uniq)
+    long = to_long(df, ["timestamp"], ["wind_speed", "power"], drop_null_values=False)
+    back = (
+        long.groupBy("timestamp")
+        .pivot("signal_name", ["wind_speed", "power"])
+        .agg(F.first("value"))
+    )
+    got = {r.timestamp: (r.wind_speed, r.power) for r in back.collect()}
+    want = {
+        BASE + dt.timedelta(minutes=m): (w, p) for m, w, p in uniq
+    }
+    assert got == want
+
+
+@given(rows=st.lists(row_st, min_size=0, max_size=30))
+@SLOW
+def test_long_rows_count_conservation(spark, rows):
+    """unpivot(drop_null=True) emits exactly one row per non-null measure
+    value — the A2/R1 interaction the reference relies on."""
+    df = _frame(spark, rows)
+    long = to_long(df, ["timestamp"], ["wind_speed", "power"], drop_null_values=True)
+    expect = sum((w is not None) + (p is not None) for _, w, p in rows)
+    assert long.count() == expect
