@@ -27,7 +27,12 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
     "session_windows",
+    "hypertable_rollup",
+    "range_join_intervals",
+    "agg_salted_skew",
     "j1_broadcast_dim_join",
     "j3_fact_dim_join",
     "w1_latest_per_key",
