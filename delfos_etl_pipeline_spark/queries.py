@@ -1464,7 +1464,35 @@ def sim_knn_allpairs(spark, sf_dir):
     return all_pairs_topk_blas(emb, "vec_id", "embedding", k=5)
 
 
-@query("sim_lsh_bucketed")  # approximate bucket recall → rows-only check
+def _lsh_oracle_sql(n_planes: int = 4, dim: int = 64) -> str:
+    """SQL twin of knn.lsh_bucketed_topk: the hyperplanes are deterministic
+    (seeded integer mix), so the bucket assignment — and therefore the
+    approximate result — is exactly reproducible in the oracle. The plane
+    vectors are inlined as literals; the query vector's bucket is computed
+    in-SQL from the vec_id=0 row with the same expression."""
+    from delfos_etl_pipeline_spark.similarity.knn import _hyperplane
+
+    planes = _hyperplane(n_planes, dim)
+    bucket_terms = " + ".join(
+        f"{1 << i} * (CASE WHEN list_dot_product(e, {plane}) > 0 THEN 1 ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, e, {bucket_terms} AS bucket FROM v),
+    q AS (SELECT e AS qe, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT b.vec_id,
+           round(list_dot_product(b.e, q.qe) /
+                 (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(q.qe, q.qe))),
+                 6) AS cosine_sim
+    FROM b, q
+    WHERE b.vec_id <> 0 AND b.bucket = q.qbucket
+    ORDER BY cosine_sim DESC, b.vec_id
+    LIMIT 10
+    """
+
+
+@query("sim_lsh_bucketed", oracle=_lsh_oracle_sql())
 def sim_lsh_bucketed(spark, sf_dir):
     """Random-hyperplane LSH-bucketed ANN top-10 for the vec_id=0 query —
     scans one of 256 buckets instead of the corpus."""
