@@ -1096,6 +1096,113 @@ def tpch_q1_pricing_summary(spark, sf_dir):
 
 
 @query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelates to a left-semi join (orders
+    with ≥1 lineitem shipped after the order date — the testdata has no
+    commit/receipt dates, so shipdate stands in), then grouped counts.
+    The semi-join shuffles on the order key and never materializes the
+    multiplicity of matching lineitems."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "tpch_q12_priority_by_status",
+    oracle="""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12_priority_by_status(spark, sf_dir):
+    """TPC-H Q12 shape: join then conditional aggregation — CASE inside
+    sum() splits counts by priority class in ONE pass (no per-class
+    scans/unions)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+                               * (1 - CAST(l.l_discount AS DECIMAL(14,2)))
+                          ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE),
+             6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: broadcast part dim, one-pass conditional-revenue
+    ratio. Revenue in DECIMAL for order-independent sums."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(14,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(14,2)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
     "tpch_q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
