@@ -71,20 +71,25 @@ def multi_resolution_rollup(
         )
         levels[label] = prev
 
+    from delfos_etl_pipeline_spark.functions.stable import round_half_up
+
     stacked = None
     for label, level in levels.items():
         part = level.select(
             F.lit(label).alias("resolution"),
             "window_start",
             "n_rows",
-            F.round(F.col("_total").cast("double"), 4).alias("total"),
+            # explicit half-up (functions/stable.py): the exact decimal
+            # total makes x.xxxx5 ties COMMON, and engine round() tie
+            # rules differ (Spark half-up vs DuckDB binary-value)
+            round_half_up(F.col("_total").cast("double"), 4).alias("total"),
             "vmin",
             "vmax",
             # mean from the EXACT decimal total, divided in double space —
             # decimal/decimal division scale rules differ across engines
-            F.round(F.col("_total").cast("double") / F.col("n_rows"), 6).alias(
-                "value_mean"
-            ),
+            round_half_up(
+                F.col("_total").cast("double") / F.col("n_rows"), 6
+            ).alias("value_mean"),
         )
         stacked = part if stacked is None else stacked.unionByName(part)
     return stacked

@@ -101,6 +101,7 @@ def windowed_stats(
     window: str = "10 minutes",
     stats: tuple[str, ...] = DEFAULT_STATS,
     extra_keys: list[str] | None = None,
+    stable: bool = False,
 ) -> DataFrame:
     """A1 — tumbling-window multi-aggregate, the reference's signature op
     (pandas ``resample('10T').agg(['mean','min','max','std'])``,
@@ -110,15 +111,28 @@ def windowed_stats(
     pandas resample defaults (SURVEY.md §2.10(6)); the label column is the
     window *start*. Rows where every aggregate is NULL are pruned
     (``dropna(how='all')`` ≡ etl_process.py:98).
+
+    ``stable=True`` computes mean/std from exact decimal sums with
+    explicit half-up rounding (functions/stable.py) — bit-identical
+    across engines/partitionings, for oracle-compared outputs.
     """
-    aggs = [
-        _STAT_FN[s](F.col(m)).alias(f"{m}_{s}") for m in measures for s in stats
-    ]
     keys = [F.window(F.col(ts_col), window)] + [F.col(k) for k in (extra_keys or [])]
-    out_cols = [F.col("window.start").alias("window_start")]
-    out_cols += [F.col(k) for k in (extra_keys or [])]
-    out_cols += [F.col(f"{m}_{s}") for m in measures for s in stats]
-    wide = df.groupBy(*keys).agg(*aggs).select(*out_cols)
+    head_cols = [F.col("window.start").alias("window_start")]
+    head_cols += [F.col(k) for k in (extra_keys or [])]
+    if stable:
+        from delfos_etl_pipeline_spark.functions.stable import (
+            stable_stat_aggs,
+            stable_stat_projection,
+        )
+
+        wide = df.groupBy(*keys).agg(*stable_stat_aggs(measures))
+        wide = wide.select(*head_cols, *stable_stat_projection(measures, stats))
+    else:
+        aggs = [
+            _STAT_FN[s](F.col(m)).alias(f"{m}_{s}") for m in measures for s in stats
+        ]
+        out_cols = head_cols + [F.col(f"{m}_{s}") for m in measures for s in stats]
+        wide = df.groupBy(*keys).agg(*aggs).select(*out_cols)
     return wide.na.drop(how="all", subset=signal_names(measures, stats))
 
 

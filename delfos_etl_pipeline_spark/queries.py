@@ -26,6 +26,12 @@ from delfos_etl_pipeline_spark.plans.pipeline import (
     to_long,
     windowed_stats,
 )
+from delfos_etl_pipeline_spark.functions.stable import (
+    round_half_up,
+    sql_mean,
+    sql_round_half_up,
+    sql_std,
+)
 from delfos_etl_pipeline_spark.sources.parquet import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -84,12 +90,12 @@ def s1_scan_project_filter(spark, sf_dir):
 
 @query(
     "a1_tumbling_window_agg",
-    oracle="""
+    oracle=f"""
     SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
-           round(avg(value), 6)         AS value_mean,
+           {sql_mean("value")}          AS value_mean,
            min(value)                   AS value_min,
            max(value)                   AS value_max,
-           round(stddev_samp(value), 6) AS value_std
+           {sql_std("value")}           AS value_std
     FROM events
     GROUP BY 1
     """,
@@ -98,27 +104,22 @@ def a1_tumbling_window_agg(spark, sf_dir):
     """A1 — the flagship tumbling 10-minute multi-aggregate
     (pandas resample('10T').agg(mean/min/max/std),
     /root/reference/etl/etl_process.py:86-96). stddev is SAMPLE std
-    (ddof=1) — SURVEY §2.10(2)."""
+    (ddof=1) — SURVEY §2.10(2). stable=True: mean/std from exact decimal
+    sums with explicit half-up rounding, so the hash can't drift on
+    accumulation order or round() tie semantics (functions/stable.py)."""
     ev = _t(spark, sf_dir, "events")
-    wide = windowed_stats(ev, "ts", ("value",), "10 minutes")
-    return wide.select(
-        "window_start",
-        F.round("value_mean", 6).alias("value_mean"),
-        "value_min",
-        "value_max",
-        F.round("value_std", 6).alias("value_std"),
-    )
+    return windowed_stats(ev, "ts", ("value",), "10 minutes", stable=True)
 
 
 @query(
     "a1_pipeline_long",
-    oracle="""
+    oracle=f"""
     WITH wide AS (
       SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
-             round(avg(value), 6)         AS value_mean,
+             {sql_mean("value")}          AS value_mean,
              min(value)                   AS value_min,
              max(value)                   AS value_max,
-             round(stddev_samp(value), 6) AS value_std
+             {sql_std("value")}           AS value_std
       FROM events GROUP BY 1
     ), long AS (
       SELECT window_start, 'value_mean' AS signal_name, value_mean AS value FROM wide
@@ -140,14 +141,7 @@ def a1_pipeline_long(spark, sf_dir):
     as one declarative plan."""
     ev = _t(spark, sf_dir, "events")
     dim = default_signal_dim(spark, ("value",))
-    wide = windowed_stats(ev, "ts", ("value",), "10 minutes")
-    wide = wide.select(
-        "window_start",
-        F.round("value_mean", 6).alias("value_mean"),
-        "value_min",
-        "value_max",
-        F.round("value_std", 6).alias("value_std"),
-    )
+    wide = windowed_stats(ev, "ts", ("value",), "10 minutes", stable=True)
     from delfos_etl_pipeline_spark.plans.pipeline import map_signals
 
     long_df = to_long(wide, ["window_start"], signal_names(("value",)))
@@ -301,7 +295,7 @@ def agg_rollup_hierarchy(spark, sf_dir):
 
 @query(
     "a1_sliding_window_agg",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
              value FROM events
@@ -311,20 +305,30 @@ def agg_rollup_hierarchy(spark, sf_dir):
     )
     SELECT window_start,
            count(*) AS n_events,
-           round(avg(value), 6) AS value_mean
+           {sql_mean("value")} AS value_mean
     FROM b GROUP BY 1
     """,
 )
 def a1_sliding_window_agg(spark, sf_dir):
     """Sliding (hopping) window: 10-minute windows every 5 minutes — each
     event lands in exactly 2 windows. Beyond the reference's tumbling-only
-    surface; same single-shuffle group-by plan."""
+    surface; same single-shuffle group-by plan. Mean via the hash-stable
+    decimal formula (functions/stable.py)."""
     ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").start.alias("window_start"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("value_mean"),
+            F.sum(dec).alias("_s"),
+            F.count("value").alias("_n"),
+        )
+        .select(
+            "window_start",
+            "n_events",
+            round_half_up(F.col("_s").cast("double") / F.col("_n"), 6).alias(
+                "value_mean"
+            ),
         )
     )
 
@@ -372,12 +376,12 @@ def session_windows(spark, sf_dir):
 
 @query(
     "streaming_window_agg",
-    oracle="""
+    oracle=f"""
     SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
-           round(avg(value), 6)         AS value_mean,
+           {sql_mean("value")}          AS value_mean,
            min(value)                   AS value_min,
            max(value)                   AS value_max,
-           round(stddev_samp(value), 6) AS value_std
+           {sql_std("value")}           AS value_std
     FROM events
     GROUP BY 1
     """,
@@ -405,7 +409,7 @@ def streaming_window_agg(spark, sf_dir):
 
     stream = read_parquet_stream(spark, src, ev.schema)
     result = streaming_windowed_stats(
-        stream, "ts", ("value",), "10 minutes", watermark="1 hour"
+        stream, "ts", ("value",), "10 minutes", watermark="1 hour", stable=True
     )
     q = run_available_now(
         result,
@@ -414,14 +418,7 @@ def streaming_window_agg(spark, sf_dir):
         output_mode="complete",
     )
     q.awaitTermination(300)
-    out = spark.table("streaming_window_agg_sink")
-    return out.select(
-        "window_start",
-        F.round("value_mean", 6).alias("value_mean"),
-        "value_min",
-        "value_max",
-        F.round("value_std", 6).alias("value_std"),
-    )
+    return spark.table("streaming_window_agg_sink")
 
 
 @query(
@@ -644,13 +641,13 @@ def j5_outer_window_align(spark, sf_dir):
 
 @query(
     "r1_unpivot",
-    oracle="""
+    oracle=f"""
     WITH wide AS (
       SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
-             round(avg(value), 6)         AS value_mean,
+             {sql_mean("value")}          AS value_mean,
              min(value)                   AS value_min,
              max(value)                   AS value_max,
-             round(stddev_samp(value), 6) AS value_std
+             {sql_std("value")}           AS value_std
       FROM events GROUP BY 1
     )
     SELECT window_start, signal_name, value FROM (
@@ -665,14 +662,7 @@ def r1_unpivot(spark, sf_dir):
     """R1 — unpivot/melt wide→long with explicit NULL pruning
     (pd.melt + dropna, /root/reference/etl/etl_process.py:104-112)."""
     ev = _t(spark, sf_dir, "events")
-    wide = windowed_stats(ev, "ts", ("value",), "10 minutes")
-    wide = wide.select(
-        "window_start",
-        F.round("value_mean", 6).alias("value_mean"),
-        "value_min",
-        "value_max",
-        F.round("value_std", 6).alias("value_std"),
-    )
+    wide = windowed_stats(ev, "ts", ("value",), "10 minutes", stable=True)
     return to_long(wide, ["window_start"], signal_names(("value",)))
 
 
@@ -938,7 +928,7 @@ def a_approx_distinct(spark, sf_dir):
 
 @query(
     "hypertable_rollup",
-    oracle="""
+    oracle=f"""
     WITH g AS (
       SELECT '10m' AS resolution, time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
              value FROM events
@@ -948,12 +938,13 @@ def a_approx_distinct(spark, sf_dir):
       SELECT '1d', time_bucket(INTERVAL 1 DAY, ts), value FROM events
     )
     SELECT resolution, window_start,
-           count(*)                                              AS n_rows,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total,
-           min(value)                                            AS vmin,
-           max(value)                                            AS vmax,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
-                                                                 AS value_mean
+           count(*) AS n_rows,
+           {sql_round_half_up("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)", 4)}
+             AS total,
+           min(value) AS vmin,
+           max(value) AS vmax,
+           {sql_round_half_up("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)}
+             AS value_mean
     FROM g GROUP BY resolution, window_start
     """,
 )

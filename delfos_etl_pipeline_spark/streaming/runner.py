@@ -33,14 +33,30 @@ def streaming_windowed_stats(
     watermark: str = "30 minutes",
     stats: tuple[str, ...] = DEFAULT_STATS,
     dedup_cols: tuple[str, ...] | None = None,
+    stable: bool = False,
 ) -> DataFrame:
     """A1 under streaming: watermark → (optional) dedup → tumbling window
-    multi-agg. Output schema matches the batch ``windowed_stats``."""
+    multi-agg. Output schema matches the batch ``windowed_stats``;
+    ``stable=True`` uses the cross-engine hash-stable stat formulas
+    (functions/stable.py), which are ordinary aggregate expressions and
+    run identically under streaming."""
     s = stream.withWatermark(ts_col, watermark)
     if dedup_cols:
         s = s.dropDuplicates([ts_col, *dedup_cols])
+    grouped = s.groupBy(F.window(F.col(ts_col), window))
+    if stable:
+        from delfos_etl_pipeline_spark.functions.stable import (
+            stable_stat_aggs,
+            stable_stat_projection,
+        )
+
+        wide = grouped.agg(*stable_stat_aggs(measures))
+        return wide.select(
+            F.col("window.start").alias("window_start"),
+            *stable_stat_projection(measures, stats),
+        )
     aggs = [_STAT_FN[st](F.col(m)).alias(f"{m}_{st}") for m in measures for st in stats]
-    wide = s.groupBy(F.window(F.col(ts_col), window)).agg(*aggs)
+    wide = grouped.agg(*aggs)
     return wide.select(
         F.col("window.start").alias("window_start"),
         *[F.col(f"{m}_{st}") for m in measures for st in stats],
