@@ -55,14 +55,24 @@ def shingle_arrays(
     ).repartition(df.sparkSession.sparkContext.defaultParallelism, "doc_id")
     words = F.col("_w")
 
-    def mk_shingle(i):
-        s = F.concat_ws(" ", F.slice(words, i, n))
-        return F.xxhash64(s) if hashed else s
-
-    arr = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        mk_shingle,
-    )
+    if hashed:
+        # hash each word once, then combine n consecutive word-hashes —
+        # no per-shingle string slice/concat/allocation; one fixed-width
+        # xxhash64 per position. ~n× less hashing work than hashing the
+        # joined shingle string.
+        bound = bound.select(
+            "doc_id", F.transform(words, lambda w: F.xxhash64(w)).alias("_wh")
+        )
+        wh = F.col("_wh")
+        arr = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(wh) - (n - 1), F.lit(0))),
+            lambda i: F.xxhash64(*[F.element_at(wh, i + k) for k in range(n)]),
+        )
+    else:
+        arr = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
     return bound.select("doc_id", F.array_distinct(arr).alias("shingles"))
 
 
