@@ -1381,6 +1381,475 @@ def tpch_q5_local_supplier(spark, sf_dir):
     )
 
 
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.04 AND l_discount <= 0.06
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate
+    (shipdate year, discount band, quantity cap) reaches the parquet scan
+    as PushedFilters, so at 100 TB this is an embarrassingly parallel
+    single-stage map with row-group min/max skipping and no shuffle at
+    all (one-row final agg). Revenue accumulates in DECIMAL so the hash
+    can't drift on partial-agg order."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(14,2)")
+    return li.agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE),
+                 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year. The nation dim is pre-filtered to the two nations BEFORE
+    joining, so the supplier/customer broadcast sides shrink to the
+    participating keys and the disjunctive pair predicate applies to
+    already-tiny broadcast join output — lineitem⋈orders stays the only
+    large shuffle."""
+    pair = F.col("n_name").isin("NATION_1", "NATION_2")
+    n1 = _t(spark, sf_dir, "nation").where(pair).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").where(pair).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(14,2)")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(14,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(14,2))) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) t
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: 8-table snowflake computing one nation's share of
+    regional order volume per year. Every dim (part pre-filtered to the
+    type, supplier+nation, customer+nation+region pre-filtered to the
+    region) broadcasts; the share is a conditional-sum ratio in ONE
+    aggregation pass — no second scan for the numerator. DECIMAL
+    accumulation; the division happens once per year row in double."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    n1 = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(14,2)")
+    )
+    target = F.when(F.col("nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q13_cust_order_dist",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_cust_order_dist(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    join with a non-key residual predicate (so zero-order customers
+    survive with count 0), double aggregation. count(col) skips NULLs
+    from unmatched left rows in both engines. The second groupBy is over
+    ≤ a few hundred distinct counts — trivially small shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l_discount AS DECIMAL(14,2)))) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, round(CAST(r.rev AS DOUBLE), 2) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev = (SELECT max(rev) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: argmax over a derived aggregate (the view +
+    scalar-subquery form decorrelates to: aggregate once, broadcast the
+    1-row max back). Revenue stays DECIMAL through the equality test so
+    max-comparison can't be flipped by a double ulp; cast to double only
+    in the projection."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(14,2)")
+            * (1 - F.col("l_discount").cast("decimal(14,2)"))
+        ).alias("rev")
+    )
+    mx = rev.agg(F.max("rev").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.rev == mx.mx)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_size <= 10
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def tpch_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into a pre-aggregated broadcast join — the
+    oracle keeps the correlated form to prove the rewrite is equivalent.
+    avg(l_quantity) is deterministic across engines because quantities
+    are whole numbers (exact double sums in any order). One lineitem
+    scan feeds both the threshold aggregate and the probe side; at
+    100 TB the per-part avg is |part|-sized — broadcastable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10)
+    )
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-branch predicate spanning both
+    join sides. The brand membership (the part-only implication of the
+    OR) is pre-applied to the broadcast side so the hash table holds
+    only candidate parts; the full disjunction evaluates post-join in
+    one codegen stage. Catalyst derives the l_quantity range [1,30] as a
+    scan-level filter from the OR branches."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & (q >= 20) & (q <= 30))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(14,2)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: the testdata has no commit/receipt
+    dates, so "late" = shipped >90 days after the order date). The
+    EXISTS / NOT EXISTS pair decorrelates to per-order supplier counts:
+    EXISTS(other supplier) ⇔ distinct suppliers ≥ 2, NOT EXISTS(other
+    late supplier) ⇔ distinct LATE suppliers = 1 — two aggregates over
+    the same order-key partitioning (AQE reuses the exchange) feeding
+    left-semi joins, instead of two correlated per-row probes."""
+    li = _t(spark, sf_dir, "lineitem")
+    o_f = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+        .where(F.col("n_supp") >= 2)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_late"))
+        .where(F.col("n_late") == 1)
+        .select("l_orderkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(sole_late, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@query(
+    "tpch_q22_dormant_customers",
+    oracle="""
+    SELECT cntrycode, count(*) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS totacctbal
+    FROM (
+      SELECT CAST(c.c_custkey % 10 AS INTEGER) AS cntrycode, c.c_acctbal
+      FROM customer c
+      WHERE c.c_custkey % 10 IN (1,2,3,4,5)
+        AND c.c_acctbal > (
+          SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*)
+          FROM customer c2
+          WHERE c2.c_acctbal > 0 AND c2.c_custkey % 10 IN (1,2,3,4,5))
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    ) t
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: the testdata has no phone column, so
+    "country code" = custkey mod 10; every customer has orders, so
+    "never ordered" = no orders since 2000-01-01). Three classic
+    decorrelations in one query: the scalar avg-balance subquery becomes
+    a broadcast 1-row cross join; NOT EXISTS becomes a left-anti join
+    against the date-filtered orders; the mean is computed as exact
+    DECIMAL sum / count with a single double division so the comparison
+    threshold is bit-identical across engines."""
+    code = (F.col("c_custkey") % 10).cast("int")
+    c = _t(spark, sf_dir, "customer").where(code.isin(1, 2, 3, 4, 5))
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy(code.alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup — training-data-pipeline extensions (SURVEY §7 M5)
 # ---------------------------------------------------------------------------
