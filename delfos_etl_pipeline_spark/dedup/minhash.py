@@ -61,7 +61,11 @@ def lsh_candidates(
             F.xxhash64(F.slice(F.col("sig"), j * rows + 1, rows)).alias("bucket"),
         ),
     )
-    buckets = signatures.select("doc_id", F.explode(bb).alias("bb")).select(
+    # explode_outer: plain explode's inferred size()>0 filter would inline
+    # the whole signature+banding chain below this projection and evaluate
+    # it twice per row (see ngram.explode_shingles). The band array is
+    # never empty, so no NULL rows can appear.
+    buckets = signatures.select("doc_id", F.explode_outer(bb).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")

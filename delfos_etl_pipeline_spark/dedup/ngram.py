@@ -48,11 +48,14 @@ def shingle_arrays(
     # cores (doc corpora often arrive as few fat files → few scan splits)
     # and pre-aligns partitioning for doc_id-keyed consumers; the count is
     # pinned because AQE would coalesce the small shuffle to one partition
-    # and serialize the work.
-    bound = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    # and serialize the work. Split AFTER the exchange, not before: the
+    # exchange then moves one compressed text string per doc instead of
+    # the fatter per-word array (measured 2.4× on this stage at sf0.1).
+    bound = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.split(F.lower(F.col("_t")), r"\s+").alias("_w"))
+    )
     words = F.col("_w")
 
     if hashed:
@@ -95,11 +98,21 @@ def shingle_sets(
 
 
 def explode_shingles(arrs: DataFrame, with_size: bool = False) -> DataFrame:
-    """(doc_id, shingles array) → (doc_id[, sz], shingle) rows."""
+    """(doc_id, shingles array) → (doc_id[, sz], shingle) rows.
+
+    explode_outer, NOT explode: plain explode triggers Catalyst's
+    InferFiltersFromGenerate, which synthesizes ``size(shingles) > 0``
+    and pushes it below every projection — inlining the ENTIRE shingle
+    construction (split/hash/transform, with the O(words²) re-split) into
+    a pre-shuffle filter that re-evaluates it per row. Measured 4.4× on
+    this stage at sf0.1. explode_outer emits one NULL row for empty
+    arrays instead, filtered on the (cheap, materialized) output column."""
     cols = [F.col("doc_id")]
     if with_size:
         cols.append(F.size("shingles").alias("sz"))
-    return arrs.select(*cols, F.explode("shingles").alias("shingle"))
+    return arrs.select(*cols, F.explode_outer("shingles").alias("shingle")).where(
+        F.col("shingle").isNotNull()
+    )
 
 
 def jaccard_pairs(
