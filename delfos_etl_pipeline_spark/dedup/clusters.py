@@ -1,0 +1,92 @@
+"""Duplicate-cluster assembly: connected components over near-dup pairs.
+
+The pairwise detectors (ngram.jaccard_pairs, minhash.minhash_lsh_pairs,
+embedding.embedding_near_dup_pairs) emit edges; turning edges into
+canonical-per-cluster decisions ("keep one doc per duplicate GROUP, not
+per pair") needs the transitive closure. This is the standard label-
+propagation formulation: every node starts as its own component, each
+round adopts the minimum label among itself and its neighbors, and the
+loop stops at fixpoint — O(diameter) rounds, and near-dup graphs are
+shallow (clusters are cliques-ish), so 3-5 rounds in practice.
+
+Scale posture: each round is one join + one min-aggregate, both keyed on
+the node id — a 1000-executor cluster runs rounds as plain shuffles with
+no driver-side state besides the fixpoint counter. For web-scale graphs
+with giant components, swap in the large-star/small-star variant
+(Kiveris et al., "Connected Components in MapReduce and Beyond") — same
+per-round operator shape, provably fewer rounds on high-diameter graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, comp) for every node incident to a pair; comp = min node id
+    reachable in the undirected pair graph (the component's canonical id).
+
+    The input edge list is symmetrized once and persisted — it is re-read
+    every round. Labels persist per round and the previous round is
+    explicitly unpersisted so executor storage stays O(|V|), not
+    O(rounds·|V|).
+    """
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = fwd.union(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # neighbor labels flow along edges; keep own label in the running
+        prop = edges.join(labels, edges.b == labels.node).select(
+            edges.a.alias("node"), labels.comp
+        )
+        new_labels = (
+            labels.select("node", "comp")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) — every document that has at
+    least one near-duplicate, labeled with its duplicate group. Docs with
+    no pairs are absent (they are their own singleton cluster — joining
+    them in would just echo the corpus)."""
+    cc = connected_components(pairs, src, dst)
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )

@@ -897,6 +897,39 @@ def agg_cube(spark, sf_dir):
 
 
 @query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) * 2
+             + CAST(grouping(l_linestatus) AS INTEGER) AS gid,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (finer control than CUBE: only 3 of the 4
+    combos) with grouping_id disambiguation — gid distinguishes a real
+    NULL group key from a rolled-up one. One Expand+HashAggregate pass,
+    same as agg_cube."""
+    li = _t(spark, sf_dir, "lineitem")
+    gid = (
+        F.grouping("l_returnflag").cast("int") * 2
+        + F.grouping("l_linestatus").cast("int")
+    )
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        gid.alias("gid"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
     "a_distinct_count",
     oracle="""
     SELECT event_type,
@@ -1925,6 +1958,61 @@ def dedup_ngram_jaccard(spark, sf_dir):
         shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True),
         threshold=0.6,
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT p.doc_a, p.doc_b
+      FROM cand p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) >= 0.6
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ), comp AS (
+      SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT c.node AS doc_id, c.cluster_id, s.cluster_size
+    FROM comp c
+    JOIN (SELECT cluster_id, count(*) AS cluster_size
+          FROM comp GROUP BY cluster_id) s USING (cluster_id)
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Duplicate GROUPS, not pairs: transitive closure of the exact
+    near-dup pair list via iterative min-label propagation
+    (dedup/clusters.py) — each round one join + one min-agg, fixpoint in
+    O(graph diameter) rounds. The oracle computes the same closure as a
+    recursive CTE, making this iterative (non-single-SQL-statement on the
+    Spark side) operator exactly checkable."""
+    from delfos_etl_pipeline_spark.dedup.clusters import duplicate_clusters
+    from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True),
+        threshold=0.6,
+    )
+    return duplicate_clusters(pairs)
 
 
 @query("dedup_minhash_lsh")  # approximate: LSH recall < 100% → rows-only check

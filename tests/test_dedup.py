@@ -108,3 +108,23 @@ def test_embedding_cosine_exact_vs_lsh(spark, sf_dir):
     # dedup drops exactly the distinct higher-id members
     survivors = embedding_dedup(emb, threshold=0.4).count()
     assert survivors == emb.count() - len({b for _, b in exact})
+
+
+def test_connected_components_transitive_closure(spark):
+    """Chains collapse to one component labeled by the min id; isolated
+    pairs stay separate; singleton docs never appear."""
+    from delfos_etl_pipeline_spark.dedup.clusters import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (transitive), isolated pair 10-11
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    comps = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    clusters = duplicate_clusters(pairs).collect()
+    sizes = {r.doc_id: r.cluster_size for r in clusters}
+    assert sizes == {1: 4, 2: 4, 3: 4, 4: 4, 10: 2, 11: 2}
