@@ -4,10 +4,11 @@ Training-data-pipeline extension (SURVEY.md §7 M5): image/audio/video are
 carried as ``binary`` columns plus a metadata struct; transforms run as
 Arrow-batched ``mapInPandas`` so each Python batch touches thousands of
 payloads with one serialization hop. The Spark-side plumbing (schema,
-partitioning, batch shape) is real and tested; the media *decode* step is
-stubbed behind NotImplementedError because codec libraries are not in
-this container — slot a real decoder into ``decode_image_batch`` /
-``sample_video_frames`` without touching the plan.
+partitioning, batch shape, fan-out) is real and tested; the media
+*decode* step is a clearly-marked deterministic STUB (codec libraries are
+not in this container) — pass ``decoder=`` to ``decode_image_batch`` /
+``sample_video_frames`` to slot in a real codec without touching the
+plan.
 
 At 100 TB: payload columns dominate IO — keep them in their own parquet
 column (column pruning skips them for metadata-only queries), partition by
@@ -74,24 +75,118 @@ def byte_histogram_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(compute, _FEATURE_SCHEMA)
 
 
-def decode_image_batch(binary_df: DataFrame, width: int, height: int) -> DataFrame:
-    """Decode + resize images to (height, width, 3) uint8 tensors.
+#: Arrow batch schema produced by decode_image_batch: uint8 RGB tensor as
+#: packed bytes (row-major h×w×3) + explicit dims — the compact Arrow
+#: transfer form; reshape with np.frombuffer(...).reshape(h, w, 3).
+_IMAGE_SCHEMA = "doc_id long, height int, width int, channels int, pixels binary"
 
-    STUB: image codecs (Pillow/opencv) are not available in this
-    container. The plan-side contract — input (doc_id, payload), output
-    (doc_id, pixels array<array<array<int>>>) — is what a real decoder
-    plugs into.
+#: Arrow batch schema produced by sample_video_frames: one row PER SAMPLED
+#: FRAME (mapInPandas fan-out: input rows ≠ output rows).
+_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, ts_sec double, height int, width int, "
+    "channels int, pixels binary"
+)
+
+
+def _fake_decode_image(payload: bytes):
+    """STUB DECODER — deterministic fake standing in for Pillow/opencv
+    (not in this container). Tiles the payload bytes into a 32×32×3 uint8
+    array; same payload → same pixels, so tests are exact. Swap this ONE
+    function for ``np.asarray(Image.open(io.BytesIO(payload)))`` when a
+    codec is available — nothing else in the plan changes."""
+    import numpy as np
+
+    base = np.frombuffer(payload, dtype=np.uint8)
+    if base.size == 0:
+        base = np.zeros(1, dtype=np.uint8)
+    return np.resize(base, (32, 32, 3))
+
+
+def _resize_nearest(img, height: int, width: int):
+    """Nearest-neighbor resize (real logic, not stubbed): index maps
+    computed once per target shape."""
+    import numpy as np
+
+    h0, w0 = img.shape[0], img.shape[1]
+    rows = (np.arange(height) * h0 // height).astype(np.intp)
+    cols = (np.arange(width) * w0 // width).astype(np.intp)
+    return img[rows][:, cols]
+
+
+def decode_image_batch(
+    binary_df: DataFrame, width: int, height: int, decoder=None
+) -> DataFrame:
+    """Decode + nearest-neighbor-resize image payloads to (height, width,
+    3) uint8 tensors, Arrow-batched via ``mapInPandas``.
+
+    The decode step is a deterministic STUB (``_fake_decode_image``)
+    because codec libraries are not in this container; the batch contract,
+    output schema, and the resize math are real and tested. Pass
+    ``decoder=`` to plug in a real codec without touching the plan.
     """
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this container; "
-        "plug a decoder into the mapInPandas body (see byte_histogram_features "
-        "for the batch contract)"
-    )
+    import numpy as np
+
+    decode = decoder or _fake_decode_image
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = _resize_nearest(decode(payload), height, width)
+                out.append(
+                    (int(doc_id), height, width, 3,
+                     np.ascontiguousarray(img, dtype=np.uint8).tobytes())
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "height", "width", "channels", "pixels"],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(compute, _IMAGE_SCHEMA)
 
 
-def sample_video_frames(binary_df: DataFrame, every_n_seconds: float) -> DataFrame:
-    """Sample frames from video payloads. STUB — see decode_image_batch."""
-    raise NotImplementedError(
-        "video frame sampling requires a codec library not present in this "
-        "container; the mapInPandas batch contract matches byte_histogram_features"
-    )
+def sample_video_frames(
+    binary_df: DataFrame,
+    every_n_seconds: float,
+    fps: float = 30.0,
+    decoder=None,
+) -> DataFrame:
+    """Sample one frame every ``every_n_seconds`` from video payloads —
+    the mapInPandas FAN-OUT shape: each input row yields 0..n frame rows.
+
+    The container parse/decode is a deterministic STUB (the payload is
+    treated as fps 32×32×3 frames of 3072 bytes each); frame timing,
+    sampling stride, and the one-row-per-frame batch contract are real.
+    Pass ``decoder=`` taking (payload, frame_idx) -> HxWx3 uint8 array to
+    plug in a real demuxer (pyav/ffmpeg) without touching the plan.
+    """
+    import numpy as np
+
+    frame_bytes = 32 * 32 * 3
+
+    def default_decoder(payload: bytes, frame_idx: int):
+        chunk = payload[frame_idx * frame_bytes : (frame_idx + 1) * frame_bytes]
+        return _fake_decode_image(chunk)
+
+    decode = decoder or default_decoder
+    stride = max(1, int(round(every_n_seconds * fps)))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // frame_bytes)
+                for idx in range(0, n_frames, stride):
+                    img = decode(payload, idx)
+                    out.append(
+                        (int(doc_id), idx, round(idx / fps, 6), img.shape[0],
+                         img.shape[1], 3,
+                         np.ascontiguousarray(img, dtype=np.uint8).tobytes())
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "ts_sec", "height", "width",
+                         "channels", "pixels"],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(compute, _FRAME_SCHEMA)

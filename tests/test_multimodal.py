@@ -33,8 +33,43 @@ def test_byte_histogram_contract(bin_df):
         assert r.n_bytes > 0
 
 
-def test_decode_stubs_raise(bin_df):
-    with pytest.raises(NotImplementedError):
-        decode_image_batch(bin_df, 224, 224)
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(bin_df, 1.0)
+def test_decode_image_batch_contract(bin_df):
+    """Fake-decode + REAL resize: every payload becomes a 64×48×3 uint8
+    tensor, deterministically (same payload → same bytes)."""
+    import numpy as np
+
+    out = decode_image_batch(bin_df.limit(20), width=48, height=64)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r.height, r.width, r.channels) == (64, 48, 3)
+        assert len(r.pixels) == 64 * 48 * 3
+        np.frombuffer(r.pixels, dtype=np.uint8).reshape(64, 48, 3)
+    again = {r.doc_id: r.pixels for r in
+             decode_image_batch(bin_df.limit(20), width=48, height=64).collect()}
+    assert all(again[r.doc_id] == r.pixels for r in rows)
+
+
+def test_decode_custom_decoder_plugs_in(bin_df):
+    """The decoder= seam: a custom codec changes pixels, not the plan."""
+    import numpy as np
+
+    white = lambda payload: np.full((8, 8, 3), 255, dtype=np.uint8)
+    rows = decode_image_batch(bin_df.limit(3), 4, 4, decoder=white).collect()
+    assert all(set(r.pixels) == {255} and len(r.pixels) == 4 * 4 * 3 for r in rows)
+
+
+def test_sample_video_frames_fanout(bin_df):
+    """One input row fans out to ceil(n_frames/stride) frame rows with
+    monotone timestamps; stride follows every_n_seconds*fps."""
+    out = sample_video_frames(bin_df.limit(10), every_n_seconds=0.1, fps=30.0)
+    rows = out.collect()
+    assert len(rows) >= 10  # fan-out: at least one frame per doc
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert len(r.pixels) == 32 * 32 * 3
+        assert r.ts_sec == pytest.approx(r.frame_idx / 30.0, abs=1e-6)
+    for frames in by_doc.values():
+        idxs = sorted(f.frame_idx for f in frames)
+        assert all(b - a == 3 for a, b in zip(idxs, idxs[1:]))  # stride 3
