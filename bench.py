@@ -27,8 +27,11 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q13_cust_order_dist",
     "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
     "session_windows",
     "hypertable_rollup",
     "range_join_intervals",
@@ -37,8 +40,10 @@ HEADLINE = [
     "j3_fact_dim_join",
     "w1_latest_per_key",
     "o2_topk",
+    "agg_grouping_sets",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "sim_knn_allpairs",
     "text_stats",
     "asof_join_events",

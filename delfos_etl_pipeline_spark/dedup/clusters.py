@@ -47,6 +47,11 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .persist()
     )
+    # Labels under min-propagation are monotone non-increasing, so the sum
+    # of labels strictly decreases every round until fixpoint — comparing
+    # one scalar per round detects convergence with a single aggregate
+    # action instead of a changed-rows join.
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         # neighbor labels flow along edges; keep own label in the running
         prop = edges.join(labels, edges.b == labels.node).select(
@@ -59,17 +64,12 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels
 
