@@ -1800,8 +1800,12 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
+    # only F-status orders can qualify, so the distinct-supplier count is
+    # computed over the semi-joined subset, not all of lineitem
+    li_f = li.join(o_f.select("o_orderkey"),
+                   F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     multi = (
-        li.groupBy("l_orderkey")
+        li_f.groupBy("l_orderkey")
         .agg(F.count_distinct("l_suppkey").alias("n_supp"))
         .where(F.col("n_supp") >= 2)
         .select("l_orderkey")
@@ -1880,6 +1884,320 @@ def tpch_q22_dormant_customers(spark, sf_dir):
             ).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# --- TPC-H shapes over a SYNTHESIZED partsupp -------------------------------
+# The testdata has no partsupp table, so Q2/Q9/Q11/Q16/Q20 derive one
+# deterministically from lineitem: availqty = total quantity ever shipped
+# for the (part, supplier) pair (exact — whole-number doubles), supplycost
+# = cheapest extended price for the pair, as DECIMAL(14,2) straight from
+# the 2-decimal parquet value. No division and no double→decimal casts
+# anywhere: the engines' binary-double→decimal conversions disagree at the
+# last digit (measured: a per-pair 1e-10 cast difference amplified through
+# value sums to flip a .005 rounding boundary in Q11), while min over
+# exact decimals is bit-identical.
+
+_PARTSUPP_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(sum(l_quantity) AS BIGINT) AS ps_availqty,
+             min(CAST(l_extendedprice AS DECIMAL(14,2))) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized partsupp relation (see _PARTSUPP_SQL)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum("l_quantity").cast("bigint").alias("ps_availqty"),
+        F.min(F.col("l_extendedprice").cast("decimal(14,2)")).alias(
+            "ps_supplycost"
+        ),
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT round(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
+           p.p_partkey, p.p_name, CAST(ps.ps_supplycost AS DOUBLE) AS ps_supplycost
+    FROM part p
+    JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s  ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+        SELECT min(ps2.ps_supplycost)
+        FROM partsupp ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-part argmin over a correlated scalar subquery,
+    decorrelated into a grouped-min + equality join. The region-filtered
+    (part → min cost) aggregate is computed ONCE and broadcast — the
+    correlated form would re-run the region join per probe row. min cost
+    compares exactly (min of raw doubles, no rounding before the test)."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    s_eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    ps_eu = ps.join(
+        F.broadcast(s_eu.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    )
+    min_cost = ps_eu.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("mc_cost")
+    )
+    return (
+        ps_eu.join(
+            F.broadcast(min_cost),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("mc_cost")),
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost").cast("double").alias("ps_supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(14,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(14,2)))
+               - ps.ps_supplycost
+                 * CAST(l.l_quantity AS DECIMAL(14,2)) AS amount
+      FROM part p
+      JOIN lineitem l  ON p.p_partkey = l.l_partkey
+      JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+      JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                      AND ps.ps_suppkey = l.l_suppkey
+      JOIN orders o    ON o.o_orderkey = l.l_orderkey
+      JOIN nation n    ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) t
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit (revenue minus supply cost) per nation per
+    year for a part-name pattern. The partsupp side shares lineitem's
+    (partkey, suppkey) grouping; profit accumulates in DECIMAL — the
+    supplycost double is pinned to DECIMAL(24,10) identically in both
+    engines before the multiply so partial-agg order can't drift the sum."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(14,2)")
+    ) - F.col("ps_supplycost") * F.col("l_quantity").cast("decimal(14,2)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    ps_n AS (
+      SELECT ps.ps_partkey,
+             ps.ps_supplycost * ps.ps_availqty AS value
+      FROM partsupp ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+    )
+    SELECT ps_partkey, CAST(round(sum(value), 2) AS DOUBLE) AS part_value
+    FROM ps_n
+    GROUP BY ps_partkey
+    HAVING CAST(sum(value) AS DOUBLE) > (
+      SELECT CAST(sum(value) AS DOUBLE) * 0.001 FROM ps_n)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: stock-value concentration — per-part value vs a
+    scalar fraction of the nation's total. The nation-filtered partsupp
+    subtree feeds BOTH the per-part aggregate and the grand total; the
+    total is a broadcast 1-row cross join. Value accumulates in DECIMAL
+    and is ROUNDED AS DECIMAL (exact half-up) before the double cast —
+    rounding after the cast hit a .xx5 boundary where the engines'
+    double-round tie rules diverge."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    value = F.col("ps_supplycost") * F.col("ps_availqty")
+    ps_n = (
+        ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey", value.alias("value"))
+    )
+    per_part = ps_n.groupBy("ps_partkey").agg(F.sum("value").alias("_v"))
+    total = ps_n.agg((F.sum("value").cast("double") * 0.001).alias("_thresh"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("_v").cast("double") > F.col("_thresh"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("_v"), 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_count",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part descriptor with
+    a NOT IN exclusion (suppliers in deficit stand in for the reference's
+    complaint-comment filter). NOT IN over a non-nullable key decorrelates
+    to a left-anti join; the count_distinct shuffles on the descriptor."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20_promotable_suppliers",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT s.s_name, s.s_suppkey
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (
+        SELECT ps.ps_suppkey FROM partsupp ps
+        WHERE ps.ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND ps.ps_availqty > (
+            SELECT 0.5 * sum(l.l_quantity) FROM lineitem l
+            WHERE l.l_partkey = ps.ps_partkey
+              AND l.l_suppkey = ps.ps_suppkey
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'))
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20_promotable_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN + correlated aggregate subquery. The
+    correlated half-of-shipped threshold decorrelates to a grouped sum
+    over the date-sliced lineitem joined back on the pair key (inner join
+    = the NULL-excluding semantics of the correlated comparison); the
+    part-name IN filters via a broadcast semi-join; the final IN is a
+    semi-join onto the nation-filtered suppliers."""
+    ps = _partsupp(spark, sf_dir)
+    red = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("sh_partkey"),
+            F.col("l_suppkey").alias("sh_suppkey"),
+        )
+        .agg((0.5 * F.sum("l_quantity")).alias("half_shipped"))
+    )
+    qualifying = (
+        ps.join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"),
+                "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("sh_partkey"))
+            & (F.col("ps_suppkey") == F.col("sh_suppkey")),
+        )
+        .where(F.col("ps_availqty") > F.col("half_shipped"))
+        .select("ps_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_suppkey")
     )
 
 

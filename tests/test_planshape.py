@@ -1,0 +1,69 @@
+"""Physical-plan posture assertions — the 100 TB story, checked in CI.
+
+Correctness tests prove the operators compute the right answer; these
+prove the PLAN is the one a 1000-executor cluster wants: dimensions
+broadcast, only fact⋈fact edges shuffle, and filters reach the parquet
+scan. A regression here (a dim falling back to a shuffle join, a filter
+evaluated post-scan) is invisible at test scale but dominant at 100×.
+"""
+
+from delfos_etl_pipeline_spark.queries import queries
+
+QS = queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    """Full formatted explain (node toString truncates PushedFilters)."""
+    df = QS[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _count(plan: str, token: str) -> int:
+    """Count physical nodes of a type: formatted explain prints each node
+    in the tree AND once as a numbered detail — count only the latter."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {token}", plan, flags=re.M))
+
+
+def test_q9_dims_broadcast_facts_shuffle(spark, sf_dir):
+    """Q9's 6-table join: part/supplier/nation broadcast; at most the
+    lineitem⋈partsupp and lineitem⋈orders edges shuffle."""
+    plan = _plan(spark, sf_dir, "tpch_q9_product_profit")
+    assert _count(plan, "BroadcastHashJoin") >= 3
+    shuffles = _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin")
+    assert shuffles <= 2, plan
+
+
+def test_q3_dim_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q3_shipping_priority")
+    assert _count(plan, "BroadcastHashJoin") >= 1
+    shuffles = _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin")
+    assert shuffles <= 1, plan
+
+
+def test_q6_filters_reach_scan(spark, sf_dir):
+    """Q6 is scan-bound: every predicate must appear as a pushed parquet
+    filter so row-group min/max skipping works."""
+    plan = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_q18_semi_join_before_wide_join(spark, sf_dir):
+    """Q18's HAVING subquery must plan as a semi join (never materialize
+    the matching lineitem multiplicity)."""
+    plan = _plan(spark, sf_dir, "tpch_q18_large_orders")
+    assert "LeftSemi" in plan
+
+
+def test_flagship_single_shuffle(spark, sf_dir):
+    """The A1 pipeline: one aggregate exchange + the broadcast dim join —
+    no second data shuffle."""
+    plan = _plan(spark, sf_dir, "a1_pipeline_long")
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") == 0
