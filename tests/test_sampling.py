@@ -1,0 +1,66 @@
+"""Deterministic hash-sampling invariants: reproducibility, partition
+stability, stratum rates, split disjointness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.operators.sampling import (
+    bernoulli_sample,
+    hash_bucket,
+    stratified_sample,
+    train_test_split,
+)
+from delfos_etl_pipeline_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_sample_reproducible_and_partition_stable(docs):
+    """Same rows on every run AND under any repartitioning — the property
+    seeded df.sample() lacks."""
+    a = {r.doc_id for r in bernoulli_sample(docs, "doc_id", 0.2).collect()}
+    b = {r.doc_id for r in bernoulli_sample(docs, "doc_id", 0.2).collect()}
+    c = {
+        r.doc_id
+        for r in bernoulli_sample(docs.repartition(17), "doc_id", 0.2).collect()
+    }
+    assert a == b == c
+    assert 0 < len(a) < docs.count()
+
+
+def test_sample_fraction_nesting(docs):
+    """A 10% sample is a subset of a 20% sample (thresholded buckets nest
+    — useful for growing eval sets without resampling)."""
+    small = {r.doc_id for r in bernoulli_sample(docs, "doc_id", 0.1).collect()}
+    big = {r.doc_id for r in bernoulli_sample(docs, "doc_id", 0.2).collect()}
+    assert small <= big
+
+
+def test_stratified_rates(docs):
+    """Per-stratum sampling hits the requested rate within hash noise and
+    drops unlisted strata."""
+    frac = {"en": 0.5}
+    got = stratified_sample(docs, "doc_id", "lang", frac)
+    by_lang = {r.lang: r.n for r in got.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(by_lang) == {"en"}
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert abs(by_lang["en"] / n_en - 0.5) < 0.2
+
+
+def test_train_test_split_partitions(docs):
+    """Every row labeled, splits disjoint, test fraction ≈ requested."""
+    labeled = train_test_split(docs, "doc_id", 0.25)
+    counts = {r.split: r.n for r in labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("test", 0) + counts.get("train", 0) == docs.count()
+    assert abs(counts["test"] / docs.count() - 0.25) < 0.15
+
+
+def test_hash_bucket_range(docs):
+    stats = docs.select(hash_bucket(F.col("doc_id")).alias("b")).agg(
+        F.min("b"), F.max("b")).collect()[0]
+    assert 0 <= stats[0] and stats[1] < 1000
