@@ -2201,6 +2201,35 @@ def tpch_q20_promotable_suppliers(spark, sf_dir):
     )
 
 
+@query(
+    "f_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           max(CAST(props->>'$.k' AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def f_json_extract(spark, sf_dir):
+    """JSON column surface (SURVEY §1.2: JSON stays at connector edges,
+    but ad-hoc extraction must work): parse the props JSON string with an
+    explicit schema via from_json — typed, codegen-friendly, no
+    per-access re-parse the way repeated get_json_object calls would —
+    then aggregate the extracted field. Integer sums are exact on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("p.k").alias("sum_k"),
+        F.max("p.k").alias("max_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sampling — deterministic hash-based corpus subsetting (SURVEY §7 M5)
 # ---------------------------------------------------------------------------

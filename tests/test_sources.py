@@ -137,3 +137,40 @@ def test_introspection(spark, sensor):
     assert {(r.column_name, r.foreign_table_name) for r in fks} == {
         ("l_orderkey", "orders"), ("l_partkey", "part"), ("l_suppkey", "supplier")
     }
+
+
+def test_csv_jsonl_corrupt_capture(spark, tmp_path):
+    """Schema-first CSV/JSONL scans: clean rows parse typed, malformed
+    rows land in the quarantine column instead of crashing the scan."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from delfos_etl_pipeline_spark.sources.text_formats import (
+        quarantine, read_csv, read_jsonl,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", DoubleType()),
+    ])
+
+    csv = tmp_path / "rows.csv"
+    csv.write_text("id,name,score\n1,alpha,1.5\n2,beta,2.5\nnot_a_number,gamma,oops\n")
+    clean, corrupt = quarantine(read_csv(spark, str(csv), schema))
+    assert {(r.id, r.name, r.score) for r in clean.collect()} == {
+        (1, "alpha", 1.5), (2, "beta", 2.5)
+    }
+    bad = corrupt.collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0][0]
+
+    jl = tmp_path / "rows.jsonl"
+    jl.write_text(
+        '{"id": 1, "name": "alpha", "score": 1.5}\n'
+        'this is not json\n'
+        '{"id": 3, "name": "gamma", "score": 3.5}\n'
+    )
+    clean, corrupt = quarantine(read_jsonl(spark, str(jl), schema))
+    assert {r.id for r in clean.collect()} == {1, 3}
+    assert corrupt.count() == 1
