@@ -2202,6 +2202,56 @@ def tpch_q20_promotable_suppliers(spark, sf_dir):
 
 
 @query(
+    "ts_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+             count(*) AS n_obs, max(value) AS max_value
+      FROM events WHERE value > 300 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT b.event_type, g.h
+      FROM bounds b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(h)
+    )
+    SELECT g.event_type, g.h AS window_start,
+           coalesce(hh.n_obs, 0) AS n_obs,
+           last_value(hh.max_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.h
+             ROWS UNBOUNDED PRECEDING) AS max_value_filled,
+           CASE WHEN hh.n_obs IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM grid g
+    LEFT JOIN hourly hh ON g.event_type = hh.event_type AND g.h = hh.h
+    """,
+)
+def ts_gap_fill(spark, sf_dir):
+    """Gap filling for sparse sensor series (operators/gapfill.py): rare
+    high-value events bucketed hourly leave holes; densify materializes
+    the missing (key, hour) slots from a per-key sequence (no driver
+    loop) and forward_fill carries the last observation with one
+    ignore-nulls window pass. Gap-safe aggregates only (count, max —
+    exact on both engines)."""
+    from delfos_etl_pipeline_spark.operators.gapfill import densify, forward_fill
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 300)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.max("value").alias("max_value"),
+    )
+    dense = densify(hourly, "event_type", "window_start", "1 hour")
+    filled = forward_fill(dense, "event_type", "window_start", "max_value")
+    return filled.select(
+        "event_type",
+        "window_start",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.col("max_value_filled"),
+        F.when(F.col("n_obs").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+
+
+@query(
     "f_json_extract",
     oracle="""
     SELECT event_type,

@@ -41,3 +41,26 @@ def test_rollup_reuses_cached_levels(spark, sf_dir):
     # 5 cache reads: 10m level feeds (its branch + 1h build + 1h's two
     # consumers transitively) — anything >= 4 proves the cascade reuses
     assert plan.count("InMemoryRelation") >= 4, plan
+
+
+def test_gap_fill_densify_and_forward_fill(spark):
+    """Missing buckets materialize with NULL observations; forward fill
+    carries the last value; leading gap stays NULL."""
+    import datetime as dt
+
+    from delfos_etl_pipeline_spark.operators.gapfill import densify, forward_fill
+
+    h = lambda i: dt.datetime(2024, 1, 1, i)
+    bucketed = spark.createDataFrame(
+        [("a", h(1), 10.0), ("a", h(4), 40.0), ("b", h(2), 2.0)],
+        "k string, h timestamp, v double",
+    )
+    dense = densify(bucketed, "k", "h", "1 hour")
+    assert dense.count() == 4 + 1  # a: hours 1..4, b: hour 2
+    filled = forward_fill(dense, "k", "h", "v")
+    got = {(r.k, r.h.hour): (r.v, r.v_filled) for r in filled.collect()}
+    assert got[("a", 1)] == (10.0, 10.0)
+    assert got[("a", 2)] == (None, 10.0)  # gap forward-filled
+    assert got[("a", 3)] == (None, 10.0)
+    assert got[("a", 4)] == (40.0, 40.0)
+    assert got[("b", 2)] == (2.0, 2.0)
