@@ -28,12 +28,15 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
     "tpch_q13_cust_order_dist",
     "tpch_q18_large_orders",
     "tpch_q21_waiting_suppliers",
     "session_windows",
     "hypertable_rollup",
+    "ts_gap_fill",
+    "sample_stratified",
     "range_join_intervals",
     "agg_salted_skew",
     "j1_broadcast_dim_join",

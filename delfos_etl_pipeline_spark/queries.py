@@ -2202,6 +2202,54 @@ def tpch_q20_promotable_suppliers(spark, sf_dir):
 
 
 @query(
+    "set_ops_user_segments",
+    oracle="""
+    SELECT 'both' AS segment, count(*) AS n_users FROM (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-30 00:00:00') t1
+    UNION ALL
+    SELECT 'first_half_only', count(*) FROM (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-30 00:00:00') t2
+    ORDER BY segment
+    """,
+)
+def set_ops_user_segments(spark, sf_dir):
+    """Set operations (INTERSECT / EXCEPT, distinct semantics) — user
+    retention segmentation across two halves of the month. Spark plans
+    both as joins under the hood (semi/anti on the distinct sets), so
+    they shuffle once on user_id; the count rollup is a 1-row agg."""
+    ev = _t(spark, sf_dir, "events")
+
+    def half(lo, hi):
+        return (
+            ev.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+            .select("user_id")
+            .distinct()
+        )
+
+    h1 = half("2024-01-01 00:00:00", "2024-01-15 00:00:00")
+    h2 = half("2024-01-15 00:00:00", "2024-01-30 00:00:00")
+    both = h1.intersect(h2).agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit("both").alias("segment"), "n_users"
+    )
+    only1 = h1.subtract(h2).agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(F.lit("first_half_only").alias("segment"), "n_users")
+    return both.union(only1).orderBy("segment")
+
+
+@query(
     "ts_gap_fill",
     oracle="""
     WITH hourly AS (
