@@ -2202,6 +2202,33 @@ def tpch_q20_promotable_suppliers(spark, sf_dir):
 
 
 @query(
+    "j_null_safe_join",
+    oracle="""
+    WITH d AS (SELECT doc_id, NULLIF(lang, 'en') AS lang_n FROM documents),
+         g AS (SELECT lang_n AS lang_g, count(*) AS n_group
+               FROM d GROUP BY lang_n)
+    SELECT d.doc_id, d.lang_n, g.n_group
+    FROM d JOIN g ON d.lang_n IS NOT DISTINCT FROM g.lang_g
+    """,
+)
+def j_null_safe_join(spark, sf_dir):
+    """Null-safe equi-join (eqNullSafe ≡ IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping — the semantic corner plain `=`
+    joins silently lose rows on. NULLs are injected (the majority
+    language becomes NULL) so the null group is large enough that a
+    regression to `=` semantics changes the row count, not just values."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.nullif(F.col("lang"), F.lit("en")).alias("lang_n")
+    )
+    g = d.groupBy(F.col("lang_n").alias("lang_g")).agg(
+        F.count(F.lit(1)).alias("n_group")
+    )
+    return d.join(
+        F.broadcast(g), d.lang_n.eqNullSafe(g.lang_g)
+    ).select("doc_id", "lang_n", "n_group")
+
+
+@query(
     "set_ops_user_segments",
     oracle="""
     SELECT 'both' AS segment, count(*) AS n_users FROM (
