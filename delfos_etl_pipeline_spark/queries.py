@@ -2202,6 +2202,76 @@ def tpch_q20_promotable_suppliers(spark, sf_dir):
 
 
 @query(
+    "f_array_ops",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT vec_id,
+           len(e) AS dim,
+           round(sqrt(list_dot_product(e, e)), 6) AS l2_norm,
+           round(list_max(e), 6) AS max_elem
+    FROM v
+    """,
+)
+def f_array_ops(spark, sf_dir):
+    """Array higher-order functions, JVM-side (no UDF): per-vector L2
+    norm via aggregate() over zip_with products, dimension, max element.
+    Both engines fold the array left-to-right, so the double sums are
+    bit-identical despite being floating-point. The same expressions
+    power the similarity family's hot path (similarity/knn.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(e, e, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(F.sqrt(dot), 6).alias("l2_norm"),
+        F.round(F.array_max(e), 6).alias("max_elem"),
+    )
+
+
+@query(
+    "sql_facade_text_query",
+    oracle="""
+    SELECT e.event_type,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           min(e.ts) AS first_ts,
+           max(e.ts) AS last_ts
+    FROM events e
+    WHERE e.ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND e.ts <  TIMESTAMP '2024-01-25 00:00:00'
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def sql_facade_text_query(spark, sf_dir):
+    """The SQL-text surface (plans/sql_facade.register_sql — SURVEY §3.3:
+    temp views + spark.sql replace the reference API's hand-built SQL
+    strings): the exact query string a user would write runs through the
+    same Catalyst pipeline as the DataFrame plans, with filters pushed to
+    the scan all the same."""
+    from delfos_etl_pipeline_spark.plans.sql_facade import register_sql
+
+    register_sql(spark, {"events_v": _t(spark, sf_dir, "events")})
+    return spark.sql("""
+        SELECT e.event_type,
+               count(*) AS n_events,
+               count(DISTINCT e.user_id) AS n_users,
+               min(e.ts) AS first_ts,
+               max(e.ts) AS last_ts
+        FROM events_v e
+        WHERE e.ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND e.ts <  TIMESTAMP '2024-01-25 00:00:00'
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """)
+
+
+@query(
     "j_null_safe_join",
     oracle="""
     WITH d AS (SELECT doc_id, NULLIF(lang, 'en') AS lang_n FROM documents),
