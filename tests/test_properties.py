@@ -103,3 +103,43 @@ def test_long_rows_count_conservation(spark, rows):
     long = to_long(df, ["timestamp"], ["wind_speed", "power"], drop_null_values=True)
     expect = sum((w is not None) + (p is not None) for _, w, p in rows)
     assert long.count() == expect
+
+
+edge_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=20),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=15,
+)
+
+
+@SLOW
+@given(edges=edge_st)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed label propagation ≡ classic union-find on arbitrary
+    small graphs (chains, stars, parallel edges, self-symmetric dups)."""
+    from delfos_etl_pipeline_spark.dedup.clusters import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == want
