@@ -107,15 +107,24 @@ def test_long_rows_count_conservation(spark, rows):
 
 edge_st = st.lists(
     st.tuples(
-        st.integers(min_value=0, max_value=20),
-        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=10),
+        st.integers(min_value=0, max_value=10),
     ).filter(lambda e: e[0] != e[1]),
     min_size=1,
-    max_size=15,
+    max_size=8,
+)
+
+# Each example runs rounds ∝ graph diameter as separate Spark jobs —
+# keep the example budget tighter than SLOW or this one test dominates
+# the whole suite's wall-clock.
+CC_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 
 
-@SLOW
+@CC_SETTINGS
 @given(edges=edge_st)
 def test_connected_components_matches_union_find(spark, edges):
     """Distributed label propagation ≡ classic union-find on arbitrary
