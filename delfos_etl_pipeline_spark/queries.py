@@ -1795,31 +1795,31 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    late = (
-        li.join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
     )
-    # only F-status orders can qualify, so the distinct-supplier count is
-    # computed over the semi-joined subset, not all of lineitem
-    li_f = li.join(o_f.select("o_orderkey"),
-                   F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-    multi = (
+    li_f = li.join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+    # BOTH existence tests fold into one conditional aggregation over the
+    # same joined subtree: distinct suppliers overall (EXISTS other
+    # supplier ⇔ ≥2) and distinct LATE suppliers (NOT EXISTS other late
+    # ⇔ =1) — one shuffle on the order key instead of two aggregates and
+    # two semi-join probes; the identical li⋈o_f subtree on the pair-
+    # producing side becomes a ReusedExchange.
+    qual = (
         li_f.groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
-        .where(F.col("n_supp") >= 2)
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(
+                F.when(is_late, F.col("l_suppkey"))
+            ).alias("n_late"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .select("l_orderkey")
     )
-    sole_late = (
-        late.groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("n_late"))
-        .where(F.col("n_late") == 1)
-        .select("l_orderkey")
-    )
+    late = li_f.where(is_late).select("l_orderkey", "l_suppkey")
     s = _t(spark, sf_dir, "supplier")
     return (
-        late.join(multi, "l_orderkey", "left_semi")
-        .join(sole_late, "l_orderkey", "left_semi")
+        late.join(qual, "l_orderkey", "left_semi")
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
