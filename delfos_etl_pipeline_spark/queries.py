@@ -422,6 +422,74 @@ def streaming_window_agg(spark, sf_dir):
 
 
 @query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT a.user_id, a.ts AS view_ts, b.ts AS purchase_ts,
+           round(b.value, 4) AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_stream_join(spark, sf_dir):
+    """Stream-stream inner join (view→purchase attribution within 30
+    minutes): both sides are watermarked file-source streams, the
+    event-time band bounds the join state Spark must hold (each side's
+    buffer expires once the other side's watermark passes the band), and
+    the availableNow drain must reproduce the batch self-join oracle
+    exactly."""
+    import os as _os
+    import tempfile
+
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+    from delfos_etl_pipeline_spark.streaming.runner import (
+        read_parquet_stream,
+        run_available_now,
+    )
+
+    src = _os.path.join(tempfile.mkdtemp(prefix="delfos_ssj_"), "events")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "value")
+    ev.write.parquet(src)
+
+    views = (
+        read_parquet_stream(spark, src, ev.schema)
+        .where(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("a_user"), F.col("ts").alias("view_ts"))
+    )
+    purchases = (
+        read_parquet_stream(spark, src, ev.schema)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        F.round("value", 4).alias("purchase_value"),
+    )
+    q = run_available_now(
+        joined,
+        _os.path.join(tempfile.mkdtemp(prefix="delfos_ssj_ckpt_"), "ckpt"),
+        "streaming_stream_join_sink",
+        output_mode="append",
+    )
+    q.awaitTermination(300)
+    return spark.table("streaming_stream_join_sink")
+
+
+@query(
     "streaming_stateful_totals",
     oracle="""
     SELECT user_id,
