@@ -69,9 +69,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
-        # Runtime-settable SQL conf — the caller's session (e.g. the
-        # driver's) need not have it at startup.
+        # Runtime-settable SQL confs — the caller's session (e.g. the
+        # driver's) need not have them at startup. The TZ pin matters
+        # because the ns→µs conversion lands in tz-aware TimestampType:
+        # window labels, date_trunc boundaries, and string-literal
+        # comparisons would otherwise shift with the host session TZ,
+        # while the DuckDB oracle compares naively.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in ns_cols:
         if c in df.columns:
@@ -111,6 +116,7 @@ def load_table_range(
 
     if ts_col in ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         c = F.col(ts_col)
         if start is not None:
