@@ -109,3 +109,23 @@ def test_run_day_statuses(spark, events):
     assert ok.rows_loaded > 0
     empty = run_day(events, dim, "2030-01-01", ts_col="ts", measures=("value",))
     assert empty.status == "no_data"
+
+
+def test_cli_end_to_end(spark, capsys):
+    """§3.2 entry-point parity: one partition run over the deterministic
+    seed prints the reference's documented numbers (1440 extracted rows,
+    144 windows x 8 signals = 1152 loaded) and exits 0; an empty partition
+    reports no_data, also exit 0."""
+    import json
+
+    from delfos_etl_pipeline_spark.cli import main
+
+    assert main(["2025-08-11"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec == {
+        "partition": "2025-08-11", "status": "success",
+        "rows_extracted": 1440, "rows_loaded": 1152, "error": None,
+    }
+    assert main(["2030-01-01"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["status"] == "no_data"
