@@ -2270,6 +2270,37 @@ def tpch_q20_promotable_suppliers(spark, sf_dir):
 
 
 @query(
+    "f_array_unnest_stats",
+    oracle="""
+    WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+    u AS (SELECT generate_subscripts(e, 1) - 1 AS dim_idx, unnest(e) AS x
+          FROM v)
+    SELECT dim_idx, count(*) AS n,
+           round(min(x), 6) AS min_val, round(max(x), 6) AS max_val
+    FROM u GROUP BY dim_idx ORDER BY dim_idx
+    """,
+)
+def f_array_unnest_stats(spark, sf_dir):
+    """Array unnesting with ordinality (posexplode): flatten every
+    embedding to (dimension index, value) rows and profile each of the 64
+    dimensions — the nested-data pattern behind per-feature normalization
+    stats. Gap-safe aggregates only (count/min/max; an avg here would be
+    accumulation-order-dependent)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return (
+        emb.select(F.posexplode(e).alias("dim_idx", "x"))
+        .groupBy("dim_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("x"), 6).alias("min_val"),
+            F.round(F.max("x"), 6).alias("max_val"),
+        )
+        .orderBy("dim_idx")
+    )
+
+
+@query(
     "f_array_ops",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
