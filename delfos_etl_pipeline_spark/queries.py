@@ -2732,6 +2732,47 @@ def dedup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs)
 
 
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_distance
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 20
+    WHERE levenshtein(a.text, b.text) <= 50
+    """,
+)
+def dedup_fuzzy_levenshtein(spark, sf_dir):
+    """Character-level fuzzy matching: bounded edit distance over BLOCKED
+    candidate pairs — the classic blocking strategy (equi-join on
+    (source, lang) plus a length band prunes the O(n²) pair space to the
+    plausible few) before the expensive O(len²) distance. Spark's
+    3-argument levenshtein bails out early once the running distance
+    exceeds the threshold, so the per-pair cost is bounded too. The
+    string tier of the dedup family, complementing the token-shingle
+    (Jaccard) and semantic (embedding) tiers."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
+        "source", "lang", F.col("n_chars").alias("nc_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"),
+        "source", "lang", F.col("n_chars").alias("nc_b"),
+    )
+    ed = F.levenshtein("text_a", "text_b", 50)
+    return (
+        a.join(b, ["source", "lang"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)
+        )
+        .select("doc_a", "doc_b", ed.alias("edit_distance"))
+        .where(F.col("edit_distance") >= 0)
+    )
+
+
 @query("dedup_minhash_lsh")  # approximate: LSH recall < 100% → rows-only check
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(64)+LSH(16 bands) candidates verified by exact Jaccard ≥0.6
