@@ -2270,6 +2270,39 @@ def tpch_q20_promotable_suppliers(spark, sf_dir):
 
 
 @query(
+    "w4_trailing_range_frame",
+    oracle="""
+    SELECT user_id, ts,
+           count(*) OVER w AS n_trailing_30m,
+           round(max(value) OVER w, 4) AS max_trailing_30m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+    """,
+)
+def w4_trailing_range_frame(spark, sf_dir):
+    """RANGE frame over event time (the window-frame type the w1-w3
+    suite doesn't cover): per-user trailing 30-minute event count and max
+    — the rate-limiting / burst-detection shape. Spark RANGE frames need
+    a numeric ordering column, so the frame runs over unix microseconds
+    with the interval as a µs offset; bounds are inclusive on both ends
+    in both engines. One shuffle on user_id, state = one sliding frame
+    per partition."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-30 * 60 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_30m"),
+        F.round(F.max("value").over(w), 4).alias("max_trailing_30m"),
+    )
+
+
+@query(
     "f_array_unnest_stats",
     oracle="""
     WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
@@ -2521,6 +2554,71 @@ def f_json_extract(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum("p.k").alias("sum_k"),
         F.max("p.k").alias("max_k"),
+    )
+
+
+@query(
+    "tpcds_q3_brand_by_year",
+    oracle="""
+    WITH date_dim AS (
+      SELECT CAST(d AS DATE) AS d_date,
+             CAST(EXTRACT(YEAR FROM d) AS INTEGER) AS d_year,
+             CAST(EXTRACT(MONTH FROM d) AS INTEGER) AS d_moy
+      FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+                                          DATE '2001-08-01',
+                                          INTERVAL 1 DAY)) AS d) t
+    )
+    SELECT dt.d_year, p.p_brand,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE)
+             AS sum_agg
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN date_dim dt ON CAST(o.o_orderdate AS DATE) = dt.d_date
+    WHERE dt.d_moy = 12 AND p.p_type = 'ECONOMY'
+    GROUP BY dt.d_year, p.p_brand
+    ORDER BY d_year, sum_agg DESC, p_brand
+    """,
+)
+def tpcds_q3_brand_by_year(spark, sf_dir):
+    """TPC-DS Q3 shape: the calendar-dimension star join — facts join a
+    date_dim (synthesized deterministically as a day spine, since the
+    testdata has no calendar table) and calendar predicates (December
+    only) live on the DIM side, where they prune the broadcast hash table
+    instead of rewriting fact-scan filters. The warehouse pattern that
+    generalizes to fiscal calendars and holiday flags no column-function
+    predicate can express."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("1995-01-01")),
+                F.to_date(F.lit("2001-08-01")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d_date")
+    )
+    date_dim = spine.select(
+        "d_date",
+        F.year("d_date").alias("d_year"),
+        F.month("d_date").alias("d_moy"),
+    ).where(F.col("d_moy") == 12)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(14,2)")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(date_dim),
+            F.to_date("o_orderdate") == F.col("d_date"),
+        )
+        .groupBy("d_year", "p_brand")
+        .agg(F.sum(rev).cast("double").alias("sum_agg"))
+        .orderBy("d_year", F.desc("sum_agg"), "p_brand")
     )
 
 
