@@ -28,6 +28,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(node, comp) for every node incident to a pair; comp = min node id
     reachable in the undirected pair graph (the component's canonical id).
@@ -52,7 +53,7 @@ def connected_components(
     # one scalar per round detects convergence with a single aggregate
     # action instead of a changed-rows join.
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # neighbor labels flow along edges; keep own label in the running
         prop = edges.join(labels, edges.b == labels.node).select(
             edges.a.alias("node"), labels.comp
@@ -62,8 +63,14 @@ def connected_components(
             .union(prop)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .persist()
         )
+        if (it + 1) % checkpoint_every == 0:
+            # Truncate lineage: without this the logical plan nests one
+            # join+agg layer per round and high-diameter graphs blow up
+            # optimizer time / stack depth long before data size matters.
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels.unpersist()
         labels = new_labels

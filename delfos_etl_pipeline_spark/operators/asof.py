@@ -31,20 +31,29 @@ def asof_join(
 
     Right value columns are emitted as ``{name}{suffix}``; left rows with
     no earlier right row get NULLs (left-outer semantics).
+
+    Matches pandas ``merge_asof`` row semantics: ALL value columns come
+    from the single most recent right ROW — carried as one struct picked
+    with a single ``last(ignorenulls=True)`` — so a NULL field in the
+    matched row stays NULL (a per-column carry-forward would silently
+    substitute older non-null values for NULL fields).
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in {on, *by}]
 
+    row_struct = F.struct(*[F.col(c) for c in value_cols])
     lt = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(
+            right.select(row_struct.alias("s")).schema["s"].dataType
+        ).alias("__r_row"),
     )
     rt = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in {on, *by}],
         *[F.col(k) for k in [on, *by]],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        row_struct.alias("__r_row"),
     ).select(*lt.columns)
 
     unioned = lt.unionByName(rt)
@@ -53,12 +62,10 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    matched = F.last(F.col("__r_row"), ignorenulls=True).over(w)
     carried = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("__side"),
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        *[matched[c].alias(f"{c}{suffix}") for c in value_cols],
     )
     return carried.where(F.col("__side") == 1).drop("__side")

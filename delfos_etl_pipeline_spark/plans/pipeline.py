@@ -27,7 +27,7 @@ from __future__ import annotations
 import datetime as _dt
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 #: Stats applied per measure — mean/min/max/sample-std, exactly the
@@ -244,8 +244,13 @@ def run_day(
             return RunResult(day, "no_data")
         out = sensor_pipeline(day_df, signal_dim, ts_col, measures)
         if sink is not None:
-            sink(out)
-            loaded = out.count()
+            # One job: the loaded-row count rides the sink's own action via
+            # an Observation instead of a second count() that would re-run
+            # the whole extract→transform plan (2× waste per partition).
+            obs = Observation(f"run_day_{day}")
+            observed = out.observe(obs, F.count(F.lit(1)).alias("rows_loaded"))
+            sink(observed)
+            loaded = obs.get["rows_loaded"]
         else:
             loaded = out.count()
         return RunResult(day, "success", rows_extracted=extracted, rows_loaded=loaded)

@@ -39,3 +39,21 @@ def test_asof_left_outer_keeps_all_left_rows(spark, sf_dir):
     right = ev.where(F.col("event_type") == "error").select("user_id", "ts", "value")
     out = asof_join(left, right, on="ts", by=["user_id"], value_cols=["value"])
     assert out.count() == left.count()
+
+
+def test_asof_null_field_of_matched_row_stays_null(spark):
+    """pandas merge_asof parity: the match is a ROW, not per-column — a NULL
+    value in the most recent right row must NOT be papered over with an
+    older non-null value (ADVICE r1, operators/asof.py)."""
+    left = spark.createDataFrame(
+        [(1, _ts(12), "u")], "event_id long, ts timestamp, user_id string"
+    )
+    right = spark.createDataFrame(
+        [(_ts(10), "u", 100.0, "old"), (_ts(11), "u", None, "new")],
+        "ts timestamp, user_id string, value double, tag string",
+    )
+    row = asof_join(
+        left, right, on="ts", by=["user_id"], value_cols=["value", "tag"]
+    ).collect()[0]
+    assert row.tag_asof == "new"
+    assert row.value_asof is None  # NOT 100.0 carried from the older row

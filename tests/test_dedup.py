@@ -128,3 +128,23 @@ def test_connected_components_transitive_closure(spark):
     clusters = duplicate_clusters(pairs).collect()
     sizes = {r.doc_id: r.cluster_size for r in clusters}
     assert sizes == {1: 4, 2: 4, 3: 4, 4: 4, 10: 2, 11: 2}
+
+
+def test_connected_components_bounded_plan_depth(spark):
+    """A 30-node path graph needs ~29 min-propagation rounds; without the
+    periodic localCheckpoint the logical plan nests one join+agg layer per
+    round (VERDICT r1 #4). Checkpointing must keep the final plan bounded
+    AND the labels correct at high iteration counts."""
+    from delfos_etl_pipeline_spark.dedup.clusters import connected_components
+
+    n = 30
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    cc = connected_components(edges, max_iter=40, checkpoint_every=5)
+    rows = cc.collect()
+    assert len(rows) == n
+    assert all(r.comp == 0 for r in rows)  # one chain, canonical id = min
+    # Plan depth stays bounded: lineage was truncated at most 5 rounds ago.
+    plan = cc._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 6, f"lineage not truncated: {plan.count('Join')} joins"

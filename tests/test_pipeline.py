@@ -129,3 +129,29 @@ def test_cli_end_to_end(spark, capsys):
     assert main(["2030-01-01"]) == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["status"] == "no_data"
+
+
+def test_run_day_sink_executes_plan_once(spark, events):
+    """VERDICT r1 #3: the sink path must run ONE job — the loaded-row count
+    rides the sink action via Observation, not a second count() that
+    re-executes the whole pipeline."""
+    dim = default_signal_dim(spark, ("value",))
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    # mapInPandas blocks filter pushdown, so EVERY source row flows through
+    # bump once per action over the input: extract count + sink = 2 reads
+    # per row; the old post-sink recount made it 3.
+    src = events.mapInPandas(bump, events.schema)
+    n = events.count()
+    res = run_day(
+        src, dim, "2024-01-05", ts_col="ts", measures=("value",),
+        sink=lambda df: df.write.format("noop").mode("overwrite").save(),
+    )
+    assert res.status == "success"
+    assert res.rows_loaded > 0
+    assert acc.value == 2 * n, f"source read {acc.value / n:.1f}x, want 2x"
