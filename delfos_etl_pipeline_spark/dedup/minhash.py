@@ -29,37 +29,64 @@ from delfos_etl_pipeline_spark.dedup.ngram import (
 )
 
 
-def minhash_signatures(shingle_arrs: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """(doc_id, sig: array<long>) — k min-hash values per document.
+def minhash_signatures(
+    shingle_arrs: DataFrame, num_hashes: int = 64, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, sig: array<long|string>) — k min-hash values per document.
 
     Input is ngram.shingle_arrays output (one array row per doc). The k
     "permutations" are xxhash64 seeded with the hash index; with hashed
     (long) shingles each is constant-cost on 8-byte input. Documents with
     no shingles (< n words) are dropped — an empty set has no sketch, and
     keeping them would make every empty doc band-collide with every other.
+
+    ``hash_fn="md5"`` keys the permutations on ``md5(i || '|' || shingle)``
+    over STRING shingles and takes the lexicographic min of the hex
+    digests — bit-identical in DuckDB (``min(md5(...))``), so the whole
+    LSH pipeline gets an exact SQL oracle. xxhash64 stays the production
+    default (8-byte keys, no hex-string materialization).
     """
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(i, s))
-        ),
-    )
+    if hash_fn == "md5":
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.md5(F.concat_ws("|", i.cast("string"), s)),
+                )
+            ),
+        )
+    else:
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(i, s))
+            ),
+        )
     return shingle_arrs.where(F.size("shingles") > 0).select(
         "doc_id", sig.alias("sig")
     )
 
 
 def lsh_candidates(
-    signatures: DataFrame, num_hashes: int = 64, bands: int = 16
+    signatures: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs sharing ≥1 LSH band bucket."""
     rows = num_hashes // bands
+    if hash_fn == "md5":
+        bucket_of = lambda j: F.md5(  # noqa: E731
+            F.concat_ws("|", F.slice(F.col("sig"), j * rows + 1, rows))
+        )
+    else:
+        bucket_of = lambda j: F.xxhash64(  # noqa: E731
+            F.slice(F.col("sig"), j * rows + 1, rows)
+        )
     bb = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda j: F.struct(
-            j.alias("band"),
-            F.xxhash64(F.slice(F.col("sig"), j * rows + 1, rows)).alias("bucket"),
-        ),
+        lambda j: F.struct(j.alias("band"), bucket_of(j).alias("bucket")),
     )
     # explode_outer: plain explode's inferred size()>0 filter would inline
     # the whole signature+banding chain below this projection and evaluate
@@ -86,6 +113,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold) via MinHash-LSH
     candidates verified with exact Jaccard — same output contract as
@@ -94,15 +122,18 @@ def minhash_lsh_pairs(
     The verify step computes exact Jaccard only for candidate pairs
     (semi-join pruning of the shingle arrays BEFORE exploding them), so its
     cost is proportional to the number of candidates, not corpus².
+
+    ``hash_fn="md5"`` selects the DuckDB-reproducible signature keying
+    (see minhash_signatures) — exact-oracle mode for differential testing.
     """
     # The per-doc shingle arrays feed BOTH the signature pass and the
     # exact-verify pass — persist to scan/tokenize the corpus once.
-    arrs = shingle_arrays(df, id_col, text_col, n, hashed=True).persist()
+    arrs = shingle_arrays(df, id_col, text_col, n, hashed=hash_fn != "md5").persist()
     # cands is referenced three times below (two cand_docs branches + the
     # final semi-join); without persist the signature+banding subtree would
     # execute once per reference.
     cands = lsh_candidates(
-        minhash_signatures(arrs, num_hashes), num_hashes, bands
+        minhash_signatures(arrs, num_hashes, hash_fn), num_hashes, bands, hash_fn
     ).persist()
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))

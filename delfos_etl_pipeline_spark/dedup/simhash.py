@@ -20,21 +20,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, simhash) — 64-bit SimHash over whitespace word tokens."""
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash over whitespace word tokens.
+
+    ``hash_fn="md5"`` keys word hashes on the first 16 hex nibbles of
+    ``md5(word)`` (bit i = bit i%4 of nibble i//4) — reproducible in
+    DuckDB SQL via ``strpos('0123456789abcdef', ...)``, giving the pairs
+    query an exact oracle. xxhash64 stays the production default (one
+    8-byte hash per word vs 16 nibble extractions)."""
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
     )
-    h = F.xxhash64(F.col("word"))
-    sums = words.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{i}")
-            for i in range(64)
-        ]
-    )
+    if hash_fn == "md5":
+        hexd = F.md5(F.col("word"))
+        nibbled = words.select(
+            "doc_id",
+            *[
+                F.conv(F.substring(hexd, c + 1, 1), 16, 10)
+                .cast("int")
+                .alias(f"n{c}")
+                for c in range(16)
+            ],
+        )
+        bit = lambda i: F.shiftright(F.col(f"n{i // 4}"), i % 4).bitwiseAND(  # noqa: E731
+            F.lit(1)
+        )
+        sums = nibbled.groupBy("doc_id").agg(
+            *[
+                F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"s{i}")
+                for i in range(64)
+            ]
+        )
+    else:
+        h = F.xxhash64(F.col("word"))
+        sums = words.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                ).alias(f"s{i}")
+                for i in range(64)
+            ]
+        )
     bits = [
         F.shiftleft((F.col(f"s{i}") > 0).cast("long"), i) for i in range(64)
     ]
@@ -47,6 +76,7 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     hamming_max: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with Hamming distance ≤ hamming_max.
 
@@ -54,7 +84,7 @@ def simhash_pairs(
     qualifying pair matches exactly on at least one band, so the banded
     equi-join loses nothing (exact, unlike LSH).
     """
-    sig = simhash_signatures(df, id_col, text_col)
+    sig = simhash_signatures(df, id_col, text_col, hash_fn)
     n_bands = hamming_max + 1
     width = 64 // n_bands
     band_cols = [

@@ -1017,13 +1017,31 @@ def a_distinct_count(spark, sf_dir):
     )
 
 
-@query("a_approx_distinct")  # HLL++ sketch differs from DuckDB's → rows-only
+@query(
+    "a_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def a_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++, rsd=1%) — the 100 TB path for
-    cardinality: mergeable sketches, no exact-distinct shuffle blow-up."""
+    cardinality: mergeable sketches, no exact-distinct shuffle blow-up.
+    Spark's HLL++ register values can't be replayed in DuckDB, so the
+    oracle pins what IS portable: the exact cardinality, plus the claim
+    that the sketch landed within 5% of it (a 5-sigma bound at rsd=1%) —
+    turning the former rows-only row into a driver-checkable contract."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+        F.count_distinct("user_id").alias("n_users_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.01) - F.count_distinct("user_id")
+            )
+            <= 0.05 * F.count_distinct("user_id")
+        ).alias("within_5pct"),
     )
 
 
@@ -2871,15 +2889,66 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
     )
 
 
-@query("dedup_minhash_lsh")  # approximate: LSH recall < 100% → rows-only check
+@query(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + 2), ' ')
+             )) AS shingles
+      FROM d
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), i ->
+               list_min(list_transform(shingles,
+                 s -> md5(i::VARCHAR || '|' || s)))) AS sg
+      FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(array_to_string(
+               list_slice(sg, band * 4 + 1, band * 4 + 4), '|')) AS bucket
+      FROM sig, unnest(range(0, 16)) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    j AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(x.shingles, y.shingles)) AS shared,
+             len(x.shingles) AS sa, len(y.shingles) AS sb
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(shared * 1.0 / (sa + sb - shared), 6) AS jaccard
+    FROM j
+    WHERE round(shared * 1.0 / (sa + sb - shared), 6) >= 0.6
+    """,
+)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(64)+LSH(16 bands) candidates verified by exact Jaccard ≥0.6
     — the 100 TB-scale near-dup path; compared against dedup_ngram_jaccard
-    in tests/test_dedup.py."""
+    in tests/test_dedup.py. Registered in md5-keyed mode so the ENTIRE
+    pipeline — signatures, band buckets, candidate set, verify — is
+    reproduced bit-exactly by the DuckDB oracle (lexicographic min over
+    md5 hex digests); bench/production use the xxhash64 keying."""
     from delfos_etl_pipeline_spark.dedup.minhash import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, hash_fn="md5"
+    )
 
 
 @query(
@@ -2905,14 +2974,50 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
-@query("dedup_simhash")  # signature formula has no portable SQL twin
+# SimHash oracle building blocks — 16 md5 nibbles per word, 64 signed bit
+# sums per doc, then per-pair Hamming over the sign bits. Generated rather
+# than hand-written: 64 structurally identical clauses.
+_SIMHASH_NIBS = ", ".join(
+    f"strpos('0123456789abcdef', substr(md5(word), {c + 1}, 1)) - 1 AS n{c}"
+    for c in range(16)
+)
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN ((n{i // 4} >> {i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(64)
+)
+_SIMHASH_BITS = ", ".join(f"CASE WHEN s{i} > 0 THEN 1 ELSE 0 END" for i in range(64))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+      FROM documents
+    ),
+    nib AS (SELECT doc_id, {_SIMHASH_NIBS} FROM words),
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM nib GROUP BY doc_id),
+    bits AS (SELECT doc_id, [{_SIMHASH_BITS}] AS b FROM sums),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> abs(a.b[i] - c.b[i]))) AS INTEGER) AS hamming
+      FROM bits a JOIN bits c ON a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
 def dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs with Hamming ≤ 3 via pigeonhole banding
-    (exact w.r.t. the signature, no recall loss)."""
+    (exact w.r.t. the signature, no recall loss). Registered in md5-keyed
+    mode (bit i of a word = bit i%4 of md5 hex nibble i//4) so the DuckDB
+    oracle recomputes identical signatures; the oracle verifies the banded
+    join against a brute-force all-pairs Hamming filter — banding must
+    lose nothing. xxhash64 keying stays the bench/production default."""
     from delfos_etl_pipeline_spark.dedup.simhash import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", hamming_max=3)
+    return simhash_pairs(docs, "doc_id", "text", hamming_max=3, hash_fn="md5")
 
 
 # ---------------------------------------------------------------------------
@@ -3022,21 +3127,66 @@ def sim_lsh_bucketed(spark, sf_dir):
     )
 
 
-@query("sim_ivf_topk")  # approximate cell recall → rows-only check
+@query(
+    "sim_ivf_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v
+      WHERE vec_id <> 0 ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT v.vec_id, v.e, c.cid,
+             list_dot_product(v.e, c.ce) /
+               (sqrt(list_dot_product(v.e, v.e)) *
+                sqrt(list_dot_product(c.ce, c.ce))) AS sim
+      FROM v JOIN cent c ON true
+      WHERE v.vec_id <> 0
+    ),
+    assign AS (
+      SELECT vec_id, e, cid AS cluster FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+    ),
+    probe AS (
+      SELECT c.cid FROM cent c, q
+      ORDER BY list_dot_product(c.ce, q.qe) /
+               (sqrt(list_dot_product(c.ce, c.ce)) *
+                sqrt(list_dot_product(q.qe, q.qe))) DESC, c.cid
+      LIMIT 2
+    )
+    SELECT a.vec_id,
+           round(list_dot_product(a.e, q.qe) /
+                 (sqrt(list_dot_product(a.e, a.e)) *
+                  sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine_sim
+    FROM assign a, q
+    WHERE a.cluster IN (SELECT cid FROM probe)
+    ORDER BY cosine_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
 def sim_ivf_topk(spark, sf_dir):
-    """IVF ANN top-10 for the vec_id=0 query: k-means coarse quantizer
-    (8 cells), probe the 2 nearest cells, exact cosine inside them
-    (similarity/ivf.py). With the index persisted partitionBy(cluster),
-    each probe is a partition-pruned scan of n_probe/n_clusters of the
-    corpus — the build-once/search-many scale path beside LSH."""
-    from delfos_etl_pipeline_spark.similarity.ivf import build_ivf_index, ivf_topk
+    """IVF ANN top-10 for the vec_id=0 query: coarse quantizer (8 cells),
+    probe the 2 nearest cells, exact cosine inside them (similarity/
+    ivf.py). Registered with the DETERMINISTIC build (centroids = the 8
+    lowest corpus ids, one argmax-cosine assignment step) so cell
+    membership — and therefore the ANN result — is reproduced exactly by
+    the oracle; build_ivf_index (seeded k-means) is the quantizer-quality
+    path with the identical probe plan. With the index persisted
+    partitionBy(cluster), each probe is a partition-pruned scan of
+    n_probe/n_clusters of the corpus — build-once/search-many."""
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        build_ivf_index_fixed,
+        ivf_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    assigned, centroids = build_ivf_index(
+    assigned, centroids = build_ivf_index_fixed(
         emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
     )
     return ivf_topk(assigned, centroids, qvec, "vec_id", "embedding", k=10, n_probe=2)
@@ -3173,10 +3323,33 @@ def mm_binary_meta(spark, sf_dir):
     return bin_df.select("doc_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.mime").alias("mime"))
 
 
-@query("mm_byte_histogram")  # numpy featurizer — no portable SQL twin
+@query(
+    "mm_byte_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+             list_transform(range(1, length(text) + 1),
+               i -> unicode(substr(text, i, 1)) // 16) AS bins
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, n_bytes,
+             list_transform(range(0, 16),
+               k -> len(list_filter(bins, x -> x = k)) * 1.0 / n_bytes) AS p
+      FROM b
+    )
+    SELECT doc_id, n_bytes,
+           round(-list_sum(list_transform(
+             list_filter(p, x -> x > 0), x -> x * log2(x))), 6) AS entropy,
+           list_transform(p, x -> round(x, 9)) AS feature
+    FROM h
+    """,
+)
 def mm_byte_histogram(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction (16-bin byte histogram
-    + entropy) over binary payloads — the real-decoder batch contract."""
+    + entropy) over binary payloads — the real-decoder batch contract.
+    The payload is UTF-8 text and the corpus is pure ASCII (one byte per
+    char), so the oracle mirrors the byte stream via codepoints."""
     from delfos_etl_pipeline_spark.multimodal.binary import (
         attach_binary_payload,
         byte_histogram_features,

@@ -50,6 +50,43 @@ def build_ivf_index(
     return assigned, centroids
 
 
+def build_ivf_index_fixed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic IVF build: centroids are the embeddings of the
+    ``n_clusters`` LOWEST ids present and assignment is a single
+    argmax-cosine step (no Lloyd iterations) with lowest-centroid
+    tie-break. Every step is plain arithmetic reproducible in ANSI SQL,
+    so the ANN query gets an exact DuckDB oracle; ``build_ivf_index``
+    (seeded k-means) remains the quantizer-quality path — the cell-probe
+    search plan is identical either way."""
+    ids = [r[0] for r in df.select(id_col).orderBy(id_col).limit(n_clusters).collect()]
+    rows = df.where(F.col(id_col).isin(ids)).select(id_col, vec_col).collect()
+    cents = [[float(x) for x in r[1]] for r in sorted(rows, key=lambda r: r[0])]
+    v = _as_double(vec_col)
+    # argmax over (sim, -cid) structs: array_max is lexicographic, so ties
+    # on sim resolve to the LOWEST centroid id — mirrors the oracle's
+    # ORDER BY sim DESC, cid ASC.
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_similarity_col(
+                    v, F.array(*[F.lit(x) for x in c]).cast("array<double>")
+                ).alias("sim"),
+                F.lit(-i).alias("negcid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    assigned = df.withColumn(
+        "cluster", (-F.array_max(scored)["negcid"]).cast("int")
+    )
+    return assigned, cents
+
+
 def write_ivf_index(assigned: DataFrame, path: str) -> None:
     """Persist the assigned corpus partitioned by cell — probes then scan
     only their cells' files (partition pruning, no data skipped manually)."""

@@ -148,3 +148,30 @@ def test_connected_components_bounded_plan_depth(spark):
     # Plan depth stays bounded: lineage was truncated at most 5 rounds ago.
     plan = cc._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 6, f"lineage not truncated: {plan.count('Join')} joins"
+
+
+def test_md5_keyed_variants_find_planted_dups(docs):
+    """The DuckDB-reproducible md5 keying (oracle mode for
+    dedup_minhash_lsh / dedup_simhash) must behave like a real sketch, not
+    just parse: same recall bound vs the exact pair set as the xxhash64
+    default."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(
+            shingle_sets(docs, "doc_id", "text"), threshold=0.6
+        ).collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.6, hash_fn="md5"
+        ).collect()
+    }
+    assert mh <= exact
+    assert len(mh & exact) / len(exact) >= 0.9
+    sh = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_pairs(docs, "doc_id", "text", hash_fn="md5").collect()
+    }
+    assert len(sh) > 0
+    assert len(sh & exact) / max(len(sh), 1) >= 0.5
