@@ -47,10 +47,65 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "sim_knn_allpairs",
+    "dedup_embedding_lsh",
+    "sim_lsh_bucketed",
+    "sim_ivf_topk",
+    "sim_allpairs_blas",
     "text_stats",
     "asof_join_events",
 ]
+
+
+def _bench_overrides():
+    """Bench-only variants measuring the 100 TB production paths.
+
+    Some registered queries run in oracle-reproducible mode (md5 keying,
+    fixed centroids) so DuckDB can replay them bit-exactly; the bench
+    re-points those at the production keying (xxhash64 / seeded k-means),
+    and headlines the bucketed ANN paths instead of the N² crossJoin
+    (VERDICT r1: bench what 100 TB would run).
+    """
+    from delfos_etl_pipeline_spark.dedup.embedding import (
+        embedding_near_dup_pairs_lsh,
+    )
+    from delfos_etl_pipeline_spark.dedup.minhash import minhash_lsh_pairs
+    from delfos_etl_pipeline_spark.similarity.ivf import build_ivf_index, ivf_topk
+    from delfos_etl_pipeline_spark.similarity.knn import all_pairs_topk_blas
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+
+    def minhash_prod(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+    def embedding_lsh(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return embedding_near_dup_pairs_lsh(emb, "vec_id", "embedding", threshold=0.4)
+
+    def ivf_prod(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        ]
+        assigned, centroids = build_ivf_index(
+            emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
+        )
+        return ivf_topk(
+            assigned, centroids, qvec, "vec_id", "embedding", k=10, n_probe=2
+        )
+
+    def blas_allpairs(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return all_pairs_topk_blas(emb, "vec_id", "embedding", k=5)
+
+    return {
+        "dedup_minhash_lsh": minhash_prod,
+        "dedup_embedding_lsh": embedding_lsh,
+        "sim_ivf_topk": ivf_prod,
+        "sim_allpairs_blas": blas_allpairs,
+    }
 
 
 def main() -> None:
@@ -73,7 +128,8 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    qs = queries()
+    qs = dict(queries())
+    qs.update(_bench_overrides())
 
     # Warmup, not counted: a trivial scan plus one pass of every headline
     # query at the smallest SF. Whole-stage-codegen compilation (janino) and
