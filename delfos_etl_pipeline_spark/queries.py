@@ -2640,6 +2640,197 @@ def tpcds_q3_brand_by_year(spark, sf_dir):
     )
 
 
+@query(
+    "tpcds_q27_rollup_avgs",
+    oracle="""
+    SELECT p.p_brand, n.n_name,
+           CAST(GROUPING(p.p_brand) AS INTEGER) AS g_brand,
+           CAST(GROUPING(n.n_name) AS INTEGER)  AS g_nation,
+           round(avg(l.l_quantity), 6)      AS agg1,
+           round(avg(l.l_extendedprice), 6) AS agg2,
+           round(avg(l.l_discount), 6)      AS agg3,
+           round(avg(l.l_tax), 6)           AS agg4
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    WHERE EXTRACT(YEAR FROM o.o_orderdate) = 1996 AND p.p_size < 25
+    GROUP BY ROLLUP(p.p_brand, n.n_name)
+    """,
+)
+def tpcds_q27_rollup_avgs(spark, sf_dir):
+    """TPC-DS Q27 shape: star join with selective dim predicates feeding
+    four AVG measures under ROLLUP(item attr, geography) — per-brand,
+    per-brand-per-nation, and grand-total rows in one pass. Spark plans
+    ROLLUP as a single Expand + one shuffle (no per-level re-scan);
+    GROUPING() flags disambiguate NULL-as-total from NULL-as-value.
+    Dim filters (p_size, order year) sit on the broadcast sides so the
+    fact scan is pruned before the Expand multiplies rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1996)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") < 25)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .rollup("p_brand", "n_name")
+        .agg(
+            F.grouping("p_brand").cast("int").alias("g_brand"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.round(F.avg("l_quantity"), 6).alias("agg1"),
+            F.round(F.avg("l_extendedprice"), 6).alias("agg2"),
+            F.round(F.avg("l_discount"), 6).alias("agg3"),
+            F.round(F.avg("l_tax"), 6).alias("agg4"),
+        )
+        .select(
+            "p_brand", "n_name", "g_brand", "g_nation",
+            "agg1", "agg2", "agg3", "agg4",
+        )
+    )
+
+
+@query(
+    "tpcds_q36_margin_rank",
+    oracle="""
+    WITH agg AS (
+      SELECT p.p_type, p.p_brand,
+             CAST(GROUPING(p.p_type) + GROUPING(p.p_brand) AS INTEGER)
+               AS lochierarchy,
+             CAST(GROUPING(p.p_brand) AS INTEGER) AS g_brand,
+             round(
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE)
+               / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE),
+               6) AS gross_margin
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_returnflag <> 'R'
+      GROUP BY ROLLUP(p.p_type, p.p_brand)
+    )
+    SELECT p_type, p_brand, lochierarchy, gross_margin,
+           CAST(rank() OVER (
+             PARTITION BY lochierarchy,
+                          CASE WHEN g_brand = 0 THEN p_type END
+             ORDER BY gross_margin
+           ) AS BIGINT) AS rank_within_parent
+    FROM agg
+    """,
+)
+def tpcds_q36_margin_rank(spark, sf_dir):
+    """TPC-DS Q36 shape: gross-margin ratio under ROLLUP(category, class)
+    with rank-within-parent — each hierarchy level ranked against its
+    siblings via a window PARTITIONed on the GROUPING-derived level key.
+    Both sums accumulate in DECIMAL (order-independent) before the one
+    double division, so the ratio — and therefore the rank order — is
+    bit-identical across engines. One shuffle for the rollup, one for
+    the window; the window repartitions on the (small) agg output, not
+    the fact table."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") != "R")
+    p = _t(spark, sf_dir, "part")
+    dec_rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(14,2)")
+    )
+    dec_ext = F.col("l_extendedprice").cast("decimal(14,2)")
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .rollup("p_type", "p_brand")
+        .agg(
+            (F.grouping("p_type") + F.grouping("p_brand"))
+            .cast("int")
+            .alias("lochierarchy"),
+            F.grouping("p_brand").cast("int").alias("g_brand"),
+            F.round(
+                F.sum(dec_rev).cast("double") / F.sum(dec_ext).cast("double"), 6
+            ).alias("gross_margin"),
+        )
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("g_brand") == 0, F.col("p_type")),
+    ).orderBy("gross_margin")
+    return agg.select(
+        "p_type",
+        "p_brand",
+        "lochierarchy",
+        "gross_margin",
+        F.rank().over(w).cast("bigint").alias("rank_within_parent"),
+    )
+
+
+@query(
+    "tpcds_q67_topk_rollup",
+    oracle="""
+    WITH sales AS (
+      SELECT p.p_type, p.p_brand,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER)  AS d_year,
+             CAST(EXTRACT(MONTH FROM o.o_orderdate) AS INTEGER) AS d_moy,
+             CAST(l.l_extendedprice AS DECIMAL(14,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(14,2))) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p   ON l.l_partkey = p.p_partkey
+    ),
+    agg AS (
+      SELECT p_type, p_brand, d_year, d_moy,
+             CAST(sum(rev) AS DOUBLE) AS sumsales
+      FROM sales
+      GROUP BY ROLLUP(p_type, p_brand, d_year, d_moy)
+    )
+    SELECT * FROM (
+      SELECT p_type, p_brand, d_year, d_moy, sumsales,
+             CAST(rank() OVER (
+               PARTITION BY p_type ORDER BY sumsales DESC
+             ) AS BIGINT) AS rk
+      FROM agg
+    ) t
+    WHERE rk <= 100
+    """,
+)
+def tpcds_q67_topk_rollup(spark, sf_dir):
+    """TPC-DS Q67 shape: a deep ROLLUP over (category, brand, year,
+    month) then top-100-by-sales per category via a ranked window — the
+    'best sellers at every hierarchy level' report. The rank ties are
+    deterministic because the sums accumulate in DECIMAL. The expensive
+    part is the 4-level Expand (5× row multiplication) — Spark does it
+    map-side pre-shuffle with partial aggregation, so the shuffle carries
+    aggregated groups, not multiplied raw rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    dec_rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(14,2)")
+    )
+    agg = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_type",
+            "p_brand",
+            F.year("o_orderdate").cast("int").alias("d_year"),
+            F.month("o_orderdate").cast("int").alias("d_moy"),
+            dec_rev.alias("rev"),
+        )
+        .rollup("p_type", "p_brand", "d_year", "d_moy")
+        .agg(F.sum("rev").cast("double").alias("sumsales"))
+    )
+    w = Window.partitionBy("p_type").orderBy(F.desc("sumsales"))
+    return (
+        agg.select(
+            "p_type",
+            "p_brand",
+            "d_year",
+            "d_moy",
+            "sumsales",
+            F.rank().over(w).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= 100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sampling — deterministic hash-based corpus subsetting (SURVEY §7 M5)
 # ---------------------------------------------------------------------------
