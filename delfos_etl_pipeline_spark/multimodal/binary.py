@@ -24,9 +24,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Arrow batch schema produced by byte_histogram_features.
+#: Arrow batch schema produced by byte_histogram_features. ``counts`` is
+#: the raw (un-normalized) 16-bin histogram — exact integers, used by the
+#: driver-compared query contract; ``feature`` is the normalized float
+#: form a downstream model consumes.
 _FEATURE_SCHEMA = (
-    "doc_id long, n_bytes long, entropy double, feature array<double>"
+    "doc_id long, n_bytes long, entropy double, feature array<double>, "
+    "counts array<long>"
 )
 
 
@@ -67,9 +71,17 @@ def byte_histogram_features(binary_df: DataFrame) -> DataFrame:
                 p = hist / total if total else hist
                 nz = p[p > 0]
                 entropy = float(-(nz * np.log2(nz)).sum()) if nz.size else 0.0
-                out.append((int(doc_id), int(arr.size), round(entropy, 6), (p.round(9)).tolist()))
+                out.append(
+                    (
+                        int(doc_id),
+                        int(arr.size),
+                        round(entropy, 6),
+                        (p.round(9)).tolist(),
+                        [int(c) for c in hist],
+                    )
+                )
             yield pd.DataFrame(
-                out, columns=["doc_id", "n_bytes", "entropy", "feature"]
+                out, columns=["doc_id", "n_bytes", "entropy", "feature", "counts"]
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(compute, _FEATURE_SCHEMA)

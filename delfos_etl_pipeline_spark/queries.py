@@ -2077,14 +2077,15 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     "tpch_q9_product_profit",
     oracle=f"""
     WITH partsupp AS ({_PARTSUPP_SQL})
-    SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(sum(amount_c4) AS DOUBLE) / 10000.0 AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
-             CAST(l.l_extendedprice AS DECIMAL(14,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(14,2)))
-               - ps.ps_supplycost
-                 * CAST(l.l_quantity AS DECIMAL(14,2)) AS amount
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               - CAST(ps.ps_supplycost * 100 AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT) * 100 AS amount_c4
       FROM part p
       JOIN lineitem l  ON p.p_partkey = l.l_partkey
       JOIN supplier s  ON s.s_suppkey = l.l_suppkey
@@ -2101,18 +2102,28 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
 def tpch_q9_product_profit(spark, sf_dir):
     """TPC-H Q9 shape: profit (revenue minus supply cost) per nation per
     year for a part-name pattern. The partsupp side shares lineitem's
-    (partkey, suppkey) grouping; profit accumulates in DECIMAL — the
-    supplycost double is pinned to DECIMAL(24,10) identically in both
-    engines before the multiply so partial-agg order can't drift the sum."""
+    (partkey, suppkey) grouping.
+
+    Profit accumulates in SCALED-INTEGER (BIGINT) arithmetic: prices and
+    discounts are exact cents in the data (verified: max |x*100 -
+    round(x*100)| < 1e-9), so amount×10^4 is an exact int64 and the sum is
+    order-independent — no Decimal128 arithmetic (the round-2 DECIMAL
+    pinning cost ~37% of q9's runtime) and no float-accumulation drift.
+    The final division by 10^4 is one exact double op per output row.
+    Overflow bound: per-group Σ|amount×10^4| stays < 2^63 up to ~sf 10^4
+    (≈10 TB of lineitem per group); beyond that, widen the sum to
+    DECIMAL(38,0) — the per-row arithmetic stays int64 either way."""
     ps = _partsupp(spark, sf_dir)
     p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice").cast("decimal(14,2)") * (
-        1 - F.col("l_discount").cast("decimal(14,2)")
-    ) - F.col("ps_supplycost") * F.col("l_quantity").cast("decimal(14,2)")
+    amount = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    ) - (F.col("ps_supplycost") * 100).cast("bigint") * F.col(
+        "l_quantity"
+    ).cast("bigint") * 100
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(
@@ -2127,7 +2138,9 @@ def tpch_q9_product_profit(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+        .agg(
+            (F.sum(amount).cast("double") / F.lit(10000.0)).alias("sum_profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -3526,28 +3539,47 @@ def mm_binary_meta(spark, sf_dir):
     h AS (
       SELECT doc_id, n_bytes,
              list_transform(range(0, 16),
-               k -> len(list_filter(bins, x -> x = k)) * 1.0 / n_bytes) AS p
+               k -> CAST(len(list_filter(bins, x -> x = k)) AS BIGINT)) AS counts
       FROM b
     )
     SELECT doc_id, n_bytes,
            round(-list_sum(list_transform(
-             list_filter(p, x -> x > 0), x -> x * log2(x))), 6) AS entropy,
-           list_transform(p, x -> round(x, 9)) AS feature
+             list_filter(list_transform(counts, c -> c * 1.0 / n_bytes),
+                         x -> x > 0),
+             x -> x * log2(x))), 6) AS entropy,
+           array_to_string(counts, ',') AS feature_sig
     FROM h
     """,
 )
 def mm_byte_histogram(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction (16-bin byte histogram
     + entropy) over binary payloads — the real-decoder batch contract.
-    The payload is UTF-8 text and the corpus is pure ASCII (one byte per
-    char), so the oracle mirrors the byte stream via codepoints."""
+
+    Compared contract is scalar-only (driver canonicalizers cannot sort
+    array columns): the histogram is emitted as ``feature_sig``, a
+    comma-joined string of the 16 exact integer bin counts — no float
+    rounding in the compared feature at all. The normalized
+    ``array<double>`` form stays available from
+    ``byte_histogram_features`` for downstream model consumers.
+
+    Oracle-validity guard: the payload is UTF-8 text and the driver corpus
+    is pure ASCII (one byte per codepoint), so the DuckDB oracle mirrors
+    the byte stream via ``unicode(substr(...))``. Non-ASCII text would
+    break that mirror — the oracle is valid only for ASCII corpora (the
+    generator's documents table is; see TESTDATA.md)."""
     from delfos_etl_pipeline_spark.multimodal.binary import (
         attach_binary_payload,
         byte_histogram_features,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return byte_histogram_features(attach_binary_payload(docs, "doc_id", "text"))
+    feats = byte_histogram_features(attach_binary_payload(docs, "doc_id", "text"))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "entropy",
+        F.array_join(F.col("counts").cast("array<string>"), ",").alias("feature_sig"),
+    )
 
 
 # ---------------------------------------------------------------------------

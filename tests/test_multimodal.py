@@ -31,6 +31,9 @@ def test_byte_histogram_contract(bin_df):
         assert sum(r.feature) == pytest.approx(1.0, abs=1e-6)
         assert 0.0 <= r.entropy <= 4.0  # 16 bins → max 4 bits
         assert r.n_bytes > 0
+        assert len(r.counts) == 16 and sum(r.counts) == r.n_bytes
+        for c, p in zip(r.counts, r.feature):
+            assert p == pytest.approx(c / r.n_bytes, abs=1e-8)
 
 
 def test_decode_image_batch_contract(bin_df):
