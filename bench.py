@@ -45,67 +45,81 @@ HEADLINE = [
     "o2_topk",
     "agg_grouping_sets",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_prod",
     "dedup_clusters",
     "dedup_embedding_lsh",
     "sim_lsh_bucketed",
-    "sim_ivf_topk",
-    "sim_allpairs_blas",
+    "sim_ivf_build",
+    "sim_ivf_probe",
+    "sim_knn_allpairs",
     "text_stats",
     "asof_join_events",
 ]
 
 
-def _bench_overrides():
-    """Bench-only variants measuring the 100 TB production paths.
+def _bench_extras():
+    """Bench-only phase splits of the registered sim_ivf_topk_prod query.
 
-    Some registered queries run in oracle-reproducible mode (md5 keying,
-    fixed centroids) so DuckDB can replay them bit-exactly; the bench
-    re-points those at the production keying (xxhash64 / seeded k-means),
-    and headlines the bucketed ANN paths instead of the N² crossJoin
-    (VERDICT r1: bench what 100 TB would run).
+    Every other headline name is a REGISTERED query, so its correctness
+    row certifies the exact code the bench times (the *_prod names are the
+    production xxhash64/k-means keyings, registered rows-only). IVF alone
+    is split into its two production phases — at 100 TB the index is built
+    once and probed millions of times, so build latency and probe latency
+    are different numbers that a combined timing conflates:
+
+    - sim_ivf_build: seeded-k-means quantizer fit + full-corpus cell
+      assignment (the amortized cost).
+    - sim_ivf_probe: top-k against a PREBUILT index persisted
+      partitionBy(cluster) — a partition-pruned scan of n_probe cells,
+      the steady-state serving number.
     """
-    from delfos_etl_pipeline_spark.dedup.embedding import (
-        embedding_near_dup_pairs_lsh,
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        build_ivf_index,
+        ivf_topk,
+        write_ivf_index,
     )
-    from delfos_etl_pipeline_spark.dedup.minhash import minhash_lsh_pairs
-    from delfos_etl_pipeline_spark.similarity.ivf import build_ivf_index, ivf_topk
-    from delfos_etl_pipeline_spark.similarity.knn import all_pairs_topk_blas
     from delfos_etl_pipeline_spark.sources.parquet import load_table
 
-    def minhash_prod(spark, sf_dir):
-        docs = load_table(spark, sf_dir, "documents")
-        return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    state: dict = {}
 
-    def embedding_lsh(spark, sf_dir):
+    def ivf_build(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
-        return embedding_near_dup_pairs_lsh(emb, "vec_id", "embedding", threshold=0.4)
-
-    def ivf_prod(spark, sf_dir):
-        from pyspark.sql import functions as F
-
-        emb = load_table(spark, sf_dir, "embeddings")
-        qvec = [
-            float(x)
-            for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-        ]
-        assigned, centroids = build_ivf_index(
+        assigned, _ = build_ivf_index(
             emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
         )
+        return assigned
+
+    def ivf_probe(spark, sf_dir):
+        if "path" not in state:
+            emb = load_table(spark, sf_dir, "embeddings")
+            state["qvec"] = [
+                float(x)
+                for x in emb.where(F.col("vec_id") == 0)
+                .select("embedding")
+                .first()[0]
+            ]
+            assigned, cents = build_ivf_index(
+                emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
+            )
+            path = tempfile.mkdtemp(prefix="ivf_bench_") + "/index"
+            write_ivf_index(assigned, path)
+            state["path"], state["cents"] = path, cents
+            import atexit
+
+            atexit.register(
+                shutil.rmtree, path, ignore_errors=True
+            )
+        idx = spark.read.parquet(state["path"])
         return ivf_topk(
-            assigned, centroids, qvec, "vec_id", "embedding", k=10, n_probe=2
+            idx, state["cents"], state["qvec"], "vec_id", "embedding", k=10, n_probe=2
         )
 
-    def blas_allpairs(spark, sf_dir):
-        emb = load_table(spark, sf_dir, "embeddings")
-        return all_pairs_topk_blas(emb, "vec_id", "embedding", k=5)
-
-    return {
-        "dedup_minhash_lsh": minhash_prod,
-        "dedup_embedding_lsh": embedding_lsh,
-        "sim_ivf_topk": ivf_prod,
-        "sim_allpairs_blas": blas_allpairs,
-    }
+    return {"sim_ivf_build": ivf_build, "sim_ivf_probe": ivf_probe}
 
 
 def main() -> None:
@@ -129,7 +143,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(queries())
-    qs.update(_bench_overrides())
+    qs.update(_bench_extras())
 
     # Warmup, not counted: a trivial scan plus one pass of every headline
     # query at the smallest SF. Whole-stage-codegen compilation (janino) and
@@ -156,15 +170,18 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
-    # Best-of-N timed iterations (JMH practice): single-shot timings at
-    # this scale carry 2-3× GC/scheduling noise (measured: the same warm
-    # query ranged 1.6-4.6s across runs); the min is the steady-state
-    # capability number.
-    timed_iters = int(os.environ.get("SPARK_GRAFT_TIMED_ITERS", "2"))
+    # Median-of-N timed iterations with recorded spread: single-shot
+    # timings at this scale carry 2-3× GC/scheduling noise (measured: the
+    # same warm query ranged 1.6-4.6s across runs), and round 2 showed a
+    # near-uniform 1.14× drift that single timings couldn't attribute.
+    # The median is the headline number; "spread" (max-min per query) makes
+    # real regressions distinguishable from environment variance.
+    timed_iters = int(os.environ.get("SPARK_GRAFT_TIMED_ITERS", "3"))
     per_query: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
+        times = []
         for _ in range(timed_iters):
             # GC outside the timer (JMH practice): releases accumulated
             # shuffle/broadcast refs so earlier queries' garbage doesn't
@@ -172,8 +189,10 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        per_query[name] = round(best, 3)
+            times.append(time.time() - t0)
+        times.sort()
+        per_query[name] = round(times[len(times) // 2], 3)
+        spread[name] = round(times[-1] - times[0], 3)
 
     total = round(sum(per_query.values()), 3)
     print(
@@ -183,6 +202,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "spread": spread,
+                "iters": timed_iters,
                 "sf": sf,
             }
         )

@@ -36,7 +36,11 @@ def connected_components(
     The input edge list is symmetrized once and persisted — it is re-read
     every round. Labels persist per round and the previous round is
     explicitly unpersisted so executor storage stays O(|V|), not
-    O(rounds·|V|).
+    O(rounds·|V|). Checkpoint rounds need extra care: Dataset.unpersist
+    only releases cache-manager entries, not the RDD-level blocks
+    localCheckpoint writes, so those RDD ids are tracked explicitly (via
+    getPersistentRDDs diffing) and unpersisted when the round's labels are
+    superseded.
     """
     fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = fwd.union(
@@ -53,6 +57,20 @@ def connected_components(
     # one scalar per round detects convergence with a single aggregate
     # action instead of a changed-rows join.
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+
+    jsc = pairs.sparkSession.sparkContext._jsc
+
+    def _persistent_ids() -> set:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _free_rdds(ids: set) -> None:
+        pmap = jsc.getPersistentRDDs()
+        for rid in ids:
+            rdd = pmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    prev_ckpt_ids: set = set()
     for it in range(max_iter):
         # neighbor labels flow along edges; keep own label in the running
         prop = edges.join(labels, edges.b == labels.node).select(
@@ -68,11 +86,16 @@ def connected_components(
             # Truncate lineage: without this the logical plan nests one
             # join+agg layer per round and high-diameter graphs blow up
             # optimizer time / stack depth long before data size matters.
-            new_labels = new_labels.localCheckpoint()
+            before = _persistent_ids()
+            new_labels = new_labels.localCheckpoint()  # eager: blocks exist now
+            new_ckpt_ids = _persistent_ids() - before
         else:
             new_labels = new_labels.persist()
+            new_ckpt_ids = set()
         new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
-        labels.unpersist()
+        labels.unpersist()  # no-op if labels was checkpoint-backed ...
+        _free_rdds(prev_ckpt_ids)  # ... so free its RDD blocks explicitly
+        prev_ckpt_ids = new_ckpt_ids
         labels = new_labels
         if new_sum == prev_sum:
             break

@@ -12,23 +12,29 @@ Two tiers, mirroring similarity/knn.py:
   with id_a < id_b (each unordered pair computed exactly once). Right
   whenever one side fits in executor memory (dimension tables, eval sets,
   or one shard of a sharded loop).
-- **LSH-bucketed** — random-hyperplane signatures bucket the corpus;
-  only within-bucket pairs are verified with an expression-level cosine.
-  The corpus-scale path: candidate count follows bucket occupancy, not
-  N². Approximate (a near-dup pair split across buckets is missed);
-  raise n_planes to trade recall for candidate volume.
+- **LSH-bucketed** — BANDED random-hyperplane signatures bucket the
+  corpus (b bands × r planes, mirroring minhash.lsh_candidates); a pair
+  becomes a candidate when it agrees on all r signs of ANY band, then
+  candidates are verified with an expression-level cosine. Recall for a
+  pair at angle θ is 1-(1-p^r)^b with p = 1-θ/π — banding both raises
+  recall over a single wide signature and keeps each band's bucket key
+  short. Dense regions (near-dup clusters are exactly that) still
+  concentrate in one bucket per band, so per-bucket occupancy is CAPPED:
+  buckets over ``max_bucket`` rows are split into salted sub-buckets,
+  bounding a bucket of m rows to m·max_bucket candidate pairs instead of
+  m². The split drops some intra-bucket pairs on mega-buckets, but each
+  member still pairs with ~max_bucket neighbors, so connected-components
+  clustering (clusters.py) keeps dense clusters connected w.h.p.
 """
 
 from __future__ import annotations
 
-from functools import reduce
-
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from delfos_etl_pipeline_spark.similarity.knn import (
     _as_double,
-    _dot,
     _hyperplane,
     cosine_similarity_col,
 )
@@ -81,50 +87,104 @@ def embedding_near_dup_pairs(
     )
 
 
+def _band_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bands: int,
+    planes_per_band: int,
+) -> DataFrame:
+    """(id, band, bucket) — one row per (document, band); ``bucket`` packs
+    the r hyperplane signs of that band into a long.
+
+    All b·r sign bits come from ONE numpy matmul per Arrow batch
+    (vectorized pandas UDF): Spark's higher-order array functions are
+    interpreted per-element, and b·r·dim multiply-adds per row through
+    them measured ~4× slower than the Arrow round-trip + BLAS at every
+    scale tested. Narrow projection + posexplode: no shuffle.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    dim = len(df.select(vec_col).first()[0])
+    planes_t = np.array(
+        _hyperplane(n_bands * planes_per_band, dim), dtype=np.float64
+    ).T  # (dim, b·r)
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64))  # bit packing
+
+    @pandas_udf("array<long>")
+    def band_sigs(vecs: pd.Series) -> pd.Series:
+        q = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (q @ planes_t) > 0  # one BLAS call per batch
+        packed = bits.reshape(len(q), n_bands, planes_per_band) @ weights
+        return pd.Series(list(packed))
+
+    # posexplode_outer: plain posexplode's inferred size()>0 filter would
+    # re-evaluate the UDF below the generate (see ngram.explode_shingles).
+    # The signature array is never empty.
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(band_sigs(_as_double(vec_col))).alias("band", "bucket"),
+    )
+
+
 def embedding_near_dup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
     round_decimals: int | None = 6,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """Approximate near-dup pairs: hyperplane-bucket the corpus, verify
-    cosine only within buckets. Same output contract as the exact form."""
-    dim_planes = None
+    """Approximate near-dup pairs via banded hyperplane LSH: candidates
+    share all ``planes_per_band`` signs of at least one of ``n_bands``
+    bands; candidates are then verified with an exact expression-level
+    cosine. Same output contract as the exact form.
 
-    def bucket_of(vec: F.Column) -> F.Column:
-        bits = [
-            F.shiftleft(
-                (
-                    _dot(vec, F.array(*[F.lit(x) for x in plane]).cast("array<double>"))
-                    > 0
-                ).cast("long"),
-                i,
-            )
-            for i, plane in enumerate(dim_planes)
-        ]
-        return reduce(lambda x, y: x.bitwiseOR(y), bits)
-
-    dim = len(df.select(vec_col).first()[0])
-    dim_planes = _hyperplane(n_planes, dim)
-    bucketed = df.select(
-        F.col(id_col).alias("id"),
-        _as_double(vec_col).alias("vec"),
-        bucket_of(_as_double(vec_col)).alias("bucket"),
+    ``max_bucket`` bounds skew: a (band, bucket) group with m > max_bucket
+    rows is split into ceil(m/max_bucket) deterministic salt groups
+    (xxhash64 of the id), capping its candidate pairs at ~m·max_bucket
+    instead of m² — the scale guard for clustered corpora where a dense
+    embedding region lands in one bucket per band. ``None`` disables.
+    """
+    # Both self-join sides (and the occupancy count) read this projection;
+    # persist so the b·r-plane signature computation runs once per row.
+    buckets = _band_buckets(df, id_col, vec_col, n_bands, planes_per_band).persist()
+    if max_bucket is not None:
+        # The occupancy table has at most 2^planes_per_band · n_bands rows
+        # (the whole bucket key space) at ANY corpus size — always
+        # broadcastable, so salting costs one tiny partial-agg exchange
+        # and zero shuffles of the bucket rows themselves.
+        occ = buckets.groupBy("band", "bucket").agg(F.count("*").alias("occ"))
+        n_salt = F.greatest(
+            F.lit(1), F.ceil(F.col("occ") / F.lit(max_bucket)).cast("long")
+        )
+        buckets = buckets.join(F.broadcast(occ), ["band", "bucket"]).select(
+            "id",
+            "band",
+            "bucket",
+            F.pmod(F.xxhash64(F.col("id")), n_salt).alias("salt"),
+        )
+        join_keys = ["band", "bucket", "salt"]
+    else:
+        join_keys = ["band", "bucket"]
+    a = buckets.select(F.col("id").alias("id_a"), *join_keys)
+    b = buckets.select(F.col("id").alias("id_b"), *join_keys)
+    cands = (
+        a.join(b, join_keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    a = bucketed.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
-    )
-    b = bucketed.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
-    )
+    vecs = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
     sim = cosine_similarity_col(F.col("vec_a"), F.col("vec_b"))
     if round_decimals is not None:
         sim = F.round(sim, round_decimals)
     return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
+        cands.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )

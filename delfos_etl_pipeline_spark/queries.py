@@ -3178,6 +3178,90 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
+def _embedding_lsh_oracle_sql(
+    n_bands: int = 4,
+    planes_per_band: int = 8,
+    dim: int = 64,
+    threshold: float = 0.4,
+) -> str:
+    """SQL twin of dedup.embedding.embedding_near_dup_pairs_lsh: the
+    hyperplanes are deterministic (same seeded integer mix as the Spark
+    side), so band buckets — and therefore the approximate candidate set —
+    are exactly reproducible. Valid while no (band, bucket) group exceeds
+    the salt cap (max occupancy ≈28 across the sf0.001–0.1 corpora vs the
+    1000 default), so the salt column is identically 0 on both sides."""
+    from delfos_etl_pipeline_spark.similarity.knn import _hyperplane
+
+    planes = _hyperplane(n_bands * planes_per_band, dim)
+    bands = []
+    for j in range(n_bands):
+        terms = " + ".join(
+            f"{1 << i} * (CASE WHEN list_dot_product(e, {planes[j * planes_per_band + i]}) > 0 THEN 1 ELSE 0 END)"
+            for i in range(planes_per_band)
+        )
+        bands.append(f"({terms})")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, e, [{", ".join(bands)}] AS bks FROM v),
+    bb AS (
+      SELECT vec_id, band, bks[band + 1] AS bucket
+      FROM b, unnest(range(0, {n_bands})) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM bb a JOIN bb c ON a.band = c.band AND a.bucket = c.bucket
+      WHERE a.vec_id < c.vec_id
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+    SELECT c.id_a, c.id_b,
+           round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) AS cosine_sim
+    FROM cand c
+    JOIN n x ON x.vec_id = c.id_a
+    JOIN n y ON y.vec_id = c.id_b
+    WHERE round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) >= {threshold}
+    """
+
+
+@query("dedup_embedding_lsh", oracle=_embedding_lsh_oracle_sql())
+def dedup_embedding_lsh(spark, sf_dir):
+    """Banded hyperplane-LSH near-dup pairs (cosine ≥ 0.4) — the
+    PRODUCTION corpus-scale path the bench headlines, registered under the
+    same name so the correctness row certifies the benched code. 4 bands ×
+    8 planes, salted occupancy cap (inactive at these corpus sizes — see
+    oracle docstring), exact cosine verify on candidates."""
+    from delfos_etl_pipeline_spark.dedup.embedding import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_lsh(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@query("dedup_minhash_lsh_prod")
+def dedup_minhash_lsh_prod(spark, sf_dir):
+    """dedup_minhash_lsh's PRODUCTION keying (xxhash64 signatures/buckets;
+    8-byte keys, no hex materialization) — registered so the benched path
+    has its own correctness row. xxhash64 is not reproducible in DuckDB,
+    so this is a rows-only check; the md5-keyed twin (dedup_minhash_lsh)
+    proves the identical pipeline bit-exactly, and tests/test_dedup.py
+    pins both keyings to the same verified-Jaccard pair semantics."""
+    from delfos_etl_pipeline_spark.dedup.minhash import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+@query("dedup_simhash_prod")
+def dedup_simhash_prod(spark, sf_dir):
+    """dedup_simhash's PRODUCTION keying (one xxhash64 per word vs 16 md5
+    nibble extractions). Rows-only for the same reason as
+    dedup_minhash_lsh_prod; the md5-keyed twin carries the exact oracle."""
+    from delfos_etl_pipeline_spark.dedup.simhash import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", hamming_max=3)
+
+
 # SimHash oracle building blocks — 16 md5 nibbles per word, 64 signed bit
 # sums per doc, then per-pair Hamming over the sign bits. Generated rather
 # than hand-written: 64 structurally identical clauses.
@@ -3391,6 +3475,27 @@ def sim_ivf_topk(spark, sf_dir):
         for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     assigned, centroids = build_ivf_index_fixed(
+        emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
+    )
+    return ivf_topk(assigned, centroids, qvec, "vec_id", "embedding", k=10, n_probe=2)
+
+
+@query("sim_ivf_topk_prod")
+def sim_ivf_topk_prod(spark, sf_dir):
+    """sim_ivf_topk with the PRODUCTION quantizer (seeded k-means via
+    pyspark.ml, better cell balance than the fixed-centroid oracle build) —
+    registered so the benched path has its own correctness row. K-means
+    cell boundaries aren't reproducible in SQL, so rows-only; the probe
+    plan (partition-pruned cells + exact cosine + top-k) is identical to
+    the exact-oracled sim_ivf_topk."""
+    from delfos_etl_pipeline_spark.similarity.ivf import build_ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    assigned, centroids = build_ivf_index(
         emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
     )
     return ivf_topk(assigned, centroids, qvec, "vec_id", "embedding", k=10, n_probe=2)

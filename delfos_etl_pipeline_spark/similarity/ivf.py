@@ -103,7 +103,10 @@ def probe_cells(query_vec: list[float], centroids: list[list[float]], n_probe: i
     for cid, c in enumerate(centroids):
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
         scored.append((sum(x * y for x, y in zip(query_vec, c)) / (qn * cn), cid))
-    scored.sort(reverse=True)
+    # ties on similarity resolve to the LOWEST cid, matching both the
+    # sim_ivf_topk oracle (ORDER BY sim DESC, cid ASC) and
+    # build_ivf_index_fixed's assignment tie-break.
+    scored.sort(key=lambda t: (-t[0], t[1]))
     return [cid for _, cid in scored[:n_probe]]
 
 

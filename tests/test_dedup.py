@@ -110,6 +110,39 @@ def test_embedding_cosine_exact_vs_lsh(spark, sf_dir):
     assert survivors == emb.count() - len({b for _, b in exact})
 
 
+def test_embedding_lsh_skew_cap_bounds_candidates(spark):
+    """A dense cluster (identical-direction vectors) lands in ONE bucket
+    per band; the salted occupancy cap must bound its candidate pairs to
+    ~m·max_bucket instead of m² while keeping every member paired (so
+    connected-components still glues the cluster)."""
+    import math
+
+    from delfos_etl_pipeline_spark.dedup.embedding import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    m, cap, n_bands = 120, 10, 4
+    rows = [(i, [1.0 + i * 1e-9, 0.5, 0.25, 0.125]) for i in range(m)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.99, n_bands=n_bands, max_bucket=cap
+    ).collect()
+    uncapped_pairs = m * (m - 1) // 2
+    # per band: ceil(m/cap) salt groups of ~cap rows → ≤ m·cap/2 pairs per
+    # band; the union over bands (different salts per band would raise it,
+    # but salt is keyed on id only, so groups coincide) stays far below m².
+    cap_bound = n_bands * math.ceil(m / cap) * (cap * (cap + 1)) // 2
+    assert 0 < len(capped) <= cap_bound < uncapped_pairs
+    # connectivity proxy: every member still appears in at least one pair
+    touched = {r.id_a for r in capped} | {r.id_b for r in capped}
+    assert touched == set(range(m))
+    # cap disabled → the full quadratic pair set comes back
+    full = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.99, n_bands=n_bands, max_bucket=None
+    ).count()
+    assert full == uncapped_pairs
+
+
 def test_connected_components_transitive_closure(spark):
     """Chains collapse to one component labeled by the min id; isolated
     pairs stay separate; singleton docs never appear."""
