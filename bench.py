@@ -53,6 +53,8 @@ HEADLINE = [
     "sim_ivf_probe",
     "sim_knn_allpairs",
     "text_stats",
+    "curate_decontaminate",
+    "pack_sequences_ctx",
     "asof_join_events",
 ]
 

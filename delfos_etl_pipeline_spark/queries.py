@@ -3705,6 +3705,149 @@ def text_token_count(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation — decontamination, budget sampling, packing, mixture
+# (SURVEY §7 M5 extension; text/curation.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curate_decontaminate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + 4), ' '))) AS shingles
+      FROM w
+    ),
+    ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 17 = 0),
+    cs AS (
+      SELECT c.doc_id, t.s
+      FROM sh c, unnest(c.shingles) AS t(s)
+      WHERE c.doc_id % 17 <> 0
+    )
+    SELECT cs.doc_id, CAST(count(DISTINCT cs.s) AS BIGINT) AS n_shared
+    FROM cs JOIN ev ON ev.s = cs.s
+    GROUP BY 1
+    """,
+)
+def curate_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing a word
+    5-gram with the evaluation set (stand-in eval set: doc_id % 17 == 0).
+    Shingle-keyed semi-join with the (small) eval shingle set broadcast —
+    the standard leakage sweep a pretraining corpus runs before training;
+    anti-join the flags to clean (text/curation.py)."""
+    from delfos_etl_pipeline_spark.text.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 17 == 0)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    return decontaminate(corpus, eval_df, "doc_id", "text", n=5)
+
+
+@query(
+    "sample_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS pri
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (
+               ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, n_tok, cum_tokens FROM c WHERE cum_tokens <= 10000
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    """Deterministic corpus sample under a 10k-token global budget:
+    md5-of-id priority order, exact global prefix sum of token counts,
+    keep while within budget. The prefix sum is the two-phase distributed
+    scan (text/curation.py _global_prefix_sum) — NOT a partitionless
+    window, which would collapse to one task; the oracle's single-window
+    form is equivalent because prefix sums over a total order don't
+    depend on partitioning."""
+    from delfos_etl_pipeline_spark.text.curation import token_budget_sample
+
+    return token_budget_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", budget=10_000
+    )
+
+
+@query(
+    "pack_sequences_ctx",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS pri
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (
+               ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tok,
+           cum - n_tok AS offset,
+           (cum - n_tok) // 2048 AS bin_id
+    FROM c
+    """,
+)
+def pack_sequences_ctx(spark, sf_dir):
+    """Concat-and-chunk sequence packing (ctx 2048): deterministic stream
+    order (md5-of-id), each document's starting token offset in the
+    concatenated stream, and the fixed-length training-sequence bin its
+    first token lands in — the layout step that turns a curated corpus
+    into training batches (text/curation.py, same distributed prefix-sum
+    machinery as sample_token_budget)."""
+    from delfos_etl_pipeline_spark.text.curation import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", ctx_len=2048
+    )
+
+
+@query(
+    "sample_mixture_weighted",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+      CASE lang
+        WHEN 'en' THEN 'g'
+        WHEN 'de' THEN '80000000000000000000000000000000'
+        WHEN 'es' THEN '80000000000000000000000000000000'
+        WHEN 'fr' THEN '40000000000000000000000000000000'
+        WHEN 'zh' THEN '40000000000000000000000000000000'
+        ELSE ''
+      END
+    """,
+)
+def sample_mixture_weighted(spark, sf_dir):
+    """Data-mixture sampling: per-language keep rates (en 1.0, de/es 0.5,
+    fr/zh 0.25) applied as deterministic md5-of-id hash thresholds — a
+    pure narrow filter (no shuffle, no RNG state) that lands the corpus
+    on a target language mixture reproducibly; md5 hex sorts below 'g'
+    always, so 'g' is the keep-all threshold (text/curation.py)."""
+    from delfos_etl_pipeline_spark.text.curation import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.25}
+    return mixture_sample(docs, rates, "lang", "doc_id").select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal binary columns (SURVEY §7 M5)
 # ---------------------------------------------------------------------------
 
@@ -3826,6 +3969,10 @@ _R3_CHANGED_FIRST = [
     "sim_ivf_topk",             # probe tie-break fix
     "dedup_embedding_lsh",      # new: banded+capped LSH, generated oracle
     "streaming_late_drop",      # new: watermark drop semantics
+    "curate_decontaminate",     # new: eval-overlap flags
+    "sample_token_budget",      # new: distributed prefix-sum budget cut
+    "pack_sequences_ctx",       # new: concat-and-chunk packing
+    "sample_mixture_weighted",  # new: per-group hash-rate mixture
     "dedup_minhash_lsh_prod",   # new: rows-only production keying
     "dedup_simhash_prod",       # new: rows-only production keying
     "sim_ivf_topk_prod",        # new: rows-only production quantizer

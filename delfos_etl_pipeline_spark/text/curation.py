@@ -1,0 +1,215 @@
+"""Corpus curation operators — the selection/packing stage of a training
+-data pipeline (SURVEY.md §7 M5 extension family).
+
+Four operators a pretraining corpus build runs after cleaning/dedup, all
+expression-level Spark (no Python UDFs) with exact cross-engine oracles:
+
+- ``decontaminate``: flag corpus documents sharing word n-gram shingles
+  with an evaluation set (benchmark leakage removal). Shingle-keyed
+  semi-join — candidate cost follows shared-shingle frequency, never
+  corpus². The eval side of the join is broadcast by default: eval sets
+  are benchmark-sized (thousands of docs) while the corpus is the 100 TB
+  side.
+- ``token_budget_sample``: deterministic priority sample under a global
+  token budget (md5-of-id priority → reproducible across engines/runs;
+  no RNG state).
+- ``pack_sequences``: concat-and-chunk packing — assign each document its
+  byte-stream offset and context-window bin for fixed-length training
+  sequences.
+- ``mixture_sample``: per-group (language/source) hash-rate sampling to
+  hit a target mixture, deterministic per document.
+
+Budget/packing need an EXACT GLOBAL PREFIX SUM over a total order. A
+bare ``Window.orderBy`` with no partition key collapses Spark to ONE
+task — the classic scale-killer — so ``_global_prefix_sum`` implements
+the standard two-phase distributed scan instead: range-partition by the
+order key, per-partition running sums (parallel), then add each
+partition's driver-collected base offset (|partitions| rows, broadcast
+back). The result is identical to the single-window form — prefix sums
+over a total order do not depend on where partition boundaries fall —
+but every stage is parallel at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.dedup.ngram import shingle_arrays
+
+#: md5 hex digests are 32 lowercase hex chars; any of them sorts below
+#: "g", so "g" is the keep-everything threshold (rate >= 1.0) and ""
+#: the keep-nothing one — string comparison stays exact in both engines.
+_KEEP_ALL, _KEEP_NONE = "g", ""
+
+
+def _ws_token_count(text_col) -> F.Column:
+    """Whitespace token count, BIGINT — mirrors DuckDB
+    ``len(regexp_split_to_array(text, '\\s+'))`` exactly."""
+    return F.size(F.split(text_col, r"\s+")).cast("bigint")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(doc_id, n_shared) — corpus documents sharing >= ``min_shared``
+    distinct word ``n``-gram shingles with the evaluation corpus
+    (benchmark-contamination flags; anti-join the result to clean).
+
+    String shingles here so the whole pipeline has a SQL twin; pass the
+    output of a hashed pipeline (ngram.shingle_arrays(hashed=True)) at
+    scale for 8-byte join keys instead."""
+    ev = (
+        shingle_arrays(eval_df, id_col, text_col, n)
+        .select(F.explode_outer("shingles").alias("s"))
+        .where(F.col("s").isNotNull())
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    corpus_sh = (
+        shingle_arrays(corpus, id_col, text_col, n)
+        .select("doc_id", F.explode_outer("shingles").alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+    return (
+        corpus_sh.join(ev, "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate_corpus(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Surviving corpus rows after dropping contaminated documents."""
+    flagged = decontaminate(corpus, eval_df, id_col, text_col, n, min_shared)
+    return corpus.join(
+        flagged.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+
+
+def _global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Exact inclusive prefix sum of ``value_col`` over the total order
+    ``order_cols`` — two-phase distributed scan (see module docstring).
+    The driver touches |partitions| rows, never data."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+    local = part.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_run",
+        F.sum(value_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # Range partitioning keeps whole key-ranges per partition, so the
+    # per-partition base offset is the sum of all lower partitions' totals.
+    totals = sorted(
+        (r["_pid"], r["_tot"])
+        for r in local.groupBy("_pid").agg(F.max("_run").alias("_tot")).collect()
+    )
+    base, offsets = 0, []
+    for pid, tot in totals:
+        offsets.append((pid, base))
+        base += tot
+    off = spark.createDataFrame(offsets, "_pid int, _off bigint")
+    return (
+        local.join(F.broadcast(off), "_pid")
+        .withColumn(out_col, (F.col("_run") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_run")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 10_000,
+) -> DataFrame:
+    """(doc_id, n_tok, cum_tokens) — the deterministic document sample
+    whose cumulative whitespace-token count stays within ``budget``.
+
+    Priority is md5 of the id: uniform, engine-portable, and stable — the
+    same corpus always yields the same sample (no RNG seed plumbing), and
+    adding documents never reorders the existing priority sequence."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(id_col).cast("string")).alias("_pri"),
+        _ws_token_count(F.col(text_col)).alias("n_tok"),
+    )
+    cum = _global_prefix_sum(base, ["_pri", "doc_id"], "n_tok", "cum_tokens")
+    return (
+        cum.where(F.col("cum_tokens") <= budget)
+        .select("doc_id", "n_tok", "cum_tokens")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_len: int = 2048,
+) -> DataFrame:
+    """(doc_id, n_tok, offset, bin_id) — concat-and-chunk packing: lay
+    the corpus out as one deterministic token stream (md5-of-id order),
+    give each document its starting ``offset`` in the stream and the
+    ``bin_id`` (= offset // ctx_len) of the fixed-length training
+    sequence its first token lands in."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(id_col).cast("string")).alias("_pri"),
+        _ws_token_count(F.col(text_col)).alias("n_tok"),
+    )
+    cum = _global_prefix_sum(base, ["_pri", "doc_id"], "n_tok", "_cum")
+    offset = F.col("_cum") - F.col("n_tok")
+    return cum.select(
+        "doc_id",
+        "n_tok",
+        offset.alias("offset"),
+        F.floor(offset / F.lit(ctx_len)).cast("bigint").alias("bin_id"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group rate sampling toward a target mixture:
+    keep a row iff md5(id) sorts below its group's hex threshold. The
+    md5 hex string is uniform over [0, 16^32); a rate-r threshold keeps
+    ~r of each group, exactly reproducibly (same rows every run/engine).
+    Pure narrow filter — no shuffle, no RNG."""
+
+    def thr(rate: float) -> str:
+        if rate >= 1.0:
+            return _KEEP_ALL
+        if rate <= 0.0:
+            return _KEEP_NONE
+        return f"{int(rate * 16**8):08x}" + "0" * 24
+
+    expr = F.lit(thr(default_rate))
+    for group, rate in sorted(rates.items()):
+        expr = F.when(F.col(group_col) == group, F.lit(thr(rate))).otherwise(expr)
+    return df.where(F.md5(F.col(id_col).cast("string")) < expr)

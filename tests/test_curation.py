@@ -1,0 +1,100 @@
+"""Corpus-curation operators: decontamination, token-budget sampling,
+sequence packing, mixture sampling (text/curation.py)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.sources.parquet import load_table
+from delfos_etl_pipeline_spark.text.curation import (
+    _global_prefix_sum,
+    decontaminate,
+    decontaminate_corpus,
+    mixture_sample,
+    pack_sequences,
+    token_budget_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_decontaminate_flags_eval_copies(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # copies eval text
+            (2, "one two three four five six seven"),  # clean
+            (3, "alpha beta gamma delta epsilon nine"),  # shares one 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    flagged = {r.doc_id: r.n_shared for r in
+               decontaminate(corpus, eval_df, n=5).collect()}
+    assert set(flagged) == {1, 3}
+    assert flagged[1] == 2 and flagged[3] == 1  # doc 1 shares both 5-grams
+    survivors = {r.doc_id for r in
+                 decontaminate_corpus(corpus, eval_df, n=5).collect()}
+    assert survivors == {2}
+
+
+def test_global_prefix_sum_matches_single_window(docs):
+    base = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("_pri"),
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    dist = {
+        r.doc_id: r.cum
+        for r in _global_prefix_sum(base, ["_pri", "doc_id"], "n_tok", "cum").collect()
+    }
+    w = (
+        Window.orderBy("_pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    single = {
+        r.doc_id: r.cum
+        for r in base.withColumn("cum", F.sum("n_tok").over(w)).collect()
+    }
+    assert dist == single
+
+
+def test_token_budget_maximal_and_deterministic(docs):
+    budget = 10_000
+    got = token_budget_sample(docs, budget=budget).collect()
+    assert got and max(r.cum_tokens for r in got) <= budget
+    # maximality: the next document in priority order would bust the budget
+    n_kept = len(got)
+    all_rows = token_budget_sample(docs, budget=10**12).orderBy("cum_tokens").collect()
+    assert all_rows[n_kept].cum_tokens > budget
+    again = token_budget_sample(docs, budget=budget).collect()
+    assert {r.doc_id for r in got} == {r.doc_id for r in again}
+
+
+def test_pack_sequences_contiguous_stream(docs):
+    rows = sorted(pack_sequences(docs, ctx_len=2048).collect(),
+                  key=lambda r: r.offset)
+    # offsets tile the stream with no gaps or overlaps
+    expect = 0
+    for r in rows:
+        assert r.offset == expect
+        assert r.bin_id == r.offset // 2048
+        expect += r.n_tok
+    assert expect == sum(r.n_tok for r in rows)
+
+
+def test_mixture_sample_rates_and_nesting(docs):
+    n_en = docs.where(F.col("lang") == "en").count()
+    full = mixture_sample(docs, {"en": 1.0}, "lang")
+    assert full.count() == n_en  # rate 1.0 keeps every row of the group
+    assert mixture_sample(docs, {"en": 0.0}, "lang").count() == 0
+    half = {r.doc_id for r in mixture_sample(docs, {"en": 0.5}, "lang").collect()}
+    quarter = {r.doc_id for r in mixture_sample(docs, {"en": 0.25}, "lang").collect()}
+    assert quarter <= half  # hash thresholds nest: lower rate is a subset
+    assert 0 < len(quarter) < len(half) < n_en
+    # non-listed groups fall back to default_rate=0
+    assert {r.lang for r in mixture_sample(docs, {"en": 1.0}, "lang").collect()} == {"en"}
