@@ -55,6 +55,7 @@ HEADLINE = [
     "text_stats",
     "curate_decontaminate",
     "pack_sequences_ctx",
+    "curate_pipeline_end2end",
     "asof_join_events",
 ]
 

@@ -3847,6 +3847,110 @@ def sample_mixture_weighted(spark, sf_dir):
     return mixture_sample(docs, rates, "lang", "doc_id").select("doc_id", "lang")
 
 
+@query(
+    "curate_pipeline_end2end",
+    oracle="""
+    WITH corpus0 AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+      WHERE doc_id % 17 <> 0
+    ),
+    quality AS (
+      SELECT * FROM corpus0
+      WHERE len(words) >= 30
+        AND len(list_distinct(words)) * 1.0 / len(words) >= 0.35
+    ),
+    deduped AS (
+      SELECT * FROM quality
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+          range(1, greatest(len(regexp_split_to_array(lower(text), '\\s+')) - 4, 0) + 1),
+          i -> array_to_string(
+            list_slice(regexp_split_to_array(lower(text), '\\s+'), i, i + 4), ' ')
+        ))) AS s
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT d.doc_id
+      FROM deduped d, unnest(list_distinct(list_transform(
+          range(1, greatest(len(d.words) - 4, 0) + 1),
+          i -> array_to_string(list_slice(d.words, i, i + 4), ' ')))) AS t(s)
+      JOIN ev ON ev.s = t.s
+    ),
+    clean AS (
+      SELECT * FROM deduped
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    mixed AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS pri
+      FROM clean
+      WHERE md5(CAST(doc_id AS VARCHAR)) <
+        CASE lang WHEN 'en' THEN 'g'
+                  WHEN 'de' THEN '80000000000000000000000000000000'
+                  WHEN 'es' THEN '80000000000000000000000000000000'
+                  WHEN 'fr' THEN '40000000000000000000000000000000'
+                  WHEN 'zh' THEN '40000000000000000000000000000000'
+                  ELSE '' END
+    ),
+    budget AS (
+      SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(sum(n_tok) OVER (
+               ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM mixed
+    )
+    SELECT doc_id, lang, n_tok, cum_tokens FROM budget WHERE cum_tokens <= 5000
+    """,
+)
+def curate_pipeline_end2end(spark, sf_dir):
+    """FLAGSHIP corpus build, end to end, one exact oracle: raw documents
+    → quality gate (length >= 30 words, type/token diversity >= 0.35) →
+    exact dedup (keep lowest id per identical text) → benchmark
+    decontamination (drop docs sharing a 5-gram with the doc_id%17 eval
+    set) → language-mixture resampling (en 1.0 / de,es 0.5 / fr,zh 0.25)
+    → deterministic 5k-token budget cut. Every stage is the library
+    operator a user would call (text/curation.py); the chain is what a
+    pretraining data pipeline runs nightly, and the whole thing stays
+    expression-level Spark — scan-bound narrow stages, one broadcast
+    shingle join, one text-keyed window, one distributed prefix sum."""
+    from delfos_etl_pipeline_spark.text.curation import (
+        decontaminate_corpus,
+        mixture_sample,
+        token_budget_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    eval_df = docs.where(F.col("doc_id") % 17 == 0)
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    quality = (
+        corpus.withColumn("_w", words)
+        .where(
+            (F.size("_w") >= 30)
+            & (F.size(F.array_distinct("_w")) / F.size("_w") >= 0.35)
+        )
+        .drop("_w")
+    )
+    deduped = (
+        quality.withColumn(
+            "_m", F.min("doc_id").over(Window.partitionBy("text"))
+        )
+        .where(F.col("doc_id") == F.col("_m"))
+        .drop("_m")
+    )
+    clean = decontaminate_corpus(deduped, eval_df, "doc_id", "text", n=5)
+    rates = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.25}
+    mixed = mixture_sample(clean, rates, "lang", "doc_id")
+    return token_budget_sample(
+        mixed, "doc_id", "text", budget=5_000, carry_cols=("lang",)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns (SURVEY §7 M5)
 # ---------------------------------------------------------------------------
@@ -3973,6 +4077,7 @@ _R3_CHANGED_FIRST = [
     "sample_token_budget",      # new: distributed prefix-sum budget cut
     "pack_sequences_ctx",       # new: concat-and-chunk packing
     "sample_mixture_weighted",  # new: per-group hash-rate mixture
+    "curate_pipeline_end2end",  # new: flagship corpus-build chain
     "dedup_minhash_lsh_prod",   # new: rows-only production keying
     "dedup_simhash_prod",       # new: rows-only production keying
     "sim_ivf_topk_prod",        # new: rows-only production quantizer

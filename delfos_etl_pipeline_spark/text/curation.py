@@ -144,22 +144,25 @@ def token_budget_sample(
     id_col: str = "doc_id",
     text_col: str = "text",
     budget: int = 10_000,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, n_tok, cum_tokens) — the deterministic document sample
-    whose cumulative whitespace-token count stays within ``budget``.
+    """(doc_id, *carry_cols, n_tok, cum_tokens) — the deterministic
+    document sample whose cumulative whitespace-token count stays within
+    ``budget``.
 
     Priority is md5 of the id: uniform, engine-portable, and stable — the
     same corpus always yields the same sample (no RNG seed plumbing), and
     adding documents never reorders the existing priority sequence."""
     base = df.select(
         F.col(id_col).alias("doc_id"),
+        *carry_cols,
         F.md5(F.col(id_col).cast("string")).alias("_pri"),
         _ws_token_count(F.col(text_col)).alias("n_tok"),
     )
     cum = _global_prefix_sum(base, ["_pri", "doc_id"], "n_tok", "cum_tokens")
     return (
         cum.where(F.col("cum_tokens") <= budget)
-        .select("doc_id", "n_tok", "cum_tokens")
+        .select("doc_id", *carry_cols, "n_tok", "cum_tokens")
     )
 
 
