@@ -67,3 +67,32 @@ def test_flagship_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "a1_pipeline_long")
     assert _count(plan, "BroadcastHashJoin") == 1
     assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") == 0
+
+
+def test_mixture_sample_is_pure_narrow(spark, sf_dir):
+    """Mixture sampling must be a zero-shuffle scan: the md5-threshold
+    filter evaluates at the scan and only (doc_id, lang) are read — the
+    text column never leaves parquet."""
+    plan = _plan(spark, sf_dir, "sample_mixture_weighted")
+    assert _count(plan, "Exchange") == 0, plan
+    import re
+
+    schema = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert "text" not in schema and "doc_id" in schema and "lang" in schema
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
+    """The eval shingle set is benchmark-sized; the corpus side is the
+    100 TB side — the contamination probe must be a broadcast join, never
+    a corpus-wide shuffle against the eval set."""
+    plan = _plan(spark, sf_dir, "curate_decontaminate")
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan
+
+
+def test_budget_prefix_sum_stays_parallel(spark, sf_dir):
+    """The token-budget cut must NOT plan a partitionless global window
+    (one task at any scale): the two-phase scan shows a range exchange
+    plus per-partition windows keyed on the partition id."""
+    plan = _plan(spark, sf_dir, "sample_token_budget")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "singlepartition" not in plan.lower(), plan
