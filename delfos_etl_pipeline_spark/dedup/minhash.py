@@ -68,13 +68,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidates(
+def _band_bucket_rows(
     signatures: DataFrame,
-    num_hashes: int = 64,
-    bands: int = 16,
-    hash_fn: str = "xxhash64",
+    num_hashes: int,
+    bands: int,
+    hash_fn: str,
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs sharing ≥1 LSH band bucket."""
+    """(doc_id, band, bucket) — one row per (document, band); narrow
+    projection + explode, no shuffle."""
     rows = num_hashes // bands
     if hash_fn == "md5":
         bucket_of = lambda j: F.md5(  # noqa: E731
@@ -92,9 +93,19 @@ def lsh_candidates(
     # the whole signature+banding chain below this projection and evaluate
     # it twice per row (see ngram.explode_shingles). The band array is
     # never empty, so no NULL rows can appear.
-    buckets = signatures.select("doc_id", F.explode_outer(bb).alias("bb")).select(
+    return signatures.select("doc_id", F.explode_outer(bb).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs sharing ≥1 LSH band bucket."""
+    buckets = _band_bucket_rows(signatures, num_hashes, bands, hash_fn)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -103,6 +114,27 @@ def lsh_candidates(
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def lsh_candidates_between(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_new, doc_old) candidates ACROSS two corpora sharing ≥1 band
+    bucket — the incremental-ingest shape: no new×new or old×old pairs,
+    and the old side's buckets are a function of the old corpus only, so
+    a production pipeline persists them once per corpus version and each
+    batch probe is one bucket-keyed join."""
+    a = _band_bucket_rows(sig_new, num_hashes, bands, hash_fn).select(
+        F.col("doc_id").alias("doc_new"), "band", "bucket"
+    )
+    b = _band_bucket_rows(sig_old, num_hashes, bands, hash_fn).select(
+        F.col("doc_id").alias("doc_old"), "band", "bucket"
+    )
+    return a.join(b, ["band", "bucket"]).select("doc_new", "doc_old").distinct()
 
 
 def minhash_lsh_pairs(
@@ -145,6 +177,58 @@ def minhash_lsh_pairs(
     )
     exact = jaccard_pairs(pruned, threshold)
     return exact.join(cands, ["doc_a", "doc_b"], "left_semi")
+
+
+def minhash_lsh_pairs_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_new, doc_old, jaccard ≥ threshold) — near-dups of NEW batch
+    documents against an EXISTING corpus: the nightly-ingest path. Only
+    batch×corpus band-bucket collisions become candidates (never
+    corpus×corpus), so per-batch cost follows batch size; dedupe the
+    batch against itself separately with minhash_lsh_pairs.
+
+    Verify joins the candidate pairs back to both sides' shingle arrays
+    and computes exact Jaccard via array_intersect — candidate-bounded,
+    and only candidate documents' arrays move (semi-join pruning).
+
+    At scale, signatures/buckets of the corpus side are a pure function
+    of the corpus — persist them once per corpus version (parquet,
+    bucketed by (band, bucket)) and this function's corpus subtree is a
+    scan, not a recompute."""
+    hashed = hash_fn != "md5"
+    arrs_b = shingle_arrays(batch, id_col, text_col, n, hashed=hashed).persist()
+    arrs_c = shingle_arrays(corpus, id_col, text_col, n, hashed=hashed).persist()
+    cands = lsh_candidates_between(
+        minhash_signatures(arrs_b, num_hashes, hash_fn),
+        minhash_signatures(arrs_c, num_hashes, hash_fn),
+        num_hashes,
+        bands,
+        hash_fn,
+    )
+    sh_new = arrs_b.select(
+        F.col("doc_id").alias("doc_new"), F.col("shingles").alias("_sa")
+    )
+    sh_old = arrs_c.select(
+        F.col("doc_id").alias("doc_old"), F.col("shingles").alias("_sb")
+    )
+    shared = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union_sz = F.size("_sa") + F.size("_sb") - shared
+    jac = F.round(shared / union_sz, 6)
+    return (
+        cands.join(sh_new, "doc_new")
+        .join(sh_old, "doc_old")
+        .select("doc_new", "doc_old", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_lsh_dedup(

@@ -3251,6 +3251,76 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @query(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 = 0 AS is_new,
+             regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, is_new,
+             list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + 2), ' ')
+             )) AS shingles
+      FROM d
+    ),
+    sig AS (
+      SELECT doc_id, is_new,
+             list_transform(range(0, 64), i ->
+               list_min(list_transform(shingles,
+                 s -> md5(i::VARCHAR || '|' || s)))) AS sg
+      FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+      SELECT doc_id, is_new, band,
+             md5(array_to_string(
+               list_slice(sg, band * 4 + 1, band * 4 + 4), '|')) AS bucket
+      FROM sig, unnest(range(0, 16)) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.is_new AND NOT b.is_new
+    ),
+    j AS (
+      SELECT c.doc_new, c.doc_old,
+             len(list_intersect(x.shingles, y.shingles)) AS shared,
+             len(x.shingles) AS sa, len(y.shingles) AS sb
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_new
+      JOIN sh y ON y.doc_id = c.doc_old
+    )
+    SELECT doc_new, doc_old,
+           round(shared * 1.0 / (sa + sb - shared), 6) AS jaccard
+    FROM j
+    WHERE round(shared * 1.0 / (sa + sb - shared), 6) >= 0.6
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental near-dedup — the nightly-ingest shape: flag NEW batch
+    documents (doc_id % 3 == 0 as the stand-in arrival batch) that are
+    near-dups of the EXISTING corpus (the rest), via MinHash band buckets
+    joined batch×corpus only (never corpus×corpus), verified with exact
+    Jaccard ≥ 0.6. md5-keyed so the whole pipeline — signatures, band
+    buckets, cross-corpus candidates, verify — is reproduced bit-exactly
+    by the oracle; production uses xxhash64 keying and persists the
+    corpus-side buckets once per corpus version
+    (dedup/minhash.py minhash_lsh_pairs_incremental)."""
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    return minhash_lsh_pairs_incremental(
+        batch, corpus, "doc_id", "text", n=3, threshold=0.6, hash_fn="md5"
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -4078,6 +4148,7 @@ _R3_CHANGED_FIRST = [
     "pack_sequences_ctx",       # new: concat-and-chunk packing
     "sample_mixture_weighted",  # new: per-group hash-rate mixture
     "curate_pipeline_end2end",  # new: flagship corpus-build chain
+    "dedup_incremental_batch",  # new: batch-vs-corpus MinHash probe
     "dedup_minhash_lsh_prod",   # new: rows-only production keying
     "dedup_simhash_prod",       # new: rows-only production keying
     "sim_ivf_topk_prod",        # new: rows-only production quantizer

@@ -110,6 +110,37 @@ def test_embedding_cosine_exact_vs_lsh(spark, sf_dir):
     assert survivors == emb.count() - len({b for _, b in exact})
 
 
+def test_incremental_lsh_equals_cross_slice_of_full(spark, sf_dir):
+    """Incremental batch-vs-corpus dedup must find exactly the
+    batch×corpus pairs the full self-join finds (the band-bucket collision
+    condition is identical), with identical Jaccard values — and never a
+    corpus×corpus or batch×batch pair."""
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    inc = {
+        (r.doc_new, r.doc_old): r.jaccard
+        for r in minhash_lsh_pairs_incremental(
+            batch, corpus, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    assert all(a % 3 == 0 and b % 3 != 0 for a, b in inc)
+    full = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6).collect()
+    cross = {}
+    for r in full:
+        if (r.doc_a % 3 == 0) != (r.doc_b % 3 == 0):
+            new, old = (r.doc_a, r.doc_b) if r.doc_a % 3 == 0 else (r.doc_b, r.doc_a)
+            cross[(new, old)] = r.jaccard
+    assert set(inc) == set(cross)
+    for k, v in inc.items():
+        assert v == pytest.approx(cross[k], abs=1e-6)
+
+
 def test_embedding_lsh_skew_cap_bounds_candidates(spark):
     """A dense cluster (identical-direction vectors) lands in ONE bucket
     per band; the salted occupancy cap must bound its candidate pairs to
