@@ -103,13 +103,40 @@ def lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs sharing ≥1 LSH band bucket."""
-    buckets = _band_bucket_rows(signatures, num_hashes, bands, hash_fn)
-    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    """(doc_a, doc_b) candidate pairs sharing ≥1 LSH band bucket.
+
+    ``max_bucket`` caps bucket skew the same way the embedding LSH does
+    (dedup/embedding.py): boilerplate-heavy corpora put thousands of
+    near-identical documents in ONE band bucket, whose pair count is
+    quadratic in occupancy. A bucket of m > max_bucket rows splits into
+    ceil(m/max_bucket) deterministic salt groups (xxhash64 of the id),
+    bounding it to ~m·max_bucket pairs while every member still pairs
+    with ~max_bucket neighbors — connected components still glues the
+    cluster. ``None`` (default) keeps the exact-oracle semantics."""
+    buckets = _band_bucket_rows(signatures, num_hashes, bands, hash_fn).persist()
+    join_keys = ["band", "bucket"]
+    if max_bucket is not None:
+        occ = buckets.groupBy("band", "bucket").agg(F.count("*").alias("occ"))
+        n_salt = F.greatest(
+            F.lit(1), F.ceil(F.col("occ") / F.lit(max_bucket)).cast("long")
+        )
+        # occupancy rows ≤ distinct buckets actually hit — a partial-agg
+        # exchange over (band, bucket) keys, joined back broadcast (the
+        # hot buckets the cap targets concentrate rows, so the distinct
+        # bucket count stays small relative to the corpus).
+        buckets = buckets.join(F.broadcast(occ), join_keys).select(
+            "doc_id",
+            "band",
+            "bucket",
+            F.pmod(F.xxhash64(F.col("doc_id")), n_salt).alias("salt"),
+        )
+        join_keys = ["band", "bucket", "salt"]
+    a = buckets.select(F.col("doc_id").alias("doc_a"), *join_keys)
+    b = buckets.select(F.col("doc_id").alias("doc_b"), *join_keys)
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, join_keys)
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -146,6 +173,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.6,
     hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold) via MinHash-LSH
     candidates verified with exact Jaccard — same output contract as
@@ -157,6 +185,8 @@ def minhash_lsh_pairs(
 
     ``hash_fn="md5"`` selects the DuckDB-reproducible signature keying
     (see minhash_signatures) — exact-oracle mode for differential testing.
+    ``max_bucket`` enables the salted occupancy cap (see lsh_candidates)
+    for boilerplate-skewed corpora.
     """
     # The per-doc shingle arrays feed BOTH the signature pass and the
     # exact-verify pass — persist to scan/tokenize the corpus once.
@@ -165,7 +195,11 @@ def minhash_lsh_pairs(
     # final semi-join); without persist the signature+banding subtree would
     # execute once per reference.
     cands = lsh_candidates(
-        minhash_signatures(arrs, num_hashes, hash_fn), num_hashes, bands, hash_fn
+        minhash_signatures(arrs, num_hashes, hash_fn),
+        num_hashes,
+        bands,
+        hash_fn,
+        max_bucket,
     ).persist()
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))

@@ -110,6 +110,37 @@ def test_embedding_cosine_exact_vs_lsh(spark, sf_dir):
     assert survivors == emb.count() - len({b for _, b in exact})
 
 
+def test_minhash_bucket_cap_bounds_boilerplate_skew(spark):
+    """A boilerplate corpus (identical text ⇒ identical signatures ⇒ one
+    bucket per band) must stay sub-quadratic under the occupancy cap while
+    keeping every member paired; uncapped it is the full pair set."""
+    import math
+
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from delfos_etl_pipeline_spark.dedup.ngram import shingle_arrays
+
+    m, cap = 90, 9
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate footer text repeated on every page") for i in range(m)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(shingle_arrays(docs, "doc_id", "text", 3, hashed=True))
+    capped = lsh_candidates(sigs, max_bucket=cap).collect()
+    full_pairs = m * (m - 1) // 2
+    # salt is keyed on doc_id alone, so the groups COINCIDE across bands:
+    # the union over bands equals one band's pair set — sum over the
+    # ceil(m/cap) hash-assigned groups of C(g_i, 2), i.e. ~m·cap/2 with
+    # slack for uneven group sizes, nowhere near the m²/2 blow-up.
+    cap_bound = 3 * math.ceil(m / cap) * (cap * (cap + 1)) // 2
+    assert 0 < len(capped) <= cap_bound < full_pairs
+    touched = {r.doc_a for r in capped} | {r.doc_b for r in capped}
+    assert touched == set(range(m))
+    assert lsh_candidates(sigs).count() == full_pairs
+
+
 def test_incremental_lsh_equals_cross_slice_of_full(spark, sf_dir):
     """Incremental batch-vs-corpus dedup must find exactly the
     batch×corpus pairs the full self-join finds (the band-bucket collision
