@@ -96,3 +96,43 @@ def test_budget_prefix_sum_stays_parallel(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sample_token_budget")
     assert "rangepartitioning" in plan.lower(), plan
     assert "singlepartition" not in plan.lower(), plan
+
+
+def test_quality_signals_no_cartesian(spark, sf_dir):
+    """Quality signals: explode + two-level aggregation, all joins keyed
+    by doc_id — no cartesian anywhere, no per-row quadratic rewrite."""
+    plan = _plan(spark, sf_dir, "text_quality_gopher")
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_pii_redact_is_pure_narrow(spark, sf_dir):
+    """Redaction is a stateless regexp_replace projection: zero exchanges,
+    runs at scan throughput."""
+    plan = _plan(spark, sf_dir, "text_pii_redact")
+    assert _count(plan, "Exchange") == 0, plan
+
+
+def test_top_ngrams_partial_agg_then_topk(spark, sf_dir):
+    """Corpus bigram counts: map-side partial HashAggregate before the
+    exchange (the token fan-out collapses locally), then a global top-k —
+    never a full sort of the counted vocabulary."""
+    plan = _plan(spark, sf_dir, "text_top_ngrams")
+    assert _count(plan, "HashAggregate") >= 2, plan
+    assert _count(plan, "TakeOrderedAndProject") == 1, plan
+
+
+def test_shard_window_is_per_shard(spark, sf_dir):
+    """Within-shard positions partition the window by shard — hash
+    exchange on the shard key, never a singlepartition global sort."""
+    plan = _plan(spark, sf_dir, "shard_train_split")
+    assert "singlepartition" not in plan.lower(), plan
+    assert "hashpartitioning(shard" in plan.lower(), plan
+
+
+def test_quantize_is_scan_plus_scalar_fit(spark, sf_dir):
+    """Quantization: the fit collapsed to broadcast literals at plan time,
+    so the coding pass is a zero-exchange projection over one scan."""
+    plan = _plan(spark, sf_dir, "emb_scalar_quantize")
+    assert _count(plan, "Exchange") == 0, plan
+    assert _count(plan, "CartesianProduct") == 0
