@@ -52,7 +52,10 @@ HEADLINE = [
     "sim_ivf_build",
     "sim_ivf_probe",
     "sim_knn_allpairs",
+    "emb_scalar_quantize",
     "text_stats",
+    "text_quality_gopher",
+    "shard_train_split_prod",
     "curate_decontaminate",
     "pack_sequences_ctx",
     "curate_pipeline_end2end",

@@ -3987,7 +3987,13 @@ def curate_pipeline_end2end(spark, sf_dir):
     operator a user would call (text/curation.py); the chain is what a
     pretraining data pipeline runs nightly, and the whole thing stays
     expression-level Spark — scan-bound narrow stages, one broadcast
-    shingle join, one text-keyed window, one distributed prefix sum."""
+    shingle join, one text-keyed window, one distributed prefix sum.
+
+    The dedup output feeds both sides of the decontamination anti-join,
+    so this single-query form computes that subtree twice (persist()
+    measured as a wash at bench scale); a production nightly build
+    materializes each stage boundary to a table instead — see SCALE.md
+    "Corpus curation"."""
     from delfos_etl_pipeline_spark.text.curation import (
         decontaminate_corpus,
         mixture_sample,
