@@ -23,7 +23,7 @@ Resolutions must nest: each coarser grain a whole multiple of the finer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: (label, window duration) — finest first; each must divide the next.
@@ -93,3 +93,58 @@ def multi_resolution_rollup(
         )
         stacked = part if stacked is None else stacked.unionByName(part)
     return stacked
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    bucket: str = "1 day",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per (group, bucket) for irregularly sampled
+    series (TimescaleDB's time_weight('LOCF')): each sample's value holds
+    until the next sample in the same group+bucket, weighted by that hold
+    duration; the bucket's last sample carries no weight (its hold extends
+    past the bucket edge).
+
+    Hash-stable math: hold durations are exact integer microseconds
+    (unix_micros of a lead() window), value is cast to DECIMAL(18,6), and
+    the value·µs products are summed in decimal — so the final
+    double-division is one IEEE op with bit-identical inputs on any
+    engine. One shuffle on (group, bucket); per-row state is one lead.
+    """
+    from delfos_etl_pipeline_spark.functions.stable import round_half_up
+
+    b = F.window(ts_col, bucket).start.alias("bucket_start")
+    order = [F.col(ts_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(group_col, "bucket_start").orderBy(*order)
+    dt_us = F.lead(F.unix_micros(F.col(ts_col))).over(w) - F.unix_micros(
+        F.col(ts_col)
+    )
+    dec = F.col(value_col).cast("decimal(18,6)")
+    keep = [group_col, b, F.col(ts_col), dec.alias("_v")]
+    if tiebreak is not None:
+        keep.append(F.col(tiebreak))
+    return (
+        df.select(*keep)
+        .withColumn("_dt_us", dt_us)
+        .filter(F.col("_dt_us").isNotNull())
+        .groupBy(group_col, "bucket_start")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.col("_v") * F.col("_dt_us")).alias("_wsum"),
+            F.sum("_dt_us").alias("_tsum"),
+        )
+        .select(
+            group_col,
+            "bucket_start",
+            "n_spans",
+            round_half_up(
+                F.col("_wsum").cast("double") / F.col("_tsum").cast("double"), 6
+            ).alias("twa"),
+        )
+    )

@@ -81,6 +81,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in ns_cols:
         if c in df.columns:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _ntz_to_ltz(spark, df)
+
+
+def _ntz_to_ltz(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to session-TZ TIMESTAMP (LTZ).
+
+    Spark 4 infers parquet µs timestamps with isAdjustedToUTC=false as
+    TIMESTAMP_NTZ (inferTimestampNTZ default), but the engine's event-time
+    surface — withWatermark, unix_micros, streaming windows — requires
+    TIMESTAMP, and every hash-green oracle row from rounds 1-2 was produced
+    under LTZ semantics. With the session TZ pinned UTC the cast preserves
+    the wall-clock value exactly, so this is a type normalization, not a
+    value change."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for c in ntz:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -131,13 +151,20 @@ def load_table_range(
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
         return df
 
-    df = load_table(spark, sf_dir, name)
+    # Filter BEFORE the NTZ→LTZ normalization: a predicate on the raw
+    # (possibly TIMESTAMP_NTZ) column is a plain attribute comparison and
+    # reaches the parquet reader as PushedFilters; a predicate on
+    # cast(ts AS TIMESTAMP) would not. String literals coerce to the
+    # column's own timestamp flavor, and with the session pinned UTC the
+    # naive and LTZ comparisons select identical rows.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
     c = F.col(ts_col)
     if start is not None:
         df = df.where(c >= F.lit(start))
     if end is not None:
         df = df.where(c <= F.lit(end) if inclusive_end else c < F.lit(end))
-    return df
+    return _ntz_to_ltz(spark, df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
