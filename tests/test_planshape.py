@@ -136,3 +136,41 @@ def test_quantize_is_scan_plus_scalar_fit(spark, sf_dir):
     plan = _plan(spark, sf_dir, "emb_scalar_quantize")
     assert _count(plan, "Exchange") == 0, plan
     assert _count(plan, "CartesianProduct") == 0
+
+
+def test_merge_upsert_single_key_exchanges(spark, sf_dir):
+    """CDC merge: every exchange hashes on the business key (user_id) —
+    the snapshot window, the changeset window, and the full-outer join
+    all co-partition; nothing reshuffles on a derived key and nothing
+    falls back to a nested-loop join."""
+    plan = _plan(spark, sf_dir, "cdc_merge_upsert")
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
+    import re
+
+    hashed = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert hashed and all(col == "user_id" for col in hashed), hashed
+
+
+def test_hist_equiwidth_broadcasts_minmax(spark, sf_dir):
+    """The global min/max reduces to ONE row and must broadcast into the
+    binning projection — the fact side never shuffles to meet it."""
+    plan = _plan(spark, sf_dir, "hist_equiwidth")
+    assert _count(plan, "BroadcastNestedLoopJoin") == 1, plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") == 0
+
+
+def test_anomaly_zscore_single_exchange(spark, sf_dir):
+    """Whole-partition stats window + filter: one hash exchange on
+    event_type, no rejoin of a grouped aggregate."""
+    plan = _plan(spark, sf_dir, "anomaly_zscore")
+    assert _count(plan, "Exchange") == 1, plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") == 0
+
+
+def test_scd2_single_window_shuffle(spark, sf_dir):
+    """SCD2 build is one lead() window: exactly one exchange, keyed on the
+    business key."""
+    plan = _plan(spark, sf_dir, "cdc_scd2_dim")
+    assert _count(plan, "Exchange") == 1, plan
+    assert "hashpartitioning(user_id" in plan
