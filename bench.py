@@ -60,6 +60,13 @@ HEADLINE = [
     "pack_sequences_ctx",
     "curate_pipeline_end2end",
     "asof_join_events",
+    "cdc_merge_upsert",
+    "funnel_conversion",
+    "retention_cohorts",
+    "anomaly_zscore",
+    "hist_equiwidth",
+    "twa_daily",
+    "w5_ntile_dist",
 ]
 
 
