@@ -148,3 +148,40 @@ def time_weighted_avg(
             ).alias("twa"),
         )
     )
+
+
+def fine_partials(
+    df: DataFrame, ts_col: str, value_col: str, duration: str = "10 minutes"
+) -> DataFrame:
+    """Algebraic partial state (n, exact decimal sum, min, max) per finest
+    window — the stored representation of a continuous aggregate. Every
+    component re-aggregates exactly, so partials from disjoint raw slices
+    merge into the same state a full recompute would produce."""
+    dec = F.col(value_col).cast("decimal(18,6)")
+    return df.groupBy(
+        F.window(ts_col, duration).start.alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec).alias("_total"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+
+
+def merge_partials(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental continuous-aggregate maintenance: fold a new slice's
+    partials into the stored ones. Append a day of raw data → compute
+    partials for that day only → merge; windows touched by both sides
+    combine exactly (decimal sums are order-independent), untouched
+    windows pass through. At 100 TB this turns rollup maintenance from a
+    full-table rescan into a job sized by the appended slice."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("window_start")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("_total").alias("_total"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )

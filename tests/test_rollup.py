@@ -64,3 +64,32 @@ def test_gap_fill_densify_and_forward_fill(spark):
     assert got[("a", 3)] == (None, 10.0)
     assert got[("a", 4)] == (40.0, 40.0)
     assert got[("b", 2)] == (2.0, 2.0)
+
+
+def test_incremental_partials_match_full_recompute(spark, sf_dir):
+    """Continuous-aggregate maintenance: partials(first 20 days) merged
+    with partials(rest) equal partials(all) EXACTLY — counts, decimal
+    sums, min/max — so incremental daily maintenance loses nothing vs a
+    full rescan."""
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.operators.rollup import (
+        fine_partials,
+        merge_partials,
+    )
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    full = fine_partials(ev, "ts", "value")
+    merged = merge_partials(
+        fine_partials(ev.filter(F.col("ts") < cut), "ts", "value"),
+        fine_partials(ev.filter(F.col("ts") >= cut), "ts", "value"),
+    )
+    f = {r["window_start"]: r for r in full.collect()}
+    m = {r["window_start"]: r for r in merged.collect()}
+    assert set(f) == set(m)
+    for k in f:
+        assert f[k]["n_rows"] == m[k]["n_rows"]
+        assert f[k]["_total"] == m[k]["_total"]       # exact decimal
+        assert f[k]["vmin"] == m[k]["vmin"] and f[k]["vmax"] == m[k]["vmax"]
