@@ -45,7 +45,19 @@ def quantize(
     mins, maxes = bounds
     mn = F.array(*[F.lit(float(v)) for v in mins])
     mx = F.array(*[F.lit(float(v)) for v in maxes])
-    e = F.col(vec_col).cast("array<double>")
+
+    # Materialize the cast vector and the code array as COLUMNS between
+    # projections. Referencing a non-trivial expression inside a
+    # higher-order-function lambda inlines it per element: element_at(q, i)
+    # with q a transform() re-ran the whole 64-wide transform per
+    # dimension (O(dim²) per row — measured 10 s → ~1 s at sf0.1), and
+    # element_at(cast(vec), i) re-cast the whole array per dimension.
+    # CollapseProject keeps the projection boundaries because each alias
+    # has multiple non-cheap consumers.
+    pre = emb_df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_e")
+    )
+    e = F.col("_e")
 
     # zip by index so each dimension pairs with its own bounds; the
     # expression shape (sub, mul, div, floor, clamp) is mirrored verbatim
@@ -68,10 +80,12 @@ def quantize(
             ),
         ).otherwise(F.lit(0.0)),
     )
+    coded = pre.select(F.col(id_col), e, q.alias("_q"))
+    qc = F.col("_q")
     deq = F.transform(
         idx,
         lambda i: F.element_at(mn, i)
-        + (F.element_at(q, i) + 0.5)
+        + (F.element_at(qc, i) + 0.5)
         * (F.element_at(mx, i) - F.element_at(mn, i))
         / 256.0,
     )
@@ -80,9 +94,9 @@ def quantize(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return emb_df.select(
+    return coded.select(
         F.col(id_col),
-        F.array_join(q.cast("array<bigint>").cast("array<string>"), ",").alias(
+        F.array_join(qc.cast("array<bigint>").cast("array<string>"), ",").alias(
             "q_sig"
         ),
         F.round(sq_err / dim, 9).alias("recon_mse"),

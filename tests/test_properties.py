@@ -152,3 +152,59 @@ def test_connected_components_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.node: r.comp for r in connected_components(pairs).collect()}
     assert got == want
+
+
+# --- funnel vs a per-user Python simulation --------------------------------
+
+STEPS = ("a", "b", "c")
+
+funnel_ev_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),            # user
+        st.integers(min_value=0, max_value=30),           # minute
+        st.sampled_from(["a", "b", "c", "x"]),            # event type
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _funnel_ref(events):
+    """Per-user forward scan: flag_i becomes 1 on a step_i event when
+    flag_{i-1} is already 1 (order: ts, then sequence id)."""
+    per_user: dict[int, list] = {}
+    for sid, (u, m, t) in enumerate(events):
+        per_user.setdefault(u, []).append((m, sid, t))
+    counts = [0] * len(STEPS)
+    n_users = 0
+    for u, evs in per_user.items():
+        n_users += 1
+        flags = [0] * len(STEPS)
+        for m, sid, t in sorted(evs):
+            for i, step in enumerate(STEPS):
+                if t == step and (i == 0 or flags[i - 1] == 1):
+                    flags[i] = 1
+        for i in range(len(STEPS)):
+            counts[i] += flags[i]
+    return n_users, counts
+
+
+@given(events=funnel_ev_st)
+@SLOW
+def test_funnel_matches_reference_simulation(spark, events):
+    from delfos_etl_pipeline_spark.operators.funnel import funnel_stages
+
+    n_users_ref, counts_ref = _funnel_ref(events)
+    if not events:
+        return
+    df = spark.createDataFrame(
+        [
+            (u, BASE + dt.timedelta(minutes=m), t, sid)
+            for sid, (u, m, t) in enumerate(events)
+        ],
+        "u bigint, ts timestamp, t string, sid bigint",
+    )
+    (row,) = funnel_stages(df, "u", "ts", "t", STEPS, "sid").collect()
+    assert row["n_users"] == n_users_ref
+    for i in range(len(STEPS)):
+        assert row[f"n_step_{i + 1}"] == counts_ref[i], (events, counts_ref)
