@@ -4316,19 +4316,22 @@ def text_top_ngrams(spark, sf_dir):
     top-k via TakeOrderedAndProject; ties broken by bigram text so the
     result set is deterministic."""
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.col("text")), r"\s+")
+    # materialize the split before the pair-builder lambda (in-lambda
+    # expression references inline per element — the O(n²) trap fixed in
+    # text/quality.py); zip of two slices is linear
+    pre = docs.select(F.split(F.lower(F.col("text")), r"\s+").alias("_w"))
+    words = F.col("_w")
     n = F.size(words)
     bigrams = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        pre.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("bigram"))

@@ -80,12 +80,16 @@ def all_pairs_topk(
     """
     from pyspark.sql import Window
 
-    normed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            _as_double(vec_col),
-            lambda x: x / _norm(_as_double(vec_col)),
-        ).alias("unit"),
+    # materialize cast + norm before the per-element divide: referencing
+    # an aggregate expression inside the transform lambda would re-reduce
+    # the whole vector per element (O(dim²) per row)
+    normed = (
+        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("_e"))
+        .select("id", "_e", _norm(F.col("_e")).alias("_n"))
+        .select(
+            "id",
+            F.transform(F.col("_e"), lambda x: x / F.col("_n")).alias("unit"),
+        )
     )
     a = normed.select(F.col("id").alias("id_a"), F.col("unit").alias("unit_a"))
     b = normed.select(F.col("id").alias("id_b"), F.col("unit").alias("unit_b"))
