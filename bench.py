@@ -67,6 +67,7 @@ HEADLINE = [
     "hist_equiwidth",
     "twa_daily",
     "w5_ntile_dist",
+    "trend_slope_daily",
 ]
 
 

@@ -179,3 +179,48 @@ def test_quantize_constant_dimension(spark):
     # dim 1 is constant -> code 0, reconstruction lands on mn exactly
     assert out[1]["q_sig"].split(",")[0] == "0"
     assert out[2]["q_sig"].split(",")[0] == "0"
+
+
+def test_expectations_detect_violations(spark):
+    """Each check kind must actually fail on violating data (the sf-table
+    query only proves the passing path)."""
+    from pyspark.sql import Row
+
+    from delfos_etl_pipeline_spark.operators.expectations import (
+        null_rate_below,
+        run_expectations,
+        unique_key,
+        value_range,
+        values_in,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v=5.0, s="a"),
+            Row(k=1, v=50.0, s="b"),     # dup key, out-of-range v
+            Row(k=2, v=None, s="zzz"),   # null v, out-of-domain s
+            Row(k=3, v=7.0, s="a"),
+        ]
+    )
+    out = {
+        r["check_name"]: r
+        for r in run_expectations(
+            df,
+            [
+                null_rate_below("v", 0.10),     # 1/4 nulls → fail
+                value_range("v", 0.0, 10.0),    # 50.0 → fail
+                values_in("s", ["a", "b"]),     # zzz → fail
+                unique_key("k"),                # dup → fail
+            ],
+        ).collect()
+    }
+    assert all(r["passed"] == 0 for r in out.values()), out
+    assert out["null_rate(v)<0.1"]["metric"] == 0.25
+    assert out["range(v)"]["metric"] == 0.75
+    # and the passing configuration flips everything to 1
+    ok = run_expectations(
+        df.filter(F.col("k") != 1),
+        [null_rate_below("v", 0.9), value_range("v", 0.0, 10.0),
+         values_in("s", ["a", "zzz"]), unique_key("k")],
+    ).collect()
+    assert all(r["passed"] == 1 for r in ok)
