@@ -174,3 +174,13 @@ def test_scd2_single_window_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cdc_scd2_dim")
     assert _count(plan, "Exchange") == 1, plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_ntz_range_scan_keeps_pushdown(spark, sf_dir):
+    """The NTZ→LTZ load normalization must not strand range predicates
+    above the scan: s1's bounds reach the parquet reader as PushedFilters
+    on the raw ts column."""
+    plan = _plan(spark, sf_dir, "s1_scan_project_filter")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(ts" in plan, plan
+    assert "LessThanOrEqual(ts" in plan, plan
