@@ -147,3 +147,53 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_foreach_batch_merge(
+    stream: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    op_col: str,
+    order: tuple[str, ...],
+) -> StreamingQuery:
+    """Streaming CDC apply: each micro-batch of change rows is MERGEd into
+    a parquet snapshot via foreachBatch + operators/cdc.merge_upsert —
+    the continuous form of warehouse upsert maintenance (Delta/Iceberg
+    MERGE INTO ... WHEN MATCHED, on plain parquet).
+
+    Batches apply in arrival order; within-batch ordering uses ``order``
+    (latest change wins), so replaying the same changes is idempotent at
+    the snapshot level. The rewrite cost is one co-partitioned join per
+    batch — on a real table format this becomes a partition-scoped
+    rewrite; the semantics proven here (suffix of changes folds to the
+    same state as one big merge) are what make that optimization safe.
+
+    The snapshot directory must exist (seed it with the base state).
+    """
+    import os as _os
+
+    from delfos_etl_pipeline_spark.operators.cdc import merge_upsert
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = spark.read.parquet(snapshot_dir)
+        drop_cols = [c for c in (op_col, *order) if c not in base.columns]
+        merged = merge_upsert(base, batch_df, key, op_col, order).drop(
+            "was_updated", *drop_cols
+        )
+        tmp = snapshot_dir.rstrip("/") + f"._merge_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil as _shutil
+
+        bak = snapshot_dir.rstrip("/") + "._bak"
+        _os.rename(snapshot_dir, bak)
+        _os.rename(tmp, snapshot_dir)
+        _shutil.rmtree(bak)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

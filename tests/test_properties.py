@@ -208,3 +208,56 @@ def test_funnel_matches_reference_simulation(spark, events):
     assert row["n_users"] == n_users_ref
     for i in range(len(STEPS)):
         assert row[f"n_step_{i + 1}"] == counts_ref[i], (events, counts_ref)
+
+
+# --- merge_upsert vs a dict replay ----------------------------------------
+
+chg_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),            # key
+        st.integers(min_value=0, max_value=20),           # ts minute
+        st.sampled_from(["U", "D"]),
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=25,
+)
+base_st = st.dictionaries(
+    st.integers(min_value=0, max_value=5),
+    st.floats(min_value=0, max_value=100, allow_nan=False),
+    max_size=4,
+)
+
+
+@given(base=base_st, changes=chg_st)
+@SLOW
+def test_merge_upsert_matches_dict_replay(spark, base, changes):
+    from delfos_etl_pipeline_spark.operators.cdc import merge_upsert
+
+    # reference: latest change per key wins (ts, then sid)
+    state = dict(base)
+    last: dict = {}
+    for sid, (k, m, op, v) in enumerate(changes):
+        cur = last.get(k)
+        if cur is None or (m, sid) > (cur[0], cur[1]):
+            last[k] = (m, sid, op, v)
+    for k, (m, sid, op, v) in last.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(None, None)],
+        "k bigint, v double",
+    ).filter(F.col("k").isNotNull())
+    chg_df = spark.createDataFrame(
+        [(k, m, sid, op, v) for sid, (k, m, op, v) in enumerate(changes)]
+        or [(None, None, None, None, None)],
+        "k bigint, m bigint, sid bigint, op string, v double",
+    ).filter(F.col("k").isNotNull())
+    out = {
+        r["k"]: r["v"]
+        for r in merge_upsert(base_df, chg_df, "k", "op", ("m", "sid")).collect()
+    }
+    assert out == state, (base, changes)

@@ -119,3 +119,83 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
         g = final[uid]
         assert g.n == w.n and g.total == pytest.approx(w.total)
         assert g.vmin == w.vmin and g.vmax == w.vmax
+
+
+def test_foreach_batch_cdc_merge_equals_one_shot(spark, tmp_path):
+    """Streaming CDC apply: three time-ordered micro-batches of changes
+    folded into a parquet snapshot via foreachBatch must land on exactly
+    the state a single latest-change-wins merge of all changes produces."""
+    import os
+    import time
+
+    from delfos_etl_pipeline_spark.operators.cdc import (
+        latest_per_key,
+        merge_upsert,
+    )
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+    from delfos_etl_pipeline_spark.streaming.runner import (
+        read_parquet_stream,
+        run_foreach_batch_merge,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    base = latest_per_key(
+        ev.filter(F.col("ts") < cut).select(
+            "user_id", "value", F.col("ts").alias("last_ts"), "event_id"
+        ),
+        "user_id",
+        ("last_ts", "event_id"),
+    ).drop("event_id")
+    changes = ev.filter(F.col("ts") >= cut).select(
+        "user_id",
+        "value",
+        F.col("ts").alias("last_ts"),
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+
+    snap = str(tmp_path / "snap")
+    base.write.parquet(snap)
+
+    # three arrival files in ts order, strictly increasing mtimes
+    src = str(tmp_path / "chg")
+    os.makedirs(src)
+    bounds = ["2024-01-20 00:00:00", "2024-01-25 00:00:00"]
+    cohorts = [
+        changes.filter(F.col("last_ts") < bounds[0]),
+        changes.filter(
+            (F.col("last_ts") >= bounds[0]) & (F.col("last_ts") < bounds[1])
+        ),
+        changes.filter(F.col("last_ts") >= bounds[1]),
+    ]
+    for i, c in enumerate(cohorts):
+        part = str(tmp_path / f"part{i}")
+        c.coalesce(1).write.parquet(part)
+        f = [x for x in os.listdir(part) if x.endswith(".parquet")][0]
+        os.rename(os.path.join(part, f), os.path.join(src, f"{i:02d}.parquet"))
+        time.sleep(1.1)
+
+    stream = read_parquet_stream(
+        spark, src, changes.schema, max_files_per_trigger=1
+    )
+    q = run_foreach_batch_merge(
+        stream, snap, str(tmp_path / "ckpt"), "user_id", "op",
+        ("last_ts", "event_id"),
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["user_id"]: (r["value"], r["last_ts"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    want = {
+        r["user_id"]: (r["value"], r["last_ts"])
+        for r in merge_upsert(
+            base, changes, "user_id", "op", ("last_ts", "event_id")
+        ).collect()
+    }
+    assert got == want
