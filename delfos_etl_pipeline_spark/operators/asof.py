@@ -24,10 +24,14 @@ def asof_join(
     by: list[str],
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right ``value_cols`` with
     ``right.on <= left.on`` within the same ``by`` key (backward as-of,
     inclusive — ties at equal timestamps take the right row).
+    ``direction="forward"`` flips the inequality: the NEAREST right row
+    with ``right.on >= left.on`` (the same one-shuffle union plan, scanned
+    in descending event time).
 
     Right value columns are emitted as ``{name}{suffix}``; left rows with
     no earlier right row get NULLs (left-outer semantics).
@@ -57,9 +61,10 @@ def asof_join(
     ).select(*lt.columns)
 
     unioned = lt.unionByName(rt)
+    order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .orderBy(order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last(F.col("__r_row"), ignorenulls=True).over(w)

@@ -4133,6 +4133,34 @@ def asof_join_events(spark, sf_dir):
     return asof_join(left, right, on="ts", by=["user_id"], value_cols=["value"])
 
 
+@query(
+    "asof_join_forward",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, l.value, r.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id AND r.ts >= l.ts
+    """,
+)
+def asof_join_forward(spark, sf_dir):
+    """FORWARD as-of join (the direction QuestDB/ClickHouse expose beside
+    backward): each purchase gets the nearest error value AT OR AFTER it
+    per user — same union-and-carry single-shuffle plan scanned in
+    descending event time (operators/asof.py direction='forward'), vs
+    DuckDB's native ASOF JOIN with the flipped inequality as oracle."""
+    from delfos_etl_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.where(F.col("event_type") == "error").select("user_id", "ts", "value")
+    return asof_join(
+        left, right, on="ts", by=["user_id"], value_cols=["value"],
+        direction="forward",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality filtering, PII redaction, normalization, corpus n-grams,
 # train-shard shuffle, embedding quantization (SURVEY §7 M5 extension;
@@ -5167,6 +5195,7 @@ _R3_CHANGED_FIRST = [
     "trend_slope_daily",        # new: exact-sums OLS trend per group
     "dq_expectations",          # new: one-pass declarative DQ suite
     "robust_stats_by_group",    # new: median/MAD by element pick
+    "asof_join_forward",        # new: forward-direction as-of
     "mm_byte_histogram",        # new scalar feature_sig contract
     "tpch_q9_product_profit",   # scaled-integer profit arithmetic
     "sim_ivf_topk",             # probe tie-break fix
