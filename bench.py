@@ -68,6 +68,11 @@ HEADLINE = [
     "twa_daily",
     "w5_ntile_dist",
     "trend_slope_daily",
+    "dq_expectations",
+    "robust_stats_by_group",
+    "asof_join_forward",
+    "text_chunk_overlap",
+    "percentiles_daily",
 ]
 
 
