@@ -197,3 +197,72 @@ def run_foreach_batch_merge(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_running_totals_tws(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """The Spark 4.x successor of :func:`stateful_running_totals`:
+    ``transformWithStateInPandas`` with an explicit ``ValueState`` —
+    Arbitrary Stateful Processing v2. Same semantics (per-key running
+    n/total/min/max, every touched key re-emits its updated state), but
+    the state variable is declared against the handle (typed, TTL-able,
+    future-proof for timers/multiple variables) instead of the implicit
+    single GroupState blob.
+
+    ENVIRONMENT-GATED: the v2 state protocol speaks protobuf between the
+    JVM and the Python driver worker; containers without
+    ``google.protobuf`` fail at stream start (measured:
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE from
+    StateMessage_pb2). The test suite importorskips on protobuf, and
+    :func:`stateful_running_totals` (applyInPandasWithState, no protobuf
+    dependency) remains the oracle-verified production path.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_type = stream.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, n long, total double, vmin double, vmax double"
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, total double, vmin double, vmax double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = self._state.get()
+            n, total, vmin, vmax = cur if cur is not None else (0, 0.0, None, None)
+            for pdf in rows:
+                vals = pdf[value_col].dropna()
+                if not len(vals):
+                    continue
+                n += int(len(vals))
+                total += float(vals.sum())
+                bmin, bmax = float(vals.min()), float(vals.max())
+                vmin = bmin if vmin is None else min(vmin, bmin)
+                vmax = bmax if vmax is None else max(vmax, bmax)
+            self._state.update((n, total, vmin, vmax))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n": [n],
+                    "total": [total],
+                    "vmin": [vmin],
+                    "vmax": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        RunningTotals(), out_schema, "Update", "None"
+    )

@@ -199,3 +199,46 @@ def test_foreach_batch_cdc_merge_equals_one_shot(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_tws_running_totals_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas variant (Arbitrary Stateful Processing
+    v2) — environment-gated: the v2 state protocol needs protobuf."""
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+    from delfos_etl_pipeline_spark.streaming.runner import (
+        read_parquet_stream,
+        run_available_now,
+        stateful_running_totals_tws,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "value")
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    stream = read_parquet_stream(spark, src, ev.schema, max_files_per_trigger=8)
+    q = run_available_now(
+        stateful_running_totals_tws(stream, "user_id", "value"),
+        str(tmp_path / "ckpt"),
+        "tws_test_sink",
+        output_mode="update",
+    )
+    q.awaitTermination(300)
+    sink = spark.table("tws_test_sink")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n"))
+    got = {
+        r["user_id"]: (r["n"], round(r["total"], 4))
+        for r in sink.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["total"], 4))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("value").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
