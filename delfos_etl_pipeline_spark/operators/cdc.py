@@ -21,6 +21,8 @@ join key (AQE skew-join splits them; the per-key window state is one row).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -98,4 +100,41 @@ def scd2_from_changes(
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias(
             "is_current"
         ),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: tuple[str, ...],
+) -> DataFrame:
+    """Generate the change feed between two snapshot versions — the
+    inverse of :func:`merge_upsert`: (key, op 'I'/'U'/'D',
+    before_<col>/after_<col>) rows for keys inserted, deleted, or whose
+    ``compare_cols`` changed (null-safe). Unchanged keys are dropped, so
+    the output is sized by churn. One full-outer join hashed on the key.
+    """
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    changed = reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+            for c in compare_cols
+        ],
+    )
+    op = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("I"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    return joined.filter(
+        F.col(f"o.{key}").isNull() | F.col(f"n.{key}").isNull() | changed
+    ).select(
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        op.alias("op"),
+        *[F.col(f"o.{c}").alias(f"before_{c}") for c in compare_cols],
+        *[F.col(f"n.{c}").alias(f"after_{c}") for c in compare_cols],
     )
