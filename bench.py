@@ -73,6 +73,10 @@ HEADLINE = [
     "asof_join_forward",
     "text_chunk_overlap",
     "percentiles_daily",
+    "cdc_snapshot_diff",
+    "funnel_windowed",
+    "ab_test_zstat",
+    "session_paths",
 ]
 
 
