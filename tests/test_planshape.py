@@ -184,3 +184,20 @@ def test_ntz_range_scan_keeps_pushdown(spark, sf_dir):
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(ts" in plan, plan
     assert "LessThanOrEqual(ts" in plan, plan
+
+
+def test_windowed_funnel_no_cartesian(spark, sf_dir):
+    """The 24h-bounded funnel's three banded joins must all be keyed
+    equi-joins on the user (band as residual condition) — never a
+    cartesian or broadcast-nested-loop explosion."""
+    plan = _plan(spark, sf_dir, "funnel_windowed")
+    assert _count(plan, "CartesianProduct") == 0, plan
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_weighted_sample_is_topk_not_sort(spark, sf_dir):
+    """A-Res weighted sampling must plan as TakeOrderedAndProject (top-k
+    heap per partition), never a full global sort of the corpus."""
+    plan = _plan(spark, sf_dir, "sample_weighted_ares")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _count(plan, "Sort") == 0, plan
