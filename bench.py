@@ -77,7 +77,11 @@ HEADLINE = [
     "funnel_windowed",
     "ab_test_zstat",
     "session_paths",
+    "sample_weighted_ares",
 ]
+# Streaming queries (streaming_*) are deliberately NOT benched: their
+# timed path includes temp-dir writes and sink-table drains, which would
+# measure IO setup, not the engine.
 
 
 def _bench_extras():
