@@ -218,23 +218,41 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
         times.sort()
-        per_query[name] = round(times[len(times) // 2], 3)
-        spread[name] = round(times[-1] - times[0], 3)
+        per_query[name] = round(times[len(times) // 2], 2)
+        spread[name] = round(times[-1] - times[0], 2)
 
-    total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "spread": spread,
-                "iters": timed_iters,
-                "sf": sf,
-            }
+    total = round(sum(per_query.values()), 2)
+    # The driver captures only the tail of stdout, so the official record is
+    # ONE compact JSON line: 2-decimal medians, no per-query spread (round 3's
+    # full dict outgrew the capture window and the round lost its perf
+    # record). Spread/iters diagnostics go to a separate gitignored file, or
+    # inline under SPARK_GRAFT_BENCH_VERBOSE=1 for interactive runs.
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1":
+        record["spread"] = spread
+        record["iters"] = timed_iters
+    else:
+        diag_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_diag.json"
         )
-    )
+        try:
+            with open(diag_path, "w") as f:
+                json.dump({"spread": spread, "iters": timed_iters, "sf": sf}, f)
+        except OSError:
+            pass  # diagnostics are best-effort; the headline line is the record
+    line = json.dumps(record)
+    if len(line) > 2000 and "spread" not in record:
+        # Stay under the driver's tail-capture window even as the headline
+        # list grows: drop per-query detail before breaking parseability.
+        record["queries"] = {"truncated": len(per_query)}
+        line = json.dumps(record)
+    print(line)
 
 
 if __name__ == "__main__":
