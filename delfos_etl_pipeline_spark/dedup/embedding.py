@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from delfos_etl_pipeline_spark.similarity.knn import (
     _as_double,
     _hyperplane,
+    collect_reference,
     cosine_similarity_col,
 )
 
@@ -46,14 +47,21 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     round_decimals: int | None = 6,
+    max_ref_rows: int | None = 500_000,
 ) -> DataFrame:
     """Exact (id_a, id_b, cosine_sim ≥ threshold) pairs, id_a < id_b,
-    via broadcast + Arrow-batched BLAS (one matmul per input batch)."""
+    via broadcast + Arrow-batched BLAS (one matmul per input batch).
+
+    ``max_ref_rows`` guards the driver-side collect of the broadcast
+    matrix (knn.collect_reference): above the cap this raises with the
+    shard-loop alternative instead of OOMing the driver at corpus scale.
+    The LSH form (below) is the unguarded-scale path.
+    """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
-    ref = df.select(id_col, vec_col).toPandas()
+    ref = collect_reference(df, id_col, vec_col, max_ref_rows)
     ids = ref[id_col].to_numpy()
     mat = np.stack(ref[vec_col].to_numpy()).astype(np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)

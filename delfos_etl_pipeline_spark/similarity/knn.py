@@ -42,6 +42,43 @@ def _as_double(c: str | Column) -> Column:
     return col.cast("array<double>")
 
 
+class ReferenceTooLargeError(ValueError):
+    """The reference side of a broadcast-BLAS path exceeds the collect guard."""
+
+
+def collect_reference(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_ref_rows: int | None,
+):
+    """Collect (id, vec) to the driver for broadcast — guarded.
+
+    The BLAS paths are correct only when the *reference* side fits in
+    driver + executor memory (eval sets, dimension tables, one shard of a
+    sharded loop). Nothing structural stops a caller from pointing them at
+    the corpus side, and at 100 TB that collect is a driver OOM. So: count
+    via ``limit(max_ref_rows + 1)`` — a short-circuiting job that stops as
+    soon as the cap is exceeded, never scanning the full corpus — and
+    refuse with the sharded alternative spelled out.
+
+    ``max_ref_rows=None`` disables the guard (caller asserts fit).
+    """
+    if max_ref_rows is not None:
+        n = df.select(id_col).limit(max_ref_rows + 1).count()
+        if n > max_ref_rows:
+            raise ReferenceTooLargeError(
+                f"reference side has more than max_ref_rows={max_ref_rows} rows; "
+                "collecting it for broadcast would OOM the driver at corpus "
+                "scale. Shard instead: split the reference into "
+                "driver-sized pieces, call this function once per shard, "
+                "union the per-shard outputs, and re-rank top-k (kNN) / "
+                "union pairs (near-dup). If the reference genuinely fits, "
+                "raise max_ref_rows (or pass None) explicitly."
+            )
+    return df.select(id_col, vec_col).toPandas()
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -109,6 +146,7 @@ def all_pairs_topk_blas(
     vec_col: str = "embedding",
     k: int = 5,
     round_decimals: int | None = 6,
+    max_ref_rows: int | None = 500_000,
 ) -> DataFrame:
     """Exact k-NN for every vector via broadcast + Arrow-batched BLAS.
 
@@ -122,12 +160,17 @@ def all_pairs_topk_blas(
 
     Output schema/ordering matches :func:`all_pairs_topk`:
     (id_a, id_b, cosine_sim, rank) with rank by (sim desc, id_b asc).
+
+    ``max_ref_rows`` guards the driver collect (see
+    :func:`collect_reference`): above the cap this raises
+    :class:`ReferenceTooLargeError` naming the shard-loop alternative
+    rather than silently OOMing at corpus scale.
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
-    ref = df.select(id_col, vec_col).toPandas()
+    ref = collect_reference(df, id_col, vec_col, max_ref_rows)
     ids = ref[id_col].to_numpy()
     mat = np.stack(ref[vec_col].to_numpy()).astype(np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)

@@ -270,3 +270,17 @@ def test_md5_keyed_variants_find_planted_dups(docs):
     }
     assert len(sh) > 0
     assert len(sh & exact) / max(len(sh), 1) >= 0.5
+
+
+def test_embedding_blas_guard_raises_on_oversized(spark, sf_dir):
+    """embedding_near_dup_pairs shares the collect guard: corpus-sized
+    reference input raises with the shard-loop alternative."""
+    import pytest as _pytest
+
+    from delfos_etl_pipeline_spark.dedup.embedding import embedding_near_dup_pairs
+    from delfos_etl_pipeline_spark.similarity.knn import ReferenceTooLargeError
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ReferenceTooLargeError, match="[Ss]hard"):
+        embedding_near_dup_pairs(emb, max_ref_rows=5)

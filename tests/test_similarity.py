@@ -110,3 +110,26 @@ def test_ivf_partitioned_index_prunes(spark, sf_dir, tmp_path):
     seg = plan.split("PartitionFilters", 1)[1][:200]
     assert "cluster" in seg, f"cluster filter not pushed to partitions: {seg}"
     assert got.count() == 10
+
+
+def test_blas_reference_guard_raises_on_oversized(emb):
+    """The broadcast-BLAS path must refuse a corpus-sized reference side
+    instead of collecting it to the driver (VERDICT r3 item 2). The guard
+    short-circuits via limit(n+1), so the raise is cheap."""
+    from delfos_etl_pipeline_spark.similarity.knn import (
+        ReferenceTooLargeError,
+        all_pairs_topk_blas,
+    )
+
+    with pytest.raises(ReferenceTooLargeError, match="[Ss]hard"):
+        all_pairs_topk_blas(emb, k=3, max_ref_rows=10)
+
+
+def test_blas_guard_disabled_and_under_cap_still_runs(emb):
+    from delfos_etl_pipeline_spark.similarity.knn import all_pairs_topk_blas
+
+    small = emb.limit(20)
+    under = all_pairs_topk_blas(small, k=2, max_ref_rows=100).collect()
+    off = all_pairs_topk_blas(small, k=2, max_ref_rows=None).collect()
+    assert sorted(map(tuple, under)) == sorted(map(tuple, off))
+    assert len(under) == 20 * 2
