@@ -59,6 +59,7 @@ HEADLINE = [
     "curate_decontaminate",
     "pack_sequences_ctx",
     "curate_pipeline_end2end",
+    "curate_pipeline_staged",
     "asof_join_events",
     "cdc_merge_upsert",
     "funnel_conversion",

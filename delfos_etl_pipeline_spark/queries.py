@@ -3917,9 +3917,10 @@ def sample_mixture_weighted(spark, sf_dir):
     return mixture_sample(docs, rates, "lang", "doc_id").select("doc_id", "lang")
 
 
-@query(
-    "curate_pipeline_end2end",
-    oracle="""
+#: One oracle for BOTH corpus-build forms: the staged pipeline materializes
+#: stage boundaries to parquet but computes the identical dataflow, so the
+#: single-SQL oracle certifies end2end and staged alike.
+_CURATE_ORACLE = """
     WITH corpus0 AS (
       SELECT doc_id, lang, text,
              regexp_split_to_array(lower(text), '\\s+') AS words
@@ -3975,8 +3976,10 @@ def sample_mixture_weighted(spark, sf_dir):
       FROM mixed
     )
     SELECT doc_id, lang, n_tok, cum_tokens FROM budget WHERE cum_tokens <= 5000
-    """,
-)
+    """
+
+
+@query("curate_pipeline_end2end", oracle=_CURATE_ORACLE)
 def curate_pipeline_end2end(spark, sf_dir):
     """FLAGSHIP corpus build, end to end, one exact oracle: raw documents
     → quality gate (length >= 30 words, type/token diversity >= 0.35) →
@@ -4024,6 +4027,35 @@ def curate_pipeline_end2end(spark, sf_dir):
     mixed = mixture_sample(clean, rates, "lang", "doc_id")
     return token_budget_sample(
         mixed, "doc_id", "text", budget=5_000, carry_cols=("lang",)
+    )
+
+
+@query("curate_pipeline_staged", oracle=_CURATE_ORACLE)
+def curate_pipeline_staged(spark, sf_dir):
+    """The same corpus build as ``curate_pipeline_end2end``, in the
+    STAGED deployment shape (SCALE.md "Corpus curation"): every stage
+    boundary — quality, dedup, decontaminate, mixture, budget — is
+    materialized to parquet and read back, so the decontamination
+    anti-join's two consumers scan the `02_deduped` table instead of
+    recomputing the dedup subtree twice, and a failed stage restarts
+    from the previous boundary. Identical output, same exact oracle;
+    timing here includes all five stage writes (the honest nightly-build
+    cost)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from delfos_etl_pipeline_spark.text.curation import (
+        curate_pipeline_staged as staged,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="curate_staged_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return staged(
+        docs.where(F.col("doc_id") % 17 != 0),
+        docs.where(F.col("doc_id") % 17 == 0),
+        workdir,
     )
 
 

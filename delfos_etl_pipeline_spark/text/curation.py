@@ -216,3 +216,77 @@ def mixture_sample(
     for group, rate in sorted(rates.items()):
         expr = F.when(F.col(group_col) == group, F.lit(thr(rate))).otherwise(expr)
     return df.where(F.md5(F.col(id_col).cast("string")) < expr)
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 30,
+    min_ttr: float = 0.35,
+) -> DataFrame:
+    """Keep documents with at least ``min_words`` whitespace words and a
+    type/token ratio (distinct words / words) of at least ``min_ttr`` —
+    the cheap length+diversity gate a corpus build applies before the
+    expensive stages. Pure narrow filter."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    return (
+        df.withColumn("_w", words)
+        .where(
+            (F.size("_w") >= min_words)
+            & (F.size(F.array_distinct("_w")) / F.size("_w") >= min_ttr)
+        )
+        .drop("_w")
+    )
+
+
+def curate_pipeline_staged(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    workdir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_words: int = 30,
+    min_ttr: float = 0.35,
+    rates: dict[str, float] | None = None,
+    shingle_n: int = 5,
+    budget: int = 5_000,
+) -> DataFrame:
+    """The corpus build as a STAGED pipeline: each stage boundary
+    (quality → dedup → decontaminate → mixture → budget) is materialized
+    to parquet under ``workdir`` and read back before the next stage.
+
+    This is the deployment shape SCALE.md prescribes for the nightly
+    100 TB build, vs the single-query ``curate_pipeline_end2end`` demo
+    form: materializing the dedup boundary means the decontamination
+    anti-join's two consumers read a parquet table instead of recomputing
+    the dedup subtree twice, and every boundary is a restart point — a
+    failed mixture stage resumes from ``02_deduped`` rather than from the
+    raw corpus. Output is identical to the end-to-end form (pytest-
+    asserted): stage boundaries don't change the dataflow, only where
+    the engine can restart and reuse.
+    """
+    from delfos_etl_pipeline_spark.dedup.exact import exact_dedup
+
+    if rates is None:
+        rates = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.25}
+    spark = docs.sparkSession
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        path = f"{workdir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    quality = stage(quality_gate(docs, text_col, min_words, min_ttr), "01_quality")
+    deduped = stage(exact_dedup(quality, [text_col], id_col), "02_deduped")
+    clean = stage(
+        decontaminate_corpus(deduped, eval_df, id_col, text_col, n=shingle_n),
+        "03_clean",
+    )
+    mixed = stage(mixture_sample(clean, rates, lang_col, id_col), "04_mixed")
+    return stage(
+        token_budget_sample(
+            mixed, id_col, text_col, budget=budget, carry_cols=(lang_col,)
+        ),
+        "05_budget",
+    )

@@ -98,3 +98,33 @@ def test_mixture_sample_rates_and_nesting(docs):
     assert 0 < len(quarter) < len(half) < n_en
     # non-listed groups fall back to default_rate=0
     assert {r.lang for r in mixture_sample(docs, {"en": 1.0}, "lang").collect()} == {"en"}
+
+
+def test_staged_pipeline_equals_end2end(spark, sf_dir, tmp_path):
+    """The staged (materialize-every-boundary) corpus build must produce
+    byte-identical output to the single-query end2end form — stage
+    boundaries change restartability, never the dataflow."""
+    from delfos_etl_pipeline_spark.queries import QUERIES
+    from delfos_etl_pipeline_spark.text.curation import curate_pipeline_staged
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = curate_pipeline_staged(
+        docs.where(F.col("doc_id") % 17 != 0),
+        docs.where(F.col("doc_id") % 17 == 0),
+        str(tmp_path / "stages"),
+    )
+    end2end = QUERIES["curate_pipeline_end2end"](spark, sf_dir)
+    s = sorted(map(tuple, staged.collect()))
+    e = sorted(map(tuple, end2end.collect()))
+    assert s == e
+    assert len(s) > 0
+    # every boundary is on disk — the restart points
+    import os
+
+    assert sorted(os.listdir(tmp_path / "stages")) == [
+        "01_quality",
+        "02_deduped",
+        "03_clean",
+        "04_mixed",
+        "05_budget",
+    ]
