@@ -5632,54 +5632,13 @@ def sample_weighted_ares(spark, sf_dir):
 # REAL regression gate is tools/check_oracle.py, which runs EVERY
 # registered query against its oracle and is executed locally before each
 # commit — if the driver ever samples differently, nothing ships unchecked.
-# Round-3 rotation: queries CHANGED OR ADDED this round first (their old
-# green rows no longer vouch for them), then the 40 queries whose only
-# green row is from round 1 (re-verify under the round-2 dtype-audited
-# harness), then flagships, then the round-2-proven rest.
-_R3_CHANGED_FIRST = [
-    "cdc_merge_upsert",         # new: MERGE latest-change-wins
-    "cdc_scd2_dim",             # new: SCD2 interval build
-    "funnel_conversion",        # new: ordered funnel counts
-    "retention_cohorts",        # new: weekly cohort retention
-    "anomaly_zscore",           # new: per-type outlier flags
-    "hist_equiwidth",           # new: 20-bucket histogram
-    "twa_daily",                # new: time-weighted averages
-    "streaming_dedup",          # new: at-least-once → exactly-once
-    "w5_ntile_dist",            # new: ntile/percent_rank/cume_dist
-    "profile_columns",          # new: multi-column profiling sweep
-    "streaming_static_enrich",  # new: stream⋈static broadcast dim
-    "trend_slope_daily",        # new: exact-sums OLS trend per group
-    "dq_expectations",          # new: one-pass declarative DQ suite
-    "robust_stats_by_group",    # new: median/MAD by element pick
-    "asof_join_forward",        # new: forward-direction as-of
-    "text_chunk_overlap",       # new: RAG overlap chunker
-    "percentiles_daily",        # new: nearest-rank P50/P95/P99
-    "cdc_snapshot_diff",        # new: change-feed generation
-    "funnel_windowed",          # new: 24h-bounded ordered funnel
-    "ab_test_zstat",            # new: experiment readout z-stat
-    "session_paths",            # new: top session event paths
-    "sample_weighted_ares",     # new: weighted no-replacement sample
-    "mm_byte_histogram",        # new scalar feature_sig contract
-    "tpch_q9_product_profit",   # scaled-integer profit arithmetic
-    "sim_ivf_topk",             # probe tie-break fix
-    "dedup_embedding_lsh",      # new: banded+capped LSH, generated oracle
-    "streaming_late_drop",      # new: watermark drop semantics
-    "curate_decontaminate",     # new: eval-overlap flags
-    "sample_token_budget",      # new: distributed prefix-sum budget cut
-    "pack_sequences_ctx",       # new: concat-and-chunk packing
-    "sample_mixture_weighted",  # new: per-group hash-rate mixture
-    "curate_pipeline_end2end",  # new: flagship corpus-build chain
-    "dedup_incremental_batch",  # new: batch-vs-corpus MinHash probe
-    "dedup_minhash_lsh_prod",   # new: rows-only production keying
-    "dedup_simhash_prod",       # new: rows-only production keying
-    "sim_ivf_topk_prod",        # new: rows-only production quantizer
-    "text_quality_gopher",      # new: repetition/quality signals
-    "text_pii_redact",          # new: PII scrub with byte-exact oracle
-    "text_normalize",           # new: canonical form + content hash
-    "text_top_ngrams",          # new: corpus bigram audit
-    "shard_train_split",        # new: deterministic train-shard shuffle
-    "shard_train_split_prod",   # new: rows-only production keying
-    "emb_scalar_quantize",      # new: int8 affine codes + recon error
+# Round 4: new/behavior-changed queries verify first (staged corpus build;
+# the round_half_up contract fix in the weighted sample; the expectations
+# stack() hardening behind dq_expectations; new approx-percentile twins).
+_R4_CHANGED_FIRST = [
+    "curate_pipeline_staged",   # new: materialized-boundary corpus build
+    "sample_weighted_ares",     # round_half_up contract fix (ADVICE r3)
+    "dq_expectations",          # expectations stack() hardening (ADVICE r3)
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2
@@ -5712,15 +5671,33 @@ _KEEP_GREEN_FIRST = [
 ]
 
 
+# r1-only names the round-3 window already re-certified (tail of the 50):
+# drop them from the stale rotation so round 4's window reaches the rest.
+_RECERTIFIED_R3 = {
+    "a1_sliding_window_agg", "a4_minmax_scalar", "a6_daily_rollup",
+    "a7_column_stats", "a8_distinct_values", "agg_rollup_hierarchy",
+    "session_windows",
+}
+
+
 def _driver_order() -> list[str]:
-    front = [n for n in _R3_CHANGED_FIRST if n in QUERIES]
+    """Order queries() so the driver's ~50-query rotating correctness
+    window always covers (a) everything new or behavior-changed this
+    round, then (b) the queries whose last green row is oldest — round 4
+    targets the remaining r01-only-verified names (VERDICT r3 item 4) —
+    then (c) one flagship per operator family, then the rest."""
+    front = [n for n in _R4_CHANGED_FIRST if n in QUERIES]
     placed = set(front)
-    r1_only = [n for n in QUERIES if n in _R1_ONLY_GREEN and n not in placed]
-    placed.update(r1_only)
+    stale = [
+        n
+        for n in QUERIES
+        if n in _R1_ONLY_GREEN and n not in _RECERTIFIED_R3 and n not in placed
+    ]
+    placed.update(stale)
     keep = [n for n in _KEEP_GREEN_FIRST if n in QUERIES and n not in placed]
     placed.update(keep)
     rest = [n for n in QUERIES if n not in placed]
-    return front + r1_only + keep + rest
+    return front + stale + keep + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
