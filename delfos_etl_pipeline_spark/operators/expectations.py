@@ -78,8 +78,14 @@ def run_expectations(df: DataFrame, specs: Sequence[dict]) -> DataFrame:
 
     Returns (check_name, metric, passed) rows — metric rounded to 6,
     passed as 0/1 INT. The single-row aggregate is exploded into one row
-    per check via a stack, so the plan is: one scan → one reduce →
-    constant-width projection."""
+    per check via inline(array(struct...)), so the plan is: one scan →
+    one reduce → constant-width projection. Check names are carried as
+    literal Columns, never interpolated into SQL text — a quote in a
+    values_in spec's name cannot break parsing (ADVICE r3)."""
+    if not specs:
+        return df.sparkSession.createDataFrame(
+            [], "check_name string, metric double, passed int"
+        )
     n = F.count(F.lit(1))
     aggs: list[Column] = []
     for i, spec in enumerate(specs):
@@ -87,11 +93,17 @@ def run_expectations(df: DataFrame, specs: Sequence[dict]) -> DataFrame:
         aggs.append(round_half_up(m, 6).alias(f"_m{i}"))
         aggs.append(p.cast("int").alias(f"_p{i}"))
     one = df.agg(*aggs)
-    pairs = ", ".join(
-        f"'{spec['name']}', _m{i}, _p{i}" for i, spec in enumerate(specs)
-    )
     return one.select(
-        F.expr(
-            f"stack({len(specs)}, {pairs}) AS (check_name, metric, passed)"
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(spec["name"]).alias("check_name"),
+                        F.col(f"_m{i}").alias("metric"),
+                        F.col(f"_p{i}").alias("passed"),
+                    )
+                    for i, spec in enumerate(specs)
+                ]
+            )
         )
     )

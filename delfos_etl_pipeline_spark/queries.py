@@ -5595,11 +5595,12 @@ def session_paths(spark, sf_dir):
               + 1) / 4294967296.0 AS u
       FROM documents
     )
-    SELECT doc_id, n_chars, round(ln(u) / n_chars, 9) AS priority
+    SELECT doc_id, n_chars,
+           {pri_round} AS priority
     FROM u
     ORDER BY ln(u) / n_chars DESC, doc_id ASC
     LIMIT 50
-    """,
+    """.format(pri_round=sql_round_half_up("ln(u) / n_chars", 9)),
 )
 def sample_weighted_ares(spark, sf_dir):
     """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res,
@@ -5622,7 +5623,12 @@ def sample_weighted_ares(spark, sf_dir):
         docs.select("doc_id", "n_chars", pri.alias("_p"))
         .orderBy(F.desc("_p"), F.asc("doc_id"))
         .limit(50)
-        .select("doc_id", "n_chars", F.round("_p", 9).alias("priority"))
+        # round_half_up on BOTH sides — the repo-wide cross-engine rounding
+        # contract (plain round() ties at the 9th decimal could diverge
+        # between engines; ADVICE r3)
+        .select(
+            "doc_id", "n_chars", round_half_up(F.col("_p"), 9).alias("priority")
+        )
     )
 
 

@@ -158,12 +158,20 @@ def load_table_range(
     # column's own timestamp flavor, and with the session pinned UTC the
     # naive and LTZ comparisons select identical rows.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if ns_cols:
+        # the range column itself is not ns, but OTHER columns may be —
+        # without this the read fails (or surfaces raw int64) and the
+        # load_table contract (ns→µs normalization) is broken for them
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     c = F.col(ts_col)
     if start is not None:
         df = df.where(c >= F.lit(start))
     if end is not None:
         df = df.where(c <= F.lit(end) if inclusive_end else c < F.lit(end))
+    for col in ns_cols:
+        if col in df.columns:
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return _ntz_to_ltz(spark, df)
 
 

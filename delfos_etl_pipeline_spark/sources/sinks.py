@@ -122,32 +122,71 @@ def compact_partitions(
     append per daily re-run) accretes many sub-row-group files per
     partition; at 100 TB the resulting open/seek/footer overhead dominates
     scan time and the NameNode/listing cost grows unbounded. This rewrites
-    the dataset in place with ~``target_file_bytes`` files: file count per
-    partition is derived from the partition's actual byte size (driver-side
-    listing only — no data collect), and rows are re-written with
-    ``repartition(n)`` per partition via one distributed job.
+    the dataset in place with ~``target_file_bytes`` files PER PARTITION
+    VALUE: each date's file count is ceil(its actual directory bytes /
+    target), derived from a driver-side listing only (no data collect).
+    A hash repartition on the partition column alone would send every row
+    of a date to ONE task — one oversized file per date no matter the
+    target — so rows are spread across each date's file budget instead:
 
-    ``sort_within`` additionally applies sortWithinPartitions before the
-    write, tightening parquet row-group min/max stats so later range
-    predicates skip whole row groups (poor man's clustering / Z-order for
-    the 1-D case — the dominant access path here is time).
+    - with ``sort_within``: ``repartitionByRange(total_files,
+      partition_col, *sort_within)`` — range sampling splits large dates
+      into multiple contiguous sort-key ranges, so output files within a
+      date are NON-overlapping in the sort key and a later range predicate
+      skips whole files, not just row groups.
+    - without a sort key: a deterministic per-date salt
+      (``pmod(xxhash64(every column), n_files_for_that_date)``) hashed
+      into the shuffle, sized from the per-date byte map (broadcast join
+      of a |dates|-row table).
+
+    Either way it is ONE dataset-sized shuffle — the unavoidable cost of
+    re-layout. ``sort_within`` additionally applies sortWithinPartitions
+    before the write, tightening parquet row-group min/max stats (poor
+    man's clustering / Z-order for the 1-D case — the dominant access
+    path here is time).
+
+    CONSTRAINT: the final swap is two ``os.rename`` calls plus an rmtree —
+    local-filesystem only and NOT atomic (a crash between the renames
+    leaves the data under ``*._compact_bak``). On an object store or HDFS,
+    swap via the catalog (table-location flip) or a format with
+    transactional replace instead.
 
     Returns {"files_before": ..., "files_after": ...}.
     """
     import glob as _glob
 
     before = _glob.glob(os.path.join(path, "*", "*.parquet"))
-    total_bytes = sum(os.path.getsize(f) for f in before)
-    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    # per-partition-value byte sizes from the directory layout (col=value)
+    part_bytes: dict[str, int] = {}
+    for f in before:
+        pv = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
+        part_bytes[pv] = part_bytes.get(pv, 0) + os.path.getsize(f)
+    n_per_part = {
+        pv: max(1, -(-b // target_file_bytes)) for pv, b in part_bytes.items()
+    }  # ceil
+    total_files = sum(n_per_part.values())
 
     df = spark.read.parquet(path)
-    # partition column comes back as a directory-derived column; repartition
-    # on it so each output file holds one partition's rows (cluster-wide
-    # this is ONE shuffle sized by the dataset, the unavoidable cost of
-    # re-layout)
-    out = df.repartition(int(n_files), F.col(partition_col))
     if sort_within:
-        out = out.sortWithinPartitions(*[F.col(c) for c in sort_within])
+        out = df.repartitionByRange(
+            int(total_files), F.col(partition_col), *[F.col(c) for c in sort_within]
+        ).sortWithinPartitions(*[F.col(c) for c in sort_within])
+    else:
+        n_map = spark.createDataFrame(
+            list(n_per_part.items()), "_pv string, _nf long"
+        )
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.col("_nf")
+        ).alias("_salt")
+        out = (
+            df.join(
+                F.broadcast(n_map),
+                F.col(partition_col).cast("string") == F.col("_pv"),
+            )
+            .select(*df.columns, salt)
+            .repartition(int(total_files), F.col(partition_col), F.col("_salt"))
+            .drop("_salt")
+        )
     tmp = path.rstrip("/") + "._compact_tmp"
     out.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
 

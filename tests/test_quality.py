@@ -224,3 +224,28 @@ def test_expectations_detect_violations(spark):
          values_in("s", ["a", "zzz"]), unique_key("k")],
     ).collect()
     assert all(r["passed"] == 1 for r in ok)
+
+
+def test_expectations_quoted_name_and_empty_specs(spark):
+    """A single quote in a check name must not break evaluation (names are
+    literal Columns, not SQL text), and an empty spec list returns an
+    empty typed frame instead of erroring (ADVICE r3)."""
+    from delfos_etl_pipeline_spark.operators.expectations import (
+        run_expectations,
+        values_in,
+    )
+
+    df = spark.createDataFrame([("it's",), ("fine",)], "v string")
+    spec = values_in("v", ["it's", "fine"])
+    assert "'" in spec["name"] or True  # name content is free-form
+    spec["name"] = "quote'in\"name"
+    rows = run_expectations(df, [spec]).collect()
+    assert len(rows) == 1
+    assert rows[0].check_name == "quote'in\"name"
+    assert rows[0].passed == 1
+
+    empty = run_expectations(df, [])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "check_name", "metric", "passed",
+    ]

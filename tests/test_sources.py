@@ -229,7 +229,12 @@ def test_compact_partitions_reduces_files_and_preserves_rows(spark, tmp_path):
             ts_col="ts", mode="append",
         )
     n_before = len(glob.glob(path + "/*/*.parquet"))
-    before_rows = spark.read.parquet(path).count()
+    pre = spark.read.parquet(path)
+    before_rows = pre.count()
+    # capture the multiset fingerprint BEFORE compaction rewrites the path
+    before_hash = pre.groupBy().agg(
+        F.sum(F.hash("event_id", "value")).alias("h")
+    ).collect()[0]["h"]
 
     stats = compact_partitions(
         spark, path, "event_date", target_file_bytes=64 * 1024 * 1024,
@@ -239,12 +244,11 @@ def test_compact_partitions_reduces_files_and_preserves_rows(spark, tmp_path):
     assert stats["files_after"] < n_before / 4
     after = spark.read.parquet(path)
     assert after.count() == before_rows
-    # equality of the full multiset, not just counts
+    # equality of the full multiset vs the PRE-compaction fingerprint
     assert (
         after.groupBy().agg(F.sum(F.hash("event_id", "value")).alias("h"))
         .collect()[0]["h"]
-        == spark.read.parquet(path).groupBy()
-        .agg(F.sum(F.hash("event_id", "value")).alias("h")).collect()[0]["h"]
+        == before_hash
     )
 
     # row-group stats: each file's ts min/max span shrinks vs the whole day
@@ -253,3 +257,76 @@ def test_compact_partitions_reduces_files_and_preserves_rows(spark, tmp_path):
     f = glob.glob(path + "/*/*.parquet")[0]
     md = pq.ParquetFile(f).metadata
     assert md.num_row_groups >= 1
+
+
+def test_compact_partitions_splits_oversized_dates(spark, tmp_path):
+    """A date whose bytes exceed target_file_bytes must compact to
+    MULTIPLE files (ceil(bytes/target)), not one oversized file per date
+    (ADVICE r3: hash-on-partition-col alone collapsed each date to one
+    task). Covers both the range (sort_within) and salted-hash branches."""
+    import glob
+
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+    from delfos_etl_pipeline_spark.sources.sinks import (
+        compact_partitions,
+        write_partitioned,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts", "value")
+
+    for sort_within in (("ts",), ()):
+        path = str(tmp_path / f"frag_{len(sort_within)}")
+        write_partitioned(
+            ev.repartition(8), path, partition_col="event_date",
+            ts_col="ts", mode="append",
+        )
+        date_dirs = glob.glob(path + "/*")
+        # pick a tiny target so every date's bytes exceed it several times
+        per_date_bytes = {
+            d: sum(
+                __import__("os").path.getsize(f)
+                for f in glob.glob(d + "/*.parquet")
+            )
+            for d in date_dirs
+        }
+        biggest = max(per_date_bytes.values())
+        target = max(1, biggest // 4)
+        pre = spark.read.parquet(path)
+        before_rows = pre.count()
+        before_hash = pre.groupBy().agg(
+            F.sum(F.hash("event_id", "value")).alias("h")
+        ).collect()[0]["h"]
+
+        compact_partitions(
+            spark, path, "event_date", target_file_bytes=target,
+            sort_within=sort_within,
+        )
+        after = spark.read.parquet(path)
+        assert after.count() == before_rows
+        assert after.groupBy().agg(
+            F.sum(F.hash("event_id", "value")).alias("h")
+        ).collect()[0]["h"] == before_hash
+        # the biggest date must now hold >1 file; every date >= 1
+        for d, b in per_date_bytes.items():
+            n = len(glob.glob(d + "/*.parquet"))
+            if b == biggest:
+                assert n > 1, (sort_within, d, n)
+
+
+def test_load_table_range_non_ns_col_still_normalizes_ns_cols(spark, sf_dir):
+    """Range on a NON-ns column of a table that contains ns-timestamp
+    columns: the other columns must still get the ns→µs conversion
+    (ADVICE r3: the non-ns branch regressed to a raw read)."""
+    from pyspark.sql.types import TimestampType
+
+    from delfos_etl_pipeline_spark.sources.parquet import load_table, load_table_range
+
+    ranged = load_table_range(spark, sf_dir, "events", "event_id", 100, 200)
+    ts_type = dict(ranged.dtypes)["ts"]
+    assert ts_type == "timestamp", ts_type
+    full = load_table(spark, sf_dir, "events").where(
+        (F.col("event_id") >= 100) & (F.col("event_id") <= 200)
+    )
+    assert ranged.count() == full.count()
+    assert ranged.exceptAll(full).count() == 0
