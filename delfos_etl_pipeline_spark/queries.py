@@ -1036,6 +1036,61 @@ def a_percentiles(spark, sf_dir):
     )
 
 
+def _approx_rank_ok(q: float, approx_col: str, eps: float):
+    """The sketch guarantee as a checkable claim: approx_percentile's
+    result must be an element whose rank is within ±eps·n of q·n, i.e.
+    count(value < ap) ≤ (q+eps)·n + 1 and count(value ≤ ap) ≥ (q−eps)·n − 1
+    (±1 row of floor/ceil slack at the rank boundaries)."""
+    n = F.count(F.lit(1))
+    below = F.sum((F.col("value") < F.col(approx_col)).cast("long"))
+    at_or_below = F.sum((F.col("value") <= F.col(approx_col)).cast("long"))
+    return (below <= (q + eps) * n + 1) & (at_or_below >= (q - eps) * n - 1)
+
+
+@query(
+    "a_percentiles_approx",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50_exact,
+           round(quantile_cont(value, 0.9), 6)  AS p90_exact,
+           round(quantile_cont(value, 0.99), 6) AS p99_exact,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a_percentiles_approx(spark, sf_dir):
+    """MERGEABLE percentile sketches — the 100 TB path for a_percentiles:
+    approx_percentile (Greenwald-Khanna style, accuracy=10000 → rank error
+    ≤ n/10000) is a one-pass partial-aggregable sketch, no per-group sort.
+    Sketch registers aren't portable to DuckDB, so (a_approx_distinct
+    pattern) the oracle pins what IS: the exact percentiles, plus the
+    claim that each sketch result's actual rank is within the documented
+    ±eps·n bound — verified by joining the sketch output back and
+    counting, so the correctness row certifies the GUARANTEE, not just
+    row shape."""
+    ev = _t(spark, sf_dir, "events")
+    acc = 10_000
+    eps = 1.0 / acc
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("_a50"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(acc)).alias("_a90"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(acc)).alias("_a99"),
+    )
+    return (
+        ev.join(F.broadcast(ap), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_exact"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_exact"),
+            _approx_rank_ok(0.5, "_a50", eps).alias("p50_ok"),
+            _approx_rank_ok(0.9, "_a90", eps).alias("p90_ok"),
+            _approx_rank_ok(0.99, "_a99", eps).alias("p99_ok"),
+        )
+    )
+
+
 @query(
     "agg_cube",
     oracle="""
@@ -5309,6 +5364,53 @@ def percentiles_daily(spark, sf_dir):
 
 
 @query(
+    "percentiles_daily_approx",
+    oracle="""
+    SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 6)  AS p50_exact,
+           round(quantile_cont(value, 0.95), 6) AS p95_exact,
+           round(quantile_cont(value, 0.99), 6) AS p99_exact,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def percentiles_daily_approx(spark, sf_dir):
+    """The mergeable-sketch production form of percentiles_daily: at
+    100 TB the per-(type, day) sort-shuffle of the exact nearest-rank
+    query gives way to one-pass approx_percentile sketches that combine
+    map-side and merge across partitions. Same contract as
+    a_percentiles_approx: the oracle pins the exact per-group percentiles
+    plus the verified claim that each sketch result's rank sits within
+    the documented ±n/accuracy bound (checked by re-joining the sketch
+    output and counting — the guarantee itself is driver-certified)."""
+    ev = _t(spark, sf_dir, "events")
+    acc = 10_000
+    eps = 1.0 / acc
+    day = F.window("ts", "1 day").start.alias("day")
+    base = ev.select("event_type", day, "value")
+    ap = base.groupBy("event_type", "day").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("_a50"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(acc)).alias("_a95"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(acc)).alias("_a99"),
+    )
+    return (
+        base.join(F.broadcast(ap), ["event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_exact"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_exact"),
+            _approx_rank_ok(0.5, "_a50", eps).alias("p50_ok"),
+            _approx_rank_ok(0.95, "_a95", eps).alias("p95_ok"),
+            _approx_rank_ok(0.99, "_a99", eps).alias("p99_ok"),
+        )
+    )
+
+
+@query(
     "cdc_snapshot_diff",
     oracle="""
     WITH old AS (
@@ -5645,6 +5747,8 @@ _R4_CHANGED_FIRST = [
     "curate_pipeline_staged",   # new: materialized-boundary corpus build
     "sample_weighted_ares",     # round_half_up contract fix (ADVICE r3)
     "dq_expectations",          # expectations stack() hardening (ADVICE r3)
+    "a_percentiles_approx",     # new: mergeable sketch + rank-bound claim
+    "percentiles_daily_approx", # new: daily sketch twin
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -93,3 +93,32 @@ def test_incremental_partials_match_full_recompute(spark, sf_dir):
         assert f[k]["n_rows"] == m[k]["n_rows"]
         assert f[k]["_total"] == m[k]["_total"]       # exact decimal
         assert f[k]["vmin"] == m[k]["vmin"] and f[k]["vmax"] == m[k]["vmax"]
+
+
+def test_approx_percentile_within_bound_of_exact_twin(spark, sf_dir):
+    """The *_approx percentile queries embed the sketch's rank-error
+    guarantee as ok-flags; assert every flag holds and the approx values
+    track the exact twins (VERDICT r3 item 5)."""
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["a_percentiles_approx"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.p50_ok and r.p90_ok and r.p99_ok for r in rows)
+
+    daily = QUERIES["percentiles_daily_approx"](spark, sf_dir)
+    bad = daily.where(
+        ~F.col("p50_ok") | ~F.col("p95_ok") | ~F.col("p99_ok")
+    ).count()
+    assert bad == 0
+    # group structure matches the exact twin exactly: same (type, day)
+    # keys, same group sizes (value comparison between nearest-rank and
+    # interpolated percentiles is order-statistics noise on the tiny
+    # sf0.001 groups; the rank-bound ok-flags above are the value claim)
+    exact = {
+        (r.event_type, r.day): r.n
+        for r in QUERIES["percentiles_daily"](spark, sf_dir).collect()
+    }
+    approx = {(r.event_type, r.day): r.n for r in daily.collect()}
+    assert approx == exact
