@@ -4,11 +4,12 @@ Training-data-pipeline extension (SURVEY.md §7 M5): image/audio/video are
 carried as ``binary`` columns plus a metadata struct; transforms run as
 Arrow-batched ``mapInPandas`` so each Python batch touches thousands of
 payloads with one serialization hop. The Spark-side plumbing (schema,
-partitioning, batch shape, fan-out) is real and tested; the media
-*decode* step is a clearly-marked deterministic STUB (codec libraries are
-not in this container) — pass ``decoder=`` to ``decode_image_batch`` /
-``sample_video_frames`` to slot in a real codec without touching the
-plan.
+partitioning, batch shape, fan-out) is real and tested. Decode is REAL
+end-to-end for uncompressed 24/32-bit BMP (:func:`decode_bmp`, pure
+numpy); other formats use a clearly-marked deterministic STUB (codec
+libraries are not in this container) — pass ``decoder=`` to
+``decode_image_batch`` / ``sample_video_frames`` to slot in a full codec
+without touching the plan.
 
 At 100 TB: payload columns dominate IO — keep them in their own parquet
 column (column pruning skips them for metadata-only queries), partition by
@@ -114,6 +115,66 @@ def _fake_decode_image(payload: bytes):
     return np.resize(base, (32, 32, 3))
 
 
+def decode_bmp(payload: bytes):
+    """REAL decoder for uncompressed 24/32-bit BMP — pure numpy, no codec
+    library. Parses the BITMAPFILEHEADER/BITMAPINFOHEADER, honors row
+    padding (4-byte aligned strides), bottom-up vs top-down row order, and
+    BGR(A) channel order; returns an (h, w, 3) uint8 RGB array.
+
+    Raises ValueError for non-BMP payloads and NotImplementedError for
+    palettized/compressed/core-header variants — callers fall back to the
+    stub (or a plugged-in codec) for those.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    # BI_RGB only; BI_BITFIELDS(3) with default masks also appears for
+    # 32-bit but reordering masks is codec work, not plumbing — refuse.
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    bytes_pp = bpp // 8
+    stride = ((width * bytes_pp + 3) // 4) * 4
+    need = data_offset + stride * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)
+    pix = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    rgb = pix[..., [2, 1, 0]]  # BGR(A) → RGB, alpha dropped
+    if bottom_up:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def _default_decode_image(payload: bytes):
+    """Default decode path: REAL BMP decode when the payload is an
+    uncompressed 24/32-bit BMP, deterministic stub otherwise. One decode
+    path is therefore end-to-end real in this container; everything else
+    keeps the injectable ``decoder=`` seam."""
+    try:
+        return decode_bmp(payload)
+    except (ValueError, NotImplementedError):
+        return _fake_decode_image(payload)
+
+
 def _resize_nearest(img, height: int, width: int):
     """Nearest-neighbor resize (real logic, not stubbed): index maps
     computed once per target shape."""
@@ -131,14 +192,16 @@ def decode_image_batch(
     """Decode + nearest-neighbor-resize image payloads to (height, width,
     3) uint8 tensors, Arrow-batched via ``mapInPandas``.
 
-    The decode step is a deterministic STUB (``_fake_decode_image``)
-    because codec libraries are not in this container; the batch contract,
-    output schema, and the resize math are real and tested. Pass
-    ``decoder=`` to plug in a real codec without touching the plan.
+    Decode is REAL for uncompressed 24/32-bit BMP payloads
+    (:func:`decode_bmp`, pure numpy — no codec library needed); other
+    formats fall back to the deterministic stub because codec libraries
+    are not in this container. The batch contract, output schema, and
+    resize math are the same either way. Pass ``decoder=`` to plug in a
+    full codec (Pillow/opencv) without touching the plan.
     """
     import numpy as np
 
-    decode = decoder or _fake_decode_image
+    decode = decoder or _default_decode_image
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

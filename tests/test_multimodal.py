@@ -76,3 +76,90 @@ def test_sample_video_frames_fanout(bin_df):
     for frames in by_doc.values():
         idxs = sorted(f.frame_idx for f in frames)
         assert all(b - a == 3 for a, b in zip(idxs, idxs[1:]))  # stride 3
+
+
+def _encode_bmp(img, bottom_up=True, bpp=24):
+    """Minimal BMP writer for the decode test: BITMAPINFOHEADER,
+    uncompressed, BGR(A), 4-byte-padded rows."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    bytes_pp = bpp // 8
+    stride = ((w * bytes_pp + 3) // 4) * 4
+    rows = []
+    order = range(h - 1, -1, -1) if bottom_up else range(h)
+    for y in order:
+        bgr = img[y][:, [2, 1, 0]]
+        if bpp == 32:
+            bgr = np.concatenate(
+                [bgr, np.full((w, 1), 255, dtype=np.uint8)], axis=1
+            )
+        row = bgr.astype(np.uint8).tobytes()
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pixels = b"".join(rows)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h if bottom_up else -h, 1, bpp, 0, len(pixels), 2835, 2835, 0, 0,
+    )
+    return header + pixels
+
+
+def test_decode_bmp_real_roundtrip():
+    """decode_bmp must exactly invert the BMP encoding: padding, bottom-up
+    and top-down row order, 24- and 32-bit (alpha dropped)."""
+    import numpy as np
+
+    from delfos_etl_pipeline_spark.multimodal.binary import decode_bmp
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # w=3 → padded rows
+    for bottom_up in (True, False):
+        for bpp in (24, 32):
+            out = decode_bmp(_encode_bmp(img, bottom_up=bottom_up, bpp=bpp))
+            assert out.shape == (5, 3, 3)
+            assert (out == img).all(), (bottom_up, bpp)
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bitmap at all, but long enough to pass the length check....")
+    import struct as _s
+
+    rle = bytearray(_encode_bmp(img))
+    _s.pack_into("<I", rle, 30, 1)  # compression=BI_RLE8
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle))
+
+
+def test_decode_image_batch_decodes_real_bmp(spark):
+    """End-to-end through the Spark plan: a real generated BMP payload
+    flows through decode_image_batch and comes back as its true pixels
+    (resized), with non-BMP rows taking the stub path in the same batch
+    (VERDICT r3 item 7)."""
+    import numpy as np
+
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        _fake_decode_image,
+        decode_image_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    bmp = _encode_bmp(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"plain text payload"))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in decode_image_batch(df, width=8, height=8).collect()
+    }
+    got = np.frombuffer(rows[1].pixels, dtype=np.uint8).reshape(8, 8, 3)
+    assert (got == img).all()  # identity resize → exact pixel fidelity
+    stub = _fake_decode_image(b"plain text payload")
+    got2 = np.frombuffer(rows[2].pixels, dtype=np.uint8).reshape(8, 8, 3)
+    # stub path: same deterministic fake, nearest-neighbor-resized 32→8
+    assert got2.shape == (8, 8, 3)
+    assert (got2 == stub[(np.arange(8) * 4)][:, (np.arange(8) * 4)]).all()
