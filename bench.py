@@ -80,9 +80,11 @@ HEADLINE = [
     "session_paths",
     "sample_weighted_ares",
 ]
-# Streaming queries (streaming_*) are deliberately NOT benched: their
-# timed path includes temp-dir writes and sink-table drains, which would
-# measure IO setup, not the engine.
+# Streaming queries (streaming_*) are deliberately NOT in the timed batch
+# list: their timed path includes temp-dir writes and sink-table drains,
+# which would measure IO setup, not the engine. Streaming throughput is
+# measured separately — see the "streaming" section below, which reports
+# steady-state micro-batch rows/sec from the progress feed instead.
 
 
 def _bench_extras():
@@ -222,6 +224,20 @@ def main() -> None:
         per_query[name] = round(times[len(times) // 2], 2)
         spread[name] = round(times[-1] - times[0], 2)
 
+    # Streaming throughput (VERDICT r3 item 6): steady-state micro-batch
+    # rows/sec for the two stateful streaming flagships, measured from the
+    # progress feed with warmup batches excluded (streaming/bench.py). Two
+    # compact numbers — the JSON line stays driver-parseable. Disable with
+    # SPARK_GRAFT_STREAM_BENCH=0.
+    streaming: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
+        from delfos_etl_pipeline_spark.streaming.bench import measure_stream_rate
+
+        for topo in ("windowed_agg", "dedup"):
+            streaming[f"{topo}_rows_per_sec"] = measure_stream_rate(
+                spark, topo
+            )["rows_per_sec"]
+
     total = round(sum(per_query.values()), 2)
     # The driver captures only the tail of stdout, so the official record is
     # ONE compact JSON line: 2-decimal medians, no per-query spread (round 3's
@@ -235,6 +251,8 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
     }
+    if streaming:
+        record["streaming"] = streaming
     if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1":
         record["spread"] = spread
         record["iters"] = timed_iters

@@ -1,0 +1,296 @@
+"""Corpus curation: decontamination, token-budget sampling, sequence packing, mixture sampling, and the end-to-end + staged corpus builds (SURVEY §7 M5).
+
+Split from the monolithic queries.py registry (round 4); behavior
+unchanged — importing this module registers its queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.queries._registry import _t, query
+
+# ---------------------------------------------------------------------------
+# Corpus curation — decontamination, budget sampling, packing, mixture
+# (SURVEY §7 M5 extension; text/curation.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curate_decontaminate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + 4), ' '))) AS shingles
+      FROM w
+    ),
+    ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 17 = 0),
+    cs AS (
+      SELECT c.doc_id, t.s
+      FROM sh c, unnest(c.shingles) AS t(s)
+      WHERE c.doc_id % 17 <> 0
+    )
+    SELECT cs.doc_id, CAST(count(DISTINCT cs.s) AS BIGINT) AS n_shared
+    FROM cs JOIN ev ON ev.s = cs.s
+    GROUP BY 1
+    """,
+)
+def curate_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing a word
+    5-gram with the evaluation set (stand-in eval set: doc_id % 17 == 0).
+    Shingle-keyed semi-join with the (small) eval shingle set broadcast —
+    the standard leakage sweep a pretraining corpus runs before training;
+    anti-join the flags to clean (text/curation.py)."""
+    from delfos_etl_pipeline_spark.text.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 17 == 0)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    return decontaminate(corpus, eval_df, "doc_id", "text", n=5)
+
+
+@query(
+    "sample_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS pri
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (
+               ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, n_tok, cum_tokens FROM c WHERE cum_tokens <= 10000
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    """Deterministic corpus sample under a 10k-token global budget:
+    md5-of-id priority order, exact global prefix sum of token counts,
+    keep while within budget. The prefix sum is the two-phase distributed
+    scan (text/curation.py _global_prefix_sum) — NOT a partitionless
+    window, which would collapse to one task; the oracle's single-window
+    form is equivalent because prefix sums over a total order don't
+    depend on partitioning."""
+    from delfos_etl_pipeline_spark.text.curation import token_budget_sample
+
+    return token_budget_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", budget=10_000
+    )
+
+
+@query(
+    "pack_sequences_ctx",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS pri
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (
+               ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tok,
+           cum - n_tok AS offset,
+           (cum - n_tok) // 2048 AS bin_id
+    FROM c
+    """,
+)
+def pack_sequences_ctx(spark, sf_dir):
+    """Concat-and-chunk sequence packing (ctx 2048): deterministic stream
+    order (md5-of-id), each document's starting token offset in the
+    concatenated stream, and the fixed-length training-sequence bin its
+    first token lands in — the layout step that turns a curated corpus
+    into training batches (text/curation.py, same distributed prefix-sum
+    machinery as sample_token_budget)."""
+    from delfos_etl_pipeline_spark.text.curation import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", ctx_len=2048
+    )
+
+
+@query(
+    "sample_mixture_weighted",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+      CASE lang
+        WHEN 'en' THEN 'g'
+        WHEN 'de' THEN '80000000000000000000000000000000'
+        WHEN 'es' THEN '80000000000000000000000000000000'
+        WHEN 'fr' THEN '40000000000000000000000000000000'
+        WHEN 'zh' THEN '40000000000000000000000000000000'
+        ELSE ''
+      END
+    """,
+)
+def sample_mixture_weighted(spark, sf_dir):
+    """Data-mixture sampling: per-language keep rates (en 1.0, de/es 0.5,
+    fr/zh 0.25) applied as deterministic md5-of-id hash thresholds — a
+    pure narrow filter (no shuffle, no RNG state) that lands the corpus
+    on a target language mixture reproducibly; md5 hex sorts below 'g'
+    always, so 'g' is the keep-all threshold (text/curation.py)."""
+    from delfos_etl_pipeline_spark.text.curation import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.25}
+    return mixture_sample(docs, rates, "lang", "doc_id").select("doc_id", "lang")
+
+
+#: One oracle for BOTH corpus-build forms: the staged pipeline materializes
+#: stage boundaries to parquet but computes the identical dataflow, so the
+#: single-SQL oracle certifies end2end and staged alike.
+_CURATE_ORACLE = """
+    WITH corpus0 AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+      WHERE doc_id % 17 <> 0
+    ),
+    quality AS (
+      SELECT * FROM corpus0
+      WHERE len(words) >= 30
+        AND len(list_distinct(words)) * 1.0 / len(words) >= 0.35
+    ),
+    deduped AS (
+      SELECT * FROM quality
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+          range(1, greatest(len(regexp_split_to_array(lower(text), '\\s+')) - 4, 0) + 1),
+          i -> array_to_string(
+            list_slice(regexp_split_to_array(lower(text), '\\s+'), i, i + 4), ' ')
+        ))) AS s
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT d.doc_id
+      FROM deduped d, unnest(list_distinct(list_transform(
+          range(1, greatest(len(d.words) - 4, 0) + 1),
+          i -> array_to_string(list_slice(d.words, i, i + 4), ' ')))) AS t(s)
+      JOIN ev ON ev.s = t.s
+    ),
+    clean AS (
+      SELECT * FROM deduped
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    mixed AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS pri
+      FROM clean
+      WHERE md5(CAST(doc_id AS VARCHAR)) <
+        CASE lang WHEN 'en' THEN 'g'
+                  WHEN 'de' THEN '80000000000000000000000000000000'
+                  WHEN 'es' THEN '80000000000000000000000000000000'
+                  WHEN 'fr' THEN '40000000000000000000000000000000'
+                  WHEN 'zh' THEN '40000000000000000000000000000000'
+                  ELSE '' END
+    ),
+    budget AS (
+      SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(sum(n_tok) OVER (
+               ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM mixed
+    )
+    SELECT doc_id, lang, n_tok, cum_tokens FROM budget WHERE cum_tokens <= 5000
+    """
+
+
+@query("curate_pipeline_end2end", oracle=_CURATE_ORACLE)
+def curate_pipeline_end2end(spark, sf_dir):
+    """FLAGSHIP corpus build, end to end, one exact oracle: raw documents
+    → quality gate (length >= 30 words, type/token diversity >= 0.35) →
+    exact dedup (keep lowest id per identical text) → benchmark
+    decontamination (drop docs sharing a 5-gram with the doc_id%17 eval
+    set) → language-mixture resampling (en 1.0 / de,es 0.5 / fr,zh 0.25)
+    → deterministic 5k-token budget cut. Every stage is the library
+    operator a user would call (text/curation.py); the chain is what a
+    pretraining data pipeline runs nightly, and the whole thing stays
+    expression-level Spark — scan-bound narrow stages, one broadcast
+    shingle join, one text-keyed window, one distributed prefix sum.
+
+    The dedup output feeds both sides of the decontamination anti-join,
+    so this single-query form computes that subtree twice (persist()
+    measured as a wash at bench scale); a production nightly build
+    materializes each stage boundary to a table instead — see SCALE.md
+    "Corpus curation"."""
+    from delfos_etl_pipeline_spark.text.curation import (
+        decontaminate_corpus,
+        mixture_sample,
+        token_budget_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    eval_df = docs.where(F.col("doc_id") % 17 == 0)
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    quality = (
+        corpus.withColumn("_w", words)
+        .where(
+            (F.size("_w") >= 30)
+            & (F.size(F.array_distinct("_w")) / F.size("_w") >= 0.35)
+        )
+        .drop("_w")
+    )
+    deduped = (
+        quality.withColumn(
+            "_m", F.min("doc_id").over(Window.partitionBy("text"))
+        )
+        .where(F.col("doc_id") == F.col("_m"))
+        .drop("_m")
+    )
+    clean = decontaminate_corpus(deduped, eval_df, "doc_id", "text", n=5)
+    rates = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.25}
+    mixed = mixture_sample(clean, rates, "lang", "doc_id")
+    return token_budget_sample(
+        mixed, "doc_id", "text", budget=5_000, carry_cols=("lang",)
+    )
+
+
+@query("curate_pipeline_staged", oracle=_CURATE_ORACLE)
+def curate_pipeline_staged(spark, sf_dir):
+    """The same corpus build as ``curate_pipeline_end2end``, in the
+    STAGED deployment shape (SCALE.md "Corpus curation"): every stage
+    boundary — quality, dedup, decontaminate, mixture, budget — is
+    materialized to parquet and read back, so the decontamination
+    anti-join's two consumers scan the `02_deduped` table instead of
+    recomputing the dedup subtree twice, and a failed stage restarts
+    from the previous boundary. Identical output, same exact oracle;
+    timing here includes all five stage writes (the honest nightly-build
+    cost)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from delfos_etl_pipeline_spark.text.curation import (
+        curate_pipeline_staged as staged,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="curate_staged_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return staged(
+        docs.where(F.col("doc_id") % 17 != 0),
+        docs.where(F.col("doc_id") % 17 == 0),
+        workdir,
+    )

@@ -1,0 +1,468 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash-LSH, SimHash, embedding cosine/LSH, connected-components clusters, incremental batch probe (SURVEY §7 M5).
+
+Split from the monolithic queries.py registry (round 4); behavior
+unchanged — importing this module registers its queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.queries._registry import _t, query
+
+# ---------------------------------------------------------------------------
+# Dedup — training-data-pipeline extensions (SURVEY §7 M5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup summary: one surviving id + multiplicity per distinct
+    document text (hash-groupBy, single shuffle)."""
+    from delfos_etl_pipeline_spark.dedup.exact import exact_dedup_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_summary(docs, ["text"], "doc_id").select("doc_id", "n_copies")
+
+
+@query(
+    "dedup_exact_rows",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact_rows(spark, sf_dir):
+    """Exact dedup keeping full surviving rows — deterministic min-id
+    winner (vs Spark's nondeterministic dropDuplicates). Shuffles a 16-byte
+    md5 key, not the document body."""
+    from delfos_etl_pipeline_spark.dedup.exact import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id", hash_key=True).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by EXACT word-3-gram Jaccard ≥ 0.6 — the correctness
+    baseline for the approximate detectors (minhash/simhash)."""
+    from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True),
+        threshold=0.6,
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT p.doc_a, p.doc_b
+      FROM cand p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) >= 0.6
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ), comp AS (
+      SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT c.node AS doc_id, c.cluster_id, s.cluster_size
+    FROM comp c
+    JOIN (SELECT cluster_id, count(*) AS cluster_size
+          FROM comp GROUP BY cluster_id) s USING (cluster_id)
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Duplicate GROUPS, not pairs: transitive closure of the exact
+    near-dup pair list via iterative min-label propagation
+    (dedup/clusters.py) — each round one join + one min-agg, fixpoint in
+    O(graph diameter) rounds. The oracle computes the same closure as a
+    recursive CTE, making this iterative (non-single-SQL-statement on the
+    Spark side) operator exactly checkable."""
+    from delfos_etl_pipeline_spark.dedup.clusters import duplicate_clusters
+    from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True),
+        threshold=0.6,
+    )
+    return duplicate_clusters(pairs)
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_distance
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 20
+    WHERE levenshtein(a.text, b.text) <= 50
+    """,
+)
+def dedup_fuzzy_levenshtein(spark, sf_dir):
+    """Character-level fuzzy matching: bounded edit distance over BLOCKED
+    candidate pairs — the classic blocking strategy (equi-join on
+    (source, lang) plus a length band prunes the O(n²) pair space to the
+    plausible few) before the expensive O(len²) distance. Spark's
+    3-argument levenshtein bails out early once the running distance
+    exceeds the threshold, so the per-pair cost is bounded too. The
+    string tier of the dedup family, complementing the token-shingle
+    (Jaccard) and semantic (embedding) tiers."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
+        "source", "lang", F.col("n_chars").alias("nc_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"),
+        "source", "lang", F.col("n_chars").alias("nc_b"),
+    )
+    ed = F.levenshtein("text_a", "text_b", 50)
+    return (
+        a.join(b, ["source", "lang"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)
+        )
+        .select("doc_a", "doc_b", ed.alias("edit_distance"))
+        .where(F.col("edit_distance") >= 0)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + 2), ' ')
+             )) AS shingles
+      FROM d
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), i ->
+               list_min(list_transform(shingles,
+                 s -> md5(i::VARCHAR || '|' || s)))) AS sg
+      FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(array_to_string(
+               list_slice(sg, band * 4 + 1, band * 4 + 4), '|')) AS bucket
+      FROM sig, unnest(range(0, 16)) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    j AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(x.shingles, y.shingles)) AS shared,
+             len(x.shingles) AS sa, len(y.shingles) AS sb
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(shared * 1.0 / (sa + sb - shared), 6) AS jaccard
+    FROM j
+    WHERE round(shared * 1.0 / (sa + sb - shared), 6) >= 0.6
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64)+LSH(16 bands) candidates verified by exact Jaccard ≥0.6
+    — the 100 TB-scale near-dup path; compared against dedup_ngram_jaccard
+    in tests/test_dedup.py. Registered in md5-keyed mode so the ENTIRE
+    pipeline — signatures, band buckets, candidate set, verify — is
+    reproduced bit-exactly by the DuckDB oracle (lexicographic min over
+    md5 hex digests); bench/production use the xxhash64 keying."""
+    from delfos_etl_pipeline_spark.dedup.minhash import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, hash_fn="md5"
+    )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 = 0 AS is_new,
+             regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, is_new,
+             list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + 2), ' ')
+             )) AS shingles
+      FROM d
+    ),
+    sig AS (
+      SELECT doc_id, is_new,
+             list_transform(range(0, 64), i ->
+               list_min(list_transform(shingles,
+                 s -> md5(i::VARCHAR || '|' || s)))) AS sg
+      FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+      SELECT doc_id, is_new, band,
+             md5(array_to_string(
+               list_slice(sg, band * 4 + 1, band * 4 + 4), '|')) AS bucket
+      FROM sig, unnest(range(0, 16)) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.is_new AND NOT b.is_new
+    ),
+    j AS (
+      SELECT c.doc_new, c.doc_old,
+             len(list_intersect(x.shingles, y.shingles)) AS shared,
+             len(x.shingles) AS sa, len(y.shingles) AS sb
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_new
+      JOIN sh y ON y.doc_id = c.doc_old
+    )
+    SELECT doc_new, doc_old,
+           round(shared * 1.0 / (sa + sb - shared), 6) AS jaccard
+    FROM j
+    WHERE round(shared * 1.0 / (sa + sb - shared), 6) >= 0.6
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental near-dedup — the nightly-ingest shape: flag NEW batch
+    documents (doc_id % 3 == 0 as the stand-in arrival batch) that are
+    near-dups of the EXISTING corpus (the rest), via MinHash band buckets
+    joined batch×corpus only (never corpus×corpus), verified with exact
+    Jaccard ≥ 0.6. md5-keyed so the whole pipeline — signatures, band
+    buckets, cross-corpus candidates, verify — is reproduced bit-exactly
+    by the oracle; production uses xxhash64 keying and persists the
+    corpus-side buckets once per corpus version
+    (dedup/minhash.py minhash_lsh_pairs_incremental)."""
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    return minhash_lsh_pairs_incremental(
+        batch, corpus, "doc_id", "text", n=3, threshold=0.6, hash_fn="md5"
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.4): broadcast the
+    normalized reference matrix, one BLAS matmul per Arrow batch, emit
+    each unordered pair once (dedup/embedding.py). The semantic tier of
+    the dedup family; the testdata embeddings are synthetic/near-uniform
+    so the threshold sits in the far tail rather than at a realistic 0.9."""
+    from delfos_etl_pipeline_spark.dedup.embedding import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+def _embedding_lsh_oracle_sql(
+    n_bands: int = 4,
+    planes_per_band: int = 8,
+    dim: int = 64,
+    threshold: float = 0.4,
+) -> str:
+    """SQL twin of dedup.embedding.embedding_near_dup_pairs_lsh: the
+    hyperplanes are deterministic (same seeded integer mix as the Spark
+    side), so band buckets — and therefore the approximate candidate set —
+    are exactly reproducible. Valid while no (band, bucket) group exceeds
+    the salt cap (max occupancy ≈28 across the sf0.001–0.1 corpora vs the
+    1000 default), so the salt column is identically 0 on both sides."""
+    from delfos_etl_pipeline_spark.similarity.knn import _hyperplane
+
+    planes = _hyperplane(n_bands * planes_per_band, dim)
+    bands = []
+    for j in range(n_bands):
+        terms = " + ".join(
+            f"{1 << i} * (CASE WHEN list_dot_product(e, {planes[j * planes_per_band + i]}) > 0 THEN 1 ELSE 0 END)"
+            for i in range(planes_per_band)
+        )
+        bands.append(f"({terms})")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, e, [{", ".join(bands)}] AS bks FROM v),
+    bb AS (
+      SELECT vec_id, band, bks[band + 1] AS bucket
+      FROM b, unnest(range(0, {n_bands})) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM bb a JOIN bb c ON a.band = c.band AND a.bucket = c.bucket
+      WHERE a.vec_id < c.vec_id
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+    SELECT c.id_a, c.id_b,
+           round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) AS cosine_sim
+    FROM cand c
+    JOIN n x ON x.vec_id = c.id_a
+    JOIN n y ON y.vec_id = c.id_b
+    WHERE round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) >= {threshold}
+    """
+
+
+@query("dedup_embedding_lsh", oracle=_embedding_lsh_oracle_sql())
+def dedup_embedding_lsh(spark, sf_dir):
+    """Banded hyperplane-LSH near-dup pairs (cosine ≥ 0.4) — the
+    PRODUCTION corpus-scale path the bench headlines, registered under the
+    same name so the correctness row certifies the benched code. 4 bands ×
+    8 planes, salted occupancy cap (inactive at these corpus sizes — see
+    oracle docstring), exact cosine verify on candidates."""
+    from delfos_etl_pipeline_spark.dedup.embedding import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_lsh(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@query("dedup_minhash_lsh_prod")
+def dedup_minhash_lsh_prod(spark, sf_dir):
+    """dedup_minhash_lsh's PRODUCTION keying (xxhash64 signatures/buckets;
+    8-byte keys, no hex materialization) — registered so the benched path
+    has its own correctness row. xxhash64 is not reproducible in DuckDB,
+    so this is a rows-only check; the md5-keyed twin (dedup_minhash_lsh)
+    proves the identical pipeline bit-exactly, and tests/test_dedup.py
+    pins both keyings to the same verified-Jaccard pair semantics."""
+    from delfos_etl_pipeline_spark.dedup.minhash import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+@query("dedup_simhash_prod")
+def dedup_simhash_prod(spark, sf_dir):
+    """dedup_simhash's PRODUCTION keying (one xxhash64 per word vs 16 md5
+    nibble extractions). Rows-only for the same reason as
+    dedup_minhash_lsh_prod; the md5-keyed twin carries the exact oracle."""
+    from delfos_etl_pipeline_spark.dedup.simhash import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", hamming_max=3)
+
+
+# SimHash oracle building blocks — 16 md5 nibbles per word, 64 signed bit
+# sums per doc, then per-pair Hamming over the sign bits. Generated rather
+# than hand-written: 64 structurally identical clauses.
+_SIMHASH_NIBS = ", ".join(
+    f"strpos('0123456789abcdef', substr(md5(word), {c + 1}, 1)) - 1 AS n{c}"
+    for c in range(16)
+)
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN ((n{i // 4} >> {i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(64)
+)
+_SIMHASH_BITS = ", ".join(f"CASE WHEN s{i} > 0 THEN 1 ELSE 0 END" for i in range(64))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+      FROM documents
+    ),
+    nib AS (SELECT doc_id, {_SIMHASH_NIBS} FROM words),
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM nib GROUP BY doc_id),
+    bits AS (SELECT doc_id, [{_SIMHASH_BITS}] AS b FROM sums),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> abs(a.b[i] - c.b[i]))) AS INTEGER) AS hamming
+      FROM bits a JOIN bits c ON a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs with Hamming ≤ 3 via pigeonhole banding
+    (exact w.r.t. the signature, no recall loss). Registered in md5-keyed
+    mode (bit i of a word = bit i%4 of md5 hex nibble i//4) so the DuckDB
+    oracle recomputes identical signatures; the oracle verifies the banded
+    join against a brute-force all-pairs Hamming filter — banding must
+    lose nothing. xxhash64 keying stays the bench/production default."""
+    from delfos_etl_pipeline_spark.dedup.simhash import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", hamming_max=3, hash_fn="md5")

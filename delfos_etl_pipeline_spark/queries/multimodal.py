@@ -1,0 +1,88 @@
+"""Multimodal binary payload columns: metadata projection and Arrow-batched byte-histogram features (SURVEY §7 M5).
+
+Split from the monolithic queries.py registry (round 4); behavior
+unchanged — importing this module registers its queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.queries._registry import _t, query
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (SURVEY §7 M5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark, sf_dir):
+    """Binary payload column + typed metadata struct — metadata-only reads
+    prune the payload column entirely (columnar win at 100 TB)."""
+    from delfos_etl_pipeline_spark.multimodal.binary import attach_binary_payload
+
+    docs = _t(spark, sf_dir, "documents")
+    bin_df = attach_binary_payload(docs, "doc_id", "text")
+    return bin_df.select("doc_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.mime").alias("mime"))
+
+
+@query(
+    "mm_byte_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+             list_transform(range(1, length(text) + 1),
+               i -> unicode(substr(text, i, 1)) // 16) AS bins
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, n_bytes,
+             list_transform(range(0, 16),
+               k -> CAST(len(list_filter(bins, x -> x = k)) AS BIGINT)) AS counts
+      FROM b
+    )
+    SELECT doc_id, n_bytes,
+           round(-list_sum(list_transform(
+             list_filter(list_transform(counts, c -> c * 1.0 / n_bytes),
+                         x -> x > 0),
+             x -> x * log2(x))), 6) AS entropy,
+           array_to_string(counts, ',') AS feature_sig
+    FROM h
+    """,
+)
+def mm_byte_histogram(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction (16-bin byte histogram
+    + entropy) over binary payloads — the real-decoder batch contract.
+
+    Compared contract is scalar-only (driver canonicalizers cannot sort
+    array columns): the histogram is emitted as ``feature_sig``, a
+    comma-joined string of the 16 exact integer bin counts — no float
+    rounding in the compared feature at all. The normalized
+    ``array<double>`` form stays available from
+    ``byte_histogram_features`` for downstream model consumers.
+
+    Oracle-validity guard: the payload is UTF-8 text and the driver corpus
+    is pure ASCII (one byte per codepoint), so the DuckDB oracle mirrors
+    the byte stream via ``unicode(substr(...))``. Non-ASCII text would
+    break that mirror — the oracle is valid only for ASCII corpora (the
+    generator's documents table is; see TESTDATA.md)."""
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        attach_binary_payload,
+        byte_histogram_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = byte_histogram_features(attach_binary_payload(docs, "doc_id", "text"))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "entropy",
+        F.array_join(F.col("counts").cast("array<string>"), ",").alias("feature_sig"),
+    )

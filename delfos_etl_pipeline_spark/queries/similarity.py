@@ -1,0 +1,203 @@
+"""Similarity search: brute-force / all-pairs / LSH-bucketed kNN and the IVF build/probe index (SURVEY §7 M5).
+
+Split from the monolithic queries.py registry (round 4); behavior
+unchanged — importing this module registers its queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.queries._registry import _t, query
+
+# ---------------------------------------------------------------------------
+# Similarity search (SURVEY §7 M5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(
+             list_dot_product(e.embedding::DOUBLE[], q.qv) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 vs a fixed query vector (vec_id=0) — one scan,
+    expression-level dot products, TakeOrderedAndProject top-k."""
+    from delfos_etl_pipeline_spark.similarity.knn import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return brute_force_topk(
+        emb.where(F.col("vec_id") != 0), qvec, "vec_id", "embedding", k=10
+    )
+
+
+@query(
+    "sim_knn_allpairs",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine_sim,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.e, b.e) / (a.nrm * b.nrm) DESC, b.vec_id
+           ) AS rank
+    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    QUALIFY rank <= 5
+    """,
+)
+def sim_knn_allpairs(spark, sf_dir):
+    """Exact 5-NN for every vector — broadcast reference matrix + Arrow
+    batches + one BLAS matmul per batch (similarity/knn.py
+    all_pairs_topk_blas); ~10× the interpreted-expression N² plan."""
+    from delfos_etl_pipeline_spark.similarity.knn import all_pairs_topk_blas
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return all_pairs_topk_blas(emb, "vec_id", "embedding", k=5)
+
+
+def _lsh_oracle_sql(n_planes: int = 4, dim: int = 64) -> str:
+    """SQL twin of knn.lsh_bucketed_topk: the hyperplanes are deterministic
+    (seeded integer mix), so the bucket assignment — and therefore the
+    approximate result — is exactly reproducible in the oracle. The plane
+    vectors are inlined as literals; the query vector's bucket is computed
+    in-SQL from the vec_id=0 row with the same expression."""
+    from delfos_etl_pipeline_spark.similarity.knn import _hyperplane
+
+    planes = _hyperplane(n_planes, dim)
+    bucket_terms = " + ".join(
+        f"{1 << i} * (CASE WHEN list_dot_product(e, {plane}) > 0 THEN 1 ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, e, {bucket_terms} AS bucket FROM v),
+    q AS (SELECT e AS qe, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT b.vec_id,
+           round(list_dot_product(b.e, q.qe) /
+                 (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(q.qe, q.qe))),
+                 6) AS cosine_sim
+    FROM b, q
+    WHERE b.vec_id <> 0 AND b.bucket = q.qbucket
+    ORDER BY cosine_sim DESC, b.vec_id
+    LIMIT 10
+    """
+
+
+@query("sim_lsh_bucketed", oracle=_lsh_oracle_sql())
+def sim_lsh_bucketed(spark, sf_dir):
+    """Random-hyperplane LSH-bucketed ANN top-10 for the vec_id=0 query —
+    scans one of 256 buckets instead of the corpus."""
+    from delfos_etl_pipeline_spark.similarity.knn import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    # 4 planes → 16 buckets: sized so a 500-vector corpus keeps ~30
+    # candidates per bucket; at corpus scale raise n_planes to keep the
+    # per-bucket candidate count roughly constant.
+    return lsh_bucketed_topk(
+        emb.where(F.col("vec_id") != 0), qvec, "vec_id", "embedding", k=10, n_planes=4
+    )
+
+
+@query(
+    "sim_ivf_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v
+      WHERE vec_id <> 0 ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT v.vec_id, v.e, c.cid,
+             list_dot_product(v.e, c.ce) /
+               (sqrt(list_dot_product(v.e, v.e)) *
+                sqrt(list_dot_product(c.ce, c.ce))) AS sim
+      FROM v JOIN cent c ON true
+      WHERE v.vec_id <> 0
+    ),
+    assign AS (
+      SELECT vec_id, e, cid AS cluster FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+    ),
+    probe AS (
+      SELECT c.cid FROM cent c, q
+      ORDER BY list_dot_product(c.ce, q.qe) /
+               (sqrt(list_dot_product(c.ce, c.ce)) *
+                sqrt(list_dot_product(q.qe, q.qe))) DESC, c.cid
+      LIMIT 2
+    )
+    SELECT a.vec_id,
+           round(list_dot_product(a.e, q.qe) /
+                 (sqrt(list_dot_product(a.e, a.e)) *
+                  sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine_sim
+    FROM assign a, q
+    WHERE a.cluster IN (SELECT cid FROM probe)
+    ORDER BY cosine_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF ANN top-10 for the vec_id=0 query: coarse quantizer (8 cells),
+    probe the 2 nearest cells, exact cosine inside them (similarity/
+    ivf.py). Registered with the DETERMINISTIC build (centroids = the 8
+    lowest corpus ids, one argmax-cosine assignment step) so cell
+    membership — and therefore the ANN result — is reproduced exactly by
+    the oracle; build_ivf_index (seeded k-means) is the quantizer-quality
+    path with the identical probe plan. With the index persisted
+    partitionBy(cluster), each probe is a partition-pruned scan of
+    n_probe/n_clusters of the corpus — build-once/search-many."""
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        build_ivf_index_fixed,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    assigned, centroids = build_ivf_index_fixed(
+        emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
+    )
+    return ivf_topk(assigned, centroids, qvec, "vec_id", "embedding", k=10, n_probe=2)
+
+
+@query("sim_ivf_topk_prod")
+def sim_ivf_topk_prod(spark, sf_dir):
+    """sim_ivf_topk with the PRODUCTION quantizer (seeded k-means via
+    pyspark.ml, better cell balance than the fixed-centroid oracle build) —
+    registered so the benched path has its own correctness row. K-means
+    cell boundaries aren't reproducible in SQL, so rows-only; the probe
+    plan (partition-pruned cells + exact cosine + top-k) is identical to
+    the exact-oracled sim_ivf_topk."""
+    from delfos_etl_pipeline_spark.similarity.ivf import build_ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    assigned, centroids = build_ivf_index(
+        emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
+    )
+    return ivf_topk(assigned, centroids, qvec, "vec_id", "embedding", k=10, n_probe=2)

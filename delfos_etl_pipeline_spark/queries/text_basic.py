@@ -1,0 +1,117 @@
+"""Text analysis: stats, language id, fingerprinting, token counting (SURVEY §7 M5).
+
+Split from the monolithic queries.py registry (round 4); behavior
+unchanged — importing this module registers its queries.
+"""
+
+from __future__ import annotations
+
+
+from delfos_etl_pipeline_spark.queries._registry import _t, query
+
+# ---------------------------------------------------------------------------
+# Text analysis (SURVEY §7 M5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(words) AS n_words,
+           len(list_distinct(words)) AS n_distinct_words,
+           round((length(text) - (len(words) - 1)) * 1.0 / len(words), 6) AS avg_word_len,
+           round(len(list_filter(words, x -> x IN ('the','a','of','and','in','to','is')))
+                 * 1.0 / len(words), 6) AS stopword_ratio,
+           len(regexp_extract_all(text, '[a-zA-Z]+')) AS alpha_token_count,
+           round(len(list_distinct(words)) * 1.0 / len(words), 6) AS diversity,
+           round(least(len(words) / 100.0, 1.0) * 0.4
+                 + round(len(list_distinct(words)) * 1.0 / len(words), 6) * 0.4
+                 + least(round(len(list_filter(words, x -> x IN ('the','a','of','and','in','to','is')))
+                               * 1.0 / len(words), 6) * 5.0, 1.0) * 0.2, 6) AS quality_score
+    FROM w
+    """,
+)
+def text_stats_q(spark, sf_dir):
+    """Quality scoring: length/diversity/stopword statistics + a blended
+    [0,1] quality score — all codegen expressions."""
+    from delfos_etl_pipeline_spark.text.analysis import text_stats
+
+    return text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             len(list_filter(words, x -> x IN ('the','and','of','a','in')))   AS hits_en,
+             len(list_filter(words, x -> x IN ('der','die','und','das','ist'))) AS hits_de,
+             len(list_filter(words, x -> x IN ('le','la','et','les','des')))  AS hits_fr,
+             len(list_filter(words, x -> x IN ('el','los','y','que','una')))  AS hits_es
+      FROM w
+    )
+    SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+           CASE
+             WHEN hits_en > 0 AND hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+             WHEN hits_de > 0 AND hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+             WHEN hits_fr > 0 AND hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+             WHEN hits_es > 0 AND hits_es = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'es'
+             ELSE 'unk'
+           END AS lang_guess
+    FROM h
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Stopword-marker language heuristic with deterministic argmax."""
+    from delfos_etl_pipeline_spark.text.analysis import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(
+             list_sort(list_distinct(regexp_split_to_array(lower(text), '\\s+'))),
+             ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Canonical-form document fingerprint: md5 of the sorted distinct
+    word bag — order/duplication-invariant dedup key."""
+    from delfos_etl_pipeline_spark.text.analysis import document_fingerprint
+
+    return document_fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(lower(text), '\\s+'))      AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+'))           AS n_word_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                                                                AS n_bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting at three granularities — whitespace, letter-run
+    words, and BPE-style pre-tokenization (letter runs + digit runs +
+    single punctuation marks): the cheap LLM-token-budget proxy. The
+    pattern sticks to ASCII classes so Java regex and the DuckDB RE2
+    oracle count identically."""
+    from delfos_etl_pipeline_spark.text.analysis import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")

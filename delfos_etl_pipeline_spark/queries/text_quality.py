@@ -1,0 +1,291 @@
+"""Quality signals, PII redaction, normalization, corpus n-grams, train sharding, embedding quantization (SURVEY §7 M5).
+
+Split from the monolithic queries.py registry (round 4); behavior
+unchanged — importing this module registers its queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.queries._registry import _t, query
+
+# ---------------------------------------------------------------------------
+# Quality filtering, PII redaction, normalization, corpus n-grams,
+# train-shard shuffle, embedding quantization (SURVEY §7 M5 extension;
+# text/quality.py, text/redact.py, operators/sharding.py,
+# similarity/quantize.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality_gopher",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_symbols,
+             regexp_split_to_array(lower(text), '\\s+') AS wa
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, n_chars, n_symbols,
+             CAST(len(wa) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(wa)) AS BIGINT) AS n_distinct_words
+      FROM base
+    ),
+    wc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(wa) AS w FROM base) GROUP BY 1, 2
+    ),
+    wtop AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_cnt
+             FROM wc GROUP BY 1),
+    bc AS (
+      SELECT doc_id, b, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(wa)),
+                          i -> wa[i] || ' ' || wa[i+1])) AS b
+            FROM base) GROUP BY 1, 2
+    ),
+    btop AS (SELECT doc_id, CAST(max(c * (length(b) - 1)) AS BIGINT)
+               AS top_bigram_chars
+             FROM bc GROUP BY 1),
+    sig AS (
+      SELECT s.doc_id, s.n_chars, s.n_words,
+             round(coalesce(w.top_word_cnt, 0) / s.n_words, 6)
+               AS top_word_frac,
+             round(coalesce(b.top_bigram_chars, 0) / s.n_chars, 6)
+               AS top_bigram_char_frac,
+             round(1 - s.n_distinct_words / s.n_words, 6) AS dup_word_frac,
+             round(s.n_symbols / s.n_words, 6) AS symbol_word_ratio,
+             round((s.n_chars - (s.n_words - 1)) / s.n_words, 6)
+               AS mean_word_len
+      FROM stats s
+      LEFT JOIN wtop w USING (doc_id)
+      LEFT JOIN btop b USING (doc_id)
+    )
+    SELECT *,
+           CAST(top_word_frac <= 0.20 AND top_bigram_char_frac <= 0.18
+                AND dup_word_frac <= 0.60 AND symbol_word_ratio <= 0.10
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AS INT) AS quality_pass
+    FROM sig
+    """,
+)
+def text_quality_gopher(spark, sf_dir):
+    """Gopher-style repetition/quality signals per document (top-word
+    fraction, top-2-gram character fraction, duplicate-word fraction,
+    symbol ratio, mean word length) + a 0/1 pass flag — the cleaning-pass
+    thresholds a pretraining corpus filters on. Explode + two-level
+    aggregation keyed by doc_id, never per-row quadratic scans
+    (text/quality.py)."""
+    from delfos_etl_pipeline_spark.text.quality import quality_signals
+
+    return quality_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+#: Deterministic PII injection shared by the Spark plan and the oracle —
+#: the synthetic corpus has no real PII, so both engines append the same
+#: synthetic email/IP/phone and the redactor must strip them identically.
+_PII_SUFFIX_SPARK = lambda: F.concat(  # noqa: E731
+    F.col("text"),
+    F.lit(" contact u"),
+    F.col("doc_id").cast("string"),
+    F.lit("@ex.com ip 10.0."),
+    (F.col("doc_id") % 256).cast("string"),
+    F.lit(".7 tel 555-"),
+    (1000 + F.col("doc_id") % 9000).cast("string"),
+)
+
+_PII_SUFFIX_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com ip 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-' || "
+    "CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+
+
+def _pii_oracle_sql() -> str:
+    from delfos_etl_pipeline_spark.text.redact import PII_PATTERNS
+
+    repl = f"({_PII_SUFFIX_SQL})"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({repl}, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    for _, pat, sub in PII_PATTERNS:
+        repl = f"regexp_replace({repl}, '{pat}', '{sub}', 'g')"
+    return f"SELECT doc_id, {counts}, {repl} AS redacted FROM documents"
+
+
+@query("text_pii_redact", oracle=_pii_oracle_sql())
+def text_pii_redact(spark, sf_dir):
+    """PII redaction over a deterministically PII-injected corpus: count
+    then strip emails / IPv4s / phone numbers with ordered regexp_replace
+    chains (Java-regex ∩ RE2 subset, so the DuckDB oracle byte-matches the
+    redacted text). Pure expression chain — scan throughput at 100 TB
+    (text/redact.py)."""
+    from delfos_etl_pipeline_spark.text.redact import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _PII_SUFFIX_SPARK().alias("text")
+    )
+    return redact_pii(docs, "doc_id", "text")
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    WITH messy AS (
+      SELECT doc_id,
+             chr(9) || upper(text) || '  ' || chr(13) || ' end.' AS mtext
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, mtext,
+             lower(trim(regexp_replace(
+               regexp_replace(mtext,
+                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'),
+               '\\s+', ' ', 'g'))) AS norm_text
+      FROM messy
+    )
+    SELECT doc_id, norm_text, md5(norm_text) AS norm_md5,
+           CAST(length(mtext) - length(norm_text) AS BIGINT) AS chars_removed
+    FROM n
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Whitespace/control-char normalization + content hash: the canonical
+    form exact dedup should key on, exercised on deliberately-messied text
+    (tab/CR injection, case flips) that both engines construct identically
+    (text/redact.py normalize_text)."""
+    from delfos_etl_pipeline_spark.text.redact import normalize_text
+
+    messy = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("\t"), F.upper("text"), F.lit("  \r end.")
+        ).alias("text"),
+    )
+    return normalize_text(messy, "doc_id", "text")
+
+
+@query(
+    "text_top_ngrams",
+    oracle="""
+    WITH base AS (
+      SELECT regexp_split_to_array(lower(text), '\\s+') AS wa FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(wa)),
+                    i -> wa[i] || ' ' || wa[i+1])) AS bigram
+      FROM base
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+    FROM bg GROUP BY 1
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams — the vocabulary/boilerplate audit
+    an ingest pipeline runs before filtering. Explode → hash aggregate
+    (map-side partial combine absorbs the token fan-out) → total-ordered
+    top-k via TakeOrderedAndProject; ties broken by bigram text so the
+    result set is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    # materialize the split before the pair-builder lambda (in-lambda
+    # expression references inline per element — the O(n²) trap fixed in
+    # text/quality.py); zip of two slices is linear
+    pre = docs.select(F.split(F.lower(F.col("text")), r"\s+").alias("_w"))
+    words = F.col("_w")
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        pre.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "shard_train_split",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS key
+      FROM documents
+    )
+    SELECT doc_id, CAST(key % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
+                AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def shard_train_split(spark, sf_dir):
+    """Deterministic global shuffle into 8 training shards with stable
+    within-shard positions — md5 keying so the oracle reproduces the exact
+    permutation (operators/sharding.py; xxhash64 is the production keying,
+    registered as shard_train_split_prod)."""
+    from delfos_etl_pipeline_spark.operators.sharding import shard_assignment
+
+    return shard_assignment(
+        _t(spark, sf_dir, "documents"), "doc_id", n_shards=8, seed=42, keying="md5"
+    )
+
+
+@query("shard_train_split_prod")
+def shard_train_split_prod(spark, sf_dir):
+    """Production keying of shard_train_split (xxhash64 — 8-byte JVM hash,
+    no hex string materialization; rows-only check, the md5 twin above
+    carries the exact oracle for the identical plan shape)."""
+    from delfos_etl_pipeline_spark.operators.sharding import shard_assignment
+
+    return shard_assignment(
+        _t(spark, sf_dir, "documents"), "doc_id", n_shards=8, seed=42,
+        keying="xxhash64",
+    )
+
+
+def _quantize_oracle_sql(dim: int = 64) -> str:
+    """SQL twin of similarity/quantize.py: per-dimension min/max fit in a
+    single aggregate, then the identical (sub, mul, div, floor, clamp)
+    expression shape so IEEE doubles agree bit-for-bit."""
+    mins = ", ".join(f"min(e[{i}])" for i in range(1, dim + 1))
+    maxs = ", ".join(f"max(e[{i}])" for i in range(1, dim + 1))
+    qexpr = (
+        "CASE WHEN mx[i] > mn[i] THEN least(255.0, greatest(0.0, "
+        "floor((e[i] - mn[i]) * 256.0 / (mx[i] - mn[i])))) ELSE 0.0 END"
+    )
+    deq = f"(mn[i] + ({qexpr} + 0.5) * (mx[i] - mn[i]) / 256.0)"
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    mm AS (SELECT [{mins}] AS mn, [{maxs}] AS mx FROM v)
+    SELECT vec_id,
+           array_to_string(list_transform(range(1, {dim + 1}),
+             i -> CAST(CAST({qexpr} AS BIGINT) AS VARCHAR)), ',') AS q_sig,
+           round(list_sum(list_transform(range(1, {dim + 1}),
+             i -> (e[i] - {deq}) * (e[i] - {deq}))) / {dim}, 9) AS recon_mse
+    FROM v, mm
+    """
+
+
+@query("emb_scalar_quantize", oracle=_quantize_oracle_sql())
+def emb_scalar_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding corpus (per-dimension
+    affine fit → uint8 codes + reconstruction MSE). Fit is one aggregate
+    reduced to 2·dim scalars; coding is a stateless broadcast-literal
+    projection — 4× storage cut at scan throughput
+    (similarity/quantize.py)."""
+    from delfos_etl_pipeline_spark.similarity.quantize import quantize
+
+    return quantize(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64)

@@ -1,0 +1,1221 @@
+"""Warehouse maintenance and event analytics: CDC merge/SCD2/diff, funnels, retention, anomaly flags, histograms, TWA, OLS trend, profiling, DQ expectations, session paths, weighted sampling, daily percentiles (exact + sketch).
+
+Split from the monolithic queries.py registry (round 4); behavior
+unchanged — importing this module registers its queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.functions.stable import (
+    round_half_up,
+    sql_round_half_up,
+)
+from delfos_etl_pipeline_spark.queries._registry import _t, query
+from delfos_etl_pipeline_spark.queries.windows_olap import _approx_rank_ok
+
+# ---------------------------------------------------------------------------
+# CDC / warehouse maintenance + event analytics (beyond the reference's
+# append-only ETL: MERGE, SCD2, funnels, retention, anomaly flags,
+# histograms, time-weighted aggregates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, value, last_ts FROM (
+        SELECT user_id, value, ts AS last_ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+      WHERE rn = 1
+    ), chg AS (
+      SELECT user_id, value, last_ts, op FROM (
+        SELECT user_id, value, ts AS last_ts,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+      WHERE rn = 1
+    )
+    SELECT coalesce(b.user_id, c.user_id) AS user_id,
+           CASE WHEN c.op = 'U' THEN c.value ELSE b.value END AS value,
+           CASE WHEN c.op = 'U' THEN c.last_ts ELSE b.last_ts END AS last_ts,
+           CAST(CASE WHEN c.op = 'U' THEN 1 ELSE 0 END AS INT) AS was_updated
+    FROM base b FULL JOIN chg c ON b.user_id = c.user_id
+    WHERE c.op IS NULL OR c.op = 'U'
+    """,
+)
+def cdc_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics on plain parquet (operators/cdc.py): the
+    pre-cutoff per-user snapshot is the base table, post-cutoff events are
+    the changeset ('error' ⇒ delete the key, anything else ⇒ upsert),
+    latest change per key wins. The reference only ever appends
+    (/root/reference/etl/etl_process.py:156-163); this is the mutation
+    shape a warehouse needs on top. Plan: two row_number windows + one
+    full-outer join, all hashed on user_id — one logical exchange at
+    scale."""
+    from delfos_etl_pipeline_spark.operators.cdc import merge_upsert
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    base = (
+        ev.filter(F.col("ts") < cut)
+        .select("user_id", "value", F.col("ts").alias("last_ts"), "event_id")
+    )
+    from delfos_etl_pipeline_spark.operators.cdc import latest_per_key
+
+    base = latest_per_key(base, "user_id", ("last_ts", "event_id")).drop("event_id")
+    changes = ev.filter(F.col("ts") >= cut).select(
+        "user_id",
+        "value",
+        F.col("ts").alias("last_ts"),
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return merge_upsert(base, changes, "user_id", "op", ("last_ts", "event_id"))
+
+
+@query(
+    "cdc_scd2_dim",
+    oracle="""
+    SELECT user_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def cdc_scd2_dim(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build from a change log
+    (operators/cdc.py): each purchase event opens a version interval
+    [valid_from, valid_to) closed by the user's next change; the open
+    interval is flagged is_current. One lead() window — single shuffle on
+    the business key."""
+    from delfos_etl_pipeline_spark.operators.cdc import scd2_from_changes
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return scd2_from_changes(
+        ev, "user_id", "ts", ("ts", "event_id"), ("value",)
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS f1
+      FROM events
+    ), s2 AS (
+      SELECT *, max(CASE WHEN event_type = 'view' AND f1 = 1
+                         THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS f2
+      FROM s1
+    ), s3 AS (
+      SELECT *, max(CASE WHEN event_type = 'click' AND f2 = 1
+                         THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS f3
+      FROM s2
+    ), s4 AS (
+      SELECT *, max(CASE WHEN event_type = 'purchase' AND f3 = 1
+                         THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS f4
+      FROM s3
+    ), u AS (
+      SELECT user_id, max(f1) AS f1, max(f2) AS f2,
+             max(f3) AS f3, max(f4) AS f4
+      FROM s4 GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(f1) AS BIGINT) AS n_step_1,
+           CAST(sum(f2) AS BIGINT) AS n_step_2,
+           CAST(sum(f3) AS BIGINT) AS n_step_3,
+           CAST(sum(f4) AS BIGINT) AS n_step_4
+    FROM u
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Strictly-ordered funnel signup → view → click → purchase
+    (operators/funnel.py, the ClickHouse windowFunnel shape): running-max
+    flags over ONE (user, ts) sort — step i counts only if steps 1..i-1
+    already completed earlier in the same user's history. Per-user state
+    is O(steps), no event-list materialization; the user_id exchange is
+    the only shuffle."""
+    from delfos_etl_pipeline_spark.operators.funnel import funnel_stages
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_stages(
+        ev, "user_id", "ts", "event_type",
+        ("signup", "view", "click", "purchase"), "event_id",
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH e AS (
+      SELECT user_id AS usr, date_trunc('week', ts) AS wk FROM events
+    ), c AS (
+      SELECT usr, wk, min(wk) OVER (PARTITION BY usr) AS cohort_week FROM e
+    ), d AS (
+      SELECT DISTINCT usr, cohort_week,
+             CAST((epoch(wk) - epoch(cohort_week)) / 604800 AS BIGINT)
+               AS week_offset
+      FROM c
+    )
+    SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_active
+    FROM d GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention (operators/funnel.py): cohort = Monday week
+    of each user's first event (unbounded window min — keeps rows, avoids
+    the aggregate-and-rejoin double shuffle), activity = distinct whole-week
+    offsets, counts = distinct users per (cohort, offset). Week arithmetic
+    in exact epoch seconds so both engines bucket identically."""
+    from delfos_etl_pipeline_spark.operators.funnel import (
+        retention_cohorts as _cohorts,
+    )
+
+    return _cohorts(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@query(
+    "anomaly_zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, event_type, value,
+             count(value) OVER (PARTITION BY event_type) AS n_,
+             CAST(sum(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY event_type) AS DOUBLE) AS s_,
+             CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY event_type) AS DOUBLE) AS ss_
+      FROM events
+    ), z AS (
+      SELECT event_id, event_type, value,
+             (value - s_ / n_)
+               / sqrt(greatest((ss_ - s_ * s_ / n_) / (n_ - 1), 0.0)) AS z_
+      FROM s
+    )
+    SELECT event_id, event_type, value,
+           {sql_round_half_up("z_", 4)} AS zscore
+    FROM z WHERE abs(z_) > 3.0
+    """,
+)
+def anomaly_zscore(spark, sf_dir):
+    """Population z-score outlier flags per event_type: one whole-partition
+    window computes (n, Σv, Σv²) — exact decimal sums so both engines see
+    bit-identical doubles — then |z| > 3 marks anomalies. Unlike a
+    groupBy+rejoin this keeps rows flowing through a single exchange; at
+    100 TB the per-type state is three scalars."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    dec = F.col("value").cast("decimal(18,6)")
+    s = F.sum(dec).over(w).cast("double")
+    n = F.count("value").over(w)
+    ss = F.sum(dec * dec).over(w).cast("double")
+    zed = (F.col("value") - s / n) / F.sqrt(
+        F.greatest((ss - s * s / n) / (n - 1), F.lit(0.0))
+    )
+    return (
+        ev.select("event_id", "event_type", "value", zed.alias("z_"))
+        .filter(F.abs(F.col("z_")) > 3.0)
+        .select(
+            "event_id", "event_type", "value",
+            round_half_up(F.col("z_"), 4).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "hist_equiwidth",
+    oracle=f"""
+    WITH mm AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    ), b AS (
+      SELECT CAST(least(19.0, floor((o_totalprice - mn) * 20.0 / (mx - mn)))
+                  AS BIGINT) AS bucket,
+             mn, mx
+      FROM orders, mm
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_round_half_up("min(mn) + bucket * (max(mx) - min(mn)) / 20.0", 4)}
+             AS bucket_lo
+    FROM b GROUP BY bucket
+    """,
+)
+def hist_equiwidth(spark, sf_dir):
+    """Equi-width 20-bucket histogram of order totals: global min/max
+    reduce to ONE broadcast row (no collect — the 1-row aggregate is
+    cross-joined, so the plan stays fully distributed and the binning
+    projection is codegen), then a bucket group-by. The histogram shape
+    every profiler/BI layer needs; bucket edges derived with the identical
+    IEEE expression on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    mm = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    p = F.col("o_totalprice")
+    bucket = (
+        F.least(
+            F.lit(19.0),
+            F.floor((p - F.col("mn")) * 20.0 / (F.col("mx") - F.col("mn"))).cast(
+                "double"
+            ),
+        )
+    ).cast("bigint")
+    return (
+        orders.crossJoin(F.broadcast(mm))
+        .select(bucket.alias("bucket"), "mn", "mx")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            round_half_up(
+                F.min("mn") + F.col("bucket") * (F.max("mx") - F.min("mn")) / 20.0,
+                4,
+            ).alias("bucket_lo"),
+        )
+        .select("bucket", "n_orders", "bucket_lo")
+    )
+
+
+@query(
+    "twa_daily",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS bucket_start,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type,
+                                      time_bucket(INTERVAL 1 DAY, ts)
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT event_type, bucket_start,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           {sql_round_half_up(
+               "CAST(sum(v * dt_us) AS DOUBLE) / CAST(sum(dt_us) AS DOUBLE)", 6
+           )} AS twa
+    FROM s WHERE dt_us IS NOT NULL
+    GROUP BY event_type, bucket_start
+    """,
+)
+def twa_daily(spark, sf_dir):
+    """Time-weighted daily average per event_type for irregular samples
+    (TimescaleDB time_weight, operators/rollup.py:time_weighted_avg):
+    LOCF hold-durations in exact integer microseconds, value·µs products
+    summed in decimal — the closing division is the only float op. One
+    (type, day) shuffle; per-row state is a single lead."""
+    from delfos_etl_pipeline_spark.operators.rollup import time_weighted_avg
+
+    return time_weighted_avg(
+        _t(spark, sf_dir, "events"), "ts", "value", "event_type",
+        bucket="1 day", tiebreak="event_id",
+    ).select("event_type", "bucket_start", "n_spans", "twa")
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_id, ts, value FROM events
+    """,
+)
+def streaming_dedup(spark, sf_dir):
+    """Exactly-once landing from an at-least-once stream:
+    dropDuplicatesWithinWatermark over event_id on a stream that delivers
+    EVERY row twice (the union'd parquet replays as separate files). State
+    is bounded by the watermark — dedup keys older than the event-time
+    horizon are evicted, which is what makes streaming dedup feasible on an
+    unbounded stream (a plain dropDuplicates would grow state forever).
+    The drained sink must equal the original table exactly."""
+    import os as _os
+    import tempfile
+
+    from delfos_etl_pipeline_spark.streaming.runner import (
+        read_parquet_stream,
+        run_available_now,
+    )
+
+    base = tempfile.mkdtemp(prefix="delfos_dedup_")
+    src = _os.path.join(base, "src")
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    # two identical deliveries, two files — the file source replays both
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_parquet_stream(spark, src, ev.schema)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = run_available_now(
+        deduped,
+        _os.path.join(base, "ckpt"),
+        "streaming_dedup_sink",
+        output_mode="append",
+    )
+    q.awaitTermination(300)
+    return spark.table("streaming_dedup_sink")
+
+
+@query(
+    "w5_ntile_dist",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS BIGINT)
+             AS quartile,
+           {sql_round_half_up(
+               "percent_rank() OVER (PARTITION BY c_mktsegment "
+               "ORDER BY c_acctbal, c_custkey)", 6
+           )} AS pct_rank,
+           {sql_round_half_up(
+               "cume_dist() OVER (PARTITION BY c_mktsegment "
+               "ORDER BY c_acctbal, c_custkey)", 6
+           )} AS cum_dist
+    FROM customer
+    """,
+)
+def w5_ntile_dist(spark, sf_dir):
+    """Distribution windows the w1-w4 suite doesn't cover: ntile bucketing
+    plus percent_rank/cume_dist relative positions per market segment —
+    the quantile-assignment shape (customer scoring, percentile feature
+    engineering). Deterministic under the (acctbal, custkey) total order;
+    both ratio functions are single IEEE divisions of identical integer
+    ranks, rounded half-up identically."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    WITH s AS (
+      SELECT 'o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    )
+    SELECT col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(v) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           min(v) AS min_val, max(v) AS max_val
+    FROM s GROUP BY col_name
+    """,
+)
+def profile_columns(spark, sf_dir):
+    """One-pass multi-column data-profiling sweep (the df.summary /
+    profiler surface): unpivot the audited columns into (col_name, value)
+    rows, then a single grouped aggregate yields per-column row/null/
+    distinct counts and min/max. Numerics are profiled through a
+    locale-free integer cast (double→string formatting is not
+    cross-engine stable, so doubles are excluded by contract). One
+    shuffle regardless of how many columns are audited."""
+    orders = _t(spark, sf_dir, "orders")
+    s = orders.select(
+        F.expr(
+            "stack(3,"
+            " 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority,"
+            " 'o_custkey', CAST(o_custkey AS STRING)"
+            ") AS (col_name, v)"
+        )
+    )
+    return s.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).cast("bigint").alias("n_null"),
+        F.countDistinct("v").cast("bigint").alias("n_distinct"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle=f"""
+    WITH dim AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), p AS (
+      SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events
+    ), j AS (
+      SELECT time_bucket(INTERVAL 1 DAY, e.ts) AS window_start,
+             d.cohort_week, e.value
+      FROM events e JOIN dim d ON e.user_id = d.user_id
+    )
+    SELECT window_start, cohort_week,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {sql_round_half_up(
+               "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)", 4
+           )} AS value_sum
+    FROM j, p
+    GROUP BY window_start, cohort_week, wm
+    HAVING window_start + INTERVAL 1 DAY <= wm
+    """,
+)
+def streaming_static_enrich(spark, sf_dir):
+    """Stream–static enrichment: a watermarked event stream joins a
+    broadcast batch dimension (per-user cohort week) BEFORE a windowed
+    aggregate — the standard "enrich the firehose with a small dim"
+    topology. The static side is planned as a broadcast hash join per
+    micro-batch (no stream-side shuffle for the join); append mode emits
+    only finalized windows, so the oracle keeps exactly the windows whose
+    end precedes the final watermark (max ts − 1 h)."""
+    import os as _os
+    import tempfile
+
+    from delfos_etl_pipeline_spark.streaming.runner import (
+        read_parquet_stream,
+        run_available_now,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    dim = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+
+    base = tempfile.mkdtemp(prefix="delfos_enrich_")
+    src = _os.path.join(base, "src")
+    ev.write.parquet(src)
+
+    stream = read_parquet_stream(spark, src, ev.schema)
+    dec = F.col("value").cast("decimal(18,6)")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 day"), "cohort_week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(dec).alias("_s"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "cohort_week",
+            "n_events",
+            round_half_up(F.col("_s").cast("double"), 4).alias("value_sum"),
+        )
+    )
+    q = run_available_now(
+        agg,
+        _os.path.join(base, "ckpt"),
+        "streaming_static_enrich_sink",
+        output_mode="append",
+    )
+    q.awaitTermination(300)
+    return spark.table("streaming_static_enrich_sink")
+
+
+@query(
+    "trend_slope_daily",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS day,
+             (epoch_us(ts) - epoch_us(time_bucket(INTERVAL 1 DAY, ts)))
+               // 1000000 AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events
+    ), a AS (
+      SELECT event_type, day,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(x * x) AS sxx,
+             sum(y) AS sy, sum(x * y) AS sxy
+      FROM s GROUP BY event_type, day
+    )
+    SELECT event_type, day, n,
+           {sql_round_half_up(
+               "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+               " / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))",
+               9,
+           )} AS slope,
+           {sql_round_half_up(
+               "(CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)"
+               " * CAST(sy AS DOUBLE)) / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+               " * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n",
+               6,
+           )} AS intercept
+    FROM a WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+)
+def trend_slope_daily(spark, sf_dir):
+    """Per-(event_type, day) least-squares trend — regression analytics as
+    ONE aggregate, no UDF, no MLlib: x = seconds into the day (exact
+    BIGINT), y in exact decimal, so the five sufficient statistics
+    (n, Σx, Σx², Σy, Σxy) are order-independent and the closed-form
+    slope/intercept divisions see bit-identical operands on any engine.
+    The same shape distributes at 100 TB: partial aggregation map-side,
+    five numbers per group, one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.window("ts", "1 day").start.alias("day")
+    x = (F.unix_timestamp("ts") - F.unix_timestamp(F.date_trunc("day", "ts"))).cast(
+        "bigint"
+    )
+    y = F.col("value").cast("decimal(18,6)")
+    a = (
+        ev.select("event_type", day, x.alias("x"), y.alias("y"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return (
+        a.filter((n >= 2) & (n * F.col("sxx") - F.col("sx") * F.col("sx") != 0))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            round_half_up(slope, 9).alias("slope"),
+            round_half_up(intercept, 6).alias("intercept"),
+        )
+    )
+
+
+@query(
+    "dq_expectations",
+    oracle=f"""
+    WITH a AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS m_null,
+             sum(CASE WHEN o_totalprice IS NULL
+                        OR (o_totalprice >= 0.0 AND o_totalprice <= 1000000.0)
+                      THEN 1 ELSE 0 END) AS m_rng,
+             sum(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus IN ('F', 'O', 'P')
+                      THEN 1 ELSE 0 END) AS m_vin,
+             count(DISTINCT o_orderkey) AS m_uniq
+      FROM orders
+    )
+    SELECT 'null_rate(o_custkey)<0.01' AS check_name,
+           {sql_round_half_up("CAST(m_null AS DOUBLE) / CAST(n AS DOUBLE)", 6)}
+             AS metric,
+           CAST(CASE WHEN CAST(m_null AS DOUBLE) / CAST(n AS DOUBLE) < 0.01
+                     THEN 1 ELSE 0 END AS INT) AS passed
+    FROM a
+    UNION ALL
+    SELECT 'range(o_totalprice)',
+           {sql_round_half_up("CAST(m_rng AS DOUBLE) / CAST(n AS DOUBLE)", 6)},
+           CAST(CASE WHEN CAST(m_rng AS DOUBLE) / CAST(n AS DOUBLE) = 1.0
+                     THEN 1 ELSE 0 END AS INT)
+    FROM a
+    UNION ALL
+    SELECT 'values_in(o_orderstatus)',
+           {sql_round_half_up("CAST(m_vin AS DOUBLE) / CAST(n AS DOUBLE)", 6)},
+           CAST(CASE WHEN CAST(m_vin AS DOUBLE) / CAST(n AS DOUBLE) = 1.0
+                     THEN 1 ELSE 0 END AS INT)
+    FROM a
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           {sql_round_half_up("CAST(m_uniq AS DOUBLE) / CAST(n AS DOUBLE)", 6)},
+           CAST(CASE WHEN CAST(m_uniq AS DOUBLE) / CAST(n AS DOUBLE) = 1.0
+                     THEN 1 ELSE 0 END AS INT)
+    FROM a
+    """,
+)
+def dq_expectations(spark, sf_dir):
+    """Declarative data-quality suite (operators/expectations.py, the
+    Deequ / Great-Expectations shape the reference's imperative validators
+    imply): null-rate, value-range, categorical-domain, and unique-key
+    checks over orders compile into ONE aggregate pass — a 100-check
+    suite costs one scan at 100 TB, never one job per check."""
+    from delfos_etl_pipeline_spark.operators.expectations import (
+        null_rate_below,
+        run_expectations,
+        unique_key,
+        value_range,
+        values_in,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return run_expectations(
+        orders,
+        [
+            null_rate_below("o_custkey", 0.01),
+            value_range("o_totalprice", 0.0, 1000000.0),
+            values_in("o_orderstatus", ["F", "O", "P"]),
+            unique_key("o_orderkey"),
+        ],
+    )
+
+
+@query(
+    "robust_stats_by_group",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    ), med AS (
+      SELECT event_type, value AS median_val
+      FROM r WHERE rn = (cnt + 1) // 2
+    ), d AS (
+      SELECT r.event_type, abs(r.value - m.median_val) AS dev, r.event_id,
+             m.median_val
+      FROM r JOIN med m ON r.event_type = m.event_type
+    ), rd AS (
+      SELECT event_type, median_val, dev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dev, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM d
+    )
+    SELECT event_type, median_val, dev AS mad
+    FROM rd WHERE rn = (cnt + 1) // 2
+    """,
+)
+def robust_stats_by_group(spark, sf_dir):
+    """Robust location/scale per group — median and MAD (median absolute
+    deviation) — by deterministic ELEMENT PICK (lower median via
+    row_number), never interpolation: interpolated quantiles mix floats
+    with engine-specific formula shapes, while picking the (n+1)÷2-th
+    sorted element is exact on any engine. Two sort-shuffles on the same
+    key + one co-partitioned join; outlier-robust alternative to the
+    z-score screen (anomaly_zscore) for heavy-tailed value columns."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    cw = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
+    )
+    med = r.filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2)).select(
+        "event_type", F.col("value").alias("median_val")
+    )
+    d = r.join(med, "event_type").select(
+        "event_type",
+        "median_val",
+        F.abs(F.col("value") - F.col("median_val")).alias("dev"),
+        "event_id",
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("dev").asc(), F.col("event_id").asc()
+    )
+    rd = d.select(
+        "event_type",
+        "median_val",
+        "dev",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
+    )
+    return rd.filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2)).select(
+        "event_type", "median_val", F.col("dev").alias("mad")
+    )
+
+
+@query(
+    "text_chunk_overlap",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, length(text) AS n,
+             CASE WHEN length(text) <= 200 THEN 1
+                  ELSE CAST(ceil((length(text) - 50) / 150.0) AS BIGINT)
+             END AS n_chunks
+      FROM documents
+    )
+    , u AS (
+      SELECT doc_id, text, unnest(range(0, n_chunks)) AS i FROM p
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS chunk,
+           CAST(length(substr(text, CAST(i * 150 + 1 AS BIGINT), 200))
+                AS BIGINT) AS chunk_chars
+    FROM u
+    """,
+)
+def text_chunk_overlap(spark, sf_dir):
+    """Overlapping document chunking (the RAG / context-window splitter):
+    200-char windows with 50-char overlap (stride 150). Chunk starts are
+    a generated index sequence — a pure projection + explode, no shuffle
+    at all; every engine row is (doc_id, chunk_idx, chunk). The chunk
+    count formula guarantees full coverage (last chunk may be short,
+    single chunk for docs ≤ window)."""
+    docs = _t(spark, sf_dir, "documents")
+    size, stride = 200, 150
+    n = F.length("text")
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.ceil((n - (size - stride)) / F.lit(float(stride)))
+    )
+    pre = docs.select("doc_id", "text", n_chunks.alias("_nc"))
+    idx = F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx")
+    with_idx = pre.select("doc_id", "text", idx)
+    chunk = F.substring(
+        F.col("text"), F.col("chunk_idx") * stride + 1, size
+    )
+    return with_idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        chunk.alias("chunk"),
+        F.length(chunk).cast("bigint").alias("chunk_chars"),
+    )
+
+
+@query(
+    "percentiles_daily",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS day, value,
+             row_number() OVER (PARTITION BY event_type,
+                                time_bucket(INTERVAL 1 DAY, ts)
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type,
+                            time_bucket(INTERVAL 1 DAY, ts)) AS cnt
+      FROM events
+    )
+    SELECT event_type, day,
+           CAST(max(cnt) AS BIGINT) AS n,
+           max(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT)
+                    THEN value END) AS p50,
+           max(CASE WHEN rn = CAST(ceil(0.95 * cnt) AS BIGINT)
+                    THEN value END) AS p95,
+           max(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT)
+                    THEN value END) AS p99
+    FROM r GROUP BY event_type, day
+    """,
+)
+def percentiles_daily(spark, sf_dir):
+    """Daily P50/P95/P99 per event_type by the NEAREST-RANK method (pick
+    the ceil(q·n)-th sorted element) — the observability percentile table.
+    Element pick, not interpolation, so values are exact row values and
+    cross-engine stable; one sort-shuffle on (type, day), then a grouped
+    conditional pick — the same plan at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.window("ts", "1 day").start.alias("day")
+    w = Window.partitionBy("event_type", "day").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    cw = Window.partitionBy("event_type", "day")
+    r = ev.select("event_type", day, "value", "event_id").select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
+    )
+
+    def pick(q: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("cnt")).cast("bigint"),
+                F.col("value"),
+            )
+        )
+
+    return r.groupBy("event_type", "day").agg(
+        F.max("cnt").cast("bigint").alias("n"),
+        pick(0.50).alias("p50"),
+        pick(0.95).alias("p95"),
+        pick(0.99).alias("p99"),
+    )
+
+
+@query(
+    "percentiles_daily_approx",
+    oracle="""
+    SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 6)  AS p50_exact,
+           round(quantile_cont(value, 0.95), 6) AS p95_exact,
+           round(quantile_cont(value, 0.99), 6) AS p99_exact,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def percentiles_daily_approx(spark, sf_dir):
+    """The mergeable-sketch production form of percentiles_daily: at
+    100 TB the per-(type, day) sort-shuffle of the exact nearest-rank
+    query gives way to one-pass approx_percentile sketches that combine
+    map-side and merge across partitions. Same contract as
+    a_percentiles_approx: the oracle pins the exact per-group percentiles
+    plus the verified claim that each sketch result's rank sits within
+    the documented ±n/accuracy bound (checked by re-joining the sketch
+    output and counting — the guarantee itself is driver-certified)."""
+    ev = _t(spark, sf_dir, "events")
+    acc = 10_000
+    eps = 1.0 / acc
+    day = F.window("ts", "1 day").start.alias("day")
+    base = ev.select("event_type", day, "value")
+    ap = base.groupBy("event_type", "day").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("_a50"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(acc)).alias("_a95"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(acc)).alias("_a99"),
+    )
+    return (
+        base.join(F.broadcast(ap), ["event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_exact"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_exact"),
+            _approx_rank_ok(0.5, "_a50", eps).alias("p50_ok"),
+            _approx_rank_ok(0.95, "_a95", eps).alias("p95_ok"),
+            _approx_rank_ok(0.99, "_a99", eps).alias("p99_ok"),
+        )
+    )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+      WHERE rn = 1
+    ), new AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+    )
+    SELECT coalesce(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'I'
+                WHEN n.user_id IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           o.value AS before_value,
+           n.value AS after_value
+    FROM old o FULL JOIN new n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.value IS DISTINCT FROM n.value
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Change-feed GENERATION — the inverse of cdc_merge_upsert: diff two
+    snapshot versions into (op I/U/D, before, after) rows, the changeset
+    a downstream consumer replays. One co-partitioned full-outer join +
+    null-safe inequality; unchanged keys drop out, so the feed is sized
+    by the churn, not the table (operators/cdc.py:snapshot_diff)."""
+    from delfos_etl_pipeline_spark.operators.cdc import (
+        latest_per_key,
+        snapshot_diff,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    old = latest_per_key(
+        ev.filter(F.col("ts") < cut).select("user_id", "value", "ts", "event_id"),
+        "user_id",
+        ("ts", "event_id"),
+    ).select("user_id", "value")
+    new = latest_per_key(
+        ev.select("user_id", "value", "ts", "event_id"),
+        "user_id",
+        ("ts", "event_id"),
+    ).select("user_id", "value")
+    return snapshot_diff(old, new, "user_id", ("value",))
+
+
+@query(
+    "funnel_windowed",
+    oracle="""
+    WITH sg AS (
+      SELECT user_id, event_id AS att, ts AS t1,
+             ts + INTERVAL 24 HOUR AS deadline
+      FROM events WHERE event_type = 'signup'
+    ), a2 AS (
+      SELECT sg.att, sg.user_id, sg.t1, sg.deadline, min(v.ts) AS t2
+      FROM sg LEFT JOIN events v
+        ON v.user_id = sg.user_id AND v.event_type = 'view'
+       AND v.ts > sg.t1 AND v.ts <= sg.deadline
+      GROUP BY sg.att, sg.user_id, sg.t1, sg.deadline
+    ), a3 AS (
+      SELECT a2.att, a2.user_id, a2.deadline, a2.t2, min(c.ts) AS t3
+      FROM a2 LEFT JOIN events c
+        ON c.user_id = a2.user_id AND c.event_type = 'click'
+       AND c.ts > a2.t2 AND c.ts <= a2.deadline
+      GROUP BY a2.att, a2.user_id, a2.deadline, a2.t2
+    ), a4 AS (
+      SELECT a3.att, a3.t2, a3.t3, min(p.ts) AS t4
+      FROM a3 LEFT JOIN events p
+        ON p.user_id = a3.user_id AND p.event_type = 'purchase'
+       AND p.ts > a3.t3 AND p.ts <= a3.deadline
+      GROUP BY a3.att, a3.t2, a3.t3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_attempts,
+           CAST(count(t2) AS BIGINT) AS n_view_24h,
+           CAST(count(t3) AS BIGINT) AS n_click_24h,
+           CAST(count(t4) AS BIGINT) AS n_purchase_24h
+    FROM a4
+    """,
+)
+def funnel_windowed(spark, sf_dir):
+    """TIME-BOUNDED funnel (ClickHouse windowFunnel semantics): per signup
+    attempt, the next steps must occur in order WITHIN 24 h of that
+    signup — view after signup, click after that view, purchase after
+    that click, all before the deadline. Three banded left joins, each
+    hashed on user_id and collapsed by a min-aggregate per attempt, so
+    per-user fan-out is bounded by the time band, never all-pairs; a
+    null step propagates as a null band (no match) and the attempt
+    simply stops converting."""
+    ev = _t(spark, sf_dir, "events")
+    sg = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("att"),
+        F.col("ts").alias("t1"),
+        (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("deadline"),
+    )
+    vw = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    ck = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    pu = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    a2 = (
+        sg.join(
+            vw,
+            (F.col("vu") == F.col("u"))
+            & (F.col("vts") > F.col("t1"))
+            & (F.col("vts") <= F.col("deadline")),
+            "left",
+        )
+        .groupBy("att", "u", "t1", "deadline")
+        .agg(F.min("vts").alias("t2"))
+    )
+    a3 = (
+        a2.join(
+            ck,
+            (F.col("cu") == F.col("u"))
+            & (F.col("cts") > F.col("t2"))
+            & (F.col("cts") <= F.col("deadline")),
+            "left",
+        )
+        .groupBy("att", "u", "deadline", "t2")
+        .agg(F.min("cts").alias("t3"))
+    )
+    a4 = (
+        a3.join(
+            pu,
+            (F.col("pu") == F.col("u"))
+            & (F.col("pts") > F.col("t3"))
+            & (F.col("pts") <= F.col("deadline")),
+            "left",
+        )
+        .groupBy("att", "t2", "t3")
+        .agg(F.min("pts").alias("t4"))
+    )
+    return a4.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_attempts"),
+        F.count("t2").cast("bigint").alias("n_view_24h"),
+        F.count("t3").cast("bigint").alias("n_click_24h"),
+        F.count("t4").cast("bigint").alias("n_purchase_24h"),
+    )
+
+
+@query(
+    "ab_test_zstat",
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS s,
+             sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS ss
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ), m AS (
+      SELECT variant, n,
+             CAST(s AS DOUBLE) / n AS mean,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               / (n - 1) AS var
+      FROM a
+    )
+    SELECT c.n AS n_control, t.n AS n_treat,
+           {sql_round_half_up("c.mean", 6)} AS mean_control,
+           {sql_round_half_up("t.mean", 6)} AS mean_treat,
+           {sql_round_half_up(
+               "(t.mean - c.mean) / sqrt(t.var / t.n + c.var / c.n)", 6
+           )} AS zstat
+    FROM (SELECT * FROM m WHERE variant = 0) c,
+         (SELECT * FROM m WHERE variant = 1) t
+    """,
+)
+def ab_test_zstat(spark, sf_dir):
+    """Two-sample A/B z-statistic on purchase values (variant = user_id
+    parity — the deterministic hash-bucketing an experiment platform
+    uses): per-variant (n, Σv, Σv²) from ONE grouped aggregate in exact
+    decimal, Welch z from the closed form — the experiment-readout query,
+    bit-stable on any engine, one shuffle of two groups."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    dec = F.col("value").cast("decimal(18,6)")
+    a = ev.groupBy((F.col("user_id") % 2).cast("bigint").alias("variant")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("ss"),
+    )
+    n = F.col("n")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    m = a.select(
+        "variant", "n", (s / n).alias("mean"),
+        ((ss - s * s / n) / (n - 1)).alias("var"),
+    )
+    c = m.where(F.col("variant") == 0).select(
+        F.col("n").alias("n_control"),
+        F.col("mean").alias("_mc"),
+        F.col("var").alias("_vc"),
+    )
+    t = m.where(F.col("variant") == 1).select(
+        F.col("n").alias("n_treat"),
+        F.col("mean").alias("_mt"),
+        F.col("var").alias("_vt"),
+    )
+    z = (F.col("_mt") - F.col("_mc")) / F.sqrt(
+        F.col("_vt") / F.col("n_treat") + F.col("_vc") / F.col("n_control")
+    )
+    return c.crossJoin(t).select(
+        "n_control",
+        "n_treat",
+        round_half_up(F.col("_mc"), 6).alias("mean_control"),
+        round_half_up(F.col("_mt"), 6).alias("mean_treat"),
+        round_half_up(z, 6).alias("zstat"),
+    )
+
+
+@query(
+    "session_paths",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ), paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, session_no
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+)
+def session_paths(spark, sf_dir):
+    """Top user paths (ordered event-type sequences per 30-min session) —
+    the navigation-flow / drop-off analysis query. Sessions via native
+    session_window; the path is built ARRAY-side (sort_array of
+    (ts, event_id, type) structs → join) so no per-session iteration
+    exists anywhere; then a plain count + top-k. Per-session state is
+    the event list — bounded by the inactivity gap, not the user's
+    lifetime history."""
+    ev = _t(spark, sf_dir, "events")
+    path = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@query(
+    "sample_weighted_ares",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              + 1) / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           {pri_round} AS priority
+    FROM u
+    ORDER BY ln(u) / n_chars DESC, doc_id ASC
+    LIMIT 50
+    """.format(pri_round=sql_round_half_up("ln(u) / n_chars", 9)),
+)
+def sample_weighted_ares(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res,
+    deterministic): each doc draws u ∈ (0,1] from an md5 hash of its id
+    and competes with priority u^(1/weight) — equivalently ln(u)/weight,
+    compared monotonically — weight = document length. Top-k by priority
+    is the weighted sample: ONE scan + TakeOrderedAndProject, no shuffle
+    of the corpus, reproducible across runs and engines (the md5 draw
+    mirrors bit-for-bit; ln and the division see identical operands).
+    The proportional-to-length sample a token-budget curation pass wants
+    when it can't afford a global prefix sum."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    pri = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", pri.alias("_p"))
+        .orderBy(F.desc("_p"), F.asc("doc_id"))
+        .limit(50)
+        # round_half_up on BOTH sides — the repo-wide cross-engine rounding
+        # contract (plain round() ties at the 9th decimal could diverge
+        # between engines; ADVICE r3)
+        .select(
+            "doc_id", "n_chars", round_half_up(F.col("_p"), 9).alias("priority")
+        )
+    )

@@ -1,0 +1,387 @@
+"""Analytic window functions, percentiles (exact + mergeable sketch), grouping sets, distinct counting, rollups, range join, skew-salted aggregation (SURVEY §2.8 and §2.4 extensions).
+
+Split from the monolithic queries.py registry (round 4); behavior
+unchanged — importing this module registers its queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.functions.stable import (
+    sql_round_half_up,
+)
+from delfos_etl_pipeline_spark.queries._registry import _t, query
+
+# ---------------------------------------------------------------------------
+# W — analytic window functions (SURVEY §2.8 — beyond-reference surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, ts, value
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def w1_latest_per_key(spark, sf_dir):
+    """row_number() latest-per-key — re-expresses O2's 'latest sample' and
+    dedup-style logic as a ranking window (SURVEY §2.8)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+@query(
+    "w2_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 6) AS value_delta
+    FROM events
+    """,
+)
+def w2_lag_delta(spark, sf_dir):
+    """lag() frame-based delta per key — analytic window surface."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+    )
+
+
+@query(
+    "w3_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 4) AS running_value
+    FROM events
+    """,
+)
+def w3_running_sum(spark, sf_dir):
+    """Explicit frame spec: cumulative per-key sum with ROWS UNBOUNDED
+    PRECEDING — the frame-based analytic surface beyond ranking/lag."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+@query(
+    "a_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a_percentiles(spark, sf_dir):
+    """Exact grouped percentiles (continuous interpolation) — Spark's
+    percentile() matches SQL quantile_cont semantics; swap in
+    approx_percentile at corpus scale for one-pass sketching (that variant
+    stays rows-only-checkable, like a_approx_distinct)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def _approx_rank_ok(q: float, approx_col: str, eps: float):
+    """The sketch guarantee as a checkable claim: approx_percentile's
+    result must be an element whose rank is within ±eps·n of q·n, i.e.
+    count(value < ap) ≤ (q+eps)·n + 1 and count(value ≤ ap) ≥ (q−eps)·n − 1
+    (±1 row of floor/ceil slack at the rank boundaries)."""
+    n = F.count(F.lit(1))
+    below = F.sum((F.col("value") < F.col(approx_col)).cast("long"))
+    at_or_below = F.sum((F.col("value") <= F.col(approx_col)).cast("long"))
+    return (below <= (q + eps) * n + 1) & (at_or_below >= (q - eps) * n - 1)
+
+
+@query(
+    "a_percentiles_approx",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50_exact,
+           round(quantile_cont(value, 0.9), 6)  AS p90_exact,
+           round(quantile_cont(value, 0.99), 6) AS p99_exact,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a_percentiles_approx(spark, sf_dir):
+    """MERGEABLE percentile sketches — the 100 TB path for a_percentiles:
+    approx_percentile (Greenwald-Khanna style, accuracy=10000 → rank error
+    ≤ n/10000) is a one-pass partial-aggregable sketch, no per-group sort.
+    Sketch registers aren't portable to DuckDB, so (a_approx_distinct
+    pattern) the oracle pins what IS: the exact percentiles, plus the
+    claim that each sketch result's actual rank is within the documented
+    ±eps·n bound — verified by joining the sketch output back and
+    counting, so the correctness row certifies the GUARANTEE, not just
+    row shape."""
+    ev = _t(spark, sf_dir, "events")
+    acc = 10_000
+    eps = 1.0 / acc
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("_a50"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(acc)).alias("_a90"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(acc)).alias("_a99"),
+    )
+    return (
+        ev.join(F.broadcast(ap), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_exact"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_exact"),
+            _approx_rank_ok(0.5, "_a50", eps).alias("p50_ok"),
+            _approx_rank_ok(0.9, "_a90", eps).alias("p90_ok"),
+            _approx_rank_ok(0.99, "_a99", eps).alias("p99_ok"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE grouping-sets over the fact table — all 4 grouping combos in
+    one pass (Spark expands to a single Expand+HashAggregate, not 4 scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) * 2
+             + CAST(grouping(l_linestatus) AS INTEGER) AS gid,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (finer control than CUBE: only 3 of the 4
+    combos) with grouping_id disambiguation — gid distinguishes a real
+    NULL group key from a rolled-up one. One Expand+HashAggregate pass,
+    same as agg_cube."""
+    li = _t(spark, sf_dir, "lineitem")
+    gid = (
+        F.grouping("l_returnflag").cast("int") * 2
+        + F.grouping("l_linestatus").cast("int")
+    )
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        gid.alias("gid"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "a_distinct_count",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a_distinct_count(spark, sf_dir):
+    """Exact grouped distinct-count (two-phase partial aggregation under
+    the hood). The approximate sibling is a_approx_distinct."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "a_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def a_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++, rsd=1%) — the 100 TB path for
+    cardinality: mergeable sketches, no exact-distinct shuffle blow-up.
+    Spark's HLL++ register values can't be replayed in DuckDB, so the
+    oracle pins what IS portable: the exact cardinality, plus the claim
+    that the sketch landed within 5% of it (a 5-sigma bound at rsd=1%) —
+    turning the former rows-only row into a driver-checkable contract."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.01) - F.count_distinct("user_id")
+            )
+            <= 0.05 * F.count_distinct("user_id")
+        ).alias("within_5pct"),
+    )
+
+
+@query(
+    "hypertable_rollup",
+    oracle=f"""
+    WITH g AS (
+      SELECT '10m' AS resolution, time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+             value FROM events
+      UNION ALL
+      SELECT '1h', time_bucket(INTERVAL 1 HOUR, ts), value FROM events
+      UNION ALL
+      SELECT '1d', time_bucket(INTERVAL 1 DAY, ts), value FROM events
+    )
+    SELECT resolution, window_start,
+           count(*) AS n_rows,
+           {sql_round_half_up("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)", 4)}
+             AS total,
+           min(value) AS vmin,
+           max(value) AS vmax,
+           {sql_round_half_up("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)}
+             AS value_mean
+    FROM g GROUP BY resolution, window_start
+    """,
+)
+def hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: 10m/1h/1d rollups from ONE
+    raw scan — coarser grains re-aggregate the finer grain's partials
+    (operators/rollup.py) instead of rescanning raw. The oracle computes
+    each grain directly from raw rows, so the exact hash match proves
+    partial re-aggregation loses nothing (sums in decimal, so
+    accumulation order can't drift the values)."""
+    from delfos_etl_pipeline_spark.operators.rollup import multi_resolution_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return multi_resolution_rollup(ev, "ts", "value")
+
+
+@query(
+    "range_join_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id AS err_id, ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end
+      FROM events WHERE event_type = 'error' AND event_id % 41 = 0
+    )
+    SELECT iv.err_id, e.event_id, e.ts, e.event_type
+    FROM events e JOIN iv ON e.ts >= iv.w_start AND e.ts <= iv.w_end
+    """,
+)
+def range_join_intervals(spark, sf_dir):
+    """Range (interval-containment) join: every event inside a 30-minute
+    window after selected error events — bucketed equi-join prefilter +
+    exact refine (operators/rangejoin.py), a shuffle hash join instead of
+    the BroadcastNestedLoopJoin Spark would plan for the raw BETWEEN."""
+    from delfos_etl_pipeline_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (
+        ev.where((F.col("event_type") == "error") & (F.col("event_id") % 41 == 0))
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+        )
+    )
+    joined = interval_join(
+        ev.select("event_id", "ts", "event_type"),
+        iv,
+        "ts",
+        "w_start",
+        "w_end",
+        grain_seconds=1800,
+    )
+    return joined.select("err_id", "event_id", "ts", "event_type")
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           count(*)              AS n_events,
+           round(sum(value), 4) AS total_value,
+           round(avg(value), 6) AS avg_value,
+           min(value)           AS min_value,
+           max(value)           AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py): groupBy on a
+    5-value key — every key is 'hot' — via (key, salt) partials then a
+    per-key merge. Bit-identical to the plain groupBy (the oracle IS the
+    plain groupBy); the point is no reduce task ever holds more than
+    ~1/n_salts of one key's rows. AQE splits skewed join partitions but
+    NOT skewed aggregations — this is the engine's answer for those."""
+    from delfos_etl_pipeline_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "*"),
+            "total_value": ("sum", "value"),
+            "avg_value": ("avg", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+        "min_value",
+        "max_value",
+    )
