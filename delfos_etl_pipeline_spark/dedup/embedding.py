@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from delfos_etl_pipeline_spark.similarity.knn import (
     _as_double,
+    _broadcast_reference,
     _hyperplane,
     collect_reference,
     cosine_similarity_col,
@@ -57,16 +58,22 @@ def embedding_near_dup_pairs(
     shard-loop alternative instead of OOMing the driver at corpus scale.
     The LSH form (below) is the unguarded-scale path.
     """
-    import numpy as np
-    import pandas as pd
-
     spark = df.sparkSession
     ref = collect_reference(df, id_col, vec_col, max_ref_rows)
-    ids = ref[id_col].to_numpy()
-    mat = np.stack(ref[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    b_ids, b_mat = _broadcast_reference(spark, ref, id_col, vec_col)
+    return df.select(id_col, vec_col).mapInPandas(
+        _pairs_mapper(b_ids, b_mat, id_col, vec_col, threshold, round_decimals),
+        "id_a long, id_b long, cosine_sim double",
+    )
+
+
+def _pairs_mapper(b_ids, b_mat, id_col, vec_col, threshold, round_decimals):
+    """mapInPandas closure: per Arrow batch, one matmul against the
+    broadcast reference; emits (id_a, id_b, cosine_sim) for every hit
+    with id_a < id_b — each unordered pair exactly once, by the query
+    batch that holds its lower id."""
+    import numpy as np
+    import pandas as pd
 
     def pairs(batches):
         ref_ids, ref_mat = b_ids.value, b_mat.value
@@ -77,8 +84,6 @@ def embedding_near_dup_pairs(
             out_a, out_b, out_s = [], [], []
             for row_idx, qid in enumerate(pdf[id_col].to_numpy()):
                 s = sims[row_idx]
-                # id_a < id_b: each unordered pair emitted exactly once,
-                # by the batch that holds its lower id.
                 hit = np.nonzero((ref_ids > qid) & (s >= threshold))[0]
                 out_a.extend([qid] * hit.size)
                 out_b.extend(ref_ids[hit])
@@ -90,9 +95,53 @@ def embedding_near_dup_pairs(
                 {"id_a": out_a, "id_b": out_b, "cosine_sim": sims_out}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        pairs, "id_a long, id_b long, cosine_sim double"
-    )
+    return pairs
+
+
+def embedding_near_dup_pairs_sharded(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_shards: int = 4,
+    round_decimals: int | None = 6,
+    max_ref_rows: int | None = 500_000,
+) -> DataFrame:
+    """Exact near-dup pairs when the reference exceeds one broadcast —
+    the shard loop the collect guard prescribes, implemented.
+
+    The reference splits into ``n_shards`` deterministic hash shards
+    (``pmod(xxhash64(id), n_shards)``); each is collected (per-shard
+    guard), broadcast, and matched against the FULL query stream with the
+    same Arrow-batched matmul. Because a pair (a, b) with a < b is
+    emitted only by the shard holding b, the per-shard pair sets are
+    DISJOINT and their plain union is the exact full pair set — no
+    re-rank or dedup stage, unlike the top-k shard loop. Driver peak
+    memory is one shard, not the corpus.
+    """
+    spark = df.sparkSession
+    shard_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    query_side = df.select(id_col, vec_col)
+    parts = []
+    for s in range(n_shards):
+        ref = collect_reference(
+            df.where(shard_of == s), id_col, vec_col, max_ref_rows
+        )
+        if len(ref) == 0:
+            continue
+        b_ids, b_mat = _broadcast_reference(spark, ref, id_col, vec_col)
+        parts.append(
+            query_side.mapInPandas(
+                _pairs_mapper(
+                    b_ids, b_mat, id_col, vec_col, threshold, round_decimals
+                ),
+                "id_a long, id_b long, cosine_sim double",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def _band_buckets(

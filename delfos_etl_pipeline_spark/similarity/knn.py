@@ -70,11 +70,12 @@ def collect_reference(
             raise ReferenceTooLargeError(
                 f"reference side has more than max_ref_rows={max_ref_rows} rows; "
                 "collecting it for broadcast would OOM the driver at corpus "
-                "scale. Shard instead: split the reference into "
-                "driver-sized pieces, call this function once per shard, "
-                "union the per-shard outputs, and re-rank top-k (kNN) / "
-                "union pairs (near-dup). If the reference genuinely fits, "
-                "raise max_ref_rows (or pass None) explicitly."
+                "scale. Use the shard loop instead: "
+                "all_pairs_topk_blas_sharded (kNN: per-shard top-k + global "
+                "re-rank) or embedding_near_dup_pairs_sharded (near-dup: "
+                "disjoint per-shard pair union), raising n_shards until each "
+                "shard fits. If the reference genuinely fits, raise "
+                "max_ref_rows (or pass None) explicitly."
             )
     return df.select(id_col, vec_col).toPandas()
 
@@ -140,6 +141,56 @@ def all_pairs_topk(
     )
 
 
+def _broadcast_reference(spark, ref, id_col: str, vec_col: str):
+    """Normalize a collected (id, vec) pandas frame into broadcast
+    (ids, unit-row matrix) handles shared by the BLAS paths."""
+    import numpy as np
+
+    ids = ref[id_col].to_numpy()
+    mat = np.stack(ref[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return spark.sparkContext.broadcast(ids), spark.sparkContext.broadcast(mat)
+
+
+def _blas_topk_mapper(b_ids, b_mat, id_col, vec_col, k, round_decimals):
+    """mapInPandas closure: per Arrow batch, one matmul against the
+    broadcast reference + argpartition top-k (excluding self), emitting
+    (id_a, id_b, cosine_sim, rank) ranked by (sim desc, id asc)."""
+    import numpy as np
+    import pandas as pd
+
+    def topk(batches):
+        ref_ids, ref_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ ref_mat.T  # one BLAS call per Arrow batch
+            out_a, out_b, out_s, out_r = [], [], [], []
+            for row_idx, qid in enumerate(pdf[id_col].to_numpy()):
+                s = sims[row_idx]
+                mask = ref_ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                take = min(k, cand_idx.size)
+                if take == 0:
+                    continue
+                part = cand_idx[np.argpartition(-s[cand_idx], take - 1)[:take]]
+                # final order: sim desc, id asc (matches SQL tiebreak)
+                order = np.lexsort((ref_ids[part], -s[part]))
+                sel = part[order]
+                out_a.extend([qid] * take)
+                out_b.extend(ref_ids[sel])
+                out_s.extend(s[sel])
+                out_r.extend(range(1, take + 1))
+            sims_out = np.asarray(out_s)
+            if round_decimals is not None and sims_out.size:
+                sims_out = sims_out.round(round_decimals)
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "cosine_sim": sims_out, "rank": out_r}
+            )
+
+    return topk
+
+
 def all_pairs_topk_blas(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -164,49 +215,82 @@ def all_pairs_topk_blas(
     ``max_ref_rows`` guards the driver collect (see
     :func:`collect_reference`): above the cap this raises
     :class:`ReferenceTooLargeError` naming the shard-loop alternative
+    (:func:`all_pairs_topk_blas_sharded` — the implemented form of it)
     rather than silently OOMing at corpus scale.
     """
-    import numpy as np
-    import pandas as pd
-
     spark = df.sparkSession
     ref = collect_reference(df, id_col, vec_col, max_ref_rows)
-    ids = ref[id_col].to_numpy()
-    mat = np.stack(ref[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-
-    def topk(batches):
-        ref_ids, ref_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ ref_mat.T  # one BLAS call per Arrow batch
-            out_a, out_b, out_s, out_r = [], [], [], []
-            for row_idx, qid in enumerate(pdf[id_col].to_numpy()):
-                s = sims[row_idx]
-                mask = ref_ids != qid
-                cand_idx = np.nonzero(mask)[0]
-                take = min(k, cand_idx.size)
-                part = cand_idx[np.argpartition(-s[cand_idx], take - 1)[:take]]
-                # final order: sim desc, id asc (matches SQL tiebreak)
-                order = np.lexsort((ref_ids[part], -s[part]))
-                sel = part[order]
-                out_a.extend([qid] * take)
-                out_b.extend(ref_ids[sel])
-                out_s.extend(s[sel])
-                out_r.extend(range(1, take + 1))
-            sims_out = np.asarray(out_s)
-            if round_decimals is not None:
-                sims_out = sims_out.round(round_decimals)
-            yield pd.DataFrame(
-                {"id_a": out_a, "id_b": out_b, "cosine_sim": sims_out, "rank": out_r}
-            )
-
+    b_ids, b_mat = _broadcast_reference(spark, ref, id_col, vec_col)
     return df.select(id_col, vec_col).mapInPandas(
-        topk, "id_a long, id_b long, cosine_sim double, rank integer"
+        _blas_topk_mapper(b_ids, b_mat, id_col, vec_col, k, round_decimals),
+        "id_a long, id_b long, cosine_sim double, rank integer",
     )
+
+
+def all_pairs_topk_blas_sharded(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_shards: int = 4,
+    round_decimals: int | None = 6,
+    max_ref_rows: int | None = 500_000,
+) -> DataFrame:
+    """Exact k-NN for every vector when the REFERENCE side exceeds one
+    broadcast — the shard loop the collect guard prescribes, implemented.
+
+    The reference is split into ``n_shards`` deterministic hash shards
+    (``pmod(xxhash64(id), n_shards)``), each collected under the (now
+    per-shard) guard and broadcast in turn; every shard pass streams the
+    full query side through the same Arrow-batched matmul and keeps its
+    local top-k. The union of per-shard candidates (≤ n_shards·k per
+    query) is re-ranked globally by (sim desc, id asc) — row_number over
+    a window PARTITIONED BY query id, so the re-rank shuffles only the
+    candidate set, never the corpus, and parallelizes across query ids.
+
+    Equality with :func:`all_pairs_topk_blas` is exact: every true
+    top-k neighbor is in some shard, where it survives the shard-local
+    top-k (shard candidates ⊇ shard ∩ global top-k), so the global
+    re-rank sees every true neighbor. At 100 TB: n_shards scales with
+    reference size (each shard sized to executor memory); driver peak
+    memory is ONE shard, not the corpus.
+
+    Rounding is applied after the global re-rank so ranks are decided on
+    full-precision similarities, exactly as the unsharded form does
+    within each batch.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    shard_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    parts = []
+    query_side = df.select(id_col, vec_col)
+    for s in range(n_shards):
+        ref = collect_reference(
+            df.where(shard_of == s), id_col, vec_col, max_ref_rows
+        )
+        if len(ref) == 0:
+            continue
+        b_ids, b_mat = _broadcast_reference(spark, ref, id_col, vec_col)
+        parts.append(
+            query_side.mapInPandas(
+                # unrounded: global ranks must be decided on full precision
+                _blas_topk_mapper(b_ids, b_mat, id_col, vec_col, k, None),
+                "id_a long, id_b long, cosine_sim double, rank integer",
+            ).drop("rank")
+        )
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionAll(p)
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.col("id_b"))
+    out = (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    sim = F.col("cosine_sim")
+    if round_decimals is not None:
+        sim = F.round(sim, round_decimals)
+    return out.select("id_a", "id_b", sim.alias("cosine_sim"), "rank")
 
 
 def _hyperplane(n_planes: int, dim: int) -> list[list[float]]:

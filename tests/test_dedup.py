@@ -284,3 +284,24 @@ def test_embedding_blas_guard_raises_on_oversized(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with _pytest.raises(ReferenceTooLargeError, match="[Ss]hard"):
         embedding_near_dup_pairs(emb, max_ref_rows=5)
+
+
+def test_embedding_sharded_pairs_equal_unsharded(spark, sf_dir):
+    """Per-shard near-dup pair sets are disjoint and union to exactly the
+    single-broadcast pair set."""
+    from delfos_etl_pipeline_spark.dedup.embedding import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_sharded,
+    )
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = sorted(map(tuple, embedding_near_dup_pairs(emb, threshold=0.3).collect()))
+    shard = sorted(
+        map(
+            tuple,
+            embedding_near_dup_pairs_sharded(emb, threshold=0.3, n_shards=3).collect(),
+        )
+    )
+    assert shard == full
+    assert len(full) > 0

@@ -133,3 +133,28 @@ def test_blas_guard_disabled_and_under_cap_still_runs(emb):
     off = all_pairs_topk_blas(small, k=2, max_ref_rows=None).collect()
     assert sorted(map(tuple, under)) == sorted(map(tuple, off))
     assert len(under) == 20 * 2
+
+
+def test_sharded_blas_equals_unsharded(emb):
+    """The shard loop (reference split into hash shards, per-shard BLAS
+    top-k, global re-rank) must reproduce the single-broadcast result
+    exactly — same neighbors, same ranks (VERDICT r3 item 2, implemented
+    form)."""
+    from delfos_etl_pipeline_spark.similarity.knn import (
+        all_pairs_topk_blas,
+        all_pairs_topk_blas_sharded,
+    )
+
+    small = emb.limit(120)
+    full = sorted(
+        map(tuple, all_pairs_topk_blas(small, k=4).collect())
+    )
+    sharded = sorted(
+        map(tuple, all_pairs_topk_blas_sharded(small, k=4, n_shards=3).collect())
+    )
+    assert sharded == full
+    # and the per-shard collect guard still applies per shard
+    from delfos_etl_pipeline_spark.similarity.knn import ReferenceTooLargeError
+
+    with pytest.raises(ReferenceTooLargeError):
+        all_pairs_topk_blas_sharded(emb, k=2, n_shards=2, max_ref_rows=5)
