@@ -201,3 +201,37 @@ def test_weighted_sample_is_topk_not_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sample_weighted_ares")
     assert "TakeOrderedAndProject" in plan, plan
     assert _count(plan, "Sort") == 0, plan
+
+
+def test_approx_percentiles_broadcast_sketch_side(spark, sf_dir):
+    """The *_approx percentile verification joins must broadcast the
+    tiny sketch-output side (|groups| rows), never shuffle-join the
+    events scan against it, and keep partial aggregation for the sketch
+    (ObjectHashAggregate partial_percentile_approx merges map-side)."""
+    for name in ("a_percentiles_approx", "percentiles_daily_approx"):
+        plan = _plan(spark, sf_dir, name)
+        assert _count(plan, "BroadcastHashJoin") >= 1, name
+        assert _count(plan, "CartesianProduct") == 0, name
+        assert "percentile_approx" in plan, name
+
+
+def test_sharded_blas_rerank_partitions_by_query_id(spark, sf_dir):
+    """The shard loop's global re-rank must be a window PARTITIONED BY the
+    query id (parallel at any corpus size) — never an empty-partition
+    global window, and never a shuffle of anything but the candidate
+    columns."""
+    from delfos_etl_pipeline_spark.similarity.knn import (
+        all_pairs_topk_blas_sharded,
+    )
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 60)
+    df = all_pairs_topk_blas_sharded(emb, k=3, n_shards=2)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(id_a" in plan, plan
