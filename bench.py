@@ -79,6 +79,10 @@ HEADLINE = [
     "ab_test_zstat",
     "session_paths",
     "sample_weighted_ares",
+    "text_tfidf_top_terms",
+    "hist_equidepth",
+    "w6_rolling_median",
+    "join_salted_skew",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -63,6 +63,10 @@ _R4_CHANGED_FIRST = [
     "dq_expectations",          # expectations stack() hardening (ADVICE r3)
     "a_percentiles_approx",     # new: mergeable sketch + rank-bound claim
     "percentiles_daily_approx", # new: daily sketch twin
+    "text_tfidf_top_terms",     # new: corpus TF-IDF keyword extraction
+    "hist_equidepth",           # new: decile histogram, no global sort
+    "w6_rolling_median",        # new: bounded-frame window percentile
+    "join_salted_skew",         # new: salted join, plain-join oracle
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -314,3 +314,39 @@ def f_scalar_suite(spark, sf_dir):
         F.round(F.pow(v, 2), 4).alias("squared"),
         F.coalesce(recode[F.col("event_type")], F.lit(-1)).alias("type_code"),
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT user_id, 'seg_' || CAST(user_id % 5 AS VARCHAR) AS segment
+      FROM events
+    )
+    SELECT e.event_id, e.user_id, d.segment
+    FROM events e JOIN dim d USING (user_id)
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-safe fact⋈fact equi-join, driver-certified: the fact side
+    joins a derived user-segment dim through operators/skew.salted_join —
+    dim rows replicated across 8 salts, fact rows hash-salted, join on
+    (key, salt) — so one hot user's rows spread over 8 reduce tasks
+    instead of stalling one. The oracle is the PLAIN join (salting is
+    plan surgery, not semantics), making the equivalence a driver-checked
+    contract rather than only the pytest property. Complements
+    agg_salted_skew: that was the aggregation half of the skew story,
+    this is the join half. Use when the dim can't broadcast AND a key is
+    hot; with a broadcastable dim, j1's broadcast join needs no salt."""
+    from delfos_etl_pipeline_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.select("user_id").distinct().select(
+        "user_id",
+        F.concat(F.lit("seg_"), (F.col("user_id") % 5).cast("string")).alias(
+            "segment"
+        ),
+    )
+    return salted_join(
+        ev.select("event_id", "user_id"), dim, "user_id", n_salts=8
+    ).select("event_id", "user_id", "segment")

@@ -6,6 +6,8 @@ unchanged — importing this module registers its queries.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
+from pyspark.sql import functions as F
 
 from delfos_etl_pipeline_spark.queries._registry import _t, query
 
@@ -115,3 +117,71 @@ def text_token_count(spark, sf_dir):
     from delfos_etl_pipeline_spark.text.analysis import token_counts
 
     return token_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+      FROM documents
+    ),
+    w2 AS (SELECT doc_id, term FROM w WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w2 GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w2 GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n * 1.0 / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term,
+           round(round(score, 9), 6) AS tfidf,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the classic corpus-statistics
+    keyword extractor. Three key-partitioned exchanges, all linear in
+    corpus tokens: term-frequency agg keyed (doc, term), document-
+    frequency agg keyed term (map-side combine on both), a term-keyed
+    join of the two (the |vocab|-row DF side is dictionary-sized —
+    broadcastable at need), and a per-doc ranking window. The corpus size
+    N rides along as a broadcast 1-row cross join, so nothing collects.
+    Double-rounding (9 then 6) keeps the cross-engine hash stable at
+    half-up boundaries the same way the repo's other ln-based scores do."""
+    docs = _t(spark, sf_dir, "documents")
+    w2 = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = w2.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = w2.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.round("score", 9), 6).alias("tfidf"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

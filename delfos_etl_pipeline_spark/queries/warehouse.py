@@ -1219,3 +1219,64 @@ def sample_weighted_ares(spark, sf_dir):
             "doc_id", "n_chars", round_half_up(F.col("_p"), 9).alias("priority")
         )
     )
+
+
+@query(
+    "hist_equidepth",
+    oracle="""
+    WITH b AS (
+      SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+              quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+              quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+              quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+              quantile_cont(value, 0.9)] AS bs
+      FROM events
+    )
+    SELECT CAST(1 + list_sum(list_transform(b.bs,
+             x -> CASE WHEN e.value > x THEN 1 ELSE 0 END)) AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(e.value) AS lo,
+           max(e.value) AS hi
+    FROM events e CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def hist_equidepth(spark, sf_dir):
+    """Equal-FREQUENCY histogram (10 deciles buckets) — the complement of
+    hist_equiwidth for skewed distributions. The naive form is
+    ntile(10) OVER (ORDER BY value): a partitionless global-sort window
+    that collapses to ONE task — the repo's canonical scale trap.
+    Instead: one aggregate computes the 9 decile boundaries, the 1-row
+    boundary array cross-joins back (broadcast), and each row's bucket is
+    1 + #boundaries-below — a pure narrow comparison against 9 broadcast
+    doubles, then an ordinary grouped agg. Two scans, ZERO sorts. The one
+    single-partition stage left is the 1-row boundary reduce itself; its
+    exact-percentile merge buffers scale with distinct values, so at
+    corpus scale swap the boundary expression to approx_percentile (a
+    mergeable fixed-size sketch — one-line change, buckets become
+    approximate deciles; the a_percentiles_approx rank-bound harness
+    shows how to certify it). (Boundary-equal values group with the
+    lower bucket on both engines: strict > both sides.)"""
+    ev = _t(spark, sf_dir, "events")
+    qs = [i / 10.0 for i in range(1, 10)]
+    b = ev.agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias("bs")
+    )
+    bucket = (
+        F.aggregate(
+            F.col("bs"),
+            F.lit(0),
+            lambda acc, x: acc + F.when(F.col("value") > x, 1).otherwise(0),
+        )
+        + 1
+    ).cast("bigint")
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

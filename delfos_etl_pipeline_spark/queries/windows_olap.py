@@ -385,3 +385,41 @@ def agg_salted_skew(spark, sf_dir):
         "min_value",
         "max_value",
     )
+
+
+@query(
+    "w6_rolling_median",
+    oracle="""
+    SELECT event_id, event_type,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY event_type
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW), 6)
+             AS rolling_median
+    FROM events
+    """,
+)
+def w6_rolling_median(spark, sf_dir):
+    """Rolling median of the trailing 100 events per type — the robust
+    moving-aggregate an observability pipeline layers over noisy values
+    (mean-based w3 shapes wash out under outliers; the median doesn't).
+    Exact percentile as a WINDOW aggregate over a bounded ROWS frame,
+    partitioned by event_type: state per row is the 100-row frame, work
+    is O(frame) per row, and partitions parallelize by key. At corpus
+    scale with high-cardinality keys this shape holds as-is; for very
+    wide frames swap the exact percentile for a t-digest-style sketch
+    column (same window spec). Frame order is (ts, event_id) — fully
+    deterministic, so both engines aggregate identical frames."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-99, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias(
+            "rolling_median"
+        ),
+    )

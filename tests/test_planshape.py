@@ -235,3 +235,24 @@ def test_sharded_blas_rerank_partitions_by_query_id(spark, sf_dir):
     plan = df._jdf.queryExecution().explainString(mode)
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(id_a" in plan, plan
+
+
+def test_equidepth_no_sort_boundaries_broadcast(spark, sf_dir):
+    """hist_equidepth must NOT be the ntile trap: zero Sort nodes (the
+    naive form global-sorts the fact table into one task), the 1-row
+    boundary aggregate broadcasts into the binning projection, and the
+    fact side never shuffles to meet it. The only single-partition stage
+    is the 1-row boundary reduce itself — same accepted shape as
+    hist_equiwidth's min/max."""
+    plan = _plan(spark, sf_dir, "hist_equidepth")
+    assert _count(plan, "Sort") == 0, plan
+    assert _count(plan, "BroadcastNestedLoopJoin") == 1, plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") == 0
+
+
+def test_rolling_median_partitions_by_key(spark, sf_dir):
+    """w6's window must hash-partition by event_type (parallel by key),
+    never an empty partition spec."""
+    plan = _plan(spark, sf_dir, "w6_rolling_median")
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(event_type" in plan, plan
