@@ -83,6 +83,7 @@ HEADLINE = [
     "hist_equidepth",
     "w6_rolling_median",
     "join_salted_skew",
+    "dau_wau_rolling",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,
@@ -266,14 +267,29 @@ def main() -> None:
         )
         try:
             with open(diag_path, "w") as f:
-                json.dump({"spread": spread, "iters": timed_iters, "sf": sf}, f)
+                json.dump(
+                    {
+                        "queries": per_query,
+                        "spread": spread,
+                        "iters": timed_iters,
+                        "sf": sf,
+                        "streaming": streaming,
+                    },
+                    f,
+                )
         except OSError:
             pass  # diagnostics are best-effort; the headline line is the record
+    # The driver's tail capture is 2000 chars (measured from BENCH_r01-03:
+    # r03's 3.5KB line truncated to exactly 2000 and failed to parse). Keep
+    # a safety margin: if the full per-query dict pushes past ~1800, keep
+    # only the slowest queries — the ones perf review needs — and count the
+    # omissions; the complete dict is always in bench_diag.json.
     line = json.dumps(record)
-    if len(line) > 2000 and "spread" not in record:
-        # Stay under the driver's tail-capture window even as the headline
-        # list grows: drop per-query detail before breaking parseability.
-        record["queries"] = {"truncated": len(per_query)}
+    while len(line) > 1800 and "spread" not in record and len(record["queries"]) > 5:
+        q = record["queries"]
+        keep = dict(sorted(q.items(), key=lambda kv: -kv[1])[: max(5, len(q) - 8)])
+        record["queries"] = keep
+        record["queries_omitted"] = len(per_query) - len(keep)
         line = json.dumps(record)
     print(line)
 

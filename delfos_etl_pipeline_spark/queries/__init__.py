@@ -67,6 +67,7 @@ _R4_CHANGED_FIRST = [
     "hist_equidepth",           # new: decile histogram, no global sort
     "w6_rolling_median",        # new: bounded-frame window percentile
     "join_salted_skew",         # new: salted join, plain-join oracle
+    "dau_wau_rolling",          # new: DAU/WAU via contribution explode
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -1280,3 +1280,65 @@ def hist_equidepth(spark, sf_dir):
             F.max("value").alias("hi"),
         )
     )
+
+
+@query(
+    "dau_wau_rolling",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT time_bucket(INTERVAL 1 DAY, ts) AS day, user_id
+      FROM events
+    ),
+    contrib AS (
+      SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) AS day,
+             user_id
+      FROM du
+    ),
+    wau AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM contrib GROUP BY 1
+    ),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1)
+    SELECT dau.day AS day, dau.dau AS dau, wau.wau AS wau,
+           round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def dau_wau_rolling(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day — the product-
+    analytics daily actives table. The naive WAU is a band join (every
+    day × every day-user row within 6 days: |du|·|days| comparisons via
+    nested loop) or a windowed COUNT DISTINCT (non-algebraic over
+    frames). Instead each (day, user) row is EXPLODED into the ≤7 future
+    days it contributes to — a narrow 7× fan-out — and WAU is an
+    ordinary day-keyed distinct count with map-side partials. Linear in
+    events at any corpus size, every exchange keyed by day. DAU joins in
+    on day (|days| rows — broadcastable). At larger windows (MAU=30) the
+    same shape holds at 30× fan-out; beyond that, per-day HLL sketches
+    union across the frame (a_approx_distinct shows the certification
+    pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.window("ts", "1 day").start.alias("day"), "user_id"
+    ).distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
+    )
