@@ -234,14 +234,17 @@ def main() -> None:
     # progress feed with warmup batches excluded (streaming/bench.py). Two
     # compact numbers — the JSON line stays driver-parseable. Disable with
     # SPARK_GRAFT_STREAM_BENCH=0.
-    streaming: dict[str, float] = {}
+    streaming: dict[str, float | str] = {}
     if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
         from delfos_etl_pipeline_spark.streaming.bench import measure_stream_rate
 
         for topo in ("windowed_agg", "dedup"):
-            streaming[f"{topo}_rows_per_sec"] = measure_stream_rate(
-                spark, topo
-            )["rows_per_sec"]
+            try:
+                streaming[f"{topo}_rows_per_sec"] = measure_stream_rate(
+                    spark, topo
+                )["rows_per_sec"]
+            except Exception as exc:  # a broken harness must be visible,
+                streaming[f"{topo}_error"] = str(exc)[:80]  # not a silent 0.0
 
     total = round(sum(per_query.values()), 2)
     # The driver captures only the tail of stdout, so the official record is

@@ -138,6 +138,10 @@ def embedding_near_dup_pairs_sharded(
                 "id_a long, id_b long, cosine_sim double",
             )
         )
+    if not parts:  # empty input: match the unsharded form's empty output
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from delfos_etl_pipeline_spark.functions.stable import round_half_up
 from delfos_etl_pipeline_spark.queries._registry import _t, query
 
 # ---------------------------------------------------------------------------
@@ -142,7 +143,7 @@ def text_token_count(spark, sf_dir):
       FROM scored
     )
     SELECT doc_id, term,
-           round(round(score, 9), 6) AS tfidf,
+           floor((score) * 1000000.0 + 0.5) / 1000000.0 AS tfidf,
            CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 3
     """,
@@ -155,8 +156,10 @@ def text_tfidf_top_terms(spark, sf_dir):
     join of the two (the |vocab|-row DF side is dictionary-sized —
     broadcastable at need), and a per-doc ranking window. The corpus size
     N rides along as a broadcast 1-row cross join, so nothing collects.
-    Double-rounding (9 then 6) keeps the cross-engine hash stable at
-    half-up boundaries the same way the repo's other ln-based scores do."""
+    The displayed score uses the repo-wide round_half_up contract (plain
+    round() diverges between engines on '…5' ties for transcendental
+    scores — the sample_weighted_ares lesson); ranking compares the
+    unrounded score in both engines."""
     docs = _t(spark, sf_dir, "documents")
     w2 = docs.select(
         "doc_id",
@@ -181,7 +184,7 @@ def text_tfidf_top_terms(spark, sf_dir):
         .select(
             "doc_id",
             "term",
-            F.round(F.round("score", 9), 6).alias("tfidf"),
+            round_half_up(F.col("score"), 6).alias("tfidf"),
             F.col("rank").cast("bigint").alias("rank"),
         )
     )

@@ -855,9 +855,9 @@ def percentiles_daily(spark, sf_dir):
     oracle="""
     SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS day,
            CAST(count(*) AS BIGINT) AS n,
-           round(quantile_cont(value, 0.5), 6)  AS p50_exact,
-           round(quantile_cont(value, 0.95), 6) AS p95_exact,
-           round(quantile_cont(value, 0.99), 6) AS p99_exact,
+           floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50_exact,
+           floor((quantile_cont(value, 0.95)) * 1000000.0 + 0.5) / 1000000.0 AS p95_exact,
+           floor((quantile_cont(value, 0.99)) * 1000000.0 + 0.5) / 1000000.0 AS p99_exact,
            TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
     FROM events
     GROUP BY 1, 2
@@ -887,9 +887,9 @@ def percentiles_daily_approx(spark, sf_dir):
         .groupBy("event_type", "day")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
-            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_exact"),
-            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_exact"),
+            round_half_up(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+            round_half_up(F.percentile("value", F.lit(0.95)), 6).alias("p95_exact"),
+            round_half_up(F.percentile("value", F.lit(0.99)), 6).alias("p99_exact"),
             _approx_rank_ok(0.5, "_a50", eps).alias("p50_ok"),
             _approx_rank_ok(0.95, "_a95", eps).alias("p95_ok"),
             _approx_rank_ok(0.99, "_a99", eps).alias("p99_ok"),

@@ -10,6 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from delfos_etl_pipeline_spark.functions.stable import (
+    round_half_up,
     sql_round_half_up,
 )
 from delfos_etl_pipeline_spark.queries._registry import _t, query
@@ -90,9 +91,9 @@ def w3_running_sum(spark, sf_dir):
     "a_percentiles",
     oracle="""
     SELECT event_type,
-           round(quantile_cont(value, 0.5), 6)  AS p50,
-           round(quantile_cont(value, 0.9), 6)  AS p90,
-           round(quantile_cont(value, 0.99), 6) AS p99
+           floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+           floor((quantile_cont(value, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90,
+           floor((quantile_cont(value, 0.99)) * 1000000.0 + 0.5) / 1000000.0 AS p99
     FROM events
     GROUP BY event_type
     """,
@@ -104,9 +105,9 @@ def a_percentiles(spark, sf_dir):
     stays rows-only-checkable, like a_approx_distinct)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        round_half_up(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        round_half_up(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        round_half_up(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
 
 
@@ -125,9 +126,9 @@ def _approx_rank_ok(q: float, approx_col: str, eps: float):
     "a_percentiles_approx",
     oracle="""
     SELECT event_type,
-           round(quantile_cont(value, 0.5), 6)  AS p50_exact,
-           round(quantile_cont(value, 0.9), 6)  AS p90_exact,
-           round(quantile_cont(value, 0.99), 6) AS p99_exact,
+           floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50_exact,
+           floor((quantile_cont(value, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90_exact,
+           floor((quantile_cont(value, 0.99)) * 1000000.0 + 0.5) / 1000000.0 AS p99_exact,
            TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
     FROM events
     GROUP BY event_type
@@ -155,9 +156,9 @@ def a_percentiles_approx(spark, sf_dir):
         ev.join(F.broadcast(ap), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
-            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_exact"),
-            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_exact"),
+            round_half_up(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+            round_half_up(F.percentile("value", F.lit(0.9)), 6).alias("p90_exact"),
+            round_half_up(F.percentile("value", F.lit(0.99)), 6).alias("p99_exact"),
             _approx_rank_ok(0.5, "_a50", eps).alias("p50_ok"),
             _approx_rank_ok(0.9, "_a90", eps).alias("p90_ok"),
             _approx_rank_ok(0.99, "_a99", eps).alias("p99_ok"),
@@ -391,11 +392,11 @@ def agg_salted_skew(spark, sf_dir):
     "w6_rolling_median",
     oracle="""
     SELECT event_id, event_type,
-           round(quantile_cont(value, 0.5) OVER (
+           floor((quantile_cont(value, 0.5) OVER (
              PARTITION BY event_type
              ORDER BY ts ASC, event_id ASC
-             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW), 6)
-             AS rolling_median
+             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5)
+             / 1000000.0 AS rolling_median
     FROM events
     """,
 )
@@ -419,7 +420,7 @@ def w6_rolling_median(spark, sf_dir):
     return ev.select(
         "event_id",
         "event_type",
-        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias(
+        round_half_up(F.percentile("value", F.lit(0.5)).over(w), 6).alias(
             "rolling_median"
         ),
     )

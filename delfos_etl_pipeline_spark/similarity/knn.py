@@ -279,6 +279,10 @@ def all_pairs_topk_blas_sharded(
                 "id_a long, id_b long, cosine_sim double, rank integer",
             ).drop("rank")
         )
+    if not parts:  # empty input: match the unsharded form's empty output
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double, rank integer"
+        )
     cands = parts[0]
     for p in parts[1:]:
         cands = cands.unionAll(p)
@@ -289,7 +293,10 @@ def all_pairs_topk_blas_sharded(
     )
     sim = F.col("cosine_sim")
     if round_decimals is not None:
-        sim = F.round(sim, round_decimals)
+        # bround = half-to-even, matching numpy's .round in the unsharded
+        # mapper — F.round (half-up) would diverge from it on 6th-decimal
+        # ties and break the documented exact equality
+        sim = F.bround(sim, round_decimals)
     return out.select("id_a", "id_b", sim.alias("cosine_sim"), "rank")
 
 

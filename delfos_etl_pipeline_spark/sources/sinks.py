@@ -136,8 +136,11 @@ def compact_partitions(
       skips whole files, not just row groups.
     - without a sort key: a deterministic per-date salt
       (``pmod(xxhash64(every column), n_files_for_that_date)``) hashed
-      into the shuffle, sized from the per-date byte map (broadcast join
-      of a |dates|-row table).
+      into the shuffle. The per-date file budget comes from the DATA
+      (``groupBy(partition_col).count()`` × measured bytes/row), never
+      from parsing directory names back into values — URL-escaped or
+      NULL partition values would fail a string match, and the budget
+      join is null-safe, so no row can drop out of the rewrite.
 
     Either way it is ONE dataset-sized shuffle — the unavoidable cost of
     re-layout. ``sort_within`` additionally applies sortWithinPartitions
@@ -156,24 +159,36 @@ def compact_partitions(
     import glob as _glob
 
     before = _glob.glob(os.path.join(path, "*", "*.parquet"))
-    # per-partition-value byte sizes from the directory layout (col=value)
-    part_bytes: dict[str, int] = {}
-    for f in before:
-        pv = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
-        part_bytes[pv] = part_bytes.get(pv, 0) + os.path.getsize(f)
-    n_per_part = {
-        pv: max(1, -(-b // target_file_bytes)) for pv, b in part_bytes.items()
-    }  # ceil
-    total_files = sum(n_per_part.values())
+    total_bytes = sum(os.path.getsize(f) for f in before)
 
     df = spark.read.parquet(path)
+    # Per-partition file budgets from the DATA, not from parsing directory
+    # names: a "col=value" dir name is URL-escaped (':' → '%3A') and NULL
+    # becomes __HIVE_DEFAULT_PARTITION__, so a string match back to column
+    # values can silently miss rows — fatal in a rewrite-and-swap. Row
+    # counts per partition value are exact; per-partition bytes are
+    # rows × measured average row width (uniform-width approximation).
+    counts = df.groupBy(F.col(partition_col).alias("_pv")).count().collect()
+    total_rows = sum(r["count"] for r in counts) or 1
+    bytes_per_row = total_bytes / total_rows
+    n_per_part = {
+        r["_pv"]: max(
+            1, -(-int(r["count"] * bytes_per_row) // target_file_bytes)
+        )  # ceil
+        for r in counts
+    }
+    total_files = sum(n_per_part.values())
+
     if sort_within:
         out = df.repartitionByRange(
             int(total_files), F.col(partition_col), *[F.col(c) for c in sort_within]
         ).sortWithinPartitions(*[F.col(c) for c in sort_within])
     else:
         n_map = spark.createDataFrame(
-            list(n_per_part.items()), "_pv string, _nf long"
+            [(r["_pv"], n_per_part[r["_pv"]]) for r in counts],
+            df.select(F.col(partition_col).alias("_pv")).schema.add(
+                "_nf", "long"
+            ),
         )
         salt = F.pmod(
             F.xxhash64(*[F.col(c) for c in df.columns]), F.col("_nf")
@@ -181,7 +196,7 @@ def compact_partitions(
         out = (
             df.join(
                 F.broadcast(n_map),
-                F.col(partition_col).cast("string") == F.col("_pv"),
+                F.col(partition_col).eqNullSafe(F.col("_pv")),
             )
             .select(*df.columns, salt)
             .repartition(int(total_files), F.col(partition_col), F.col("_salt"))

@@ -38,10 +38,15 @@ from pyspark.sql import functions as F
 def _drain(query, n_batches: int, timeout_s: float) -> list[dict]:
     """Wait until ``n_batches`` data-bearing batches completed; return
     their progress dicts (numInputRows > 0 only — empty keep-alive
-    triggers carry no throughput signal)."""
+    triggers carry no throughput signal). A failed query raises
+    immediately instead of spinning to the timeout and reporting a
+    silent 0 rows/sec into the bench record."""
     deadline = time.time() + timeout_s
     seen: dict[int, dict] = {}
     while time.time() < deadline and len(seen) < n_batches:
+        exc = query.exception()
+        if exc is not None:
+            raise RuntimeError(f"streaming bench query failed: {exc}")
         for p in query.recentProgress:
             if p["numInputRows"] > 0:
                 seen[p["batchId"]] = p

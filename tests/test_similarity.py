@@ -158,3 +158,22 @@ def test_sharded_blas_equals_unsharded(emb):
 
     with pytest.raises(ReferenceTooLargeError):
         all_pairs_topk_blas_sharded(emb, k=2, n_shards=2, max_ref_rows=5)
+
+
+def test_sharded_blas_empty_input_returns_empty(spark):
+    """Zero-row input must yield an empty typed frame from both sharded
+    paths, matching the unsharded forms (review r4 fix)."""
+    from delfos_etl_pipeline_spark.dedup.embedding import (
+        embedding_near_dup_pairs_sharded,
+    )
+    from delfos_etl_pipeline_spark.similarity.knn import all_pairs_topk_blas_sharded
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = all_pairs_topk_blas_sharded(empty, k=3, n_shards=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "id_a", "id_b", "cosine_sim", "rank",
+    ]
+    out2 = embedding_near_dup_pairs_sharded(empty, n_shards=2)
+    assert out2.count() == 0
+    assert [f.name for f in out2.schema.fields] == ["id_a", "id_b", "cosine_sim"]
