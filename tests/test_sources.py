@@ -330,3 +330,36 @@ def test_load_table_range_non_ns_col_still_normalizes_ns_cols(spark, sf_dir):
     )
     assert ranged.count() == full.count()
     assert ranged.exceptAll(full).count() == 0
+
+
+def test_compact_partitions_survives_hostile_partition_values(spark, tmp_path):
+    """Partition values that URL-escape in directory names (':' -> '%3A')
+    and NULL partition values (__HIVE_DEFAULT_PARTITION__) must survive
+    compaction byte-for-byte — the budgets come from the data, never from
+    parsing dir names back into values (review r4: the string-match join
+    would have silently dropped these rows before the swap)."""
+    import glob
+
+    from delfos_etl_pipeline_spark.sources.sinks import compact_partitions
+
+    df = spark.createDataFrame(
+        [(i, "a:b c" if i % 3 == 0 else (None if i % 3 == 1 else "plain"), float(i))
+         for i in range(300)],
+        "id long, part string, value double",
+    )
+    path = str(tmp_path / "hostile")
+    df.repartition(6).write.partitionBy("part").parquet(path)
+    pre = spark.read.parquet(path)
+    before_rows = pre.count()
+    before_hash = pre.groupBy().agg(
+        F.sum(F.hash("id", "value")).alias("h")
+    ).collect()[0]["h"]
+    assert any("%3A" in d for d in glob.glob(path + "/*")), "escape not exercised"
+    assert any("HIVE_DEFAULT" in d for d in glob.glob(path + "/*"))
+
+    compact_partitions(spark, path, "part", target_file_bytes=10**9)
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert after.groupBy().agg(
+        F.sum(F.hash("id", "value")).alias("h")
+    ).collect()[0]["h"] == before_hash
