@@ -100,9 +100,10 @@ def w3_running_sum(spark, sf_dir):
 )
 def a_percentiles(spark, sf_dir):
     """Exact grouped percentiles (continuous interpolation) — Spark's
-    percentile() matches SQL quantile_cont semantics; swap in
-    approx_percentile at corpus scale for one-pass sketching (that variant
-    stays rows-only-checkable, like a_approx_distinct)."""
+    percentile() matches SQL quantile_cont semantics. The corpus-scale
+    path is the registered a_percentiles_approx twin: one-pass mergeable
+    approx_percentile sketches with the rank-error guarantee itself
+    oracle-certified."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         round_half_up(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
