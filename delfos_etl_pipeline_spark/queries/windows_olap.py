@@ -406,12 +406,16 @@ def w6_rolling_median(spark, sf_dir):
     moving-aggregate an observability pipeline layers over noisy values
     (mean-based w3 shapes wash out under outliers; the median doesn't).
     Exact percentile as a WINDOW aggregate over a bounded ROWS frame,
-    partitioned by event_type: state per row is the 100-row frame, work
-    is O(frame) per row, and partitions parallelize by key. At corpus
-    scale with high-cardinality keys this shape holds as-is; for very
-    wide frames swap the exact percentile for a t-digest-style sketch
-    column (same window spec). Frame order is (ts, event_id) — fully
-    deterministic, so both engines aggregate identical frames."""
+    partitioned by event_type. COST MODEL (measured 5.9 s at sf0.1 —
+    the most expensive headline query, deliberately): percentile is not
+    an invertible aggregate, so Spark rebuilds the frame buffer per row —
+    O(n · frame) total, linear in both, parallel by key. That product is
+    the honest price of EXACTNESS here; when frame·n grows past it, the
+    production swaps are (a) a t-digest/approx_percentile sketch column
+    under the same window spec, or (b) pandas rolling-median via
+    applyInPandas (O(n log frame) skip-list) when a per-key Arrow hop is
+    acceptable. Frame order is (ts, event_id) — fully deterministic, so
+    both engines aggregate identical frames."""
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
