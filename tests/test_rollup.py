@@ -1,5 +1,6 @@
 """Multi-resolution rollup: partial re-aggregation exactness + one raw scan."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from delfos_etl_pipeline_spark.operators.rollup import multi_resolution_rollup
@@ -122,3 +123,28 @@ def test_approx_percentile_within_bound_of_exact_twin(spark, sf_dir):
     }
     approx = {(r.event_type, r.day): r.n for r in daily.collect()}
     assert approx == exact
+
+
+def test_rolling_median_pandas_equals_declarative(spark, sf_dir):
+    """The O(n log frame) applyInPandas rolling median must agree with the
+    oracle-certified declarative window-percentile form on every row
+    (both interpolate the even-frame midpoint)."""
+    from delfos_etl_pipeline_spark.operators.rolling import rolling_median_pandas
+    from delfos_etl_pipeline_spark.queries import QUERIES
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+
+    declarative = {
+        (r.event_id): r.rolling_median
+        for r in QUERIES["w6_rolling_median"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    fast = rolling_median_pandas(
+        ev, "event_type", ("ts", "event_id"), "value", frame=100
+    ).collect()
+    assert len(fast) == len(declarative)
+    for r in fast:
+        assert declarative[r.event_id] == pytest.approx(
+            r.rolling_median, abs=1e-6
+        ), r.event_id
