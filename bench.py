@@ -84,6 +84,7 @@ HEADLINE = [
     "w6_rolling_median",
     "join_salted_skew",
     "dau_wau_rolling",
+    "text_bm25_search",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -68,6 +68,7 @@ _R4_CHANGED_FIRST = [
     "w6_rolling_median",        # new: bounded-frame window percentile
     "join_salted_skew",         # new: salted join, plain-join oracle
     "dau_wau_rolling",          # new: DAU/WAU via contribution explode
+    "text_bm25_search",         # new: BM25 lexical retrieval top-k
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

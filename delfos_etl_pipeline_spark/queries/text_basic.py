@@ -188,3 +188,91 @@ def text_tfidf_top_terms(spark, sf_dir):
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+@query(
+    "text_bm25_search",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+      FROM documents
+    ),
+    w2 AS (SELECT doc_id, term FROM w WHERE term <> ''),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w2 GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM w2 WHERE term IN ('data', 'model', 'training') GROUP BY 1, 2
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+               AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id,
+           floor((score) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def text_bm25_search(spark, sf_dir):
+    """Top-20 BM25 retrieval for the query {data, model, training}
+    (k1=1.2, b=0.75) — the lexical-search scorer a corpus-curation
+    pipeline uses for eval-set mining and quality probes. Shape: the
+    query-term TF table is tiny (terms × matching docs), doc lengths are
+    one narrow agg, corpus stats (N, avgdl) ride as a broadcast 1-row
+    cross join, and the final score is a per-doc sum — every exchange
+    keyed by doc or term, top-k via TakeOrderedAndProject (no global
+    sort). IDF uses the standard ln(1 + (N - df + .5)/(df + .5)) form;
+    the displayed score follows the round_half_up contract while ORDER
+    uses the unrounded value in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["data", "model", "training"]
+    k1, b = 1.2, 0.75
+    w2 = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    dl = w2.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        w2.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log(
+        1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", round_half_up(F.col("score"), 6).alias("bm25"))
+    )
