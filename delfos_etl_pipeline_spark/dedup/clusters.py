@@ -104,16 +104,134 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, comp) via large-star/small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    web-scale path the label-propagation docstring promises. Same output
+    contract as :func:`connected_components`.
+
+    Why a second algorithm: min-label propagation needs O(diameter)
+    rounds, fine for the clique-ish near-dup graphs dedup produces but
+    quadratic-feeling on path-shaped giant components (a 10^6-node chain
+    is 10^6 rounds). Large-star/small-star contracts every component to a
+    star in O(log² n) rounds regardless of diameter, with the SAME
+    per-round operator shape (one group-by-min + one join, both keyed on
+    node id — plain shuffles, no driver state beyond the convergence
+    scalar), so it holds on a 1000-executor cluster for any graph shape.
+
+    Per round:
+      large-star: symmetrize, group by u, m = min(Γ(u) ∪ {u}); emit
+        (v, m) for every neighbor v > u — strictly-larger neighbors hook
+        onto the local minimum.
+      small-star: orient each edge (max, min), group by the max u,
+        m = min(Γ(u) ∪ {u}); emit (x, m) for x ∈ Γ(u) ∪ {u}, x ≠ m.
+    Fixpoint when the small-star edge set stops changing (checked with
+    one count+xxhash aggregate — a single scalar action per round).
+    Each round is localCheckpoint'ed: lineage would otherwise nest two
+    join+agg layers per round, and the RDD blocks of the superseded
+    round are freed explicitly (Dataset.unpersist does not release
+    localCheckpoint blocks)."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src) != F.col(dst)
+    )
+    # start from the small-star canonical orientation (big → small)
+    edges = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .persist()
+    )
+
+    jsc = pairs.sparkSession.sparkContext._jsc
+
+    def _persistent_ids() -> set:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _free_rdds(ids: set) -> None:
+        pmap = jsc.getPersistentRDDs()
+        for rid in ids:
+            rdd = pmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        # decimal accumulator: a long sum of 64-bit hashes overflows ANSI
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_fp = _fingerprint(edges)
+    prev_ckpt_ids: set = set()
+    was_persist = True  # first `edges` is persist()-backed, not checkpointed
+    for _ in range(max_iter):
+        # large-star over the symmetrized neighborhood
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        lmin = lmin.select("u", F.least("mv", "u").alias("m"))
+        large = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the (max, min) orientation of large's output
+        small_in = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v"))
+        smin = small_in.groupBy("u").agg(F.min("v").alias("m"))
+        new_edges = (
+            small_in.join(smin, "u")
+            .select(F.col("v").alias("x"), F.col("m"))
+            .union(small_in.join(smin, "u").select(F.col("u").alias("x"), "m"))
+            .where(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        before = _persistent_ids()
+        new_edges = new_edges.localCheckpoint()
+        new_ckpt_ids = _persistent_ids() - before
+        fp = _fingerprint(new_edges)
+        if was_persist:
+            edges.unpersist()
+        _free_rdds(prev_ckpt_ids)
+        prev_ckpt_ids, was_persist = new_ckpt_ids, False
+        edges = new_edges
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # converged star graph: every edge is (member, root), root < member
+    labels = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+        .union(edges.select(F.col("v").alias("node"), F.col("v").alias("comp")))
+        .distinct()
+    )
+    return labels
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) — every document that has at
     least one near-duplicate, labeled with its duplicate group. Docs with
     no pairs are absent (they are their own singleton cluster — joining
-    them in would just echo the corpus)."""
-    cc = connected_components(pairs, src, dst)
+    them in would just echo the corpus). ``algorithm``: ``label_prop``
+    (O(diameter) rounds, ideal for clique-ish dup graphs) or ``star``
+    (large-star/small-star, O(log² n) rounds on any graph shape)."""
+    if algorithm == "star":
+        cc = connected_components_star(pairs, src, dst)
+    else:
+        cc = connected_components(pairs, src, dst)
     sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(sizes, "comp").select(
         F.col("node").alias("doc_id"),

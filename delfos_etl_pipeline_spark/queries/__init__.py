@@ -69,6 +69,7 @@ _R4_CHANGED_FIRST = [
     "join_salted_skew",         # new: salted join, plain-join oracle
     "dau_wau_rolling",          # new: DAU/WAU via contribution explode
     "text_bm25_search",         # new: BM25 lexical retrieval top-k
+    "dedup_clusters_bigstar",   # new: large-star/small-star CC, same oracle
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

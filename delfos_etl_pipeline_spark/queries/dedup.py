@@ -87,9 +87,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_clusters",
-    oracle="""
+_CLUSTERS_ORACLE = """
     WITH RECURSIVE words AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
     ), sh AS (
@@ -122,8 +120,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     FROM comp c
     JOIN (SELECT cluster_id, count(*) AS cluster_size
           FROM comp GROUP BY cluster_id) s USING (cluster_id)
-    """,
-)
+    """
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark, sf_dir):
     """Duplicate GROUPS, not pairs: transitive closure of the exact
     near-dup pair list via iterative min-label propagation
@@ -140,6 +140,26 @@ def dedup_clusters(spark, sf_dir):
         threshold=0.6,
     )
     return duplicate_clusters(pairs)
+
+
+@query("dedup_clusters_bigstar", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_bigstar(spark, sf_dir):
+    """Same duplicate-group closure as dedup_clusters, computed by the
+    large-star/small-star alternation (Kiveris et al., SoCC'14;
+    dedup/clusters.py::connected_components_star) instead of min-label
+    propagation. O(log² n) rounds regardless of component diameter — the
+    web-scale path for giant components that label propagation's
+    O(diameter) rounds can't handle — against the identical recursive-CTE
+    oracle, so both algorithms are exactly certified on the same graph."""
+    from delfos_etl_pipeline_spark.dedup.clusters import duplicate_clusters
+    from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True),
+        threshold=0.6,
+    )
+    return duplicate_clusters(pairs, algorithm="star")
 
 
 @query(

@@ -245,6 +245,58 @@ def test_connected_components_bounded_plan_depth(spark):
     assert plan.count("Join") <= 6, f"lineage not truncated: {plan.count('Join')} joins"
 
 
+def test_star_cc_matches_label_prop_on_adversarial_shapes(spark):
+    """Large-star/small-star must agree with label propagation on the
+    shapes that stress each: a long path (high diameter — star's O(log²n)
+    advantage), a star component, a clique, a bridge of two cliques, and
+    duplicate/reversed edges. Seeded random graphs cross-check both."""
+    import random
+
+    from delfos_etl_pipeline_spark.dedup.clusters import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = {
+        "path40": [(i, i + 1) for i in range(40)],
+        "star": [(100, v) for v in range(101, 110)],
+        "clique": [(a, b) for a in range(5) for b in range(a + 1, 5)],
+        "bridged": [(0, 1), (1, 2), (10, 11), (11, 12), (2, 10)],
+        "dup_rev": [(1, 2), (2, 1), (1, 2), (3, 3), (3, 4)],
+    }
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        cases[f"rand{trial}"] = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+        ]
+    for name, edges in cases.items():
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        lp = {r.node: r.comp for r in connected_components(pairs, max_iter=60).collect()}
+        st = {r.node: r.comp for r in connected_components_star(pairs).collect()}
+        # self-loop-only nodes are incident to no real pair: label prop
+        # emits them as singletons, star drops them — both are "no
+        # duplicate partner"; compare on the star's (real-edge) domain
+        real = {a for a, b in edges if a != b} | {b for a, b in edges if a != b}
+        lp = {k: v for k, v in lp.items() if k in real}
+        assert st == lp, f"{name}: star != label-prop"
+
+
+def test_star_cc_round_count_beats_diameter(spark):
+    """On a 64-node path the star alternation must converge in far fewer
+    rounds than the 63 min-propagation needs — the reason it exists."""
+    from delfos_etl_pipeline_spark.dedup import clusters as C
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    out = C.connected_components_star(pairs, max_iter=12)
+    rows = out.collect()
+    assert len(rows) == 64 and all(r.comp == 0 for r in rows), (
+        "star CC did not converge on a 64-node path within 12 rounds"
+    )
+
+
 def test_md5_keyed_variants_find_planted_dups(docs):
     """The DuckDB-reproducible md5 keying (oracle mode for
     dedup_minhash_lsh / dedup_simhash) must behave like a real sketch, not
