@@ -6,7 +6,10 @@ Arrow-batched ``mapInPandas`` so each Python batch touches thousands of
 payloads with one serialization hop. The Spark-side plumbing (schema,
 partitioning, batch shape, fan-out) is real and tested. Decode is REAL
 end-to-end for uncompressed 24/32-bit BMP (:func:`decode_bmp`, pure
-numpy); other formats use a clearly-marked deterministic STUB (codec
+numpy) and RIFF/WAVE uncompressed PCM audio (:func:`decode_wav` /
+:func:`encode_wav_pcm`, stdlib struct + numpy — certified by the
+mm_audio_features oracle); other formats use a clearly-marked
+deterministic STUB (codec
 libraries are not in this container) — pass ``decoder=`` to
 ``decode_image_batch`` / ``sample_video_frames`` to slot in a full codec
 without touching the plan.
@@ -265,3 +268,137 @@ def sample_video_frames(
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(compute, _FRAME_SCHEMA)
+
+
+# --- audio: REAL RIFF/WAVE PCM codec (pure stdlib struct + numpy) ---------
+
+_AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_sec double, rms double, peak int"
+)
+
+
+def encode_wav_pcm(samples, sample_rate: int, bits: int = 16) -> bytes:
+    """Serialize centered integer samples (shape (n,) or (n, channels)) to
+    a REAL RIFF/WAVE uncompressed-PCM payload. 8-bit WAV stores unsigned
+    bytes (amplitude + 128); 16/32-bit store signed little-endian."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    if bits == 8:
+        raw = (a.astype(np.int64) + 128).astype("<u1").tobytes()
+    elif bits == 16:
+        raw = a.astype("<i2").tobytes()
+    elif bits == 32:
+        raw = a.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported PCM width: {bits}")
+    block = ch * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, bits
+    )
+    pad = b"\x00" if len(raw) % 2 else b""
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw + pad
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """REAL decoder for RIFF/WAVE uncompressed PCM — walks the chunk list
+    (fmt /data, skipping LIST/fact/etc.), returns (sample_rate,
+    centered int32 array of shape (n_samples, n_channels)). 8-bit input
+    is de-biased by 128 so every width yields zero-centered amplitudes.
+
+    Raises ValueError for non-WAV payloads and NotImplementedError for
+    compressed (non-PCM) encodings — mirrors :func:`decode_bmp`'s
+    contract so callers can fall back per-payload."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    fmt_chunk = data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_chunk = chunk
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt_chunk)
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"only uncompressed PCM supported (format={audio_format})"
+        )
+    if bits == 8:
+        a = np.frombuffer(data, dtype="<u1").astype(np.int32) - 128
+    elif bits == 16:
+        a = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    elif bits == 32:
+        a = np.frombuffer(data, dtype="<i4").astype(np.int32)
+    else:
+        raise NotImplementedError(f"PCM width {bits} not supported")
+    n = len(a) // ch
+    return rate, a[: n * ch].reshape(n, ch)
+
+
+def audio_features_batch(binary_df: DataFrame, decoder=None) -> DataFrame:
+    """Per-payload audio features via the REAL WAV decode: sample rate,
+    channel/sample counts, duration, RMS amplitude, absolute peak.
+    Arrow-batched ``mapInPandas`` over (doc_id, payload) — the audio twin
+    of :func:`decode_image_batch`. RMS uses an exact integer
+    sum-of-squares before the one double division+sqrt, so the value is
+    independent of batch boundaries and engine summation order
+    (cross-checked by the mm_audio_features DuckDB oracle). Empty payloads
+    (0 samples) are dropped — no silent 0/0. ``decoder=`` swaps in a full
+    codec (soundfile/pyav) without touching the plan."""
+    import numpy as np
+
+    decode = decoder or decode_wav
+
+    def _rhu(x: float, k: int = 6) -> float:
+        f = float(10**k)
+        import math
+
+        return math.floor(x * f + 0.5) / f
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, a = decode(payload)
+                n, ch = a.shape
+                if n == 0:
+                    continue
+                ssq = int((a.astype(np.int64) ** 2).sum())
+                out.append(
+                    (
+                        int(doc_id),
+                        int(rate),
+                        int(ch),
+                        int(n),
+                        _rhu(n / rate),
+                        _rhu((ssq / (n * ch)) ** 0.5),
+                        int(np.abs(a).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_sec", "rms", "peak",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(compute, _AUDIO_SCHEMA)

@@ -70,6 +70,8 @@ _R4_CHANGED_FIRST = [
     "dau_wau_rolling",          # new: DAU/WAU via contribution explode
     "text_bm25_search",         # new: BM25 lexical retrieval top-k
     "dedup_clusters_bigstar",   # new: large-star/small-star CC, same oracle
+    "profile_corr_matrix",      # new: one-pass exact pairwise Pearson corr
+    "mm_audio_features",        # new: real WAV PCM encode→decode roundtrip
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -86,3 +86,74 @@ def mm_byte_histogram(spark, sf_dir):
         "entropy",
         F.array_join(F.col("counts").cast("array<string>"), ",").alias("feature_sig"),
     )
+
+
+@query(
+    "mm_audio_features",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+             list_transform(range(1, length(text) + 1),
+               i -> unicode(substr(text, i, 1)) - 128) AS amp
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id,
+           16000 AS sample_rate,
+           1 AS n_channels,
+           n AS n_samples,
+           floor((n * 1.0 / 16000) * 1000000.0 + 0.5) / 1000000.0
+             AS duration_sec,
+           floor(sqrt(list_sum(list_transform(amp,
+                 x -> CAST(x * x AS BIGINT))) * 1.0 / n)
+                 * 1000000.0 + 0.5) / 1000000.0 AS rms,
+           CAST(list_max(list_transform(amp, x -> abs(x))) AS INT) AS peak
+    FROM a
+    """,
+)
+def mm_audio_features(spark, sf_dir):
+    """REAL audio decode end-to-end: each document's ASCII bytes become
+    8-bit PCM amplitudes serialized into a genuine RIFF/WAVE payload
+    (multimodal/binary.py::encode_wav_pcm), which the chunk-walking WAV
+    parser (decode_wav) decodes back before feature extraction
+    (audio_features_batch: duration, exact-integer-sum RMS, peak). The
+    oracle recomputes the features straight from the text's codepoints —
+    8-bit WAV stores byte+128 biased samples, so text byte b is amplitude
+    b-128 — proving the encode→decode round trip bit-exact through two
+    Arrow-batched mapInPandas stages. ASCII-corpus caveat as
+    mm_byte_histogram. At 100 TB both stages are narrow (zero exchange),
+    payload bytes never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        audio_features_batch,
+        encode_wav_pcm,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav_pcm(
+                            np.frombuffer(
+                                t.encode("ascii"), dtype=np.uint8
+                            ).astype(np.int32)
+                            - 128,
+                            16000,
+                            bits=8,
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    wav = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return audio_features_batch(wav)

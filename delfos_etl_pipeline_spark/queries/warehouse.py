@@ -1342,3 +1342,95 @@ def dau_wau_rolling(spark, sf_dir):
         "wau",
         F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+# --- pairwise correlation matrix: exact sufficient statistics -------------
+_CORR_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_MEASURES)
+    for b in _CORR_MEASURES[i + 1 :]
+]
+
+
+def _corr_oracle() -> str:
+    """Build the DuckDB twin programmatically so the sufficient-stat casts
+    and the closed-form corr expression are character-identical to the
+    Spark side's semantics (decimal partials, double division, half-up
+    round at 9)."""
+    dec = "DECIMAL(18,6)"
+    # products use width 19: DuckDB executes width-18 multiplications in
+    # int64 (price² at scale 12 overflows it); 19+19 → DECIMAL(38,12) on
+    # hugeint. Exact either way, so it still matches Spark's decimal(37,12).
+    pdec = "DECIMAL(19,6)"
+    stats = ["CAST(count(*) AS BIGINT) AS n"]
+    for m in _CORR_MEASURES:
+        stats.append(f"sum(CAST({m} AS {dec})) AS s_{m}")
+        stats.append(f"sum(CAST({m} AS {pdec}) * CAST({m} AS {pdec})) AS ss_{m}")
+    for a, b in _CORR_PAIRS:
+        stats.append(f"sum(CAST({a} AS {pdec}) * CAST({b} AS {pdec})) AS sp_{a}_{b}")
+    arms = []
+    for a, b in _CORR_PAIRS:
+        num = (
+            f"(n * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        den = (
+            f"sqrt((n * CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE)"
+            f" * CAST(s_{a} AS DOUBLE)) * (n * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        arms.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, "
+            f"{sql_round_half_up(f'{num} / {den}', 9)} AS corr FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(stats) + " FROM lineitem)\n"
+        + "\nUNION ALL ".join(arms)
+    )
+
+
+@query("profile_corr_matrix", oracle=_corr_oracle())
+def profile_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation of all lineitem measures in ONE pass:
+    a single aggregate computes every sufficient statistic (n, Σx, Σx²,
+    Σxy for each of the 6 column pairs) in exact decimal — order-
+    independent partials, so the closed-form corr division sees
+    bit-identical operands on any engine and any partitioning — then the
+    one-row result explodes into the (col_a, col_b) long form. Built-in
+    corr() would re-scan per pair and its float partials are
+    merge-order-dependent; this shape is one table scan, one reduce of
+    ~15 numbers, zero shuffle of data rows. At 100 TB the cost is the
+    scan; the reduce state stays a few hundred bytes regardless of
+    row count (lineitem measures are NOT NULL per TPC-H, so one shared
+    n serves every pair)."""
+    dec = "decimal(18,6)"
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for m in _CORR_MEASURES:
+        d = F.col(m).cast(dec)
+        aggs.append(F.sum(d).alias(f"s_{m}"))
+        aggs.append(F.sum(d * d).alias(f"ss_{m}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum(F.col(a).cast(dec) * F.col(b).cast(dec)).alias(f"sp_{a}_{b}")
+        )
+    row = li.agg(*aggs)
+    structs = []
+    for a, b in _CORR_PAIRS:
+        n = F.col("n")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sp = F.col(f"sp_{a}_{b}").cast("double")
+        corr = (n * sp - sa * sb) / F.sqrt(
+            (n * ssa - sa * sa) * (n * ssb - sb * sb)
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                n.alias("n"),
+                round_half_up(corr, 9).alias("corr"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
