@@ -72,6 +72,7 @@ _R4_CHANGED_FIRST = [
     "dedup_clusters_bigstar",   # new: large-star/small-star CC, same oracle
     "profile_corr_matrix",      # new: one-pass exact pairwise Pearson corr
     "mm_audio_features",        # new: real WAV PCM encode→decode roundtrip
+    "layout_zorder_key",        # new: Morton interleave, exact bit-math oracle
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

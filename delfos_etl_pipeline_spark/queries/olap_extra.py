@@ -553,3 +553,41 @@ def tpcds_q67_topk_rollup(spark, sf_dir):
         )
         .where(F.col("rk") <= 100)
     )
+
+
+def _zorder_oracle() -> str:
+    from delfos_etl_pipeline_spark.operators.zorder import sql_morton_key
+
+    z = sql_morton_key(["o_custkey % 256", "o_orderkey % 256"], 8)
+    return f"""
+    SELECT o_orderkey, o_custkey % 256 AS code_a, o_orderkey % 256 AS code_b,
+           {z} AS zorder_key
+    FROM orders
+    """
+
+
+@query("layout_zorder_key", oracle=_zorder_oracle())
+def layout_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key: bit-interleave of two 8-bit codes
+    (operators/zorder.py::morton_key — pure shiftleft/OR expression tree,
+    whole-stage codegen) certified bit-exact against the same arithmetic
+    in DuckDB. This key is what zorder_layout range-partitions on so each
+    output file is a tight bounding BOX in (a, b) space and parquet
+    min/max stats prune on EITHER filter column — the multi-predicate
+    data-skipping layout (Delta OPTIMIZE ZORDER BY) for 100 TB scans.
+    The query certifies the arithmetic; the skipping win itself is
+    measured in tests/test_zorder.py (per-file bounding-box extents vs
+    linear sort)."""
+    from delfos_etl_pipeline_spark.operators.zorder import morton_key
+
+    o = _t(spark, sf_dir, "orders")
+    ca = (F.col("o_custkey") % 256).cast("long")
+    cb = (F.col("o_orderkey") % 256).cast("long")
+    return o.select(
+        "o_orderkey",
+        ca.alias("code_a"),
+        cb.alias("code_b"),
+        morton_key([F.col("o_custkey") % 256, F.col("o_orderkey") % 256], 8).alias(
+            "zorder_key"
+        ),
+    )

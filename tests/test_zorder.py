@@ -1,0 +1,85 @@
+"""Z-order layout: Morton arithmetic, quantile coding under skew, and the
+actual data-skipping win (per-file bounding-box extents vs linear sort)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _py_morton(vals: list[int], bits: int) -> int:
+    out = 0
+    for i in range(bits):
+        for d, v in enumerate(vals):
+            out |= ((v >> i) & 1) << (i * len(vals) + d)
+    return out
+
+
+def test_morton_key_matches_reference_bit_math(spark):
+    from delfos_etl_pipeline_spark.operators.zorder import morton_key
+
+    cases = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255), (170, 85), (200, 13)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    rows = df.select(
+        "a", "b", morton_key([F.col("a"), F.col("b")], 8).alias("z")
+    ).collect()
+    for r in rows:
+        assert r.z == _py_morton([r.a, r.b], 8), (r.a, r.b)
+    # 3-dim interleave too
+    df3 = spark.createDataFrame([(5, 9, 14)], "a long, b long, c long")
+    (r3,) = df3.select(
+        morton_key([F.col("a"), F.col("b"), F.col("c")], 4).alias("z")
+    ).collect()
+    assert r3.z == _py_morton([5, 9, 14], 4)
+
+
+def test_quantile_codes_fill_code_space_under_skew(spark):
+    """Equal-frequency coding must spread a heavily skewed column across
+    the full code range (equal-width would collapse to one code)."""
+    from delfos_etl_pipeline_spark.operators.zorder import quantile_codes
+
+    # lognormal-ish skew: many small values, few huge ones
+    df = spark.range(4000).select(
+        (F.pow(F.lit(10.0), (F.col("id") % 40) / 10.0)).alias("x")
+    )
+    coded, cuts = quantile_codes(df, ["x"], bits=4, sample_fraction=1.0)
+    dist = coded.groupBy("_code_x").count().collect()
+    codes_used = {r["_code_x"] for r in dist}
+    assert len(codes_used) >= 12, f"skewed column collapsed: {sorted(codes_used)}"
+    assert max(r["count"] for r in dist) < 4000 * 0.25
+
+
+def test_zorder_layout_tightens_bounding_boxes(spark):
+    """The reason the operator exists: with 16 output files over a 2-D
+    uniform table, linear sort on `a` leaves every file spanning the FULL
+    `b` range (no pruning on b-only predicates), while the Morton layout
+    must bound BOTH dimensions well below half the domain — so parquet
+    min/max stats prune on either column."""
+    from delfos_etl_pipeline_spark.operators.zorder import zorder_layout
+
+    n, domain = 20_000, 1024
+    base = spark.range(n).select(
+        (F.xxhash64("id") % domain).alias("a"),
+        (F.xxhash64("id", F.lit(1)) % domain).alias("b"),
+    ).select(F.abs("a").alias("a"), F.abs("b").alias("b"))
+
+    def extents(df):
+        per_file = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("a") - F.min("a")).alias("ea"),
+                (F.max("b") - F.min("b")).alias("eb"),
+            )
+            .agg(F.avg("ea").alias("ea"), F.avg("eb").alias("eb"))
+            .collect()[0]
+        )
+        return per_file.ea / domain, per_file.eb / domain
+
+    linear = base.repartitionByRange(16, "a").sortWithinPartitions("a")
+    lin_a, lin_b = extents(linear)
+    zed = zorder_layout(base, ["a", "b"], n_files=16, bits=8)
+    z_a, z_b = extents(zed)
+
+    assert lin_b > 0.9, f"linear sort should span full b range, got {lin_b}"
+    assert z_a < 0.5 and z_b < 0.5, f"morton extents too wide: {z_a}, {z_b}"
+    assert z_b < lin_b / 2, "z-order did not beat linear sort on the 2nd dim"
