@@ -73,6 +73,7 @@ _R4_CHANGED_FIRST = [
     "profile_corr_matrix",      # new: one-pass exact pairwise Pearson corr
     "mm_audio_features",        # new: real WAV PCM encode→decode roundtrip
     "layout_zorder_key",        # new: Morton interleave, exact bit-math oracle
+    "text_lm_bigram_score",     # new: self-trained char-bigram LM quality gate
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

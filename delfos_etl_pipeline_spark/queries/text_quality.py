@@ -289,3 +289,90 @@ def emb_scalar_quantize(spark, sf_dir):
     from delfos_etl_pipeline_spark.similarity.quantize import quantize
 
     return quantize(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64)
+
+
+@query(
+    "text_lm_bigram_score",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text)), i -> substr(text, i, 2))
+               AS bgs
+      FROM documents WHERE length(text) >= 2
+    ), e AS (
+      SELECT doc_id, unnest(bgs) AS bg FROM b
+    ), cb AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS nb FROM e GROUP BY bg
+    ), cu AS (
+      SELECT substr(bg, 1, 1) AS ch, CAST(sum(nb) AS BIGINT) AS nu
+      FROM cb GROUP BY 1
+    ), term AS (
+      SELECT e.doc_id,
+             CAST(floor(ln(nb * 1.0 / nu) * 1000000000.0 + 0.5)
+                  / 1000000000.0 AS DECIMAL(18,9)) AS t
+      FROM e
+      JOIN cb USING (bg)
+      JOIN cu ON substr(e.bg, 1, 1) = cu.ch
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor((CAST(sum(t) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_logprob
+    FROM term GROUP BY doc_id
+    """,
+)
+def text_lm_bigram_score(spark, sf_dir):
+    """CCNet-style language-model quality scoring, self-trained on the
+    corpus in the same job: a character-bigram LM (P(c2|c1) =
+    count(c1c2)/count(c1·)) scores each document by mean log-probability
+    per transition — low scores flag gibberish/boilerplate for filtering,
+    the classic LM quality gate complementing the heuristic Gopher
+    signals. Fully declarative: bigrams come from a transform(sequence)
+    expression (no UDF), the model is two count tables of at most
+    |alphabet|² rows — broadcast to every executor regardless of corpus
+    size — and scoring is a narrow explode + two broadcast joins + one
+    doc-keyed sum. Cross-engine exactness: each ln term is half-up
+    rounded to 9 decimals and summed in DECIMAL — the per-doc sum is
+    order-independent, so partitioning can't move the hash (ln itself
+    agrees across engines on identical integer-ratio inputs, the same
+    contract mm_byte_histogram's entropy established for log2). At
+    100 TB train is one linear count pass; score is linear with zero
+    data-row shuffles (doc-keyed agg only)."""
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") >= 2)
+    e = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    cb = e.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    cu = (
+        cb.groupBy(F.substring("bg", 1, 1).alias("ch"))
+        .agg(F.sum("nb").cast("bigint").alias("nu"))
+    )
+    term = (
+        e.join(F.broadcast(cb), "bg")
+        .join(F.broadcast(cu), F.substring(F.col("bg"), 1, 1) == F.col("ch"))
+        .select(
+            "doc_id",
+            (
+                F.floor(
+                    F.log(F.col("nb") * 1.0 / F.col("nu")) * 1000000000.0
+                    + 0.5
+                )
+                / 1000000000.0
+            )
+            .cast("decimal(18,9)")
+            .alias("t"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return term.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_bigrams"),
+        (
+            F.floor((F.sum("t").cast("double") / n) * 1000000.0 + 0.5)
+            / 1000000.0
+        ).alias("avg_logprob"),
+    )

@@ -256,3 +256,29 @@ def test_rolling_median_partitions_by_key(spark, sf_dir):
     plan = _plan(spark, sf_dir, "w6_rolling_median")
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(event_type" in plan, plan
+
+
+def test_lm_score_model_tables_broadcast(spark, sf_dir):
+    """The bigram LM's two count tables are bounded by |alphabet|² — they
+    must reach the scoring joins as broadcasts (never a data-row shuffle
+    join), and the per-occurrence explode must not go cartesian."""
+    plan = _plan(spark, sf_dir, "text_lm_bigram_score")
+    assert _count(plan, "BroadcastHashJoin") >= 2, plan
+    assert _count(plan, "CartesianProduct") == 0
+
+
+def test_zorder_key_is_pure_projection(spark, sf_dir):
+    """The Morton key is a codegen'd integer expression over the scan —
+    no exchange, no join, no Python."""
+    plan = _plan(spark, sf_dir, "layout_zorder_key")
+    assert _count(plan, "Exchange") == 0, plan
+    assert _count(plan, "BatchEvalPython") == 0
+    assert _count(plan, "ArrowEvalPython") == 0
+
+
+def test_corr_matrix_single_reduce(spark, sf_dir):
+    """All 6 correlations from ONE scan + one scalar aggregate: exactly
+    the partial/final agg pair over a single exchange, no join at all."""
+    plan = _plan(spark, sf_dir, "profile_corr_matrix")
+    assert _count(plan, "Join") == 0, plan
+    assert _count(plan, "Exchange") <= 1, plan
