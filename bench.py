@@ -85,6 +85,13 @@ HEADLINE = [
     "join_salted_skew",
     "dau_wau_rolling",
     "text_bm25_search",
+    "dedup_clusters_bigstar",
+    "profile_corr_matrix",
+    "mm_audio_features",
+    "layout_zorder_key",
+    "text_lm_bigram_score",
+    "w7_running_distinct",
+    "emb_centroid_by_label",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

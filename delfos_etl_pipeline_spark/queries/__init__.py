@@ -74,6 +74,8 @@ _R4_CHANGED_FIRST = [
     "mm_audio_features",        # new: real WAV PCM encode→decode roundtrip
     "layout_zorder_key",        # new: Morton interleave, exact bit-math oracle
     "text_lm_bigram_score",     # new: self-trained char-bigram LM quality gate
+    "w7_running_distinct",      # new: distinct-count window via two-window rewrite
+    "emb_centroid_by_label",    # new: per-class centroid, per-dim partial sums
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -201,3 +201,68 @@ def sim_ivf_topk_prod(spark, sf_dir):
         emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
     )
     return ivf_topk(assigned, centroids, qvec, "vec_id", "embedding", k=10, n_probe=2)
+
+
+@query(
+    "emb_centroid_by_label",
+    oracle="""
+    WITH t AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim_idx,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+                  / 1000000.0 AS DECIMAL(18,6)) AS x
+      FROM embeddings
+    )
+    SELECT label, dim_idx, CAST(count(*) AS BIGINT) AS n,
+           floor((CAST(sum(x) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+             / 1000000.0 AS centroid
+    FROM t GROUP BY label, dim_idx
+    """,
+)
+def emb_centroid_by_label(spark, sf_dir):
+    """Per-class embedding centroid (the class-prototype / k-means-step
+    primitive) with the SCALABLE aggregation shape: one sum aggregate per
+    dimension (64 map-side partial sums, one shuffle of 64 numbers per
+    label) instead of posexplode-then-group, which would shuffle
+    rows×dims exploded records. The one-row-per-label result then
+    explodes to (label, dim_idx) long form only AFTER aggregation —
+    |labels|×dims rows, trivially small. Cross-engine exactness: each
+    float element rounds half-up to 6 decimals as a double (identical
+    IEEE value both engines) and is cast to DECIMAL(18,6) before the
+    order-independent exact sum — the float→decimal cast never touches
+    the raw float (Spark's shortest-string vs DuckDB's scaled-rounding
+    cast semantics differ; rounding first makes both land on the same
+    decimal)."""
+    dims = 64
+    emb = _t(spark, sf_dir, "embeddings")
+    sums = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(
+                (
+                    F.floor(
+                        F.element_at("embedding", i + 1).cast("double")
+                        * 1000000.0
+                        + 0.5
+                    )
+                    / 1000000.0
+                ).cast("decimal(18,6)")
+            ).alias(f"s{i}")
+            for i in range(dims)
+        ],
+    )
+    n = F.col("n")
+    return sums.select(
+        "label",
+        "n",
+        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(dims)])).alias(
+            "dim_idx", "s"
+        ),
+    ).select(
+        "label",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        "n",
+        (F.floor((F.col("s").cast("double") / n) * 1000000.0 + 0.5) / 1000000.0).alias(
+            "centroid"
+        ),
+    )

@@ -429,3 +429,56 @@ def w6_rolling_median(spark, sf_dir):
             "rolling_median"
         ),
     )
+
+
+@query(
+    "w7_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, ts, event_id,
+           CAST(sum(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def w7_running_distinct(spark, sf_dir):
+    """Running DISTINCT count over a window — a capability gap in both
+    engines (`count(DISTINCT) OVER (... ROWS ...)` is unsupported in
+    Spark), closed by the standard two-window rewrite: flag each row that
+    is the FIRST occurrence of its (user, event_type), then a running sum
+    of flags. Both windows key on user_id, so the whole query is ONE
+    hash exchange; per-partition state is a row counter, not a distinct
+    set — O(1) memory per frame instead of the O(types) a naive distinct
+    window would hold, which is what lets it run at 100 TB. Ordering is
+    total via the (ts, event_id) tiebreak, so results are deterministic
+    and exactly hash-comparable."""
+    ev = _t(spark, sf_dir, "events")
+    first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum("first_seen").over(running).cast("bigint").alias(
+                "distinct_types_so_far"
+            ),
+        )
+    )
