@@ -76,6 +76,7 @@ _R4_CHANGED_FIRST = [
     "text_lm_bigram_score",     # new: self-trained char-bigram LM quality gate
     "w7_running_distinct",      # new: distinct-count window via two-window rewrite
     "emb_centroid_by_label",    # new: per-class centroid, per-dim partial sums
+    "streaming_session_windows",  # new: stream/batch session parity, same oracle
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -300,9 +300,7 @@ def a1_sliding_window_agg(spark, sf_dir):
     )
 
 
-@query(
-    "session_windows",
-    oracle="""
+_SESSIONS_ORACLE = """
     WITH marked AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -319,8 +317,10 @@ def a1_sliding_window_agg(spark, sf_dir):
     SELECT user_id, min(ts) AS session_start,
            count(*) AS n_events, round(sum(value), 4) AS session_value
     FROM sess GROUP BY user_id, session_no
-    """,
-)
+    """
+
+
+@query("session_windows", oracle=_SESSIONS_ORACLE)
 def session_windows(spark, sf_dir):
     """Session windows (30-minute inactivity gap) per user via Spark's
     native session_window — stateful sessionization as ONE group-by (the
@@ -608,3 +608,60 @@ def streaming_late_drop(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table("streaming_late_drop_sink")
+
+
+@query("streaming_session_windows", oracle=_SESSIONS_ORACLE)
+def streaming_session_windows(spark, sf_dir):
+    """Sessionization under Structured Streaming: the same 30-minute-gap
+    session_window aggregation as the batch `session_windows` query, run
+    as a watermarked stream and drained availableNow — against the
+    IDENTICAL lag+cumsum oracle, certifying batch/stream session parity.
+
+    Output-mode choice is load-bearing: update mode is rejected outright
+    for streaming session windows (sessions merge, so a "changed rows
+    only" contract can't be kept — Spark 4.1 raises
+    STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION), and append mode only
+    releases sessions already finalized below the watermark — sessions
+    near the stream head would be withheld and the row counts could
+    never match the batch oracle. Complete mode re-emits the full
+    session state each trigger, so after the availableNow drain the
+    memory sink holds exactly the final session set. At 100 TB the
+    deployment shape is append mode + a lagged watermark (finalized
+    sessions flow out incrementally, state stays bounded); complete
+    against a memory sink is the equivalence-proof harness."""
+    import os as _os
+    import tempfile
+
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+    from delfos_etl_pipeline_spark.streaming.runner import (
+        read_parquet_stream,
+        run_available_now,
+    )
+
+    src = _os.path.join(tempfile.mkdtemp(prefix="delfos_sess_"), "events")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ev.write.parquet(src)
+
+    stream = read_parquet_stream(spark, src, ev.schema)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    q = run_available_now(
+        agg,
+        _os.path.join(tempfile.mkdtemp(prefix="delfos_sess_ckpt_"), "ckpt"),
+        "streaming_session_windows_sink",
+        output_mode="complete",
+    )
+    q.awaitTermination(300)
+    return spark.table("streaming_session_windows_sink")
