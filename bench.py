@@ -92,6 +92,7 @@ HEADLINE = [
     "text_lm_bigram_score",
     "w7_running_distinct",
     "emb_centroid_by_label",
+    "sim_pq_adc_topk",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -77,6 +77,7 @@ _R4_CHANGED_FIRST = [
     "w7_running_distinct",      # new: distinct-count window via two-window rewrite
     "emb_centroid_by_label",    # new: per-class centroid, per-dim partial sums
     "streaming_session_windows",  # new: stream/batch session parity, same oracle
+    "sim_pq_adc_topk",          # new: product quantization ADC, exact oracle
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -266,3 +266,84 @@ def emb_centroid_by_label(spark, sf_dir):
             "centroid"
         ),
     )
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+      FROM (SELECT vec_id, e FROM v WHERE vec_id <> 0
+            ORDER BY vec_id LIMIT 16)
+    ),
+    js AS (SELECT unnest(range(0, 8)) AS j),
+    csub AS (
+      SELECT cid, j, list_slice(e, j * 8 + 1, j * 8 + 8) AS cs
+      FROM cent, js
+    ),
+    sub AS (
+      SELECT v.vec_id, js.j, list_slice(v.e, js.j * 8 + 1, js.j * 8 + 8) AS s
+      FROM v, js WHERE v.vec_id <> 0
+    ),
+    enc AS (
+      SELECT s.vec_id, s.j, c.cid AS code
+      FROM sub s JOIN csub c USING (j)
+      QUALIFY row_number() OVER (
+        PARTITION BY s.vec_id, s.j
+        ORDER BY list_dot_product(s.s, s.s)
+                 - 2 * list_dot_product(s.s, c.cs)
+                 + list_dot_product(c.cs, c.cs), c.cid) = 1
+    ),
+    qsub AS (
+      SELECT js.j, list_slice(q.qe, js.j * 8 + 1, js.j * 8 + 8) AS qs
+      FROM q, js
+    ),
+    lut AS (
+      SELECT c.j, c.cid,
+             CAST(floor((list_dot_product(qs.qs, qs.qs)
+                         - 2 * list_dot_product(qs.qs, c.cs)
+                         + list_dot_product(c.cs, c.cs))
+                        * 1000000000.0 + 0.5) / 1000000000.0
+                  AS DECIMAL(18,9)) AS term
+      FROM csub c JOIN qsub qs USING (j)
+    ),
+    adc AS (
+      SELECT e.vec_id, sum(l.term) AS dist_dec
+      FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.cid
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id,
+           floor(CAST(dist_dec AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS approx_dist
+    FROM adc ORDER BY approx_dist, vec_id LIMIT 10
+    """,
+)
+def sim_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011, similarity/pq.py):
+    8 subspaces × 16 centroids encode each corpus vector as 8 one-byte
+    codes; the vec_id=0 query searches by asymmetric distance — an 8×16
+    literal LUT folded into the scan, 8 lookups + an exact DECIMAL sum
+    per vector, top-10 via TakeOrderedAndProject. Registered with the
+    deterministic codebook (subvectors of the 16 lowest corpus ids) so
+    encode, LUT, and ranking are reproduced bit-exactly by the oracle;
+    a k-means codebook drops into the identical encode/ADC plan. The
+    memory tier of the ANN family: codes are 8 bytes/vector (32× smaller
+    than float32), so the 100 TB corpus scan that dominates ANN cost
+    reads 1/32 of the bytes, stays narrow, and never shuffles."""
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        fit_pq_codebooks_fixed,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    corpus = emb.where(F.col("vec_id") != 0)
+    books = fit_pq_codebooks_fixed(corpus, "vec_id", "embedding", m=8, k=16)
+    codes = pq_encode(corpus, books, "vec_id", "embedding")
+    return pq_adc_topk(codes, books, qvec, "vec_id", k=10)

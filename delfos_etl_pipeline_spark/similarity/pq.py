@@ -1,0 +1,179 @@
+"""Product quantization (PQ) — the memory-compression tier of the ANN
+family (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011).
+
+Where IVF prunes WHICH vectors a query scans and scalar quantization
+shrinks each dimension to int8, PQ shrinks each VECTOR to ``m`` one-byte
+codes: the 64-dim space is split into ``m`` contiguous subspaces, each
+subspace gets its own ``k``-centroid codebook, and a vector is stored as
+the per-subspace nearest-centroid indices. Search is asymmetric distance
+computation (ADC): the query precomputes an m×k lookup table of
+subspace distances to every codebook centroid (a few KB — broadcast as
+literals into the plan), and each corpus vector's approximate distance is
+m table lookups + adds instead of a 64-dim float scan. At 100 TB the
+codes table is 8 bytes/vector instead of 256 — the corpus scan that
+dominates ANN cost shrinks 32×, and the whole ADC scan stays a narrow
+codegen'd projection (no shuffle, no Python).
+
+Codebook tiers mirror similarity/ivf.py: :func:`fit_pq_codebooks_fixed`
+derives deterministic codebooks (subvectors of the k lowest corpus ids)
+whose every arithmetic step is reproducible in ANSI SQL, giving the
+sim_pq_adc_topk query an exact DuckDB oracle; a k-means codebook drops in
+through the same (j, cid) -> subvector structure when recall tuning
+matters — encode/ADC plans are identical either way.
+
+Cross-engine exactness contract: subspace squared-L2 uses the
+``dot(x,x) - 2·dot(x,c) + dot(c,c)`` form where dot is the sequential
+left fold (knn._dot ≡ DuckDB list_dot_product — the parity the IVF
+oracle already certifies); ADC terms round half-up to 9 decimals into
+DECIMAL before the per-vector sum, so the total is order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.functions.stable import round_half_up
+from delfos_etl_pipeline_spark.similarity.knn import _as_double, _dot
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals]).cast("array<double>")
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Subspace squared L2 in the exact association the oracle mirrors:
+    (dot(a,a) - 2*dot(a,b)) + dot(b,b)."""
+    return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
+
+
+def fit_pq_codebooks_fixed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """codebooks[j][c] = subspace-j slice of the c-th lowest-id vector —
+    the deterministic, SQL-reproducible codebook (k full rows collected;
+    codebooks are always driver-sized: m·k·(dim/m) floats)."""
+    sub = dim // m
+    rows = sorted(
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect(),
+        key=lambda r: r[0],
+    )
+    vecs = [[float(x) for x in r[1]] for r in rows]
+    return [
+        [v[j * sub : (j + 1) * sub] for v in vecs] for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0..code_{m-1}): per-subspace nearest-centroid index
+    (argmin squared-L2, lowest-index tie-break via lexicographic
+    array_min over (dist, cid) structs). Pure codegen'd expressions over
+    a narrow scan — encoding 100 TB is an embarrassingly parallel
+    projection writing 1 byte per subspace."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    e = _as_double(vec_col)
+    out = df.select(id_col, e.alias("_e"))
+    # hoist the per-subspace slice AND its self-dot into named columns:
+    # d2 = (dot(s,s) - 2·dot(s,c)) + dot(c,c) re-reads dot(s,s) for all k
+    # centroids — naming it cuts the fold count per row from m·k·3 to
+    # m·(k+1) (+ constant-folded dot(c,c)) with bit-identical values
+    # (same fold, same association).
+    for j in range(m):
+        s = F.slice(F.col("_e"), j * sub + 1, sub)
+        out = out.withColumn(f"_s_{j}", s).withColumn(f"_ss_{j}", _dot(s, s))
+    for j, book in enumerate(codebooks):
+        s, ss = F.col(f"_s_{j}"), F.col(f"_ss_{j}")
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        ss
+                        - F.lit(2.0) * _dot(s, _lit_vec(c))
+                        + _dot(_lit_vec(c), _lit_vec(c))
+                    ).alias("d2"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, c in enumerate(book)
+            ]
+        )
+        out = out.withColumn(f"code_{j}", F.array_min(scored)["cid"])
+    return out.drop("_e", *[f"_s_{j}" for j in range(m)], *[f"_ss_{j}" for j in range(m)])
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric distance top-k over an encoded corpus: the m×k LUT of
+    query-to-centroid subspace distances is embedded as literal arrays
+    (constant-folded — the corpus scan does m element_at lookups + an
+    exact DECIMAL sum per row), then TakeOrderedAndProject keeps k.
+    Returns (id, approx_dist) ordered by (approx_dist, id)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    total: Column | None = None
+    for j, book in enumerate(codebooks):
+        qs = _lit_vec(query_vec[j * sub : (j + 1) * sub])
+        terms = F.array(
+            *[
+                round_half_up(_sq_l2(qs, _lit_vec(c)), 9).cast("decimal(18,9)")
+                for c in book
+            ]
+        )
+        term = F.element_at(terms, F.col(f"code_{j}") + 1)
+        total = term if total is None else total + term
+    return (
+        codes.select(
+            id_col,
+            round_half_up(total.cast("double"), 6).alias("approx_dist"),
+        )
+        .orderBy("approx_dist", id_col)
+        .limit(k)
+    )
+
+
+def fit_pq_codebooks_kmeans(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Production codebooks: an independent seeded k-means per subspace
+    (the actual PQ training step — random/fixed codebooks quantize badly,
+    trained ones minimize subspace distortion, which is what buys recall).
+    Returns the same codebooks[j][c] structure as the fixed fit, so
+    encode/ADC plans are identical. m small fits over (dim/m)-dim slices:
+    each fit's state is k·(dim/m) floats, driver-trivial; the corpus is
+    scanned per fit (m passes) — cache the slice projection, or sample,
+    for very large corpora."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    e = _as_double(vec_col)
+    for j in range(m):
+        feat = df.select(
+            array_to_vector(F.slice(e, j * sub + 1, sub)).alias("_fv")
+        )
+        model = KMeans(k=k, seed=seed + j, featuresCol="_fv").fit(feat)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
