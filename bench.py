@@ -93,6 +93,7 @@ HEADLINE = [
     "w7_running_distinct",
     "emb_centroid_by_label",
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -78,6 +78,7 @@ _R4_CHANGED_FIRST = [
     "emb_centroid_by_label",    # new: per-class centroid, per-dim partial sums
     "streaming_session_windows",  # new: stream/batch session parity, same oracle
     "sim_pq_adc_topk",          # new: product quantization ADC, exact oracle
+    "sim_ivfpq_topk",           # new: composed IVF-PQ, end-to-end exact oracle
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

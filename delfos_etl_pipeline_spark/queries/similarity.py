@@ -347,3 +347,123 @@ def sim_pq_adc_topk(spark, sf_dir):
     books = fit_pq_codebooks_fixed(corpus, "vec_id", "embedding", m=8, k=16)
     codes = pq_encode(corpus, books, "vec_id", "embedding")
     return pq_adc_topk(codes, books, qvec, "vec_id", k=10)
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v
+      WHERE vec_id <> 0 ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT v.vec_id, v.e, c.cid,
+             list_dot_product(v.e, c.ce) /
+               (sqrt(list_dot_product(v.e, v.e)) *
+                sqrt(list_dot_product(c.ce, c.ce))) AS sim
+      FROM v JOIN cent c ON true
+      WHERE v.vec_id <> 0
+    ),
+    assign AS (
+      SELECT vec_id, e, cid AS cluster FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+    ),
+    probe AS (
+      SELECT c.cid FROM cent c, q
+      ORDER BY list_dot_product(c.ce, q.qe) /
+               (sqrt(list_dot_product(c.ce, c.ce)) *
+                sqrt(list_dot_product(q.qe, q.qe))) DESC, c.cid
+      LIMIT 2
+    ),
+    cand AS (
+      SELECT vec_id, e FROM assign
+      WHERE cluster IN (SELECT cid FROM probe)
+    ),
+    pcent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pcid, e
+      FROM (SELECT vec_id, e FROM v WHERE vec_id <> 0
+            ORDER BY vec_id LIMIT 16)
+    ),
+    js AS (SELECT unnest(range(0, 8)) AS j),
+    csub AS (
+      SELECT pcid, j, list_slice(e, j * 8 + 1, j * 8 + 8) AS cs
+      FROM pcent, js
+    ),
+    sub AS (
+      SELECT c.vec_id, js.j, list_slice(c.e, js.j * 8 + 1, js.j * 8 + 8) AS s
+      FROM cand c, js
+    ),
+    enc AS (
+      SELECT s.vec_id, s.j, c.pcid AS code
+      FROM sub s JOIN csub c USING (j)
+      QUALIFY row_number() OVER (
+        PARTITION BY s.vec_id, s.j
+        ORDER BY list_dot_product(s.s, s.s)
+                 - 2 * list_dot_product(s.s, c.cs)
+                 + list_dot_product(c.cs, c.cs), c.pcid) = 1
+    ),
+    qsub AS (
+      SELECT js.j, list_slice(q.qe, js.j * 8 + 1, js.j * 8 + 8) AS qs
+      FROM q, js
+    ),
+    lut AS (
+      SELECT c.j, c.pcid,
+             CAST(floor((list_dot_product(qs.qs, qs.qs)
+                         - 2 * list_dot_product(qs.qs, c.cs)
+                         + list_dot_product(c.cs, c.cs))
+                        * 1000000000.0 + 0.5) / 1000000000.0
+                  AS DECIMAL(18,9)) AS term
+      FROM csub c JOIN qsub qs USING (j)
+    ),
+    adc AS (
+      SELECT e.vec_id, sum(l.term) AS dist_dec
+      FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.pcid
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id,
+           floor(CAST(dist_dec AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS approx_dist
+    FROM adc ORDER BY approx_dist, vec_id LIMIT 10
+    """,
+)
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ — the composition that serves billion-vector ANN in
+    production (FAISS IVFPQ): the coarse quantizer prunes WHICH vectors
+    are scanned (2 of 8 cells, partition-pruned when the code table is
+    persisted partitionBy(cluster)), and PQ shrinks WHAT the scan reads
+    (8 one-byte codes/vector, LUT-folded asymmetric distances). Both
+    stages use their deterministic fixed builds (8 lowest-id IVF
+    centroids; 16 lowest-id PQ codebooks), so cell assignment, probe
+    choice, encoding, and ADC ranking are ALL reproduced bit-exactly by
+    the single composed oracle — certifying the end-to-end two-stage ANN,
+    not just its parts. Swap in k-means builds (build_ivf_index /
+    fit_pq_codebooks_kmeans) for recall; plans are identical. At 100 TB:
+    probe reads n_probe/n_clusters of an 8-byte/vector table — a
+    ~128× byte reduction over a full float scan before any ranking."""
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        build_ivf_index_fixed,
+        probe_cells,
+    )
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        fit_pq_codebooks_fixed,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    corpus = emb.where(F.col("vec_id") != 0)
+    assigned, cents = build_ivf_index_fixed(
+        corpus, "vec_id", "embedding", n_clusters=8
+    )
+    cells = probe_cells(qvec, cents, n_probe=2)
+    cand = assigned.where(F.col("cluster").isin(cells))
+    books = fit_pq_codebooks_fixed(corpus, "vec_id", "embedding", m=8, k=16)
+    codes = pq_encode(cand, books, "vec_id", "embedding")
+    return pq_adc_topk(codes, books, qvec, "vec_id", k=10)

@@ -93,21 +93,24 @@ def pq_encode(
     for j in range(m):
         s = F.slice(F.col("_e"), j * sub + 1, sub)
         out = out.withColumn(f"_s_{j}", s).withColumn(f"_ss_{j}", _dot(s, s))
+    # one transform() lambda per subspace over the literal codebook matrix
+    # (instead of k inlined distance trees): identical arithmetic and
+    # association, ~k× fewer expression nodes — plan compile time is the
+    # dominant cost of this operator (execution is a narrow scan), and it
+    # is paid per submitted query, so keep the tree small.
+    def _scorer(s, ss):
+        def fn(c, i):
+            return F.struct(
+                (ss - F.lit(2.0) * _dot(s, c) + _dot(c, c)).alias("d2"),
+                i.alias("cid"),
+            )
+
+        return fn
+
     for j, book in enumerate(codebooks):
         s, ss = F.col(f"_s_{j}"), F.col(f"_ss_{j}")
-        scored = F.array(
-            *[
-                F.struct(
-                    (
-                        ss
-                        - F.lit(2.0) * _dot(s, _lit_vec(c))
-                        + _dot(_lit_vec(c), _lit_vec(c))
-                    ).alias("d2"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, c in enumerate(book)
-            ]
-        )
+        books_lit = F.array(*[_lit_vec(c) for c in book])
+        scored = F.transform(books_lit, _scorer(s, ss))
         out = out.withColumn(f"code_{j}", F.array_min(scored)["cid"])
     return out.drop("_e", *[f"_s_{j}" for j in range(m)], *[f"_ss_{j}" for j in range(m)])
 
@@ -127,14 +130,16 @@ def pq_adc_topk(
     m = len(codebooks)
     sub = len(codebooks[0][0])
     total: Column | None = None
+    def _lut(qs):
+        def fn(c):
+            return round_half_up(_sq_l2(qs, c), 9).cast("decimal(18,9)")
+
+        return fn
+
     for j, book in enumerate(codebooks):
         qs = _lit_vec(query_vec[j * sub : (j + 1) * sub])
-        terms = F.array(
-            *[
-                round_half_up(_sq_l2(qs, _lit_vec(c)), 9).cast("decimal(18,9)")
-                for c in book
-            ]
-        )
+        books_lit = F.array(*[_lit_vec(c) for c in book])
+        terms = F.transform(books_lit, _lut(qs))
         term = F.element_at(terms, F.col(f"code_{j}") + 1)
         total = term if total is None else total + term
     return (
