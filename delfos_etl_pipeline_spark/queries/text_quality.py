@@ -299,23 +299,25 @@ def emb_scalar_quantize(spark, sf_dir):
              list_transform(range(1, length(text)), i -> substr(text, i, 2))
                AS bgs
       FROM documents WHERE length(text) >= 2
-    ), e AS (
-      SELECT doc_id, unnest(bgs) AS bg FROM b
+    ), dbg AS (
+      SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(bgs) AS bg FROM b)
+      GROUP BY doc_id, bg
     ), cb AS (
-      SELECT bg, CAST(count(*) AS BIGINT) AS nb FROM e GROUP BY bg
+      SELECT bg, CAST(sum(cnt) AS BIGINT) AS nb FROM dbg GROUP BY bg
     ), cu AS (
       SELECT substr(bg, 1, 1) AS ch, CAST(sum(nb) AS BIGINT) AS nu
       FROM cb GROUP BY 1
     ), term AS (
-      SELECT e.doc_id,
+      SELECT dbg.doc_id, dbg.cnt,
              CAST(floor(ln(nb * 1.0 / nu) * 1000000000.0 + 0.5)
                   / 1000000000.0 AS DECIMAL(18,9)) AS t
-      FROM e
+      FROM dbg
       JOIN cb USING (bg)
-      JOIN cu ON substr(e.bg, 1, 1) = cu.ch
+      JOIN cu ON substr(dbg.bg, 1, 1) = cu.ch
     )
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           floor((CAST(sum(t) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           floor((CAST(sum(cnt * t) AS DOUBLE) / sum(cnt)) * 1000000.0 + 0.5)
              / 1000000.0 AS avg_logprob
     FROM term GROUP BY doc_id
     """,
@@ -338,25 +340,35 @@ def text_lm_bigram_score(spark, sf_dir):
     100 TB train is one linear count pass; score is linear with zero
     data-row shuffles (doc-keyed agg only)."""
     docs = _t(spark, sf_dir, "documents").where(F.length("text") >= 2)
-    e = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 1),"
-                " i -> substring(text, i, 2))"
-            )
-        ).alias("bg"),
+    # compact immediately to (doc, bigram) -> multiplicity: every join and
+    # shuffle below carries distinct doc-bigrams (bounded by min(doc_len,
+    # alphabet²) per doc) instead of one row per character occurrence —
+    # Σ_occurrences(t) ≡ cnt·t in exact DECIMAL, so the score is
+    # unchanged bit-for-bit while the exchanged volume roughly halves.
+    dbg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 1),"
+                    " i -> substring(text, i, 2))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    cb = e.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    cb = dbg.groupBy("bg").agg(F.sum("cnt").cast("bigint").alias("nb"))
     cu = (
         cb.groupBy(F.substring("bg", 1, 1).alias("ch"))
         .agg(F.sum("nb").cast("bigint").alias("nu"))
     )
     term = (
-        e.join(F.broadcast(cb), "bg")
+        dbg.join(F.broadcast(cb), "bg")
         .join(F.broadcast(cu), F.substring(F.col("bg"), 1, 1) == F.col("ch"))
         .select(
             "doc_id",
+            "cnt",
             (
                 F.floor(
                     F.log(F.col("nb") * 1.0 / F.col("nu")) * 1000000000.0
@@ -368,11 +380,15 @@ def text_lm_bigram_score(spark, sf_dir):
             .alias("t"),
         )
     )
-    n = F.count(F.lit(1))
+    n = F.sum("cnt")
     return term.groupBy("doc_id").agg(
         n.cast("bigint").alias("n_bigrams"),
         (
-            F.floor((F.sum("t").cast("double") / n) * 1000000.0 + 0.5)
+            F.floor(
+                (F.sum(F.col("cnt") * F.col("t")).cast("double") / n)
+                * 1000000.0
+                + 0.5
+            )
             / 1000000.0
         ).alias("avg_logprob"),
     )
