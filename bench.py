@@ -94,6 +94,7 @@ HEADLINE = [
     "emb_centroid_by_label",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
+    "profile_spearman_corr",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

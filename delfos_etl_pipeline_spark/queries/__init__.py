@@ -57,6 +57,9 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # Round 4: new/behavior-changed queries verify first (staged corpus build;
 # the round_half_up contract fix in the weighted sample; the expectations
 # stack() hardening behind dq_expectations; new approx-percentile twins).
+# With 21 front entries + 33 stale r01-only rows, 4 stale TPC-H shapes
+# (q15/q17/q19/q21 — untouched since r01) overflow the ~50-query window;
+# they carry to round 5's rotation.
 _R4_CHANGED_FIRST = [
     "curate_pipeline_staged",   # new: materialized-boundary corpus build
     "sample_weighted_ares",     # round_half_up contract fix (ADVICE r3)
@@ -79,6 +82,7 @@ _R4_CHANGED_FIRST = [
     "streaming_session_windows",  # new: stream/batch session parity, same oracle
     "sim_pq_adc_topk",          # new: product quantization ADC, exact oracle
     "sim_ivfpq_topk",           # new: composed IVF-PQ, end-to-end exact oracle
+    "profile_spearman_corr",    # new: rank corr, broadcast rank tables
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

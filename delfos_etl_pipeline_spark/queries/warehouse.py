@@ -1434,3 +1434,113 @@ def profile_corr_matrix(spark, sf_dir):
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# --- Spearman rank correlation over small-domain measures -----------------
+_SPEAR_COLS = ("l_quantity", "l_discount", "l_tax")
+_SPEAR_PAIRS = [
+    (a, b) for i, a in enumerate(_SPEAR_COLS) for b in _SPEAR_COLS[i + 1 :]
+]
+
+
+def _spearman_oracle() -> str:
+    rk_ctes = []
+    for m in _SPEAR_COLS:
+        rk_ctes.append(
+            f"""rk_{m} AS (
+      SELECT {m} AS v,
+             CAST(coalesce(sum(c) OVER (ORDER BY {m}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + (c + 1) / 2 AS DECIMAL(19,1)) AS r
+      FROM (SELECT {m}, CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY {m})
+    )"""
+        )
+    stats = ["CAST(count(*) AS BIGINT) AS n"]
+    for m in _SPEAR_COLS:
+        stats.append(f"sum(rk_{m}.r) AS s_{m}")
+        stats.append(f"sum(rk_{m}.r * rk_{m}.r) AS ss_{m}")
+    for a, b in _SPEAR_PAIRS:
+        stats.append(f"sum(rk_{a}.r * rk_{b}.r) AS sp_{a}_{b}")
+    joins = " ".join(f"JOIN rk_{m} ON l.{m} = rk_{m}.v" for m in _SPEAR_COLS)
+    arms = []
+    for a, b in _SPEAR_PAIRS:
+        num = (
+            f"(n * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        den = (
+            f"sqrt((n * CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE)"
+            f" * CAST(s_{a} AS DOUBLE)) * (n * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        arms.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, "
+            f"{sql_round_half_up(f'{num} / {den}', 9)} AS rho FROM s"
+        )
+    return (
+        "WITH " + ",\n    ".join(rk_ctes)
+        + ",\n    s AS (SELECT " + ", ".join(stats)
+        + f" FROM lineitem l {joins})\n"
+        + "\nUNION ALL ".join(arms)
+    )
+
+
+@query("profile_spearman_corr", oracle=_spearman_oracle())
+def profile_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation for every pair of the SMALL-DOMAIN
+    lineitem measures (quantity/discount/tax — each ≤ ~51 distinct
+    values): monotonic-association profiling that Pearson
+    (profile_corr_matrix) misses. The rank transform is the scalable
+    part: average ranks come from a per-column GROUP BY + prefix sum over
+    the DISTINCT-value table (≤51 rows — the only ordered window runs on
+    that broadcast-sized table, never the fact rows), joined back as
+    broadcast lookups. Ranks are exact halves in DECIMAL(19,1) (ties →
+    average rank), so the Pearson-over-ranks sufficient statistics reuse
+    the corr-matrix exactness contract: one fact scan, one ~20-number
+    reduce, broadcast-only joins. Large-domain columns would swap the
+    broadcast rank table for the distributed prefix-sum used by
+    sample_token_budget — same algebra."""
+    li = _t(spark, sf_dir, "lineitem")
+    rks = {}
+    for m in _SPEAR_COLS:
+        cnts = li.groupBy(m).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        w = Window.orderBy(m).rowsBetween(Window.unboundedPreceding, -1)
+        rks[m] = cnts.select(
+            F.col(m).alias(f"v_{m}"),
+            (
+                F.coalesce(F.sum("c").over(w), F.lit(0))
+                + (F.col("c") + 1) / 2
+            )
+            .cast("decimal(19,1)")
+            .alias(f"r_{m}"),
+        )
+    j = li
+    for m in _SPEAR_COLS:
+        j = j.join(F.broadcast(rks[m]), j[m] == rks[m][f"v_{m}"])
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for m in _SPEAR_COLS:
+        r = F.col(f"r_{m}")
+        aggs.append(F.sum(r).alias(f"s_{m}"))
+        aggs.append(F.sum(r * r).alias(f"ss_{m}"))
+    for a, b in _SPEAR_PAIRS:
+        aggs.append(F.sum(F.col(f"r_{a}") * F.col(f"r_{b}")).alias(f"sp_{a}_{b}"))
+    row = j.agg(*aggs)
+    structs = []
+    for a, b in _SPEAR_PAIRS:
+        n = F.col("n")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sp = F.col(f"sp_{a}_{b}").cast("double")
+        rho = (n * sp - sa * sb) / F.sqrt(
+            (n * ssa - sa * sa) * (n * ssb - sb * sb)
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                n.alias("n"),
+                round_half_up(rho, 9).alias("rho"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
