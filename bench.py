@@ -95,6 +95,7 @@ HEADLINE = [
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
     "profile_spearman_corr",
+    "graph_pagerank",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

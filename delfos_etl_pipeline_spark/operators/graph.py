@@ -1,0 +1,77 @@
+"""Numeric iterative graph algorithms — PageRank over an edge list.
+
+Complements the combinatorial closure family (dedup/clusters.py label
+propagation + large-star/small-star): PageRank is the numeric-fixpoint
+archetype — per round one join (propagate mass along edges) and one
+keyed sum (gather), exactly the shuffle shape a 1000-executor cluster
+runs as plain hash exchanges with no driver state. Fixed iteration
+count (power iteration truncated at ``iterations``) rather than an
+epsilon test: deterministic output, unrollable into an exact SQL twin,
+and in practice rank ORDER stabilizes long before values converge.
+
+Cross-engine exactness contract (same discipline as the corr/LM
+queries): per-node rank is carried as DECIMAL(18,12); each round's
+contribution pr(u)/deg(u) and the damped update 0.15/n + 0.85·Σ are
+computed in double from those exact decimals and immediately half-up
+rounded back to 12 decimals — so the per-round gather sum is an exact,
+order-independent DECIMAL sum and every engine lands on identical
+values at every iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(18,12)"
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    iterations: int = 3,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+) -> DataFrame:
+    """(node, pr) after ``iterations`` damped power-iteration rounds over
+    the UNDIRECTED graph given as a pair list (edges are symmetrized, so
+    every incident node has degree ≥ 1 — no dangling-mass handling
+    needed). Teleport and damping follow Page et al.'s original
+    formulation with uniform 1/n initialization."""
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col(src) != F.col(dst)
+    )
+    edges = fwd.union(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    n = deg.count()  # scalar: |V|, driver-side by design
+    if n == 0:
+        return deg.select("node", F.lit(None).cast(_DEC).alias("pr"))
+    nlit = F.lit(n)
+    rnd = lambda c: (F.floor(c * 1e12 + F.lit(0.5)) / 1e12).cast(_DEC)  # noqa: E731
+    pr = deg.select("node", "deg", rnd(F.lit(1.0) / nlit).alias("pr"))
+    for _ in range(iterations):
+        contrib = edges.join(pr, edges.b == pr.node).select(
+            edges.a.alias("node"),
+            rnd(F.col("pr").cast("double") / F.col("deg")).alias("c"),
+        )
+        gathered = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        pr = (
+            deg.join(gathered, "node")
+            .select(
+                "node",
+                "deg",
+                # teleport is a SEPARATE literal, not 1-damping: the float
+                # 1.0-0.85 is 0.15000000000000002, which would diverge
+                # from the SQL twin's literal 0.15
+                rnd(
+                    F.lit(teleport) / nlit
+                    + F.lit(damping) * F.col("s").cast("double")
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", "pr")

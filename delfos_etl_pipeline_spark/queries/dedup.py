@@ -486,3 +486,69 @@ def dedup_simhash(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", hamming_max=3, hash_fn="md5")
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unroll the fixed-iteration damped power iteration into chained
+    CTEs over the same near-dup edge list as _CLUSTERS_ORACLE — each
+    round applies the identical double-compute/half-up-round-to-
+    DECIMAL(18,12) contract as operators/graph.py::pagerank."""
+    edges = _CLUSTERS_ORACLE[: _CLUSTERS_ORACLE.index("), reach")] + ")"
+    r12 = lambda x: (  # noqa: E731
+        f"CAST(floor(({x}) * 1000000000000.0 + 0.5) / 1000000000000.0"
+        " AS DECIMAL(18,12))"
+    )
+    sql = edges + f""",
+    deg AS (
+      SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM edges GROUP BY a
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    pr0 AS (
+      SELECT node, deg, {r12("1.0 / n")} AS pr FROM deg, nn
+    )"""
+    for t in range(1, iters + 1):
+        sql += f""",
+    c{t} AS (
+      SELECT e.a AS node,
+             {r12(f"CAST(p.pr AS DOUBLE) / p.deg")} AS c
+      FROM edges e JOIN pr{t - 1} p ON e.b = p.node
+    ),
+    g{t} AS (SELECT node, sum(c) AS s FROM c{t} GROUP BY node),
+    pr{t} AS (
+      SELECT d.node, d.deg,
+             {r12("0.15 / n + 0.85 * CAST(g.s AS DOUBLE)")} AS pr
+      FROM deg d JOIN g{t} g ON d.node = g.node, nn
+    )"""
+    sql += f"""
+    SELECT node AS doc_id, CAST(pr AS DOUBLE) AS pagerank FROM pr{iters}
+    """
+    return sql
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """PageRank (3 damped power-iteration rounds, Page et al.) over the
+    exact near-dup graph — ranks the most-connected documents in
+    duplicate neighborhoods (boilerplate hubs score high, a curation
+    signal the binary keep/drop dedup misses). The numeric-iterative
+    twin of the combinatorial closure queries: per round ONE edge join +
+    ONE keyed sum — plain hash shuffles at any scale, no driver state
+    beyond |V|. Exactly certified by an unrolled-CTE oracle: rank lives
+    in DECIMAL(18,12), each round's pr/deg contribution and damped
+    update are double computations from exact decimals rounded half-up
+    straight back to 12 decimals, so every gather is an order-free
+    DECIMAL sum and both engines agree bitwise at every iteration."""
+    from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
+    from delfos_etl_pipeline_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True),
+        threshold=0.6,
+    )
+    pr = pagerank(pairs, iterations=3)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("pr").cast("double").alias("pagerank"),
+    )

@@ -357,3 +357,18 @@ def test_embedding_sharded_pairs_equal_unsharded(spark, sf_dir):
     )
     assert shard == full
     assert len(full) > 0
+
+
+def test_pagerank_mass_and_symmetry(spark):
+    """Total rank mass stays ≈ 1 through the damped rounds; on a
+    symmetric star graph the hub outranks the (mutually equal) leaves."""
+    from delfos_etl_pipeline_spark.operators.graph import pagerank
+
+    star = spark.createDataFrame(
+        [(100, v) for v in range(101, 106)], "doc_a long, doc_b long"
+    )
+    rows = {r.node: float(r.pr) for r in pagerank(star, iterations=5).collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
+    leaves = [rows[v] for v in range(101, 106)]
+    assert all(l == leaves[0] for l in leaves)  # symmetry → identical ranks
+    assert rows[100] > 2 * leaves[0]  # the hub dominates
