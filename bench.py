@@ -96,6 +96,7 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "profile_spearman_corr",
     "graph_pagerank",
+    "scd2_point_in_time",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -84,6 +84,7 @@ _R4_CHANGED_FIRST = [
     "sim_ivfpq_topk",           # new: composed IVF-PQ, end-to-end exact oracle
     "profile_spearman_corr",    # new: rank corr, broadcast rank tables
     "graph_pagerank",           # new: damped power iteration, unrolled oracle
+    "scd2_point_in_time",       # new: PIT join executed as as-of, range oracle
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

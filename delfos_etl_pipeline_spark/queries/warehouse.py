@@ -1544,3 +1544,68 @@ def profile_spearman_corr(spark, sf_dir):
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, value AS dim_value,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           d.dim_value, d.valid_from AS version_from
+    FROM events e
+    LEFT JOIN dim d
+      ON e.user_id = d.user_id
+     AND d.valid_from <= e.ts
+     AND (d.valid_to > e.ts OR d.valid_to IS NULL)
+    WHERE e.event_type = 'click'
+    """,
+)
+def scd2_point_in_time(spark, sf_dir):
+    """Point-in-time enrichment against an SCD2 dimension — the warehouse
+    join shape behind "what did this dimension look like WHEN the fact
+    happened": every click event picks the purchase-dimension version
+    whose [valid_from, valid_to) interval covers its timestamp. SCD2
+    versions never overlap, so the range join the oracle writes is
+    executed as a backward AS-OF join (operators/asof.py union-and-
+    carry-forward): ONE shuffle keyed on the business key and a linear
+    window pass — no non-equi nested loop, no interval explosion, which
+    is what makes the shape survive a 100 TB fact table (the naive range
+    join degenerates to a broadcast nested loop there). Left-outer: facts
+    before the first version keep NULL dimension values."""
+    from delfos_etl_pipeline_spark.operators.asof import asof_join
+    from delfos_etl_pipeline_spark.operators.cdc import scd2_from_changes
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_changes(
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        "ts",
+        ("ts", "event_id"),
+        ("value",),
+    ).select(
+        "user_id",
+        F.col("value").alias("dim_value"),
+        F.col("valid_from").alias("_dim_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        clicks,
+        dim.withColumnRenamed("_dim_ts", "ts").withColumn(
+            "version_from", F.col("ts")
+        ),
+        on="ts",
+        by=["user_id"],
+        value_cols=["dim_value", "version_from"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "dim_value", "version_from"
+    )

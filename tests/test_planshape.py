@@ -282,3 +282,21 @@ def test_corr_matrix_single_reduce(spark, sf_dir):
     plan = _plan(spark, sf_dir, "profile_corr_matrix")
     assert _count(plan, "Join") == 0, plan
     assert _count(plan, "Exchange") <= 1, plan
+
+
+def test_spearman_rank_tables_broadcast(spark, sf_dir):
+    """The three ≤51-row rank tables must reach the fact scan as
+    broadcasts — the fact rows themselves are never hash-exchanged for
+    the rank transform."""
+    plan = _plan(spark, sf_dir, "profile_spearman_corr")
+    assert _count(plan, "BroadcastHashJoin") >= 3, plan
+    assert _count(plan, "CartesianProduct") == 0
+
+
+def test_pagerank_rounds_are_keyed_shuffles(spark, sf_dir):
+    """Each power-iteration round is an edge join + keyed sum — no
+    cartesian anywhere, no Python in the loop."""
+    plan = _plan(spark, sf_dir, "graph_pagerank")
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BatchEvalPython") == 0
+    assert _count(plan, "ArrowEvalPython") == 0
