@@ -85,6 +85,7 @@ _R4_CHANGED_FIRST = [
     "profile_spearman_corr",    # new: rank corr, broadcast rank tables
     "graph_pagerank",           # new: damped power iteration, unrolled oracle
     "scd2_point_in_time",       # new: PIT join executed as as-of, range oracle
+    "orders_open_concurrency",  # new: sweep-line cumsum over aggregated deltas
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -1609,3 +1609,76 @@ def scd2_point_in_time(spark, sf_dir):
     return joined.select(
         "event_id", "user_id", "ts", "dim_value", "version_from"
     )
+
+
+@query(
+    "orders_open_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderkey, o.o_orderdate AS opened,
+             max(l.l_shipdate) AS closed
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), deltas AS (
+      SELECT opened AS d, CAST(count(*) AS BIGINT) AS delta
+      FROM iv GROUP BY 1
+      UNION ALL
+      SELECT closed AS d, -CAST(count(*) AS BIGINT) AS delta
+      FROM iv WHERE closed > opened GROUP BY 1
+      UNION ALL
+      SELECT opened AS d, -CAST(count(*) AS BIGINT) AS delta
+      FROM iv WHERE closed <= opened GROUP BY 1
+    ), merged AS (
+      SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM deltas GROUP BY d
+    )
+    SELECT d, delta,
+           CAST(sum(delta) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_open
+    FROM merged
+    """,
+)
+def orders_open_concurrency(spark, sf_dir):
+    """Sweep-line interval concurrency — "how many orders are OPEN on
+    each date" over the [o_orderdate, last l_shipdate) lifetime of every
+    order: the classic +1/-1 boundary-event cumsum (concurrent sessions,
+    active users, in-flight shipments all share this shape). The
+    scalable trick is the ORDER of operations: deltas are AGGREGATED PER
+    DATE first (map-side combinable group-bys — fact rows are touched
+    once and never exploded), so the one running-sum window orders only
+    |distinct dates| rows (a ~2.5k-row calendar) — broadcast-sized,
+    where a single-partition window is free — while the naive
+    per-interval sweep would globally sort 2·|orders| boundary events.
+    Degenerate same-day intervals cancel at their open date so the
+    running count never goes negative. Half-open [opened, closed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("closed"))
+        .select(F.col("o_orderdate").alias("opened"), "closed")
+    )
+    plus = iv.groupBy(F.col("opened").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("delta")
+    )
+    minus = (
+        iv.where(F.col("closed") > F.col("opened"))
+        .groupBy(F.col("closed").alias("d"))
+        .agg((-F.count(F.lit(1))).cast("bigint").alias("delta"))
+    )
+    degen = (
+        iv.where(F.col("closed") <= F.col("opened"))
+        .groupBy(F.col("opened").alias("d"))
+        .agg((-F.count(F.lit(1))).cast("bigint").alias("delta"))
+    )
+    merged = (
+        plus.unionByName(minus)
+        .unionByName(degen)
+        .groupBy("d")
+        .agg(F.sum("delta").cast("bigint").alias("delta"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return merged.select(
+        "d", "delta", F.sum("delta").over(w).cast("bigint").alias("n_open")
+    )
