@@ -97,6 +97,8 @@ HEADLINE = [
     "profile_spearman_corr",
     "graph_pagerank",
     "scd2_point_in_time",
+    "orders_open_concurrency",
+    "basket_association_rules",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

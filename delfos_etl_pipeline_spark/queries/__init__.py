@@ -57,9 +57,10 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # Round 4: new/behavior-changed queries verify first (staged corpus build;
 # the round_half_up contract fix in the weighted sample; the expectations
 # stack() hardening behind dq_expectations; new approx-percentile twins).
-# With 21 front entries + 33 stale r01-only rows, 4 stale TPC-H shapes
-# (q15/q17/q19/q21 — untouched since r01) overflow the ~50-query window;
-# they carry to round 5's rotation.
+# With 26 front entries + 33 stale r01-only rows, 9 stale TPC-H shapes
+# (q5-q8, q13, q15, q17, q19, q21 — untouched since r01, still covered by
+# the per-commit check_oracle sweep) overflow the ~50-query window; they
+# lead round 5's rotation.
 _R4_CHANGED_FIRST = [
     "curate_pipeline_staged",   # new: materialized-boundary corpus build
     "sample_weighted_ares",     # round_half_up contract fix (ADVICE r3)
@@ -86,6 +87,7 @@ _R4_CHANGED_FIRST = [
     "graph_pagerank",           # new: damped power iteration, unrolled oracle
     "scd2_point_in_time",       # new: PIT join executed as as-of, range oracle
     "orders_open_concurrency",  # new: sweep-line cumsum over aggregated deltas
+    "basket_association_rules", # new: support/confidence/lift co-occurrence
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

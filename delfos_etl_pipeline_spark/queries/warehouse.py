@@ -1682,3 +1682,96 @@ def orders_open_concurrency(spark, sf_dir):
     return merged.select(
         "d", "delta", F.sum("delta").over(w).cast("bigint").alias("n_open")
     )
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem
+    ),
+    nn AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items),
+    isup AS (
+      SELECT part, CAST(count(*) AS BIGINT) AS sup FROM items GROUP BY part
+    ),
+    psup AS (
+      SELECT a.part AS x, b.part AS y, CAST(count(*) AS BIGINT) AS supp
+      FROM items a JOIN items b ON a.ok = b.ok AND a.part < b.part
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    rules AS (
+      SELECT x AS antecedent, y AS consequent, supp FROM psup
+      UNION ALL
+      SELECT y, x, supp FROM psup
+    )
+    SELECT r.antecedent, r.consequent, r.supp,
+           floor((r.supp * 1.0 / sx.sup) * 1000000.0 + 0.5) / 1000000.0
+             AS confidence,
+           floor((r.supp * 1.0 * n / (sx.sup * sy.sup)) * 1000000.0 + 0.5)
+             / 1000000.0 AS lift
+    FROM rules r
+    JOIN isup sx ON r.antecedent = sx.part
+    JOIN isup sy ON r.consequent = sy.part, nn
+    """,
+)
+def basket_association_rules(spark, sf_dir):
+    """Market-basket association rules (support / confidence / lift) over
+    parts co-purchased in one order — the co-occurrence mining shape
+    behind recommendations and query expansion. Scale discipline: the
+    pair self-join is keyed on the ORDER (never a global part×part
+    cross), so its output is bounded by Σ C(items_per_order, 2) — baskets
+    are small (≤13 here), making the explosion linear-ish in orders at
+    any corpus size; item supports are a broadcast-sized side (|parts|
+    rows), and the basket count joins in as a 1-row broadcast literal,
+    not a driver collect. All three metrics are exact integer ratios
+    rounded half-up at 6, so the DuckDB twin matches bitwise. min
+    support 2 drops the singleton-pair noise tier."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    ).distinct()
+    nn = items.agg(
+        F.count_distinct("ok").cast("bigint").alias("n")
+    )
+    isup = items.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sup")
+    )
+    a = items.select("ok", F.col("part").alias("x"))
+    b = items.select("ok", F.col("part").alias("y"))
+    psup = (
+        a.join(b, ["ok"])
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("supp"))
+        .where(F.col("supp") >= 2)
+    )
+    rules = psup.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "supp"
+    ).unionByName(
+        psup.select(
+            F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "supp"
+        )
+    )
+    sx = isup.select(F.col("part").alias("antecedent"), F.col("sup").alias("sx"))
+    sy = isup.select(F.col("part").alias("consequent"), F.col("sup").alias("sy"))
+    out = (
+        rules.join(F.broadcast(sx), "antecedent")
+        .join(F.broadcast(sy), "consequent")
+        .crossJoin(F.broadcast(nn))
+    )
+    conf = F.floor((F.col("supp") * 1.0 / F.col("sx")) * 1000000.0 + 0.5) / 1000000.0
+    lift = (
+        F.floor(
+            (F.col("supp") * 1.0 * F.col("n") / (F.col("sx") * F.col("sy")))
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "supp",
+        conf.alias("confidence"),
+        lift.alias("lift"),
+    )
