@@ -88,6 +88,8 @@ _R4_CHANGED_FIRST = [
     "scd2_point_in_time",       # new: PIT join executed as as-of, range oracle
     "orders_open_concurrency",  # new: sweep-line cumsum over aggregated deltas
     "basket_association_rules", # new: support/confidence/lift co-occurrence
+    "a_distinct_weekly",        # new: exact twin for the HLL rollup
+    "a_distinct_rollup_hll",    # new: mergeable sketches, rows-only + bound test
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -1775,3 +1775,46 @@ def basket_association_rules(spark, sf_dir):
         conf.alias("confidence"),
         lift.alias("lift"),
     )
+
+
+@query(
+    "a_distinct_weekly",
+    oracle="""
+    SELECT date_trunc('week', ts) AS week,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def a_distinct_weekly(spark, sf_dir):
+    """Exact weekly distinct users — the exact twin anchoring
+    a_distinct_rollup_hll's error-bound certification (the same pairing
+    discipline as a_percentiles / a_percentiles_approx). One day-keyed
+    exchange; correct but NOT re-aggregable upward (weeks can't merge
+    into months without re-scanning raw events) — which is exactly what
+    the sketch rollup fixes."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users")
+    )
+
+
+@query("a_distinct_rollup_hll")
+def a_distinct_rollup_hll(spark, sf_dir):
+    """Weekly distinct users from UNIONED DAILY HLL sketches
+    (operators/sketches.py, Spark 4's DataSketches primitives): build one
+    ~KB sketch per day map-side, merge per week — the second aggregation
+    level moves kilobytes per group at ANY corpus size, making wide-
+    window distinct metrics (MAU/QAU) cheap where exact counts must
+    re-scan raw data. Rows-only registration (DataSketches internals
+    aren't SQL-reproducible); tests/test_sketches.py certifies every
+    weekly estimate within the published HLL bound of the exact twin
+    a_distinct_weekly, and that merged sketches equal the flat sketch."""
+    from delfos_etl_pipeline_spark.operators.sketches import sketch_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = sketch_rollup(
+        ev, "user_id", F.date_trunc("day", "ts"), F.date_trunc("week", "ts")
+    )
+    return out.select(
+        F.col("_coarse").alias("week"), "n_fine_buckets", "approx_distinct"
+    )
