@@ -167,15 +167,60 @@ def decode_bmp(payload: bytes):
     return np.ascontiguousarray(rgb)
 
 
+def decode_ppm(payload: bytes):
+    """REAL decoder for binary PPM (P6) — the netpbm interchange format:
+    'P6' magic, whitespace/comment-separated width/height/maxval header,
+    raw RGB triplets. Pure numpy; maxval ≤ 255 only (16-bit samples are
+    codec work). Raises ValueError for non-PPM payloads —
+    contract-compatible with :func:`decode_bmp` for per-payload
+    fallback."""
+    import numpy as np
+
+    if len(payload) < 2 or payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated PPM comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = fields
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate PPM dimensions")
+    if not 0 < maxval < 256:
+        raise NotImplementedError(f"PPM maxval {maxval} not supported")
+    need = width * height * 3
+    if len(payload) - pos < need:
+        raise ValueError("truncated PPM raster")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+        .reshape(height, width, 3)
+        .copy()
+    )
+
+
 def _default_decode_image(payload: bytes):
-    """Default decode path: REAL BMP decode when the payload is an
-    uncompressed 24/32-bit BMP, deterministic stub otherwise. One decode
-    path is therefore end-to-end real in this container; everything else
-    keeps the injectable ``decoder=`` seam."""
-    try:
-        return decode_bmp(payload)
-    except (ValueError, NotImplementedError):
-        return _fake_decode_image(payload)
+    """Default decode path: REAL decode for uncompressed 24/32-bit BMP
+    and binary PPM (P6), deterministic stub otherwise. Two image decode
+    paths are therefore end-to-end real in this container; everything
+    else keeps the injectable ``decoder=`` seam."""
+    for real in (decode_bmp, decode_ppm):
+        try:
+            return real(payload)
+        except (ValueError, NotImplementedError):
+            continue
+    return _fake_decode_image(payload)
 
 
 def _resize_nearest(img, height: int, width: int):

@@ -242,3 +242,31 @@ def test_audio_features_batch_exact(spark):
     assert (r.sample_rate, r.n_channels, r.n_samples, r.peak) == (1000, 1, 4, 5)
     assert r.duration_sec == 0.004
     assert r.rms == round((12.5) ** 0.5, 6)
+
+
+def test_decode_ppm_real_roundtrip(spark):
+    """A real P6 PPM (with a header comment) must decode to exact pixels
+    through decode_image_batch; truncated and 16-bit variants refuse."""
+    import numpy as np
+    import pytest
+
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        decode_image_batch,
+        decode_ppm,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    ppm = b"P6\n# made by a test\n9 6\n255\n" + img.tobytes()
+    assert (decode_ppm(ppm) == img).all()
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n9 6\n255\n" + img.tobytes())  # P5 = grayscale pgm
+    with pytest.raises(ValueError):
+        decode_ppm(ppm[:-10])  # truncated raster
+    with pytest.raises(NotImplementedError):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\0" * 24)  # 16-bit samples
+
+    df = spark.createDataFrame([(1, bytearray(ppm))], "doc_id long, payload binary")
+    (row,) = decode_image_batch(df, width=9, height=6).collect()
+    got = np.frombuffer(row.pixels, dtype=np.uint8).reshape(6, 9, 3)
+    assert (got == img).all()
