@@ -90,6 +90,8 @@ _R4_CHANGED_FIRST = [
     "basket_association_rules", # new: support/confidence/lift co-occurrence
     "a_distinct_weekly",        # new: exact twin for the HLL rollup
     "a_distinct_rollup_hll",    # new: mergeable sketches, rows-only + bound test
+    "anomaly_seasonal_zscore",  # new: hour-of-day deseasonalized outliers
+    "chi2_independence",        # new: contingency chi2, exact decimal terms
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -1818,3 +1818,131 @@ def a_distinct_rollup_hll(spark, sf_dir):
     return out.select(
         F.col("_coarse").alias("week"), "n_fine_buckets", "approx_distinct"
     )
+
+
+@query(
+    "anomaly_seasonal_zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, event_type, ts, value,
+             extract(hour FROM ts) AS hod,
+             count(value) OVER (PARTITION BY event_type, extract(hour FROM ts))
+               AS n_,
+             CAST(sum(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY event_type, extract(hour FROM ts))
+                  AS DOUBLE) AS s_,
+             CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY event_type, extract(hour FROM ts))
+                  AS DOUBLE) AS ss_
+      FROM events
+    ), z AS (
+      SELECT event_id, event_type, hod, value,
+             (value - s_ / n_)
+               / sqrt(greatest((ss_ - s_ * s_ / n_) / (n_ - 1), 0.0)) AS z_
+      FROM s WHERE n_ > 1
+    )
+    SELECT event_id, event_type, CAST(hod AS BIGINT) AS hod, value,
+           {sql_round_half_up("z_", 4)} AS zscore
+    FROM z WHERE abs(z_) > 3.0
+    """,
+)
+def anomaly_seasonal_zscore(spark, sf_dir):
+    """SEASONALLY-adjusted outlier flags: each event is z-scored against
+    its own (event_type, hour-of-day) slice instead of the type's global
+    distribution — a nightly batch job legitimately differs from the 2pm
+    peak, and deseasonalizing against the diurnal profile is what stops
+    the global z-score (anomaly_zscore) from flagging normal off-peak
+    behavior / missing daytime anomalies. Same single-exchange shape:
+    one whole-partition window computes the exact-decimal (n, Σv, Σv²)
+    per 24×|types| slice — at 100 TB the seasonal model is three
+    scalars per slice carried inside the window, no rejoin."""
+    ev = _t(spark, sf_dir, "events")
+    hod = F.hour("ts")
+    w = Window.partitionBy("event_type", hod)
+    dec = F.col("value").cast("decimal(18,6)")
+    s = F.sum(dec).over(w).cast("double")
+    n = F.count("value").over(w)
+    ss = F.sum(dec * dec).over(w).cast("double")
+    zed = (F.col("value") - s / n) / F.sqrt(
+        F.greatest((ss - s * s / n) / (n - 1), F.lit(0.0))
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            hod.cast("bigint").alias("hod"),
+            "value",
+            zed.alias("z_"),
+            n.alias("n_"),
+        )
+        .filter((F.col("n_") > 1) & (F.abs(F.col("z_")) > 3.0))
+        .select(
+            "event_id", "event_type", "hod", "value",
+            round_half_up(F.col("z_"), 4).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY r),
+    ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY c),
+    cells AS (
+      SELECT CAST(floor(((o - rt * 1.0 * ct / n)
+                         * (o - rt * 1.0 * ct / n)
+                         / (rt * 1.0 * ct / n))
+                        * 1000000000.0 + 0.5) / 1000000000.0
+                  AS DECIMAL(18,9)) AS term
+      FROM obs JOIN rt USING (r) JOIN ct USING (c), tot
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+             * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
+           floor(CAST(sum(term) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS chi2
+    FROM cells
+    """,
+)
+def chi2_independence(spark, sf_dir):
+    """Chi-squared test of independence over the order-priority ×
+    order-status contingency table — the categorical counterpart of the
+    correlation profilers (is priority assignment independent of order
+    status?). One group-by builds the contingency cells; marginals and
+    the grand total re-aggregate those |R|·|C| cells (broadcast-sized —
+    the fact table is scanned exactly ONCE at any scale). Each cell's
+    (O-E)²/E lands in DECIMAL(18,9) before the order-free exact sum, so
+    the statistic matches the oracle bitwise; dof = (R-1)(C-1) ships
+    alongside for the caller's p-value lookup."""
+    o = _t(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    rt = obs.groupBy("r").agg(F.sum("o").cast("bigint").alias("rt"))
+    ct = obs.groupBy("c").agg(F.sum("o").cast("bigint").alias("ct"))
+    e = F.col("rt") * 1.0 * F.col("ct") / F.col("n")
+    term = (
+        F.floor(((F.col("o") - e) * (F.col("o") - e) / e) * 1000000000.0 + 0.5)
+        / 1000000000.0
+    ).cast("decimal(18,9)")
+    cells = (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+        .select("n", "rt", "ct", term.alias("term"))
+    )
+    nr = rt.count()
+    nc = ct.count()
+    return cells.groupBy("n").agg(
+        F.lit((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
+        (
+            F.floor(F.sum("term").cast("double") * 1000000.0 + 0.5) / 1000000.0
+        ).alias("chi2"),
+    )
