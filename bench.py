@@ -99,6 +99,7 @@ HEADLINE = [
     "scd2_point_in_time",
     "orders_open_concurrency",
     "basket_association_rules",
+    "text_bpe_train",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

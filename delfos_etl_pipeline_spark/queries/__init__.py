@@ -92,6 +92,7 @@ _R4_CHANGED_FIRST = [
     "a_distinct_rollup_hll",    # new: mergeable sketches, rows-only + bound test
     "anomaly_seasonal_zscore",  # new: hour-of-day deseasonalized outliers
     "chi2_independence",        # new: contingency chi2, exact decimal terms
+    "text_bpe_train",           # new: real BPE training, 20-round unrolled oracle
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

