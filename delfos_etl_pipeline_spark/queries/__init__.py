@@ -93,6 +93,7 @@ _R4_CHANGED_FIRST = [
     "anomaly_seasonal_zscore",  # new: hour-of-day deseasonalized outliers
     "chi2_independence",        # new: contingency chi2, exact decimal terms
     "text_bpe_train",           # new: real BPE training, 20-round unrolled oracle
+    "streaming_stream_join_outer",  # new: outer join, watermark-cutoff oracle
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -665,3 +665,114 @@ def streaming_session_windows(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table("streaming_session_windows_sink")
+
+
+@query(
+    "streaming_stream_join_outer",
+    oracle="""
+    WITH v AS (SELECT user_id, ts AS view_ts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts AS purchase_ts, value FROM events
+          WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT least((SELECT max(view_ts) FROM v),
+                   (SELECT max(purchase_ts) FROM p))
+             - INTERVAL 59 MINUTE AS w
+    ),
+    matched AS (
+      SELECT v.user_id, v.view_ts, p.purchase_ts,
+             round(p.value, 4) AS purchase_value
+      FROM v JOIN p
+        ON v.user_id = p.user_id
+       AND p.purchase_ts > v.view_ts
+       AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT v.user_id, v.view_ts, NULL AS purchase_ts,
+           NULL AS purchase_value
+    FROM v, wm
+    WHERE NOT EXISTS (SELECT 1 FROM matched m
+                      WHERE m.user_id = v.user_id AND m.view_ts = v.view_ts)
+      AND v.view_ts + INTERVAL 30 MINUTE < wm.w
+    """,
+)
+def streaming_stream_join_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join — the attribution shape that also
+    reports views that converted to NOTHING. Outer results are where
+    streaming join semantics earn their keep: a NULL row may only be
+    emitted once the view PROVABLY cannot match (the global watermark
+    passed its 30-minute band), and eviction runs a batch behind the
+    data, so the drain feeds two batches (all events, then an empty
+    flush file — mtime-ordered, maxFilesPerTrigger=1) and the final
+    sink holds matches plus NULLs exactly for unmatched views whose
+    band closed below the GLOBAL watermark — and the global watermark
+    is the MINIMUM of the two sides' watermarks, each computed on its
+    own filtered stream (measured: using the overall max(ts) over-
+    approximates it and predicts one extra NULL). The oracle encodes
+    least(max view ts, max purchase ts) - 59min exactly (the
+    streaming_late_drop discipline: 59 not 60 minutes, so no band
+    boundary can coincide with the watermark); unmatched
+    views inside the un-expired head correctly emit NOTHING. At scale
+    the band bounds both sides' join state; the watermark bounds the
+    NULL lag."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+    from delfos_etl_pipeline_spark.streaming.runner import (
+        read_parquet_stream,
+        run_available_now,
+    )
+
+    base = tempfile.mkdtemp(prefix="delfos_ssjo_")
+    src = _os.path.join(base, "src")
+    _os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    for i, batch in enumerate((ev, ev.limit(0))):
+        tmp = _os.path.join(base, f"w{i}")
+        batch.coalesce(1).write.parquet(tmp)
+        part = next(f for f in _os.listdir(tmp) if f.startswith("part-"))
+        dst = _os.path.join(src, f"{i:02d}-{part}")
+        shutil.move(_os.path.join(tmp, part), dst)
+        _os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    views = (
+        read_parquet_stream(spark, src, ev.schema, max_files_per_trigger=1)
+        .where(F.col("event_type") == "view")
+        .withWatermark("ts", "59 minutes")
+        .select(F.col("user_id").alias("a_user"), F.col("ts").alias("view_ts"))
+    )
+    purchases = (
+        read_parquet_stream(spark, src, ev.schema, max_files_per_trigger=1)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "59 minutes")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        F.round("value", 4).alias("purchase_value"),
+    )
+    q = run_available_now(
+        joined,
+        _os.path.join(base, "ckpt"),
+        "streaming_stream_join_outer_sink",
+        output_mode="append",
+    )
+    q.awaitTermination(300)
+    return spark.table("streaming_stream_join_outer_sink")
