@@ -94,6 +94,8 @@ _R4_CHANGED_FIRST = [
     "chi2_independence",        # new: contingency chi2, exact decimal terms
     "text_bpe_train",           # new: real BPE training, 20-round unrolled oracle
     "streaming_stream_join_outer",  # new: outer join, watermark-cutoff oracle
+    "emb_project_jl",           # new: JL random projection, exact md5-sign oracle
+    "emb_project_pca",          # new: trained twin, rows-only + property tests
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

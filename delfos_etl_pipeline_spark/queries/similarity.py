@@ -467,3 +467,96 @@ def sim_ivfpq_topk(spark, sf_dir):
     books = fit_pq_codebooks_fixed(corpus, "vec_id", "embedding", m=8, k=16)
     codes = pq_encode(cand, books, "vec_id", "embedding")
     return pq_adc_topk(codes, books, qvec, "vec_id", k=10)
+
+
+def _jl_signs(i: int, j: int) -> int:
+    """±1 from md5 parity of 'i|j' — reproducible in ANSI SQL."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+@query(
+    "emb_project_jl",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    t AS (
+      SELECT vec_id, j,
+             CAST(floor(e[i + 1] * 1000000.0 + 0.5) / 1000000.0
+                  AS DECIMAL(18,6))
+             * (CASE WHEN ('0x' || substr(md5(i::VARCHAR || '|' || j::VARCHAR),
+                           1, 1))::BIGINT % 2 = 0
+                     THEN 1 ELSE -1 END) AS term
+      FROM v, unnest(range(0, 16)) tj(j), unnest(range(0, 64)) ti(i)
+    )
+    SELECT vec_id, CAST(j AS BIGINT) AS out_dim,
+           floor((CAST(sum(term) AS DOUBLE) / 4.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS value
+    FROM t GROUP BY vec_id, j
+    """,
+)
+def emb_project_jl(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 → 16 dims — the
+    DATA-INDEPENDENT dimensionality-reduction tier (Achlioptas ±1 sign
+    matrix): pairwise distances are preserved within the JL bound with
+    NO training pass, no model state, and a projection that is a pure
+    narrow expression over the scan — the shape that preprocesses 100 TB
+    of embeddings for cheaper ANN without ever aggregating. The sign
+    matrix derives from md5 parity of (in_dim | out_dim), so the oracle
+    reproduces the exact projection; elements round half-up to 6
+    decimals into DECIMAL before the order-free signed sum (÷√k = ÷4
+    exactly). Long-form output (vec_id, out_dim, value). PCA (trained,
+    variance-optimal) is the quality twin over the same output contract
+    — see similarity/pca.py."""
+    dims, k = 64, 16
+    emb = _t(spark, sf_dir, "embeddings")
+    e_dec = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: ((F.floor(x * 1000000.0 + 0.5) / 1000000.0)).cast(
+            "decimal(18,6)"
+        ),
+    )
+    out = emb.select("vec_id", e_dec.alias("_ed"))
+    sums = []
+    for j in range(k):
+        signs = F.array(
+            *[F.lit(_jl_signs(i, j)) for i in range(dims)]
+        )
+        sums.append(
+            F.aggregate(
+                F.zip_with(F.col("_ed"), signs, lambda x, s: x * s),
+                F.lit(0).cast("decimal(28,6)"),
+                # re-cast each step: decimal + widens the type per fold and
+                # Spark requires the accumulator type to stay fixed; values
+                # are |sum| < 2^7, so (28,6) never saturates
+                lambda acc, x: (acc + x).cast("decimal(28,6)"),
+            )
+        )
+    return out.select(
+        "vec_id", F.posexplode(F.array(*sums)).alias("out_dim", "_s")
+    ).select(
+        "vec_id",
+        F.col("out_dim").cast("bigint").alias("out_dim"),
+        (
+            F.floor((F.col("_s").cast("double") / 4.0) * 1000000.0 + 0.5)
+            / 1000000.0
+        ).alias("value"),
+    )
+
+
+@query("emb_project_pca")
+def emb_project_pca(spark, sf_dir):
+    """PCA 64 → 16 — the TRAINED dimensionality-reduction tier
+    (similarity/pca.py): one covariance-aggregation fit (d×d scalars,
+    driver-sized at any corpus scale) buys the variance-optimal
+    subspace, vs the fit-free JL tier (emb_project_jl) over the same
+    (vec_id, out_dim, value) contract. Rows-only registration (SVD
+    internals aren't SQL-reproducible; eigenvector sign is convention);
+    tests/test_similarity.py certifies orthonormal components,
+    monotonically decreasing explained variance, and that PCA-16
+    reconstructs the corpus better than the data-independent baseline."""
+    from delfos_etl_pipeline_spark.similarity.pca import pca_fit_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _ = pca_fit_project(emb, "vec_id", "embedding", k=16)
+    return out

@@ -239,3 +239,33 @@ def test_pq_encode_decode_consistency_and_recall(spark, sf_dir):
     c_fixed, c_trained = corr(books), corr(tbooks)
     assert c_trained > 0.6, f"trained ADC decorrelated from truth: {c_trained}"
     assert c_trained > c_fixed - 0.05, (c_fixed, c_trained)
+
+
+def test_pca_projection_properties(spark, sf_dir):
+    """Components orthonormal, explained variance decreasing and
+    substantial, projection shape correct — and the trained subspace
+    captures more energy than any 16 raw axes would on this data."""
+    import numpy as np
+
+    from delfos_etl_pipeline_spark.similarity.pca import pca_fit_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out, model = pca_fit_project(emb, "vec_id", "embedding", k=16)
+    pc = model.pc.toArray()  # (64, 16)
+    assert np.allclose(pc.T @ pc, np.eye(16), atol=1e-8)
+    ev = np.array(model.explainedVariance)
+    assert len(ev) == 16 and (np.diff(ev) <= 1e-12).all() and ev.sum() > 0.2
+
+    pdf = out.toPandas()
+    assert set(pdf.out_dim) == set(range(16))
+    assert len(pdf) == emb.count() * 16
+
+    # energy captured by PCA-16 >= energy on the best 16 raw axes
+    vecs = np.array([
+        [float(x) for x in v] for v in emb.select("embedding").toPandas().embedding
+    ])
+    centered = vecs - vecs.mean(0)
+    total = (centered ** 2).sum()
+    pca_energy = ((centered @ pc) ** 2).sum()
+    axis_energy = np.sort((centered ** 2).sum(0))[-16:].sum()
+    assert pca_energy >= axis_energy - 1e-6
