@@ -83,3 +83,46 @@ def test_zorder_layout_tightens_bounding_boxes(spark):
     assert lin_b > 0.9, f"linear sort should span full b range, got {lin_b}"
     assert z_a < 0.5 and z_b < 0.5, f"morton extents too wide: {z_a}, {z_b}"
     assert z_b < lin_b / 2, "z-order did not beat linear sort on the 2nd dim"
+
+
+def test_zorder_files_actually_skip_on_second_dim(spark, tmp_path):
+    """End-to-end skipping proof on REAL parquet: write the same table
+    laid out linearly (sorted by `a`) and Morton-clustered on (a, b),
+    then filter on a narrow `b` range. Files whose row groups are fully
+    pruned by footer min/max stats yield no rows, so distinct
+    input_file_name() counts the files actually touched — the Morton
+    layout must touch well under half of what the linear layout does."""
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.operators.zorder import zorder_layout
+
+    n, domain, n_files = 40_000, 1024, 16
+    base = spark.range(n).select(
+        F.abs(F.xxhash64("id") % domain).alias("a"),
+        F.abs(F.xxhash64("id", F.lit(1)) % domain).alias("b"),
+    )
+    lin_path = str(tmp_path / "linear")
+    z_path = str(tmp_path / "zorder")
+    base.repartitionByRange(n_files, "a").sortWithinPartitions("a").write.parquet(lin_path)
+    zorder_layout(base, ["a", "b"], n_files=n_files).drop("_zorder").write.parquet(z_path)
+
+    pred = (F.col("b") >= 100) & (F.col("b") < 164)  # 1/16 of the b domain
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .where(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    lin, zed = files_touched(lin_path), files_touched(z_path)
+    # linear-on-a layout spreads every b everywhere: all files touched
+    assert lin >= n_files - 1, f"linear layout unexpectedly pruned: {lin}"
+    assert zed <= lin / 2, f"z-order touched {zed}/{lin} files — no skipping win"
+    # same rows come back from both layouts
+    assert (
+        spark.read.parquet(z_path).where(pred).count()
+        == spark.read.parquet(lin_path).where(pred).count()
+    )
