@@ -261,3 +261,83 @@ def test_merge_upsert_matches_dict_replay(spark, base, changes):
         for r in merge_upsert(base_df, chg_df, "k", "op", ("m", "sid")).collect()
     }
     assert out == state, (base, changes)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_morton_key_bijective_and_order_preserving(spark, pts):
+    """The Morton interleave must be injective over the code grid and
+    invertible by bit de-interleaving — any collision or bit drift would
+    silently merge unrelated curve cells."""
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.operators.zorder import morton_key
+
+    df = spark.createDataFrame(pts, "a long, b long")
+    rows = df.select(
+        "a", "b", morton_key([F.col("a"), F.col("b")], 8).alias("z")
+    ).collect()
+    seen = {}
+    for r in rows:
+        assert r.z not in seen, f"collision: {seen[r.z]} vs {(r.a, r.b)}"
+        seen[r.z] = (r.a, r.b)
+        # invert: even bits -> a, odd bits -> b
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(8))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (a, b) == (r.a, r.b)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    """encode→decode is the identity for arbitrary 16-bit sample runs at
+    any rate — including odd lengths (RIFF pad byte) and extremes."""
+    import numpy as np
+
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        decode_wav,
+        encode_wav_pcm,
+    )
+
+    arr = np.array(samples, dtype=np.int64)
+    got_rate, out = decode_wav(encode_wav_pcm(arr, rate, bits=16))
+    assert got_rate == rate
+    assert out.shape == (len(samples), 1)
+    assert (out[:, 0] == arr).all()
+
+
+def test_driver_front_window_names_all_registered():
+    """A typo in the verification-window ordering lists would silently
+    drop a query from the driver's ~50-query correctness window — every
+    listed name must exist in the registry."""
+    from delfos_etl_pipeline_spark.queries import (
+        _KEEP_GREEN_FIRST,
+        _R1_ONLY_GREEN,
+        _R4_CHANGED_FIRST,
+        _RECERTIFIED_R3,
+        QUERIES,
+    )
+
+    for group_name, names in {
+        "_R4_CHANGED_FIRST": _R4_CHANGED_FIRST,
+        "_R1_ONLY_GREEN": _R1_ONLY_GREEN,
+        "_RECERTIFIED_R3": _RECERTIFIED_R3,
+        "_KEEP_GREEN_FIRST": _KEEP_GREEN_FIRST,
+    }.items():
+        missing = [n for n in names if n not in QUERIES]
+        assert not missing, f"{group_name} references unknown queries: {missing}"
