@@ -96,6 +96,7 @@ _R4_CHANGED_FIRST = [
     "streaming_stream_join_outer",  # new: outer join, watermark-cutoff oracle
     "emb_project_jl",           # new: JL random projection, exact md5-sign oracle
     "emb_project_pca",          # new: trained twin, rows-only + property tests
+    "weighted_percentiles",     # new: token-weighted nearest-rank quantiles
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

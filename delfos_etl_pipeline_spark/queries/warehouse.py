@@ -1946,3 +1946,60 @@ def chi2_independence(spark, sf_dir):
             F.floor(F.sum("term").cast("double") * 1000000.0 + 0.5) / 1000000.0
         ).alias("chi2"),
     )
+
+
+@query(
+    "weighted_percentiles",
+    oracle="""
+    WITH g AS (
+      SELECT n_chars AS v,
+             CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS w
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT v, w,
+             CAST(sum(w) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cw,
+             CAST(sum(w) OVER () AS BIGINT) AS tw
+      FROM g
+    )
+    SELECT p.q,
+           (SELECT min(v) FROM c
+            WHERE cw * 100 >= CAST(p.q * tw_all AS BIGINT)) AS value
+    FROM (SELECT CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) AS q) p,
+         (SELECT max(tw) AS tw_all FROM c)
+    """,
+)
+def weighted_percentiles(spark, sf_dir):
+    """WEIGHTED nearest-rank percentiles — document length quantiles
+    where each document counts proportionally to its token mass, the
+    right statistic when downstream cost is token-driven (an unweighted
+    median over-represents short docs). Same scalable discipline as the
+    rank/sweep-line family: weights aggregate per DISTINCT value first
+    (map-side combinable, one fact scan), the cumulative-weight window
+    runs over that broadcast-sized value table only, and the quantile
+    pick is min{v : cumweight ≥ q·total} in EXACT integer arithmetic
+    (cw·100 ≥ q·total — no float rank, nothing to round), so the oracle
+    matches bitwise."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.size(F.split(F.col("text"), r"\s+"))).cast("bigint").alias("w")
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = g.select(
+        "v",
+        F.sum("w").over(wc).cast("bigint").alias("cw"),
+        F.sum("w").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("tw"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in (25, 50, 75, 90, 99)])).alias("q")
+    ).select(F.col("q").cast("bigint").alias("q"))
+    hit = c.crossJoin(F.broadcast(qs)).where(
+        F.col("cw") * 100 >= F.col("q") * F.col("tw")
+    )
+    return hit.groupBy("q").agg(F.min("v").alias("value"))
