@@ -57,10 +57,11 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # Round 4: new/behavior-changed queries verify first (staged corpus build;
 # the round_half_up contract fix in the weighted sample; the expectations
 # stack() hardening behind dq_expectations; new approx-percentile twins).
-# With 26 front entries + 33 stale r01-only rows, 9 stale TPC-H shapes
-# (q5-q8, q13, q15, q17, q19, q21 — untouched since r01, still covered by
-# the per-commit check_oracle sweep) overflow the ~50-query window; they
-# lead round 5's rotation.
+# With 35 front entries (every query new or behavior-changed this round
+# MUST get its first driver row) + 33 stale r01-only rows, 18 stale
+# shapes — mostly TPC-H q3-q21 forms, untouched since r01 and still
+# covered by the per-commit check_oracle sweep — overflow the ~50-query
+# window; they lead round 5's rotation.
 _R4_CHANGED_FIRST = [
     "curate_pipeline_staged",   # new: materialized-boundary corpus build
     "sample_weighted_ares",     # round_half_up contract fix (ADVICE r3)
