@@ -300,3 +300,29 @@ def test_pagerank_rounds_are_keyed_shuffles(spark, sf_dir):
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, "BatchEvalPython") == 0
     assert _count(plan, "ArrowEvalPython") == 0
+
+
+def test_basket_rules_pair_join_keyed_on_order(spark, sf_dir):
+    """The pair self-join must be an equi-join on the order key with the
+    support sides broadcast — never a part×part cartesian."""
+    plan = _plan(spark, sf_dir, "basket_association_rules")
+    assert _count(plan, "CartesianProduct") == 0, plan
+    assert _count(plan, "BroadcastHashJoin") + _count(
+        plan, "BroadcastNestedLoopJoin"
+    ) >= 3, plan
+
+
+def test_audio_features_zero_exchange(spark, sf_dir):
+    """Synth + decode are two narrow Arrow stages — payload bytes never
+    shuffle."""
+    plan = _plan(spark, sf_dir, "mm_audio_features")
+    assert _count(plan, "Exchange") == 0, plan
+
+
+def test_jl_projection_is_narrow(spark, sf_dir):
+    """The JL projection is a pure expression over the scan — no
+    exchange before the long-form explode, no Python."""
+    plan = _plan(spark, sf_dir, "emb_project_jl")
+    assert _count(plan, "Exchange") == 0, plan
+    assert _count(plan, "ArrowEvalPython") == 0
+    assert _count(plan, "BatchEvalPython") == 0
