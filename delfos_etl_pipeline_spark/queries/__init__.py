@@ -57,7 +57,7 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # Round 4: new/behavior-changed queries verify first (staged corpus build;
 # the round_half_up contract fix in the weighted sample; the expectations
 # stack() hardening behind dq_expectations; new approx-percentile twins).
-# With 35 front entries (every query new or behavior-changed this round
+# With 36 front entries (every query new or behavior-changed this round
 # MUST get its first driver row) + 33 stale r01-only rows, 18 stale
 # shapes — mostly TPC-H q3-q21 forms, untouched since r01 and still
 # covered by the per-commit check_oracle sweep — overflow the ~50-query
@@ -98,6 +98,7 @@ _R4_CHANGED_FIRST = [
     "emb_project_jl",           # new: JL random projection, exact md5-sign oracle
     "emb_project_pca",          # new: trained twin, rows-only + property tests
     "weighted_percentiles",     # new: token-weighted nearest-rank quantiles
+    "order_lifecycle_snapshot", # new: accumulating-snapshot fact, exact day lags
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -2003,3 +2003,48 @@ def weighted_percentiles(spark, sf_dir):
         F.col("cw") * 100 >= F.col("q") * F.col("tw")
     )
     return hit.groupBy("q").agg(F.min("v").alias("value"))
+
+
+@query(
+    "order_lifecycle_snapshot",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_orderdate,
+           min(l.l_shipdate) AS first_ship,
+           max(l.l_shipdate) AS last_ship,
+           CAST(date_diff('day', o.o_orderdate, min(l.l_shipdate))
+             AS BIGINT) AS days_to_first_ship,
+           CAST(date_diff('day', o.o_orderdate, max(l.l_shipdate))
+             AS BIGINT) AS days_to_complete,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderstatus, o.o_orderdate
+    """,
+)
+def order_lifecycle_snapshot(spark, sf_dir):
+    """Accumulating-snapshot fact table — the Kimball pattern that
+    pivots a process's milestones onto ONE row per entity (order placed
+    → first shipment → final shipment) with lag durations, the shape
+    behind cycle-time dashboards. One fact-keyed join + one group-by:
+    both exchanges hash on the order key, milestones are plain min/max
+    aggregates (map-side combinable), and durations are exact integer
+    day diffs — nothing to round. At 100 TB this materializes
+    incrementally via the cdc_merge_upsert path keyed on o_orderkey
+    (late milestones UPDATE their row), which is why the snapshot grain
+    is exactly one row per order."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus", "o_orderdate")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+            F.datediff(F.min("l_shipdate"), F.col("o_orderdate"))
+            .cast("bigint")
+            .alias("days_to_first_ship"),
+            F.datediff(F.max("l_shipdate"), F.col("o_orderdate"))
+            .cast("bigint")
+            .alias("days_to_complete"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
