@@ -1950,7 +1950,7 @@ def chi2_independence(spark, sf_dir):
 
 @query(
     "weighted_percentiles",
-    oracle="""
+    oracle=r"""
     WITH g AS (
       SELECT n_chars AS v,
              CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS w

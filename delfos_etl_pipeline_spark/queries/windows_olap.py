@@ -307,6 +307,150 @@ def hypertable_rollup(spark, sf_dir):
 
 
 @query(
+    "ts_gapfill_locf",
+    oracle=f"""
+    WITH agg AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+             count(*) AS n_rows,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(window_start) AS lo, max(window_start) AS hi
+      FROM agg GROUP BY 1
+    ),
+    cal AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 10 MINUTE)) AS window_start
+      FROM bounds
+    ),
+    joined AS (
+      SELECT c.event_type, c.window_start,
+             coalesce(a.n_rows, 0) AS n_rows, a.avg_v,
+             row_number() OVER (
+               PARTITION BY c.event_type ORDER BY c.window_start) AS rn
+      FROM cal c LEFT JOIN agg a USING (event_type, window_start)
+    ),
+    filled AS (
+      SELECT event_type, window_start, n_rows, avg_v, rn,
+             last_value(avg_v IGNORE NULLS) OVER w_prev AS prev_v,
+             last_value(CASE WHEN avg_v IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER w_prev AS prev_rn,
+             first_value(avg_v IGNORE NULLS) OVER w_next AS next_v,
+             first_value(CASE WHEN avg_v IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER w_next AS next_rn
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY rn
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, window_start,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           (n_rows = 0) AS is_gap,
+           {sql_round_half_up("prev_v", 6)} AS value_locf,
+           {sql_round_half_up(
+               "CASE WHEN avg_v IS NOT NULL THEN avg_v "
+               "ELSE prev_v + (next_v - prev_v) * "
+               "(CAST(rn - prev_rn AS DOUBLE) / (next_rn - prev_rn)) END", 6)}
+             AS value_interp
+    FROM filled
+    """,
+)
+def ts_gapfill_locf(spark, sf_dir):
+    """Gap-filled 10-minute rollup per event_type — the hypertable
+    `time_bucket_gapfill` surface (TimescaleDB-style) the raw bucket
+    rollup (hypertable_rollup) can't express: buckets with NO raw rows
+    appear explicitly, carrying (a) last-observation-carried-forward and
+    (b) linear interpolation between the bracketing observed buckets.
+
+    Plan shape, and why it holds at 100 TB: the only pass over raw data
+    is the bucket aggregation (map-side-combined groupBy). Everything
+    after — per-type bounds, the dense calendar (sequence+explode), the
+    left join, and both fill windows — operates on BUCKET-cardinality
+    data (|types| x time-range/10min rows), independent of raw volume;
+    the two fill windows share one hash exchange on event_type. The
+    interpolation fraction uses the calendar row index rather than epoch
+    arithmetic, so it is exact integer math until the final division in
+    BOTH engines. Averages accumulate in DECIMAL(18,6) (the
+    hypertable_rollup pattern) so accumulation order can't drift the
+    hash. Leading/trailing gaps cannot occur by construction: each
+    type's calendar spans [min observed bucket, max observed bucket], so
+    prev_v/next_v are always defined on gap rows."""
+    ev = _t(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy("event_type", F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_v"),
+        )
+        .select("event_type", F.col("w.start").alias("window_start"), "n_rows", "avg_v")
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
+    )
+    cal = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 10 minutes"))
+        ).alias("window_start"),
+    )
+    joined = (
+        cal.join(agg, ["event_type", "window_start"], "left")
+        .withColumn("n_rows", F.coalesce("n_rows", F.lit(0)))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("window_start")
+            ),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_rn = F.when(F.col("avg_v").isNotNull(), F.col("rn"))
+    filled = joined.select(
+        "event_type",
+        "window_start",
+        "n_rows",
+        "avg_v",
+        "rn",
+        F.last("avg_v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_rn, ignorenulls=True).over(w_prev).alias("prev_rn"),
+        F.first("avg_v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_rn, ignorenulls=True).over(w_next).alias("next_rn"),
+    )
+    interp = F.when(F.col("avg_v").isNotNull(), F.col("avg_v")).otherwise(
+        F.col("prev_v")
+        + (F.col("next_v") - F.col("prev_v"))
+        * (
+            (F.col("rn") - F.col("prev_rn")).cast("double")
+            / (F.col("next_rn") - F.col("prev_rn"))
+        )
+    )
+    return filled.select(
+        "event_type",
+        "window_start",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("n_rows") == 0).alias("is_gap"),
+        round_half_up(F.col("prev_v"), 6).alias("value_locf"),
+        round_half_up(interp, 6).alias("value_interp"),
+    )
+
+
+@query(
     "range_join_intervals",
     oracle="""
     WITH iv AS (
