@@ -100,6 +100,7 @@ _R4_CHANGED_FIRST = [
     "weighted_percentiles",     # new: token-weighted nearest-rank quantiles
     "order_lifecycle_snapshot", # new: accumulating-snapshot fact, exact day lags
     "ts_gapfill_locf",          # new: time_bucket_gapfill with LOCF + linear interp
+    "text_inverted_index",      # new: blocked delta-encoded posting lists
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

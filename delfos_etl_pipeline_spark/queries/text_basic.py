@@ -191,6 +191,98 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 @query(
+    "text_inverted_index",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+      FROM documents
+    ),
+    w2 AS (SELECT doc_id, term FROM w WHERE term <> ''),
+    tf AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+             CAST(floor(doc_id / 1024) AS BIGINT) AS block_id
+      FROM w2 GROUP BY term, doc_id
+    ),
+    g AS (
+      SELECT term, block_id, doc_id, tf,
+             doc_id - lag(doc_id, 1, 0) OVER (
+               PARTITION BY term, block_id ORDER BY doc_id) AS gap
+      FROM tf
+    ),
+    blocks AS (
+      SELECT term, block_id,
+             CAST(count(*) AS BIGINT) AS n_docs_block,
+             CAST(sum(tf) AS BIGINT) AS cf_block,
+             list(gap ORDER BY doc_id) AS doc_gaps,
+             list(tf ORDER BY doc_id) AS tfs
+      FROM g GROUP BY term, block_id
+    )
+    SELECT term, block_id,
+           CAST(sum(n_docs_block) OVER (PARTITION BY term) AS BIGINT) AS df_docs,
+           n_docs_block, cf_block, doc_gaps, tfs
+    FROM blocks
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Distributed inverted-index BUILD: term -> delta-encoded posting
+    blocks with term frequencies — the index-construction half of the
+    lexical-retrieval story whose query half is text_bm25_search. Each
+    output row is one (term, 1024-doc-id block) posting block: doc-id
+    GAPS (first gap is the absolute doc_id, so every block decodes
+    independently — the property a distributed serving tier needs),
+    aligned per-doc tf, block counts, and the term's total document
+    frequency.
+
+    Why this survives 100 TB where the naive build doesn't: the naive
+    `groupBy(term).collect_list(doc_id)` holds one UNBOUNDED list per
+    term — a stopword's posting list is O(corpus docs) and OOMs the
+    executor. Blocking by doc-id range puts a hard cap (1024 entries) on
+    every aggregation buffer, turns the hot stopword key into
+    |docs|/1024 independent keys (built-in skew relief, no salting
+    needed), and the per-term df is recovered with a window over the
+    already-tiny (term x block) table. Exchanges: one keyed (term,
+    doc_id) tf agg with map-side combine, one keyed (term, block) agg,
+    one term-keyed window — all linear in corpus tokens. Delta encoding
+    is exact integer math in both engines; lists are aggregated in
+    explicit doc_id order, so the arrays hash-match bitwise."""
+    docs = _t(spark, sf_dir, "documents")
+    block = 1024
+    w2 = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = (
+        w2.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn("block_id", F.floor(F.col("doc_id") / block).cast("bigint"))
+    )
+    lagw = Window.partitionBy("term", "block_id").orderBy("doc_id")
+    g = tf.withColumn("gap", F.col("doc_id") - F.lag("doc_id", 1, 0).over(lagw))
+    blocks = g.groupBy("term", "block_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_block"),
+        F.sum("tf").cast("bigint").alias("cf_block"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("doc_id", "gap"))),
+            lambda s: s["gap"],
+        ).alias("doc_gaps"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
+            lambda s: s["tf"],
+        ).alias("tfs"),
+    )
+    dfw = Window.partitionBy("term")
+    return blocks.select(
+        "term",
+        "block_id",
+        F.sum("n_docs_block").over(dfw).cast("bigint").alias("df_docs"),
+        "n_docs_block",
+        "cf_block",
+        "doc_gaps",
+        "tfs",
+    )
+
+
+@query(
     "text_bm25_search",
     oracle="""
     WITH w AS (
