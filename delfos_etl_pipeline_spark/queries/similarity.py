@@ -269,6 +269,114 @@ def emb_centroid_by_label(spark, sf_dir):
 
 
 @query(
+    "emb_standardize",
+    oracle="""
+    WITH r AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS dim_idx,
+             floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS xd
+      FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, label, dim_idx, xd,
+             CAST(xd AS DECIMAL(18,6)) AS x1,
+             CAST(floor(xd * xd * 1000000000000.0 + 0.5)
+                  / 1000000000000.0 AS DECIMAL(30,12)) AS x2
+      FROM r
+    ),
+    stats AS (
+      SELECT dim_idx,
+             CAST(sum(x1) AS DOUBLE) / count(*) AS mu,
+             CAST(sum(x2) AS DOUBLE) / count(*) AS ex2
+      FROM d GROUP BY dim_idx
+    ),
+    sig AS (
+      SELECT dim_idx, mu,
+             CASE WHEN ex2 - mu * mu <= 0 THEN 0.0
+                  ELSE sqrt(ex2 - mu * mu) END AS sigma
+      FROM stats
+    )
+    SELECT d.vec_id, d.label,
+           list(
+             floor((CASE WHEN sigma = 0 THEN 0.0
+                         ELSE (xd - mu) / sigma END) * 1000000.0 + 0.5)
+               / 1000000.0
+             ORDER BY dim_idx) AS z
+    FROM d JOIN sig USING (dim_idx)
+    GROUP BY d.vec_id, d.label
+    """,
+)
+def emb_standardize(spark, sf_dir):
+    """Per-dimension z-score standardization of the embedding column —
+    the feature-scaling pass that precedes ANN indexing, PCA, or k-means
+    when dimensions carry different scales (unscaled dims dominate every
+    distance computation).
+
+    Scale shape (the emb_centroid_by_label pattern, corpus-wide): ONE
+    aggregation pass computes 64 exact decimal sums + 64 exact decimal
+    sums-of-squares as flat aggregates over `element_at` — 129 numbers
+    total shuffled, map-side combined, with NO posexplode (which would
+    shuffle rows x dims exploded records). The resulting 1-row (mu[],
+    sigma[]) table broadcasts to a second corpus scan that standardizes
+    in place via a single `transform` lambda — zero additional
+    exchanges, output partitioning inherited from the scan. At 100 TB:
+    two scans, one broadcast of 128 doubles.
+
+    Cross-engine exactness: elements round half-up to 6 dp first, so
+    the DECIMAL(18,6) sum and the DECIMAL(30,12) sum-of-squares (x*x of
+    a 6-dp double needs 12 dp; the explicit half-up floor keeps the
+    decimal cast identical in both engines) are order-independent exact;
+    mu, sigma, and each z are then single identical IEEE expressions on
+    identical inputs. Population sigma (biased /n) on both sides;
+    constant dimensions map to z=0 rather than a NaN-producing divide."""
+    dims = 64
+    emb = _t(spark, sf_dir, "embeddings")
+    xr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5) / 1000000.0,
+    )
+    base = emb.select("vec_id", "label", xr.alias("xd"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(dims):
+        xi = F.get(F.col("xd"), i)
+        aggs.append(F.sum(xi.cast("decimal(18,6)")).alias(f"s{i}"))
+        aggs.append(
+            F.sum(
+                (
+                    F.floor(xi * xi * 1000000000000.0 + 0.5) / 1000000000000.0
+                ).cast("decimal(30,12)")
+            ).alias(f"q{i}")
+        )
+    stats = base.agg(*aggs)
+    n = F.col("n")
+    mus, sigmas = [], []
+    for i in range(dims):
+        mu = F.col(f"s{i}").cast("double") / n
+        ex2 = F.col(f"q{i}").cast("double") / n
+        var = ex2 - mu * mu
+        mus.append(mu)
+        sigmas.append(F.when(var <= 0, F.lit(0.0)).otherwise(F.sqrt(var)))
+    params = stats.select(
+        F.array(*mus).alias("mu"), F.array(*sigmas).alias("sigma")
+    )
+    z = F.transform(
+        F.col("xd"),
+        lambda x, i: F.floor(
+            F.when(F.get(F.col("sigma"), i) == 0, F.lit(0.0))
+            .otherwise((x - F.get(F.col("mu"), i)) / F.get(F.col("sigma"), i))
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0,
+    )
+    return (
+        base.crossJoin(F.broadcast(params))
+        .select("vec_id", "label", z.alias("z"))
+    )
+
+
+@query(
     "sim_pq_adc_topk",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
