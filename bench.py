@@ -100,6 +100,9 @@ HEADLINE = [
     "orders_open_concurrency",
     "basket_association_rules",
     "text_bpe_train",
+    "ts_gapfill_locf",
+    "text_inverted_index",
+    "emb_standardize",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

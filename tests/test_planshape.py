@@ -326,3 +326,41 @@ def test_jl_projection_is_narrow(spark, sf_dir):
     assert _count(plan, "Exchange") == 0, plan
     assert _count(plan, "ArrowEvalPython") == 0
     assert _count(plan, "BatchEvalPython") == 0
+
+
+def test_gapfill_no_cartesian_one_raw_agg(spark, sf_dir):
+    """Gap-fill touches raw rows exactly once (the bucket agg); the
+    calendar join and both fill windows run on bucket-cardinality data.
+    No nested-loop/cartesian anywhere (the calendar join is an
+    equi-join on (type, bucket))."""
+    plan = _plan(spark, sf_dir, "ts_gapfill_locf")
+    assert _count(plan, "CartesianProduct") == 0, plan
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0, plan
+    # exactly one scan of the raw events table feeds the whole query
+    assert plan.count("Location: InMemoryFileIndex") <= 1 or (
+        _count(plan, "Scan parquet") <= 2
+    ), plan
+
+
+def test_inverted_index_no_unbounded_collect(spark, sf_dir):
+    """Posting lists aggregate per (term, block) — the plan must key its
+    aggregations on the composite key (skew-bounded buffers), never a
+    plain global/term-only collect, and needs no Python."""
+    plan = _plan(spark, sf_dir, "text_inverted_index")
+    assert "block_id" in plan, plan
+    assert _count(plan, "ArrowEvalPython") == 0
+    assert _count(plan, "BatchEvalPython") == 0
+    assert _count(plan, "CartesianProduct") == 0, plan
+
+
+def test_standardize_params_broadcast(spark, sf_dir):
+    """emb_standardize: the 1-row (mu, sigma) table joins back via
+    broadcast; the standardizing transform is a JVM expression (no
+    Python), and the only wide edge is the flat stats aggregation."""
+    plan = _plan(spark, sf_dir, "emb_standardize")
+    assert _count(plan, "BroadcastNestedLoopJoin") + _count(
+        plan, "BroadcastHashJoin"
+    ) >= 1, plan
+    assert _count(plan, "CartesianProduct") == 0, plan
+    assert _count(plan, "ArrowEvalPython") == 0
+    assert _count(plan, "BatchEvalPython") == 0
