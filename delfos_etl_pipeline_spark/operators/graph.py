@@ -84,3 +84,82 @@ def pagerank(
             )
         )
     return pr.select("node", "pr")
+
+
+def triangle_counts(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """(node, degree, n_triangles, clustering_coef) over the undirected
+    graph given as a pair list — per-node triangle participation and the
+    local clustering coefficient 2T / (deg·(deg−1)).
+
+    Scale shape — degree-ordered orientation (the standard distributed
+    triangle-count trick; cf. Suri & Vassilvitskii's MapReduce
+    formulation): every undirected edge is oriented from its lower
+    (degree, id) endpoint to the higher, which caps any node's
+    out-degree at O(√m). Wedges are enumerated per ORIENTED source —
+    so the hot celebrity node that would generate deg² wedge candidates
+    under naive enumeration generates at most O(m) across the whole
+    graph — and closed with one equi-join back to the oriented edge
+    list. Total work O(m^1.5) worst case, three keyed shuffles, no
+    driver state. The (degree, id) order is realized as Spark struct
+    comparison, so no global rank window (which would serialize on a
+    single partition) is needed.
+
+    Each triangle {u,v,w} is found exactly once (its three edges form
+    exactly one length-2 oriented path closed by an oriented edge), then
+    credited to all three corners via explode + count."""
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col(src) != F.col(dst)
+    )
+    edges = (
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    und = edges.where(F.col("a") < F.col("b"))
+    withdeg = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("dega")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("degb")), "b")
+    )
+    ka = F.struct(F.col("dega").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("degb").alias("d"), F.col("b").alias("i"))
+    oriented = withdeg.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(ka < kb, kb).otherwise(ka).alias("kv"),
+    ).persist()
+    e1 = oriented.select(F.col("u"), F.col("v").alias("v1"), F.col("kv").alias("k1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("v2"), F.col("kv").alias("k2"))
+    wedges = e1.join(e2, "u").where(F.col("k1") < F.col("k2"))
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    pernode = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+    coef = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+        F.floor(
+            (
+                F.lit(2.0)
+                * t
+                / (F.col("degree") * (F.col("degree") - F.lit(1.0)))
+            )
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0
+    )
+    return deg.join(pernode, "node", "left").select(
+        "node",
+        "degree",
+        t.alias("n_triangles"),
+        coef.alias("clustering_coef"),
+    )

@@ -102,6 +102,7 @@ _R4_CHANGED_FIRST = [
     "ts_gapfill_locf",          # new: time_bucket_gapfill with LOCF + linear interp
     "text_inverted_index",      # new: blocked delta-encoded posting lists
     "emb_standardize",          # new: per-dim z-score, flat decimal-sum pass
+    "graph_triangles",          # new: degree-ordered oriented triangle count
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

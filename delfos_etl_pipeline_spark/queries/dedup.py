@@ -526,6 +526,75 @@ def _pagerank_oracle(iters: int = 3) -> str:
     return sql
 
 
+def _triangles_oracle() -> str:
+    """Naive-but-exact triangle enumeration (x<y<z via three self-joins)
+    over the same near-dup edge list as _CLUSTERS_ORACLE — the oracle
+    affirms the degree-ordered oriented enumeration loses/duplicates
+    nothing."""
+    edges = _CLUSTERS_ORACLE[: _CLUSTERS_ORACLE.index("), reach")] + ")"
+    return edges + """,
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b AND e2.b > e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+      WHERE e1.a < e1.b
+    ),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    pernode AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM corners GROUP BY node
+    ),
+    deg AS (
+      SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM edges GROUP BY a
+    )
+    SELECT d.node AS doc_id, d.degree,
+           CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE floor((2.0 * coalesce(p.n_triangles, 0)
+                            / (d.degree * (d.degree - 1.0)))
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS clustering_coef
+    FROM deg d LEFT JOIN pernode p ON p.node = d.node
+    """
+
+
+@query("graph_triangles", oracle=_triangles_oracle())
+def graph_triangles(spark, sf_dir):
+    """Per-document triangle counts + local clustering coefficient over
+    the exact near-dup graph — distinguishes tight duplicate CLIQUES
+    (template/boilerplate families, coefficient → 1) from star-shaped
+    hub overlap (one page sharing distinct content with many,
+    coefficient → 0), a structure signal the flat pair list and even
+    PageRank can't separate. Runs on degree-ordered oriented
+    enumeration (operators/graph.py::triangle_counts): out-degree capped
+    at O(√m) so celebrity nodes can't explode the wedge join, the
+    (degree, id) total order realized as struct comparison (no global
+    rank window), three keyed shuffles total. The oracle enumerates
+    triangles naively (x<y<z three-way self-join) — the exact hash match
+    proves the oriented scheme finds each triangle exactly once."""
+    from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
+    from delfos_etl_pipeline_spark.operators.graph import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True),
+        threshold=0.6,
+    )
+    out = triangle_counts(pairs)
+    return out.select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        "n_triangles",
+        "clustering_coef",
+    )
+
+
 @query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark, sf_dir):
     """PageRank (3 damped power-iteration rounds, Page et al.) over the
