@@ -103,6 +103,7 @@ _R4_CHANGED_FIRST = [
     "text_inverted_index",      # new: blocked delta-encoded posting lists
     "emb_standardize",          # new: per-dim z-score, flat decimal-sum pass
     "graph_triangles",          # new: degree-ordered oriented triangle count
+    "o4_topk_per_group",        # new: grouped top-k over aggregated revenue
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

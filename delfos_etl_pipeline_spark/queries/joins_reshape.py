@@ -6,6 +6,7 @@ unchanged — importing this module registers its queries.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from delfos_etl_pipeline_spark.functions.stable import (
@@ -257,6 +258,68 @@ def o2_topk(spark, sf_dir):
         ev.select("event_id", "ts", "event_type", "value")
         .orderBy(F.desc("ts"), F.desc("event_id"))
         .limit(10)
+    )
+
+
+@query(
+    "o4_topk_per_group",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, c.c_custkey,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_custkey
+    )
+    SELECT nation, c_custkey, round(revenue, 2) AS revenue,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY nation ORDER BY revenue DESC, c_custkey ASC) AS rk
+      FROM rev
+    ) WHERE rk <= 3
+    """,
+)
+def o4_topk_per_group(spark, sf_dir):
+    """Grouped top-k: the 3 highest-revenue customers per nation — the
+    per-group counterpart of O2's global TakeOrderedAndProject. Plan: the
+    nation dimension broadcasts into the fact join, revenue aggregates
+    with map-side combine keyed (nation, custkey), and the ranking
+    window re-keys on nation only — at 100 TB the window's input is the
+    aggregated customer table, not fact rows, and k<<group size means
+    the rank filter drops almost everything before the final exchange.
+    Revenue accumulates in DECIMAL(18,2) (o_totalprice carries 2dp) so
+    the sum is order-independent and both engines rank identical
+    doubles; ties break on custkey for a total order."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.desc("revenue"), F.asc("c_custkey")
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "nation",
+            "c_custkey",
+            F.round("revenue", 2).alias("revenue"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
     )
 
 
