@@ -104,6 +104,7 @@ _R4_CHANGED_FIRST = [
     "emb_standardize",          # new: per-dim z-score, flat decimal-sum pass
     "graph_triangles",          # new: degree-ordered oriented triangle count
     "o4_topk_per_group",        # new: grouped top-k over aggregated revenue
+    "dedup_jaccard_prefix",     # new: lossless PPJoin prefix filtering
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -87,6 +87,45 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_jaccard_prefix",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) >= 0.6
+    """,
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT Jaccard ≥ 0.6 pairs via PREFIX FILTERING (PPJoin family) —
+    candidates only from each document's rarest-first prefix shingles
+    plus a size filter, then exact verification. The oracle is the
+    UNFILTERED all-pairs Jaccard (identical SQL to dedup_ngram_jaccard),
+    so the exact hash match proves the prefix+length pruning is
+    LOSSLESS — the scale answer for exact similarity joins when
+    MinHash's approximation isn't acceptable; see
+    dedup/ngram.py::jaccard_pairs_prefix for the candidate-complexity
+    argument."""
+    from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs_prefix
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
 _CLUSTERS_ORACLE = """
     WITH RECURSIVE words AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
