@@ -353,6 +353,33 @@ def test_inverted_index_no_unbounded_collect(spark, sf_dir):
     assert _count(plan, "CartesianProduct") == 0, plan
 
 
+def test_triangles_no_global_rank_window(spark, sf_dir):
+    """Triangle counting must realize the (degree, id) total order as
+    struct comparison, never a global rank window — a single-partition
+    window would serialize the whole graph through one task."""
+    plan = _plan(spark, sf_dir, "graph_triangles")
+    assert "SinglePartition" not in plan, plan
+    assert _count(plan, "CartesianProduct") == 0, plan
+
+
+def test_topk_per_group_dim_broadcast(spark, sf_dir):
+    """Grouped top-k: nation broadcasts; the rank window input is the
+    aggregated (nation, customer) table, not fact rows."""
+    plan = _plan(spark, sf_dir, "o4_topk_per_group")
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_prefix_join_no_cartesian(spark, sf_dir):
+    """Prefix-filtered Jaccard: every join is keyed (shingle or doc) —
+    no nested-loop fallback, no Python."""
+    plan = _plan(spark, sf_dir, "dedup_jaccard_prefix")
+    assert _count(plan, "CartesianProduct") == 0, plan
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert _count(plan, "ArrowEvalPython") == 0
+    assert _count(plan, "BatchEvalPython") == 0
+
+
 def test_standardize_params_broadcast(spark, sf_dir):
     """emb_standardize: the 1-row (mu, sigma) table joins back via
     broadcast; the standardizing transform is a JVM expression (no
