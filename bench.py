@@ -103,6 +103,9 @@ HEADLINE = [
     "ts_gapfill_locf",
     "text_inverted_index",
     "emb_standardize",
+    "graph_triangles",
+    "o4_topk_per_group",
+    "dedup_jaccard_prefix",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

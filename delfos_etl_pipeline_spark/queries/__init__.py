@@ -105,6 +105,7 @@ _R4_CHANGED_FIRST = [
     "graph_triangles",          # new: degree-ordered oriented triangle count
     "o4_topk_per_group",        # new: grouped top-k over aggregated revenue
     "dedup_jaccard_prefix",     # new: lossless PPJoin prefix filtering
+    "skyline_orders",           # new: Pareto frontier, two-phase prefix min
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

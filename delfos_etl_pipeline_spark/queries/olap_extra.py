@@ -591,3 +591,45 @@ def layout_zorder_key(spark, sf_dir):
             "zorder_key"
         ),
     )
+
+
+@query(
+    "skyline_orders",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS x, min(o_orderdate) AS ymin
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT x, ymin,
+             min(ymin) OVER (
+               ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mex
+      FROM g
+    )
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o
+    JOIN s ON o.o_totalprice = s.x AND o.o_orderdate = s.ymin
+    WHERE s.mex IS NULL OR s.ymin < s.mex
+    """,
+)
+def skyline_orders(spark, sf_dir):
+    """Skyline / Pareto frontier (Börzsönyi et al., ICDE'01): orders not
+    dominated on (minimize o_totalprice, minimize o_orderdate) — the
+    'cheapest-and-earliest' preference query no single ORDER BY can
+    answer. Runs the sort-based 2-D algorithm distributed
+    (operators/skyline.py::skyline_min2): per-price minima, then a
+    range-partitioned EXCLUSIVE prefix min with driver-combined
+    per-partition bases — the token-budget two-phase scan with MIN as
+    the monoid, so no global single-partition window ever appears. The
+    oracle expresses the identical dominance logic as one DuckDB window
+    (fine single-node); the exact match certifies the distributed
+    split."""
+    from delfos_etl_pipeline_spark.operators.skyline import skyline_min2
+
+    orders = _t(spark, sf_dir, "orders")
+    return skyline_min2(
+        orders.select("o_orderkey", "o_totalprice", "o_orderdate"),
+        "o_totalprice",
+        "o_orderdate",
+    )
