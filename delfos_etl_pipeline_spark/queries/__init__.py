@@ -106,6 +106,7 @@ _R4_CHANGED_FIRST = [
     "o4_topk_per_group",        # new: grouped top-k over aggregated revenue
     "dedup_jaccard_prefix",     # new: lossless PPJoin prefix filtering
     "skyline_orders",           # new: Pareto frontier, two-phase prefix min
+    "mutual_information",       # new: contingency MI, exact decimal terms
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

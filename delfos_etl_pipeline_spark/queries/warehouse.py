@@ -1949,6 +1949,77 @@ def chi2_independence(spark, sf_dir):
 
 
 @query(
+    "mutual_information",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS r, hour(ts) AS c,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY r),
+    ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY c),
+    cells AS (
+      SELECT CAST(floor(((o * 1.0 / n)
+                         * ln((o * 1.0 * n) / (rt * 1.0 * ct)))
+                        * 1000000000000.0 + 0.5) / 1000000000000.0
+                  AS DECIMAL(18,12)) AS term,
+             n
+      FROM obs JOIN rt USING (r) JOIN ct USING (c), tot
+    )
+    SELECT n,
+           floor(CAST(sum(term) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS mi_nats
+    FROM cells GROUP BY n
+    """,
+)
+def mutual_information(spark, sf_dir):
+    """Mutual information I(event_type; hour-of-day) in nats — the
+    information-theoretic dependence measure feature selection and drift
+    monitoring use where chi² gives only a significance test (MI is 0
+    iff independent and scales with HOW MUCH knowing the hour tells you
+    about the type). Identical shape to chi2_independence: ONE fact-table
+    scan builds the contingency cells; marginals and the grand total
+    re-aggregate the |R|·|C| broadcast-sized cell table. Each cell's
+    (o/n)·ln(o·n/(rt·ct)) is one IEEE expression over exact BIGINT
+    counts (products kept in double so web-scale n² can't overflow
+    int64), rounded half-up into DECIMAL(18,12) before the order-free
+    exact sum — bitwise match with the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("r"), F.hour("ts").alias("c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    rt = obs.groupBy("r").agg(F.sum("o").cast("bigint").alias("rt"))
+    ct = obs.groupBy("c").agg(F.sum("o").cast("bigint").alias("ct"))
+    term = (
+        F.floor(
+            (
+                (F.col("o") * 1.0 / F.col("n"))
+                * F.log(
+                    (F.col("o") * 1.0 * F.col("n"))
+                    / (F.col("rt") * 1.0 * F.col("ct"))
+                )
+            )
+            * 1000000000000.0
+            + 0.5
+        )
+        / 1000000000000.0
+    ).cast("decimal(18,12)")
+    cells = (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+        .select("n", term.alias("term"))
+    )
+    return cells.groupBy("n").agg(
+        (
+            F.floor(F.sum("term").cast("double") * 1000000.0 + 0.5) / 1000000.0
+        ).alias("mi_nats")
+    )
+
+
+@query(
     "weighted_percentiles",
     oracle=r"""
     WITH g AS (
