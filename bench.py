@@ -106,6 +106,8 @@ HEADLINE = [
     "graph_triangles",
     "o4_topk_per_group",
     "dedup_jaccard_prefix",
+    "skyline_orders",
+    "mutual_information",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,
