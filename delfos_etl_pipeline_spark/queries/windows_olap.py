@@ -360,11 +360,13 @@ def hypertable_rollup(spark, sf_dir):
     """,
 )
 def ts_gapfill_locf(spark, sf_dir):
-    """Gap-filled 10-minute rollup per event_type — the hypertable
-    `time_bucket_gapfill` surface (TimescaleDB-style) the raw bucket
-    rollup (hypertable_rollup) can't express: buckets with NO raw rows
-    appear explicitly, carrying (a) last-observation-carried-forward and
-    (b) linear interpolation between the bracketing observed buckets.
+    """Gap-filled 10-minute rollup per event_type — completes the
+    TimescaleDB `time_bucket_gapfill` surface: ts_gap_fill
+    (operators/gapfill.py) covers densify + LOCF for gap-safe aggregates
+    (count/max); this adds the part that one can't forward-fill naively —
+    LINEAR INTERPOLATION of a mean between the bracketing observed
+    buckets (`interpolate()` in Timescale terms), with the averages
+    decimal-exact so the interpolated values hash-match cross-engine.
 
     Plan shape, and why it holds at 100 TB: the only pass over raw data
     is the bucket aggregation (map-side-combined groupBy). Everything
