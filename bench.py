@@ -108,6 +108,7 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "skyline_orders",
     "mutual_information",
+    "j_bloom_semi_join",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

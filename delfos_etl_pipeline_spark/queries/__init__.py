@@ -107,6 +107,7 @@ _R4_CHANGED_FIRST = [
     "dedup_jaccard_prefix",     # new: lossless PPJoin prefix filtering
     "skyline_orders",           # new: Pareto frontier, two-phase prefix min
     "mutual_information",       # new: contingency MI, exact decimal terms
+    "j_bloom_semi_join",        # new: bloom-bitmap pre-filtered semi-join
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -413,3 +413,53 @@ def join_salted_skew(spark, sf_dir):
     return salted_join(
         ev.select("event_id", "user_id"), dim, "user_id", n_salts=8
     ).select("event_id", "user_id", "segment")
+
+
+@query(
+    "j_bloom_semi_join",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+             / 10000.0 AS revenue
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 4000)
+    GROUP BY 1
+    """,
+)
+def j_bloom_semi_join(spark, sf_dir):
+    """Monthly revenue from lineitems of high-balance suppliers, executed
+    as a BLOOM-FILTER pre-filtered semi-join (operators/bloomjoin.py).
+
+    The oracle is the plain ``IN``-subquery semi-join — the hash match
+    proves the bloom pass is a pure exchange-volume optimization with
+    exact final semantics (false positives removed by the real semi-join
+    on the survivors). 100 TB posture: the dim ships as a
+    ``num_bits/8``-byte bitmap (constant in key count, here 8 KiB; 8 MiB
+    covers ~50 M keys at ~1% FP), the fact side drops non-members BEFORE
+    any shuffle inside whole-stage codegen, and only survivors reach the
+    exact semi-join — the standard answer when the dim is too big to
+    broadcast as rows but the fact shuffle is the bottleneck. Revenue in
+    scaled-integer cents·basis-points (the tpch_q9 contract) so the
+    monthly sums are accumulation-order-proof.
+    """
+    from delfos_etl_pipeline_spark.operators.bloomjoin import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 4000)
+    filtered = bloom_semi_join(
+        li, sup, "l_suppkey", "s_suppkey", num_bits=1 << 16, num_hashes=3
+    )
+    rev_c4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        filtered.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(rev_c4).cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )

@@ -391,3 +391,14 @@ def test_standardize_params_broadcast(spark, sf_dir):
     assert _count(plan, "CartesianProduct") == 0, plan
     assert _count(plan, "ArrowEvalPython") == 0
     assert _count(plan, "BatchEvalPython") == 0
+
+
+def test_bloom_semi_join_probes_before_shuffle(spark, sf_dir):
+    """j_bloom_semi_join: the bitmap ships as ONE broadcast row (a 1-row
+    BroadcastNestedLoopJoin is constant glue, not a cartesian), the probe
+    filter sits below any exchange of the fact side, and the residual
+    exact semi-join is the only other join."""
+    plan = _plan(spark, sf_dir, "j_bloom_semi_join")
+    assert _count(plan, "BroadcastNestedLoopJoin") == 1, plan
+    assert _count(plan, "CartesianProduct") == 0, plan
+    assert "xxhash64" in plan  # probe runs as Catalyst expressions
