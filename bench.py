@@ -109,6 +109,7 @@ HEADLINE = [
     "skyline_orders",
     "mutual_information",
     "j_bloom_semi_join",
+    "dedup_dupngram_fraction",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -25,11 +25,14 @@ def shingle_arrays(
     text_col: str,
     n: int = 3,
     hashed: bool = False,
+    distinct: bool = True,
 ) -> DataFrame:
     """(doc_id, shingles) — each document's DISTINCT word n-gram shingles
     as ONE array row. The per-doc set form: minhash signatures, set sizes,
     and the exploded (doc_id, shingle) relation all derive from it with no
-    shuffle.
+    shuffle. ``distinct=False`` keeps every shingle INSTANCE (one per
+    token position, with multiplicity) — the form duplicated-span
+    statistics need (dup_ngram_stats).
 
     Tokenization is lower + whitespace split; shingles are n consecutive
     words joined by a single space. ``hashed=True`` emits xxhash64 longs
@@ -76,6 +79,8 @@ def shingle_arrays(
             F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         )
+    if not distinct:
+        return bound.select("doc_id", arr.alias("shingles"))
     return bound.select("doc_id", F.array_distinct(arr).alias("shingles"))
 
 
@@ -257,4 +262,60 @@ def jaccard_pairs_prefix(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    hashed: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-n-gram statistics — the distributed proxy
+    for exact substring deduplication (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22: their suffix
+    arrays find verbatim spans shared across documents; the scalable
+    Spark form scores each document by the fraction of its n-gram
+    INSTANCES — positions, with multiplicity — whose n-gram also occurs
+    in at least one OTHER document).
+
+    Output: (doc_id, total_ngrams, dup_ngrams, dup_fraction). Filter on
+    ``dup_fraction`` to drop boilerplate-heavy/templated documents, or
+    use it as a quality signal alongside text/quality.py.
+
+    Plan: one shingle-instance relation (narrow, from the per-doc array),
+    a (doc_id, shingle)-distinct aggregation for document frequency, and
+    an instance⋈frequency join keyed on the 8-byte hashed shingle, then
+    a doc-keyed count — everything linear in corpus tokens, no
+    self-join, no candidate blow-up. 100 TB posture: shuffles carry
+    (long, long) pairs only; skew on ubiquitous shingles affects only
+    the frequency agg (partial-agg combines map-side) and the join fans
+    out 1×, not f², because instances join to ONE frequency row each.
+    """
+    from delfos_etl_pipeline_spark.functions.stable import round_half_up
+
+    arrs = shingle_arrays(df, id_col, text_col, n, hashed=hashed, distinct=False)
+    inst = explode_shingles(arrs)  # (doc_id, shingle) instances
+    dfreq = (
+        inst.select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        inst.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("dup_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "total_ngrams",
+            "dup_ngrams",
+            round_half_up(
+                F.col("dup_ngrams") / F.col("total_ngrams"), 6
+            ).alias("dup_fraction"),
+        )
     )

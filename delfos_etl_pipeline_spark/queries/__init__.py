@@ -108,6 +108,7 @@ _R4_CHANGED_FIRST = [
     "skyline_orders",           # new: Pareto frontier, two-phase prefix min
     "mutual_information",       # new: contingency MI, exact decimal terms
     "j_bloom_semi_join",        # new: bloom-bitmap pre-filtered semi-join
+    "dedup_dupngram_fraction",  # new: duplicated-span fraction (substring tier)
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

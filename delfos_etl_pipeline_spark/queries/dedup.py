@@ -660,3 +660,41 @@ def graph_pagerank(spark, sf_dir):
         F.col("node").alias("doc_id"),
         F.col("pr").cast("double").alias("pagerank"),
     )
+
+
+@query(
+    "dedup_dupngram_fraction",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+    ), inst AS (
+      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+      FROM words, unnest(generate_series(1, greatest(len(w)-4, 0))) AS t(i)
+    ), dfreq AS (
+      SELECT sh, count(DISTINCT doc_id) AS n_docs FROM inst GROUP BY sh
+    )
+    SELECT i.doc_id,
+           count(*) AS total_ngrams,
+           count(*) FILTER (WHERE d.n_docs >= 2) AS dup_ngrams,
+           floor((count(*) FILTER (WHERE d.n_docs >= 2)) * 1.0 / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_fraction
+    FROM inst i JOIN dfreq d ON i.sh = d.sh
+    GROUP BY i.doc_id
+    """,
+)
+def dedup_dupngram_fraction(spark, sf_dir):
+    """Per-document duplicated-5-gram fraction — the distributed proxy for
+    EXACT SUBSTRING dedup (Lee et al. ACL'22 suffix-array spans): the
+    share of each document's n-gram instances (positions, with
+    multiplicity) whose n-gram also appears in another document. The
+    remaining dedup tier between document-level exact dedup and
+    set-similarity near-dup: catches templated/boilerplate-heavy pages
+    that neither exact hash nor whole-set Jaccard flags. Linear plan —
+    instance relation, (doc,shingle)-distinct doc-frequency agg,
+    one instance⋈frequency join on 8-byte hashed shingles, doc-keyed
+    count; no self-join, no candidate blow-up (dedup/ngram.py
+    dup_ngram_stats docstring has the 100 TB shuffle inventory)."""
+    from delfos_etl_pipeline_spark.dedup.ngram import dup_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_ngram_stats(docs, "doc_id", "text", n=5)

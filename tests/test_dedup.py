@@ -372,3 +372,25 @@ def test_pagerank_mass_and_symmetry(spark):
     leaves = [rows[v] for v in range(101, 106)]
     assert all(l == leaves[0] for l in leaves)  # symmetry → identical ranks
     assert rows[100] > 2 * leaves[0]  # the hub dominates
+
+
+def test_dup_ngram_stats_instance_fractions(spark):
+    """Instance (positional) counting: within-doc repeats count toward the
+    total but are duplicated only if the n-gram crosses documents."""
+    from delfos_etl_pipeline_spark.dedup.ngram import dup_ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # shares 'a b c d e' with doc 2
+            (2, "a b c d e x"),
+            (3, "z z z z z z z"),    # 3 instances of 'z z z z z', one doc
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["total_ngrams"], r["dup_ngrams"], r["dup_fraction"])
+        for r in dup_ngram_stats(docs, "doc_id", "text", n=5).collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (3, 0, 0.0)
