@@ -110,6 +110,7 @@ HEADLINE = [
     "mutual_information",
     "j_bloom_semi_join",
     "dedup_dupngram_fraction",
+    "er_canonical_records",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -109,6 +109,7 @@ _R4_CHANGED_FIRST = [
     "mutual_information",       # new: contingency MI, exact decimal terms
     "j_bloom_semi_join",        # new: bloom-bitmap pre-filtered semi-join
     "dedup_dupngram_fraction",  # new: duplicated-span fraction (substring tier)
+    "er_canonical_records",     # new: ER survivorship over the CC closure
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

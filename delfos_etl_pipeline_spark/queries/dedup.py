@@ -698,3 +698,106 @@ def dedup_dupngram_fraction(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return dup_ngram_stats(docs, "doc_id", "text", n=5)
+
+
+_ER_ORACLE = """
+    WITH RECURSIVE words AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT p.doc_a, p.doc_b
+      FROM cand p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) >= 0.6
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ), comp AS (
+      SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node
+    ), memb AS (
+      SELECT c.node AS doc_id, c.cluster_id, d.n_chars, d.lang, d.source
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    ), rep AS (
+      SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM memb
+    )
+    SELECT m.cluster_id,
+           min(m.doc_id) AS canonical_id,
+           count(*) AS n_members,
+           count(DISTINCT m.lang) AS n_langs,
+           count(DISTINCT m.source) AS n_sources,
+           min(r.rep_doc_id) AS rep_doc_id,
+           min(r.rep_n_chars) AS rep_n_chars
+    FROM memb m
+    JOIN (SELECT * FROM rep WHERE rn = 1) r USING (cluster_id)
+    GROUP BY m.cluster_id
+    """
+
+
+@query("er_canonical_records", oracle=_ER_ORACLE)
+def er_canonical_records(spark, sf_dir):
+    """Entity resolution end-to-end: near-dup pair generation (exact
+    Jaccard), transitive closure into duplicate clusters, then
+    SURVIVORSHIP — one canonical record per entity cluster with
+    deterministic merge rules (min id as the stable key; the longest
+    text as representative, ties to the smallest id; attribute-spread
+    counts for audit). The record-linkage shape (Fellegi-Sunter
+    pipelines, master-data dedup) on top of the same CC machinery the
+    dedup family certifies.
+
+    Survivorship is a single doc-keyed join plus a cluster-keyed
+    aggregation over the CC output — linear on top of the closure. The
+    representative pick is a struct-max (max over (n_chars, -doc_id)
+    pairs), a plain partial-aggregable MAX — no per-cluster window, no
+    rank shuffle; the oracle computes the same pick with a rank window,
+    so the hash match certifies the struct-max rewrite."""
+    from delfos_etl_pipeline_spark.dedup.clusters import duplicate_clusters
+    from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True),
+        threshold=0.6,
+    )
+    clusters = duplicate_clusters(pairs)  # (doc_id, cluster_id, cluster_size)
+    memb = clusters.join(
+        docs.select("doc_id", "n_chars", "lang", "source"), "doc_id"
+    )
+    rep = F.max(
+        F.struct(F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("nid"))
+    )
+    return (
+        memb.groupBy("cluster_id")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+            rep.alias("_rep"),
+        )
+        .select(
+            "cluster_id",
+            "canonical_id",
+            "n_members",
+            "n_langs",
+            "n_sources",
+            (-F.col("_rep.nid")).alias("rep_doc_id"),
+            F.col("_rep.nc").alias("rep_n_chars"),
+        )
+    )
