@@ -111,6 +111,7 @@ HEADLINE = [
     "j_bloom_semi_join",
     "dedup_dupngram_fraction",
     "er_canonical_records",
+    "ks_two_sample",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -46,6 +46,12 @@ def skyline_min2(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, -1)
         ),
     )
+    # PERSIST before the base-minima collect: the relation is consumed
+    # twice (bases, then the frontier filter), and spark_partition_id() /
+    # range-boundary sampling may differ between two evaluations — bases
+    # from one partitioning must never be applied to a re-evaluated other
+    # (same hazard as text/curation.py _global_prefix_sum).
+    local = local.persist()
     totals = sorted(
         (r["_pid"], r["_tot"])
         for r in local.groupBy("_pid").agg(F.min("_ymin").alias("_tot")).collect()

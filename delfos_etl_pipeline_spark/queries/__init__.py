@@ -110,6 +110,9 @@ _R4_CHANGED_FIRST = [
     "j_bloom_semi_join",        # new: bloom-bitmap pre-filtered semi-join
     "dedup_dupngram_fraction",  # new: duplicated-span fraction (substring tier)
     "er_canonical_records",     # new: ER survivorship over the CC closure
+    "ks_two_sample",            # new: KS drift stat via parallel prefix sums
+    "sample_token_budget",      # re-verify: prefix-sum persist hardening
+    "pack_sequences_ctx",       # re-verify: prefix-sum persist hardening
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2

@@ -2119,3 +2119,92 @@ def order_lifecycle_snapshot(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )
+
+
+@query(
+    "ks_two_sample",
+    oracle=f"""
+    WITH ev AS (
+      SELECT value, event_type FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ), tot AS (
+      SELECT count(*) FILTER (WHERE event_type = 'click')    AS na,
+             count(*) FILTER (WHERE event_type = 'purchase') AS nb
+      FROM ev
+    ), byv AS (
+      SELECT value,
+             count(*) FILTER (WHERE event_type = 'click')    AS ca,
+             count(*) FILTER (WHERE event_type = 'purchase') AS cb
+      FROM ev GROUP BY value
+    ), cum AS (
+      SELECT value,
+             sum(ca) OVER (ORDER BY value) AS cca,
+             sum(cb) OVER (ORDER BY value) AS ccb
+      FROM byv
+    ), d AS (
+      SELECT value,
+             {sql_round_half_up(
+                 "abs(cca * 1.0 / (SELECT na FROM tot)"
+                 " - ccb * 1.0 / (SELECT nb FROM tot))", 6)} AS dd
+      FROM cum
+    )
+    SELECT max(dd) AS ks_stat,
+           min(CASE WHEN dd = (SELECT max(dd) FROM d) THEN value END)
+             AS at_value,
+           (SELECT na FROM tot) AS n_a,
+           (SELECT nb FROM tot) AS n_b
+    FROM d
+    """,
+)
+def ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the `value`
+    distributions of click vs purchase events — the distribution-level
+    complement to ab_test_zstat's mean test (detects shape/scale drift a
+    mean test misses; the standard gate in data-drift monitors).
+
+    D = max over observed values of |ECDF_a - ECDF_b|, with the argmax
+    value reported (smallest value attaining D, deterministic under
+    ties). Plan: per-value pre-aggregation (distinct values, partial-agg
+    combine), TWO cumulative counts in ONE two-phase range-partitioned
+    prefix scan (text/curation.py _global_prefix_sum, generalized to
+    parallel sums — no partitionless window anywhere), group totals as a
+    1-row broadcast, and a scalar struct-max reduce. Everything after
+    the event scan operates on |distinct values| rows; the driver sees
+    |partitions| offset rows, never data."""
+    from delfos_etl_pipeline_spark.text.curation import _global_prefix_sum
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .where(F.col("value").isNotNull())
+    )
+    byv = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("ca"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("cb"),
+    )
+    cum = _global_prefix_sum(byv, ["value"], ["ca", "cb"], ["cca", "ccb"])
+    tot = ev.agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("na"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("nb"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "na",
+        "nb",
+        round_half_up(
+            F.abs(
+                F.col("cca") / F.col("na") - F.col("ccb") / F.col("nb")
+            ),
+            6,
+        ).alias("dd"),
+    )
+    return d.agg(
+        F.max(F.struct(F.col("dd"), (-F.col("value")).alias("nv"))).alias("_m"),
+        F.min("na").alias("n_a"),
+        F.min("nb").alias("n_b"),
+    ).select(
+        F.col("_m.dd").alias("ks_stat"),
+        (-F.col("_m.nv")).alias("at_value"),
+        "n_a",
+        "n_b",
+    )

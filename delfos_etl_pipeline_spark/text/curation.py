@@ -104,39 +104,67 @@ def decontaminate_corpus(
 def _global_prefix_sum(
     df: DataFrame,
     order_cols: list[str],
-    value_col: str,
-    out_col: str,
+    value_col: str | list[str],
+    out_col: str | list[str],
 ) -> DataFrame:
-    """Exact inclusive prefix sum of ``value_col`` over the total order
-    ``order_cols`` — two-phase distributed scan (see module docstring).
-    The driver touches |partitions| rows, never data."""
+    """Exact inclusive prefix sum of each ``value_col`` over the total
+    order ``order_cols`` — two-phase distributed scan (see module
+    docstring). Accepts one column or a parallel list (all sums share the
+    single repartition + offset exchange). The driver touches
+    |partitions| rows, never data."""
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col must pair up")
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     part = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
-    local = part.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_run",
-        F.sum(value_col).over(
-            Window.partitionBy("_pid")
-            .orderBy(*order_cols)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    runw = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = part.withColumn("_pid", F.spark_partition_id())
+    for i, vc in enumerate(value_cols):
+        local = local.withColumn(f"_run{i}", F.sum(vc).over(runw))
+    # PERSIST before the offsets collect: the relation is consumed twice
+    # (offset totals, then the final join), and BOTH spark_partition_id()
+    # and repartitionByRange's boundary sampling may differ between two
+    # evaluations — offsets computed against one partitioning must never
+    # be applied to a re-evaluated other (observed: cumulative counts off
+    # by a partition's worth of rows when the upstream was a groupBy).
+    # MEMORY_AND_DISK: spills, never recomputes; LRU eviction reclaims it.
+    local = local.persist()
     # Range partitioning keeps whole key-ranges per partition, so the
     # per-partition base offset is the sum of all lower partitions' totals.
     totals = sorted(
-        (r["_pid"], r["_tot"])
-        for r in local.groupBy("_pid").agg(F.max("_run").alias("_tot")).collect()
+        (r["_pid"], *[r[f"_tot{i}"] for i in range(len(value_cols))])
+        for r in local.groupBy("_pid")
+        .agg(
+            *[
+                F.max(f"_run{i}").alias(f"_tot{i}")
+                for i in range(len(value_cols))
+            ]
+        )
+        .collect()
     )
-    base, offsets = 0, []
-    for pid, tot in totals:
-        offsets.append((pid, base))
-        base += tot
-    off = spark.createDataFrame(offsets, "_pid int, _off bigint")
-    return (
-        local.join(F.broadcast(off), "_pid")
-        .withColumn(out_col, (F.col("_run") + F.col("_off")).cast("bigint"))
-        .drop("_pid", "_run")
+    bases, offsets = [0] * len(value_cols), []
+    for pid, *tots in totals:
+        offsets.append((pid, *bases))
+        bases = [b + (t or 0) for b, t in zip(bases, tots)]
+    off_schema = "_pid int, " + ", ".join(
+        f"_off{i} bigint" for i in range(len(value_cols))
     )
+    off = spark.createDataFrame(offsets, off_schema)
+    out = local.join(F.broadcast(off), "_pid")
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(
+            oc, (F.col(f"_run{i}") + F.col(f"_off{i}")).cast("bigint")
+        )
+    drop = ["_pid"] + [f"_run{i}" for i in range(len(value_cols))] + [
+        f"_off{i}" for i in range(len(value_cols))
+    ]
+    return out.drop(*drop)
 
 
 def token_budget_sample(
