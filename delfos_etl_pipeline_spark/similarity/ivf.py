@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from delfos_etl_pipeline_spark.similarity.knn import _as_double, cosine_similarity_col
+from delfos_etl_pipeline_spark.similarity.knn import (
+    _as_double,
+    _lit_vec,
+    cosine_similarity_col,
+)
 
 
 def build_ivf_index(
@@ -74,7 +78,7 @@ def build_ivf_index_fixed(
         *[
             F.struct(
                 cosine_similarity_col(
-                    v, F.array(*[F.lit(x) for x in c]).cast("array<double>")
+                    v, _lit_vec(c)
                 ).alias("sim"),
                 F.lit(-i).alias("negcid"),
             )
@@ -123,7 +127,7 @@ def ivf_topk(
     """Approximate top-k: exact cosine inside the n_probe nearest cells.
     n_probe = n_clusters degenerates to exact brute force."""
     cells = probe_cells(query_vec, centroids, n_probe)
-    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    q = _lit_vec(query_vec)
     sim = cosine_similarity_col(_as_double(vec_col), q)
     if round_decimals is not None:
         sim = F.round(sim, round_decimals)

@@ -35,11 +35,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from delfos_etl_pipeline_spark.functions.stable import round_half_up
-from delfos_etl_pipeline_spark.similarity.knn import _as_double, _dot
-
-
-def _lit_vec(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vals]).cast("array<double>")
+from delfos_etl_pipeline_spark.similarity.knn import (
+    _as_double,
+    _dot,
+    _lit_mat,
+    _lit_vec,
+)
 
 
 def _sq_l2(a: Column, b: Column) -> Column:
@@ -84,20 +85,38 @@ def pq_encode(
     m = len(codebooks)
     sub = len(codebooks[0][0])
     e = _as_double(vec_col)
-    out = df.select(id_col, e.alias("_e"))
     # hoist the per-subspace slice AND its self-dot into named columns:
     # d2 = (dot(s,s) - 2·dot(s,c)) + dot(c,c) re-reads dot(s,s) for all k
     # centroids — naming it cuts the fold count per row from m·k·3 to
     # m·(k+1) (+ constant-folded dot(c,c)) with bit-identical values
     # (same fold, same association).
-    for j in range(m):
-        s = F.slice(F.col("_e"), j * sub + 1, sub)
-        out = out.withColumn(f"_s_{j}", s).withColumn(f"_ss_{j}", _dot(s, s))
+    #
+    # THREE selects total, never a withColumn chain: every withColumn
+    # re-analyzes the whole plan, and with m·k literal centroid arrays in
+    # the tree the 3m-step chain made ANALYSIS the dominant cost of the
+    # operator (measured 3.5-5.3 s plan build vs ~2 s execution at
+    # sf0.1; batching to 3 selects removes the quadratic re-analysis
+    # with a bit-identical expression tree).
+    sliced = df.select(
+        id_col,
+        *[
+            F.slice(e, j * sub + 1, sub).alias(f"_s_{j}")
+            for j in range(m)
+        ],
+    )
+    dotted = sliced.select(
+        id_col,
+        *[F.col(f"_s_{j}") for j in range(m)],
+        *[
+            _dot(F.col(f"_s_{j}"), F.col(f"_s_{j}")).alias(f"_ss_{j}")
+            for j in range(m)
+        ],
+    )
+
     # one transform() lambda per subspace over the literal codebook matrix
     # (instead of k inlined distance trees): identical arithmetic and
-    # association, ~k× fewer expression nodes — plan compile time is the
-    # dominant cost of this operator (execution is a narrow scan), and it
-    # is paid per submitted query, so keep the tree small.
+    # association, ~k× fewer expression nodes — plan size is paid per
+    # submitted query, so keep the tree small.
     def _scorer(s, ss):
         def fn(c, i):
             return F.struct(
@@ -107,12 +126,18 @@ def pq_encode(
 
         return fn
 
-    for j, book in enumerate(codebooks):
+    def _code(j, book):
         s, ss = F.col(f"_s_{j}"), F.col(f"_ss_{j}")
-        books_lit = F.array(*[_lit_vec(c) for c in book])
-        scored = F.transform(books_lit, _scorer(s, ss))
-        out = out.withColumn(f"code_{j}", F.array_min(scored)["cid"])
-    return out.drop("_e", *[f"_s_{j}" for j in range(m)], *[f"_ss_{j}" for j in range(m)])
+        books_lit = _lit_mat(book)
+        return F.array_min(F.transform(books_lit, _scorer(s, ss)))["cid"]
+
+    return dotted.select(
+        id_col,
+        *[
+            _code(j, book).alias(f"code_{j}")
+            for j, book in enumerate(codebooks)
+        ],
+    )
 
 
 def pq_adc_topk(
@@ -138,7 +163,7 @@ def pq_adc_topk(
 
     for j, book in enumerate(codebooks):
         qs = _lit_vec(query_vec[j * sub : (j + 1) * sub])
-        books_lit = F.array(*[_lit_vec(c) for c in book])
+        books_lit = _lit_mat(book)
         terms = F.transform(books_lit, _lut(qs))
         term = F.element_at(terms, F.col(f"code_{j}") + 1)
         total = term if total is None else total + term

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from delfos_etl_pipeline_spark.similarity.knn import _lit_vec
+
 
 def fit_bounds(emb_df: DataFrame, vec_col: str, dim: int) -> tuple[list, list]:
     """Per-dimension (mins, maxes) over the corpus — one aggregate row."""
@@ -43,8 +45,8 @@ def quantize(
     if bounds is None:
         bounds = fit_bounds(emb_df, vec_col, dim)
     mins, maxes = bounds
-    mn = F.array(*[F.lit(float(v)) for v in mins])
-    mx = F.array(*[F.lit(float(v)) for v in maxes])
+    mn = _lit_vec(mins)
+    mx = _lit_vec(maxes)
 
     # Materialize the cast vector and the code array as COLUMNS between
     # projections. Referencing a non-trivial expression inside a
