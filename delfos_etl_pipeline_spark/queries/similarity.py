@@ -337,28 +337,41 @@ def emb_standardize(spark, sf_dir):
         lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5) / 1000000.0,
     )
     base = emb.select("vec_id", "label", xr.alias("xd"))
+    # The 129 aggregates and 128 derived parameters are built as
+    # SQL-parsed expressions (one py4j call each) rather than Column
+    # arithmetic (~15 py4j round-trips each): plan construction was
+    # 2.5 s warm — bigger than the 1.5 s execution — before the switch.
+    # `1e12`/`0.5D`/`0D` parse as DOUBLE, so every IEEE step is the
+    # identical operation the Column form performed (oracle-recertified).
     aggs = [F.count(F.lit(1)).alias("n")]
     for i in range(dims):
-        xi = F.get(F.col("xd"), i)
-        aggs.append(F.sum(xi.cast("decimal(18,6)")).alias(f"s{i}"))
+        x = f"element_at(xd, {i + 1})"
+        aggs.append(F.expr(f"sum(cast({x} as decimal(18,6)))").alias(f"s{i}"))
         aggs.append(
-            F.sum(
-                (
-                    F.floor(xi * xi * 1000000000000.0 + 0.5) / 1000000000000.0
-                ).cast("decimal(30,12)")
+            F.expr(
+                f"sum(cast(floor({x} * {x} * 1e12 + 0.5D) / 1e12"
+                " as decimal(30,12)))"
             ).alias(f"q{i}")
         )
     stats = base.agg(*aggs)
-    n = F.col("n")
-    mus, sigmas = [], []
-    for i in range(dims):
-        mu = F.col(f"s{i}").cast("double") / n
-        ex2 = F.col(f"q{i}").cast("double") / n
-        var = ex2 - mu * mu
-        mus.append(mu)
-        sigmas.append(F.when(var <= 0, F.lit(0.0)).otherwise(F.sqrt(var)))
+
+    def _var(i: int) -> str:
+        mu = f"(cast(s{i} as double) / n)"
+        return f"(cast(q{i} as double) / n - {mu} * {mu})"
+
+    mu_sql = (
+        "array(" + ",".join(f"cast(s{i} as double) / n" for i in range(dims)) + ")"
+    )
+    sig_sql = (
+        "array("
+        + ",".join(
+            f"CASE WHEN {_var(i)} <= 0D THEN 0D ELSE sqrt({_var(i)}) END"
+            for i in range(dims)
+        )
+        + ")"
+    )
     params = stats.select(
-        F.array(*mus).alias("mu"), F.array(*sigmas).alias("sigma")
+        F.expr(mu_sql).alias("mu"), F.expr(sig_sql).alias("sigma")
     )
     z = F.transform(
         F.col("xd"),

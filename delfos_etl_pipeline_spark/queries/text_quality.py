@@ -357,6 +357,12 @@ def text_lm_bigram_score(spark, sf_dir):
         )
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # dbg feeds BOTH the model counts (cb/cu) and the scoring join —
+        # without a persist Spark executes the explode + (doc,bg) shuffle
+        # subtree twice (measured ~40% of query wall time at sf0.1).
+        # MEMORY_AND_DISK, LRU-evicted; the cached relation is the
+        # compacted doc-bigram table, far smaller than the char stream.
+        .persist()
     )
     cb = dbg.groupBy("bg").agg(F.sum("cnt").cast("bigint").alias("nb"))
     cu = (
