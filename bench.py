@@ -112,6 +112,8 @@ HEADLINE = [
     "dedup_dupngram_fraction",
     "er_canonical_records",
     "ks_two_sample",
+    "w8_ewma",
+    "cusum_changepoint",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -111,6 +111,8 @@ _R4_CHANGED_FIRST = [
     "dedup_dupngram_fraction",  # new: duplicated-span fraction (substring tier)
     "er_canonical_records",     # new: ER survivorship over the CC closure
     "ks_two_sample",            # new: KS drift stat via parallel prefix sums
+    "w8_ewma",                  # new: bounded EWMA, decimal-term frame fold
+    "cusum_changepoint",        # new: CUSUM drift detector over daily means
     "sample_token_budget",      # re-verify: prefix-sum persist hardening
     "pack_sequences_ctx",       # re-verify: prefix-sum persist hardening
 ]

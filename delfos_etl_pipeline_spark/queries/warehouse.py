@@ -2208,3 +2208,104 @@ def ks_two_sample(spark, sf_dir):
         "n_a",
         "n_b",
     )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS m
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), st AS (
+      SELECT event_type,
+             count(*) AS nd,
+             CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS sm,
+             CAST(sum(CAST(floor(m * m * 1000000000000.0 + 0.5)
+                           / 1000000000000.0 AS DECIMAL(30,12))) AS DOUBLE)
+               AS sm2
+      FROM daily GROUP BY event_type
+    ), p AS (
+      SELECT event_type, nd, sm / nd AS mu,
+             sqrt(greatest(sm2 / nd - (sm / nd) * (sm / nd), 0)) AS sigma
+      FROM st
+    ), c AS (
+      SELECT d.event_type, d.day, d.m, p.sigma,
+             CAST(sum(CAST(floor((d.m - p.mu) * 1000000000000.0 + 0.5)
+                           / 1000000000000.0 AS DECIMAL(24,12)))
+                  OVER (PARTITION BY d.event_type ORDER BY d.day)
+                  AS DOUBLE) AS cs
+      FROM daily d JOIN p USING (event_type)
+    )
+    SELECT event_type, day,
+           m AS daily_mean,
+           floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cusum,
+           abs(cs) > 3 * sigma AS is_change
+    FROM c
+    """,
+)
+def cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection over daily means per event type —
+    the classic drift detector (Page 1954): cumulative sum of deviations
+    from the series mean crosses ±3 sigma when the level shifts, catching
+    slow drifts that per-point z-scores (anomaly_zscore) miss entirely.
+
+    Scale shape: ONE raw-data pass (the daily groupBy, map-side
+    combined, persisted — it feeds both the per-type stats and the
+    output rows); everything else operates on |types|×|days| rows. The
+    cumulative window orders DAYS within a type — calendar-bounded, the
+    hypertable pattern, never a fact-row window. Deviations round
+    half-up to 12 dp into DECIMAL before the running sum, so the
+    cumulative values are exact at any partitioning; mu/sigma come from
+    decimal sufficient statistics (the corr-matrix contract)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            round_half_up(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        .persist()
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.col("m").cast("decimal(18,6)")).cast("double").alias("sm"),
+        F.sum(
+            round_half_up(F.col("m") * F.col("m"), 12).cast("decimal(30,12)")
+        )
+        .cast("double")
+        .alias("sm2"),
+    )
+    p = st.select(
+        "event_type",
+        (F.col("sm") / F.col("nd")).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.col("sm2") / F.col("nd")
+                - (F.col("sm") / F.col("nd")) * (F.col("sm") / F.col("nd")),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cs = (
+        F.sum(
+            round_half_up(F.col("m") - F.col("mu"), 12).cast("decimal(24,12)")
+        )
+        .over(w)
+        .cast("double")
+    )
+    return (
+        daily.join(F.broadcast(p), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("m").alias("daily_mean"),
+            round_half_up(cs, 6).alias("cusum"),
+            (F.abs(cs) > 3 * F.col("sigma")).alias("is_change"),
+        )
+    )

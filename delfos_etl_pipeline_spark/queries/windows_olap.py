@@ -641,3 +641,82 @@ def w7_running_distinct(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "w8_ewma",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), terms AS (
+      SELECT a.event_id, a.event_type,
+             CAST(floor(b.value * power(0.7, a.rn - b.rn) * 1000000000000.0
+                        + 0.5) / 1000000000000.0 AS DECIMAL(24,12)) AS t,
+             CAST(floor(power(0.7, a.rn - b.rn) * 1000000000000.0 + 0.5)
+                  / 1000000000000.0 AS DECIMAL(24,12)) AS w
+      FROM e a JOIN e b
+        ON a.event_type = b.event_type
+       AND b.rn BETWEEN a.rn - 19 AND a.rn
+    )
+    SELECT event_id, event_type,
+           floor((CAST(sum(t) AS DOUBLE) / CAST(sum(w) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ewma
+    FROM terms GROUP BY event_id, event_type
+    """,
+)
+def w8_ewma(spark, sf_dir):
+    """Exponentially weighted moving average (alpha = 0.3, window = 20
+    trailing rows) of `value` per event type — the smoothing primitive
+    every monitoring/forecasting stack applies before thresholding
+    (pandas `ewm`, Timescale `ewma`). The recursive EWMA definition is
+    inherently sequential; the BOUNDED form (weights (1-alpha)^k over
+    the trailing 20 observations, normalized) is the distributed
+    version: one hash exchange on event_type, a 20-row sliding frame,
+    and per-row arithmetic over the frame array — no global order, no
+    driver loop, O(frame) per row.
+
+    Exactness across engines: each weighted term (and each weight)
+    rounds half-up to 12 dp into DECIMAL(24,12) BEFORE summation, so
+    the numerator/denominator sums are order-independent; the oracle
+    computes the same terms through a bounded rank self-join (its
+    unordered aggregation cannot drift the decimal sums) and the final
+    division is one identical IEEE op. power(0.7, k) agrees across
+    engines on integer k (the ln/log2 contract the LM and entropy
+    queries already established), and the 12-dp rounding absorbs any
+    last-ulp libm variation."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    # frame-ordered values, newest last; reverse -> k = age in rows
+    rev = F.reverse(F.collect_list(F.col("value")).over(w))
+    terms = F.transform(
+        rev,
+        lambda x, i: round_half_up(x * F.pow(F.lit(0.7), i), 12).cast(
+            "decimal(24,12)"
+        ),
+    )
+    wts = F.transform(
+        rev,
+        lambda x, i: round_half_up(F.pow(F.lit(0.7), i), 12).cast(
+            "decimal(24,12)"
+        ),
+    )
+    zero = F.lit(0).cast("decimal(24,12)")
+    # decimal + decimal widens to (25,12); cast back so the fold keeps
+    # the accumulator type (exact: 12 integer digits bound 20 terms of
+    # value-scale magnitude with room to spare)
+    num = F.aggregate(terms, zero, lambda a, x: (a + x).cast("decimal(24,12)"))
+    den = F.aggregate(wts, zero, lambda a, x: (a + x).cast("decimal(24,12)"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        round_half_up(num.cast("double") / den.cast("double"), 6).alias(
+            "ewma"
+        ),
+    )

@@ -192,3 +192,40 @@ def test_twa_resets_per_bucket(spark):
            time_weighted_avg(ev, "ts", "v", "g", bucket="1 day").collect()}
     assert out[_ts(1)]["twa"] == pytest.approx(1.0)   # only the 10→12 span
     assert out[_ts(2)]["twa"] == pytest.approx(100.0)
+
+
+def test_ewma_first_row_equals_value(spark, sf_dir):
+    """With a single observation in frame, the normalized weighted mean
+    is the observation itself (up to the 6-dp rounding contract)."""
+    from delfos_etl_pipeline_spark.queries import QUERIES
+
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    first = (
+        ev.groupBy("event_type")
+        .agg(F.min_by("event_id", F.struct("ts", "event_id")).alias("event_id"),
+             F.min_by("value", F.struct("ts", "event_id")).alias("value"))
+        .collect()
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in QUERIES["w8_ewma"](spark, sf_dir).collect()
+    }
+    for r in first:
+        assert abs(got[r["event_id"]] - round(r["value"], 6)) < 2e-6
+
+
+def test_cusum_returns_to_zero(spark, sf_dir):
+    """CUSUM of deviations from the series' own mean must end near zero
+    (exactly zero up to the 12-dp deviation rounding x n_days)."""
+    from delfos_etl_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["cusum_changepoint"](spark, sf_dir).collect()
+    last = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        last[r["event_type"]] = r["cusum"]
+    for t, c in last.items():
+        assert abs(c) < 1e-4, (t, c)
