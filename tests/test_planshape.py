@@ -402,3 +402,47 @@ def test_bloom_semi_join_probes_before_shuffle(spark, sf_dir):
     assert _count(plan, "BroadcastNestedLoopJoin") == 1, plan
     assert _count(plan, "CartesianProduct") == 0, plan
     assert "xxhash64" in plan  # probe runs as Catalyst expressions
+
+
+def test_dupngram_no_self_join_no_cartesian(spark, sf_dir):
+    """The substring-dedup tier must join instances to ONE frequency row
+    each (1x fan-out) — no all-pairs shingle self-join, no cartesian."""
+    plan = _plan(spark, sf_dir, "dedup_dupngram_fraction")
+    assert _count(plan, "CartesianProduct") == 0, plan
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_ks_two_sample_no_partitionless_window(spark, sf_dir):
+    """Both ECDF cumulative counts ride the range-partitioned two-phase
+    scan: every Window node partitions by the scan's _pid column; a
+    partitionless global window would serialize the corpus."""
+    import re
+
+    plan = _plan(spark, sf_dir, "ks_two_sample")
+    # every window spec must carry the _pid partition column
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "_pid" in spec, spec
+
+
+def test_ewma_single_exchange_on_type(spark, sf_dir):
+    """w8_ewma: one hash exchange on event_type feeds the sliding-frame
+    window; no join, no extra shuffle."""
+    import re
+
+    plan = _plan(spark, sf_dir, "w8_ewma")
+    assert _count(plan, "Exchange") == 1, plan
+    hashed = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert hashed and all(c.startswith("event_type") for c in hashed), hashed
+
+
+def test_cusum_windows_only_on_calendar_table(spark, sf_dir):
+    """cusum_changepoint: the only ordered window runs over the daily
+    (bucket-cardinality) table, the per-type stats broadcast back, and
+    the raw scan appears once thanks to the persisted daily relation."""
+    plan = _plan(spark, sf_dir, "cusum_changepoint")
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan
+    assert _count(plan, "CartesianProduct") == 0, plan
+    # the persisted daily table serves both consumers
+    assert _count(plan, "InMemoryTableScan") >= 2, plan
