@@ -226,9 +226,17 @@ def duplicate_clusters(
     least one near-duplicate, labeled with its duplicate group. Docs with
     no pairs are absent (they are their own singleton cluster — joining
     them in would just echo the corpus). ``algorithm``: ``label_prop``
-    (O(diameter) rounds, ideal for clique-ish dup graphs) or ``star``
-    (large-star/small-star, O(log² n) rounds on any graph shape)."""
-    if algorithm == "star":
+    (O(diameter) rounds, ideal for clique-ish dup graphs), ``star``
+    (large-star/small-star, O(log² n) rounds on any graph shape), or
+    ``auto`` (guarded driver union-find when the edge list fits —
+    near-dup pair lists usually do after LSH/prefix pruning — falling
+    back to ``star`` beyond the guard)."""
+    if algorithm == "auto":
+        try:
+            cc = connected_components_driver(pairs, src, dst)
+        except EdgeListTooLargeError:
+            cc = connected_components_star(pairs, src, dst)
+    elif algorithm == "star":
         cc = connected_components_star(pairs, src, dst)
     else:
         cc = connected_components(pairs, src, dst)
@@ -238,3 +246,70 @@ def duplicate_clusters(
         F.col("comp").alias("cluster_id"),
         "cluster_size",
     )
+
+
+class EdgeListTooLargeError(ValueError):
+    """The pair list exceeds the driver union-find guard."""
+
+
+def connected_components_driver(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_edges: int = 2_000_000,
+) -> DataFrame:
+    """(node, comp) via a GUARDED driver-side union-find — the contraction
+    endgame for graphs whose EDGE LIST fits the driver (the near-dup case
+    after LSH/prefix pruning: pairs are a vanishing fraction of the
+    corpus even when the corpus is 100 TB). Union-by-min + path
+    compression gives comp = min reachable id — the identical contract as
+    the distributed algorithms, so the three tiers interchange freely.
+
+    The guard collects at most ``max_edges + 1`` rows (one pass over the
+    pair subtree — no separate count job) and raises
+    :class:`EdgeListTooLargeError` when exceeded; callers fall back to
+    the O(log² n) star algorithm. 2 M edges ≈ 32 MB of longs on the
+    driver — conservative against a multi-GB heap.
+    """
+    sel = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    rows = sel.limit(max_edges + 1).collect()
+    if len(rows) > max_edges:
+        raise EdgeListTooLargeError(
+            f"pair list exceeds max_edges={max_edges}; use "
+            "connected_components_star (O(log^2 n) rounds, distributed) "
+            "or raise the guard if the driver heap genuinely fits it"
+        )
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if ra < rb:  # union-by-min: the root IS the component minimum
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    data = [(n, find(n)) for n in parent]
+    node_type = pairs.schema[src].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", node_type, False),
+            StructField("comp", node_type, False),
+        ]
+    )
+    return pairs.sparkSession.createDataFrame(data, schema)

@@ -766,7 +766,12 @@ def er_canonical_records(spark, sf_dir):
     representative pick is a struct-max (max over (n_chars, -doc_id)
     pairs), a plain partial-aggregable MAX — no per-cluster window, no
     rank shuffle; the oracle computes the same pick with a rank window,
-    so the hash match certifies the struct-max rewrite."""
+    so the hash match certifies the struct-max rewrite. The closure runs
+    algorithm='auto': near-dup pair lists are a vanishing fraction of
+    the corpus, so the guarded driver union-find applies (one collect of
+    the pruned edge list, no iterative rounds), with the distributed
+    star algorithm as the beyond-guard fallback — the three-tier design
+    dedup/clusters.py documents."""
     from delfos_etl_pipeline_spark.dedup.clusters import duplicate_clusters
     from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
 
@@ -775,7 +780,7 @@ def er_canonical_records(spark, sf_dir):
         shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True),
         threshold=0.6,
     )
-    clusters = duplicate_clusters(pairs)  # (doc_id, cluster_id, cluster_size)
+    clusters = duplicate_clusters(pairs, algorithm="auto")
     memb = clusters.join(
         docs.select("doc_id", "n_chars", "lang", "source"), "doc_id"
     )

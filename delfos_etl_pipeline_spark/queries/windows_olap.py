@@ -693,8 +693,16 @@ def w8_ewma(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(-19, Window.currentRow)
     )
+    # materialize the frame list ONCE: referencing the window expression
+    # in two derived columns makes Spark evaluate collect_list twice
+    # (observed as _we0/_we1 in the plan)
+    ev = ev.select(
+        "event_id",
+        "event_type",
+        F.reverse(F.collect_list(F.col("value")).over(w)).alias("_rev"),
+    )
     # frame-ordered values, newest last; reverse -> k = age in rows
-    rev = F.reverse(F.collect_list(F.col("value")).over(w))
+    rev = F.col("_rev")
     terms = F.transform(
         rev,
         lambda x, i: round_half_up(x * F.pow(F.lit(0.7), i), 12).cast(

@@ -394,3 +394,62 @@ def test_dup_ngram_stats_instance_fractions(spark):
     assert got[1] == (2, 1, 0.5)
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (3, 0, 0.0)
+
+
+def test_driver_union_find_matches_label_prop(spark, sf_dir):
+    """The three CC tiers must agree: guarded driver union-find produces
+    the identical (node, comp) labeling as min-label propagation."""
+    from delfos_etl_pipeline_spark.dedup.clusters import (
+        connected_components,
+        connected_components_driver,
+    )
+    from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True),
+        threshold=0.6,
+    ).persist()
+    a = sorted(map(tuple, connected_components(pairs).collect()))
+    b = sorted(map(tuple, connected_components_driver(pairs).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_driver_union_find_guard_raises(spark, sf_dir):
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    from delfos_etl_pipeline_spark.dedup.clusters import (
+        EdgeListTooLargeError,
+        connected_components_driver,
+    )
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(10)]
+    )
+    with _pytest.raises(EdgeListTooLargeError):
+        connected_components_driver(pairs, max_edges=3)
+
+
+def test_auto_falls_back_beyond_guard(spark, monkeypatch):
+    """algorithm='auto' must transparently fall back to the distributed
+    star algorithm when the edge list exceeds the guard."""
+    from pyspark.sql import Row
+
+    from delfos_etl_pipeline_spark.dedup import clusters as C
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=9, doc_b=8)]
+    )
+    monkeypatch.setattr(
+        C,
+        "connected_components_driver",
+        lambda *a, **k: (_ for _ in ()).throw(C.EdgeListTooLargeError("x")),
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in C.duplicate_clusters(pairs, algorithm="auto").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)}
