@@ -451,11 +451,16 @@ def text_bpe_train(spark, sf_dir):
     DataFrame rounds. Exactly certified: the whole training loop unrolls
     into a 20-round chained-CTE oracle (leftmost non-overlapping
     replace() IS greedy BPE merging, identical in both engines), so this
-    is bit-for-bit verified tokenizer training, not a toy."""
-    from delfos_etl_pipeline_spark.text.bpe import train_bpe, word_histogram
+    is bit-for-bit verified tokenizer training, not a toy. Runs the
+    three-tier auto path: guarded in-memory training over the collected
+    histogram when |distinct words| fits the driver (what HF/
+    SentencePiece do — and the merge list is equality-tested bit-exact
+    against the distributed rounds), falling back to the DataFrame
+    rounds beyond the guard."""
+    from delfos_etl_pipeline_spark.text.bpe import train_bpe_auto, word_histogram
 
     docs = _t(spark, sf_dir, "documents")
-    merges = train_bpe(word_histogram(docs), num_merges=20)
+    merges = train_bpe_auto(word_histogram(docs), num_merges=20)
     return spark.createDataFrame(
         [
             (t + 1, x, y, c)

@@ -111,3 +111,64 @@ def bpe_encode_words(hist: DataFrame, merges: list[tuple[str, str, int]]) -> Dat
     return hist.select(
         "word", "cnt", F.split(F.trim(s), " ").alias("tokens")
     )
+
+
+class HistogramTooLargeError(ValueError):
+    """The word histogram exceeds the driver BPE-training guard."""
+
+
+def train_bpe_driver(
+    hist: DataFrame, num_merges: int, max_words: int = 5_000_000
+) -> list[tuple[str, str, int]]:
+    """Same merge list as :func:`train_bpe`, computed by an in-memory
+    loop over the COLLECTED word histogram — the shape every production
+    tokenizer trainer uses (HF/SentencePiece train on word counts in
+    memory), valid whenever |distinct words| fits the driver. Guarded:
+    collects at most ``max_words + 1`` rows (5 M words ≈ a few hundred
+    MB with counts — conservative) and raises
+    :class:`HistogramTooLargeError` for the distributed fallback.
+
+    Bit-exactness with the distributed trainer (equality-tested): pair
+    counts are exact integers, the argmax tie-break is (count DESC,
+    left, right) where Python's code-point string order equals Spark's
+    UTF-8 binary order (UTF-8 preserves code-point order), and
+    ``str.replace`` performs the same leftmost non-overlapping rewrite
+    as the engines' ``replace``. Caveat: characters outside the BMP
+    split differently (Java UTF-16 units vs Python code points) — the
+    distributed path is authoritative there.
+    """
+    rows = hist.select("word", "cnt").limit(max_words + 1).collect()
+    if len(rows) > max_words:
+        raise HistogramTooLargeError(
+            f"histogram exceeds max_words={max_words}; use train_bpe "
+            "(distributed rounds) or raise the guard"
+        )
+    items = [(" " + " ".join(list(r["word"])), int(r["cnt"])) for r in rows]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict = {}
+        for s, cnt in items:
+            toks = s.strip().split(" ")
+            for x, y in zip(toks, toks[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + cnt
+        if not counts:
+            break
+        (x, y), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((x, y, int(c)))
+        pat, rep = f" {x} {y}", f" {x}{y}"
+        items = [(s.replace(pat, rep), cnt) for s, cnt in items]
+    return merges
+
+
+def train_bpe_auto(
+    hist: DataFrame, num_merges: int, max_words: int = 5_000_000
+) -> list[tuple[str, str, int]]:
+    """Driver loop when the histogram fits the guard, distributed rounds
+    beyond it — the dedup/clusters.py three-tier pattern applied to
+    tokenizer training."""
+    try:
+        return train_bpe_driver(hist, num_merges, max_words)
+    except HistogramTooLargeError:
+        return train_bpe(hist, num_merges)

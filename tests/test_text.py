@@ -137,3 +137,33 @@ def test_bpe_merge_is_boundary_anchored(spark):
     hist2 = spark.createDataFrame([("xa b".replace(" ", ""), 1)], "word string, cnt long")
     out2 = {r.word: r.tokens for r in bpe_encode_words(hist2, [("xa", "b", 0)]).collect()}
     assert out2["xab"] == ["x", "a", "b"]  # no 'xa' token exists at char level
+
+
+def test_bpe_driver_matches_distributed(spark, sf_dir):
+    """The guarded driver trainer must produce the bit-identical merge
+    list as the distributed rounds."""
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+    from delfos_etl_pipeline_spark.text.bpe import (
+        train_bpe,
+        train_bpe_driver,
+        word_histogram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = word_histogram(docs).persist()
+    assert train_bpe_driver(hist, 12) == train_bpe(hist, 12)
+
+
+def test_bpe_driver_guard_raises(spark, sf_dir):
+    import pytest as _pytest
+
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+    from delfos_etl_pipeline_spark.text.bpe import (
+        HistogramTooLargeError,
+        train_bpe_driver,
+        word_histogram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(HistogramTooLargeError):
+        train_bpe_driver(word_histogram(docs), 5, max_words=2)
