@@ -113,8 +113,18 @@ _R4_CHANGED_FIRST = [
     "ks_two_sample",            # new: KS drift stat via parallel prefix sums
     "w8_ewma",                  # new: bounded EWMA, decimal-term frame fold
     "cusum_changepoint",        # new: CUSUM drift detector over daily means
-    "sample_token_budget",      # re-verify: prefix-sum persist hardening
-    "pack_sequences_ctx",       # re-verify: prefix-sum persist hardening
+    # --- beyond here: plan-representation changes with BIT-IDENTICAL
+    # outputs (SQL-parsed literals / persist reuse), each re-certified
+    # exact by tools/check_oracle.py this round; they take any window
+    # slots left after the genuinely-new rows above ---
+    "sim_ivf_topk",             # _lit_vec literals (bit-identical plan consts)
+    "sim_knn_bruteforce",       # _lit_vec literals
+    "sim_lsh_bucketed",         # _lit_vec literals
+    "emb_scalar_quantize",      # _lit_vec literals
+    "dedup_embedding_cosine",   # _lit_vec literals
+    "dedup_embedding_lsh",      # _lit_vec literals
+    "sample_token_budget",      # prefix-sum persist hardening
+    "pack_sequences_ctx",       # prefix-sum persist hardening
 ]
 
 # Names whose only hash-green row is from CORRECTNESS_r01.json (round 2
