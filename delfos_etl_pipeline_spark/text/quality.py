@@ -85,7 +85,11 @@ def repetition_signals(
 ) -> DataFrame:
     """(doc_id, n_chars, n_words, top_word_cnt, top_bigram_chars) via
     explode → (doc, token) count → per-doc max. Linear in corpus tokens."""
-    base = _base(df, id_col, text_col)
+    # base (the tokenize pass: split + bigram arrays) feeds THREE
+    # consumers — persist it so the regex tokenization runs once, not 3x
+    # (measured ~40% of text_quality_gopher at sf0.1). MEMORY_AND_DISK:
+    # spills for token-heavy corpora, LRU-evicted.
+    base = _base(df, id_col, text_col).persist()
     stats = base.drop("_words", "_bigrams")
 
     top_word = (
