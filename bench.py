@@ -114,6 +114,7 @@ HEADLINE = [
     "ks_two_sample",
     "w8_ewma",
     "cusum_changepoint",
+    "heavy_hitters",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -113,6 +113,7 @@ _R4_CHANGED_FIRST = [
     "ks_two_sample",            # new: KS drift stat via parallel prefix sums
     "w8_ewma",                  # new: bounded EWMA, decimal-term frame fold
     "cusum_changepoint",        # new: CUSUM drift detector over daily means
+    "heavy_hitters",            # new: exact support mining + freqItems twin
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -2309,3 +2309,47 @@ def cusum_changepoint(spark, sf_dir):
             (F.abs(cs) > 3 * F.col("sigma")).alias("is_change"),
         )
     )
+
+
+@query(
+    "heavy_hitters",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM events),
+    g AS (
+      SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             count(*) AS cnt
+      FROM events GROUP BY event_type, dayofweek(ts)
+    )
+    SELECT g.event_type, g.dow, g.cnt,
+           floor(g.cnt * 1.0 / tot.n * 1000000.0 + 0.5) / 1000000.0
+             AS support
+    FROM g, tot
+    WHERE g.cnt * 1.0 / tot.n > 0.02
+    """,
+)
+def heavy_hitters(spark, sf_dir):
+    """Frequent-itemset mining, exact tier: (event_type, day-of-week)
+    combinations whose support exceeds 2% of all events. Support is
+    scale-invariant (a share, not a count), so the result is stable
+    across SFs. Plan: one map-side-combinable groupBy over the composite
+    key, the total as a 1-row broadcast, a share filter — no sort, no
+    window. The approximate tier is df.stat.freqItems (Karp/
+    Misra-Gries — constant memory, mergeable, superset guarantee),
+    property-tested in tests/test_sketches.py against this exact
+    output; at 100 TB the sketch runs when the distinct-combo space
+    itself is too large to aggregate exactly."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * 1.0 / F.col("n") > 0.02)
+        .select(
+            "event_type",
+            "dow",
+            "cnt",
+            round_half_up(F.col("cnt") * 1.0 / F.col("n"), 6).alias("support"),
+        )
+    )

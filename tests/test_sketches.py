@@ -49,3 +49,25 @@ def test_sketch_rollup_union_equals_flat_sketch(spark):
     ).collect()[0]
     assert rolled.approx_distinct == flat.e
     assert rolled.n_fine_buckets == 10
+
+
+def test_freqitems_sketch_superset_of_exact_heavy_hitters(spark, sf_dir):
+    """df.stat.freqItems (Karp et al. / Misra-Gries) guarantees a
+    SUPERSET of the items above the support threshold — the approximate
+    tier behind the exact heavy_hitters query."""
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    support = 0.1
+    n = ev.count()
+    exact = {
+        r["event_type"]
+        for r in ev.groupBy("event_type")
+        .count()
+        .where(F.col("count") > support * n)
+        .collect()
+    }
+    sketch = set(ev.stat.freqItems(["event_type"], support).collect()[0][0])
+    assert exact <= sketch
