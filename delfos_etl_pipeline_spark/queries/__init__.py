@@ -96,7 +96,6 @@ _R4_CHANGED_FIRST = [
     "text_bpe_train",           # new: real BPE training, 20-round unrolled oracle
     "streaming_stream_join_outer",  # new: outer join, watermark-cutoff oracle
     "emb_project_jl",           # new: JL random projection, exact md5-sign oracle
-    "emb_project_pca",          # new: trained twin, rows-only + property tests
     "weighted_percentiles",     # new: token-weighted nearest-rank quantiles
     "order_lifecycle_snapshot", # new: accumulating-snapshot fact, exact day lags
     "ts_gapfill_locf",          # new: time_bucket_gapfill with LOCF + linear interp
@@ -114,6 +113,7 @@ _R4_CHANGED_FIRST = [
     "w8_ewma",                  # new: bounded EWMA, decimal-term frame fold
     "cusum_changepoint",        # new: CUSUM drift detector over daily means
     "heavy_hitters",            # new: exact support mining + freqItems twin
+    "emb_project_pca",          # new: trained twin, rows-only + property tests
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window
