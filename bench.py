@@ -269,7 +269,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
         from delfos_etl_pipeline_spark.streaming.bench import measure_stream_rate
 
-        for topo in ("windowed_agg", "dedup"):
+        for topo in ("windowed_agg", "dedup", "stream_join"):
             try:
                 streaming[f"{topo}_rows_per_sec"] = measure_stream_rate(
                     spark, topo

@@ -94,6 +94,25 @@ def measure_stream_rate(
             ["value"]
         )
         mode = "append"
+    elif topology == "stream_join":
+        # watermarked stream-stream self-join, 1:1 key matching (values
+        # are globally unique in rate-micro-batch) with a time-range
+        # bound — measures join state-store insert/match/evict
+        # throughput, the heaviest stateful shape runner.py ships
+        left = src.withWatermark("timestamp", "10 seconds").select(
+            F.col("timestamp").alias("lt"), F.col("value").alias("k")
+        )
+        right = src.withWatermark("timestamp", "10 seconds").select(
+            F.col("timestamp").alias("rt"), F.col("value").alias("rk")
+        )
+        out = left.join(
+            right,
+            (left.k == right.rk)
+            & (right.rt >= left.lt)
+            & (right.rt <= left.lt + F.expr("interval 5 seconds")),
+            "inner",
+        )
+        mode = "append"
     else:
         raise ValueError(f"unknown topology {topology!r}")
 
