@@ -115,6 +115,7 @@ HEADLINE = [
     "w8_ewma",
     "cusum_changepoint",
     "heavy_hitters",
+    "a_string_agg",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

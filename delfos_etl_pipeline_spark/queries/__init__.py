@@ -113,6 +113,7 @@ _R4_CHANGED_FIRST = [
     "w8_ewma",                  # new: bounded EWMA, decimal-term frame fold
     "cusum_changepoint",        # new: CUSUM drift detector over daily means
     "heavy_hitters",            # new: exact support mining + freqItems twin
+    "a_string_agg",             # new: ordered LISTAGG via sort-normalized collect
     "emb_project_pca",          # new: trained twin, rows-only + property tests
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified

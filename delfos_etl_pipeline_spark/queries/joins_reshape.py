@@ -463,3 +463,37 @@ def j_bloom_semi_join(spark, sf_dir):
             (F.sum(rev_c4).cast("double") / F.lit(10000.0)).alias("revenue"),
         )
     )
+
+
+@query(
+    "a_string_agg",
+    oracle="""
+    SELECT r.r_name,
+           count(*) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def a_string_agg(spark, sf_dir):
+    """Ordered string aggregation (SQL LISTAGG / string_agg ... ORDER BY)
+    — the report-formatting aggregate BI layers lean on. Spark has no
+    ordered listagg, so the exact rewrite is collect_list → array_sort →
+    array_join, which reproduces the deterministic ordered concatenation
+    on any partitioning (collect_list order is nondeterministic, the
+    sort normalizes it — this composition IS the documented Spark
+    idiom). Group-by shuffle only; the per-group buffer is the group's
+    member list, fine for dimension-sized groups — for corpus-sized
+    groups cap with slice() after the sort."""
+    n = _t(spark, sf_dir, "nation")
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+        )
+    )
