@@ -116,6 +116,7 @@ HEADLINE = [
     "cusum_changepoint",
     "heavy_hitters",
     "a_string_agg",
+    "w9_percent_rank_cume",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

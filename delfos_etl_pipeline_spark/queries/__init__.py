@@ -114,6 +114,7 @@ _R4_CHANGED_FIRST = [
     "cusum_changepoint",        # new: CUSUM drift detector over daily means
     "heavy_hitters",            # new: exact support mining + freqItems twin
     "a_string_agg",             # new: ordered LISTAGG via sort-normalized collect
+    "w9_percent_rank_cume",     # new: relative-standing window pair
     "emb_project_pca",          # new: trained twin, rows-only + property tests
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified

@@ -728,3 +728,35 @@ def w8_ewma(spark, sf_dir):
             "ewma"
         ),
     )
+
+
+@query(
+    "w9_percent_rank_cume",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           floor(percent_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey)
+                 * 1000000.0 + 0.5) / 1000000.0 AS pr,
+           floor(cume_dist() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey)
+                 * 1000000.0 + 0.5) / 1000000.0 AS cd
+    FROM orders
+    """,
+)
+def w9_percent_rank_cume(spark, sf_dir):
+    """percent_rank + cume_dist — the relative-standing analytic pair
+    (where does each order sit in its priority class's price
+    distribution), completing the ranking-window surface beyond
+    row_number/ntile. Deterministic total order via the (price, key)
+    tie-break; one hash exchange on the partition key; both functions
+    evaluate in the same Window node (shared sort)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        round_half_up(F.percent_rank().over(w), 6).alias("pr"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cd"),
+    )
