@@ -90,7 +90,6 @@ _R4_CHANGED_FIRST = [
     "orders_open_concurrency",  # new: sweep-line cumsum over aggregated deltas
     "basket_association_rules", # new: support/confidence/lift co-occurrence
     "a_distinct_weekly",        # new: exact twin for the HLL rollup
-    "a_distinct_rollup_hll",    # new: mergeable sketches, rows-only + bound test
     "anomaly_seasonal_zscore",  # new: hour-of-day deseasonalized outliers
     "chi2_independence",        # new: contingency chi2, exact decimal terms
     "text_bpe_train",           # new: real BPE training, 20-round unrolled oracle
@@ -115,6 +114,7 @@ _R4_CHANGED_FIRST = [
     "heavy_hitters",            # new: exact support mining + freqItems twin
     "a_string_agg",             # new: ordered LISTAGG via sort-normalized collect
     "w9_percent_rank_cume",     # new: relative-standing window pair
+    "a_distinct_rollup_hll",    # new: mergeable sketches, rows-only + bound test
     "emb_project_pca",          # new: trained twin, rows-only + property tests
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
