@@ -117,6 +117,7 @@ HEADLINE = [
     "heavy_hitters",
     "a_string_agg",
     "w9_percent_rank_cume",
+    "text_collocations_pmi",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -368,3 +368,97 @@ def text_bm25_search(spark, sf_dir):
         .limit(20)
         .select("doc_id", round_half_up(F.col("score"), 6).alias("bm25"))
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+    WITH base AS (
+      SELECT regexp_split_to_array(lower(text), '\\s+') AS wa FROM documents
+    ), uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cu
+      FROM (SELECT unnest(wa) AS w FROM base) GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(cu) AS BIGINT) AS nu FROM uni
+    ), bg AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS cb
+      FROM (SELECT wa[i] AS x, wa[i+1] AS y
+            FROM base, unnest(generate_series(1, greatest(len(wa)-1, 0)))
+                 AS t(i))
+      GROUP BY x, y
+    ), nb AS (
+      SELECT CAST(sum(cb) AS BIGINT) AS nb FROM bg
+    )
+    SELECT bg.x, bg.y, bg.cb,
+           floor(ln((bg.cb * 1.0 / nb.nb) /
+                    ((ux.cu * 1.0 / tot.nu) * (uy.cu * 1.0 / tot.nu)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pmi
+    FROM bg, nb, tot
+    JOIN uni ux ON bg.x = ux.w
+    JOIN uni uy ON bg.y = uy.w
+    WHERE bg.cb >= 5
+    ORDER BY pmi DESC, bg.x, bg.y
+    LIMIT 20
+    """,
+)
+def text_collocations_pmi(spark, sf_dir):
+    """Collocation mining: top-20 word bigrams by pointwise mutual
+    information (min count 5) — the lexical-association measure that
+    separates real multiword expressions from merely frequent pairs
+    (top_ngrams ranks raw counts; PMI normalizes away unigram
+    popularity). One tokenize pass feeds both the unigram and bigram
+    histograms (persisted); totals ride as 1-row broadcasts; PMI is a
+    single identical IEEE ln on integer-ratio inputs (the established
+    cross-engine ln contract) and the top-k is TakeOrderedAndProject.
+    Corpus-scale: both histograms are vocabulary-sized, the only
+    corpus-scan work is the explode+count with map-side combine."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.split(F.lower(F.col("text")), r"\s+").alias("wa")
+    ).persist()
+    uni = (
+        base.select(F.explode("wa").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+        .persist()
+    )
+    words = F.col("wa")
+    pairs = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+    )
+    bg = (
+        base.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+        .persist()
+    )
+    tot = uni.agg(F.sum("cu").cast("bigint").alias("nu"))
+    nb = bg.agg(F.sum("cb").cast("bigint").alias("nb"))
+    ux = uni.select(F.col("w").alias("x"), F.col("cu").alias("cux"))
+    uy = uni.select(F.col("w").alias("y"), F.col("cu").alias("cuy"))
+    pmi = round_half_up(
+        F.log(
+            (F.col("cb") * 1.0 / F.col("nb"))
+            / (
+                (F.col("cux") * 1.0 / F.col("nu"))
+                * (F.col("cuy") * 1.0 / F.col("nu"))
+            )
+        ),
+        6,
+    )
+    return (
+        bg.where(F.col("cb") >= 5)
+        # plain equi-joins on the word key: the unigram table is
+        # vocabulary-sized (can exceed broadcast at web scale) — let
+        # AQE pick broadcast when it actually fits
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb))
+        .select("x", "y", "cb", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "x", "y")
+        .limit(20)
+    )
