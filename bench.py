@@ -118,6 +118,7 @@ HEADLINE = [
     "a_string_agg",
     "w9_percent_rank_cume",
     "text_collocations_pmi",
+    "sample_neyman_allocation",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -7,6 +7,8 @@ unchanged — importing this module registers its queries.
 from __future__ import annotations
 
 
+from pyspark.sql import functions as F
+
 from delfos_etl_pipeline_spark.queries._registry import _t, query
 
 # ---------------------------------------------------------------------------
@@ -83,3 +85,115 @@ def sample_train_test_split(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return train_test_split(docs, "doc_id", 0.05).select("doc_id", "split")
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(floor(value * value * 1000000000000.0 + 0.5)
+                           / 1000000000000.0 AS DECIMAL(30,12))) AS DOUBLE)
+               AS s2
+      FROM events GROUP BY event_type
+    ), p AS (
+      SELECT event_type, nh,
+             floor(nh * sqrt(greatest(s2 / nh - (s1 / nh) * (s1 / nh), 0))
+                   * 1000000000000.0 + 0.5) / 1000000000000.0 AS whr
+      FROM st
+    ), tw AS (
+      SELECT CAST(sum(CAST(whr AS DECIMAL(26,12))) AS DOUBLE) AS tw,
+             CAST(sum(nh) AS BIGINT) AS n
+      FROM p
+    ), alloc AS (
+      SELECT p.event_type,
+             CAST(floor(floor(0.1 * tw.n + 0.5) * p.whr / tw.tw + 0.5)
+                  AS BIGINT) AS n_take
+      FROM p, tw
+    ), r AS (
+      SELECT event_id, event_type,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      FROM events
+    )
+    SELECT r.event_id, r.event_type, a.n_take
+    FROM r JOIN alloc a USING (event_type)
+    WHERE r.rk <= a.n_take
+    """,
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """Variance-optimal stratified sampling (Neyman 1934): a 10% overall
+    budget allocated across event-type strata proportionally to
+    N_h·sigma_h — high-variance strata get proportionally more rows,
+    minimizing the estimator variance for a fixed budget (what uniform
+    or proportional allocation can't). The missing tier above
+    sample_stratified's fixed per-stratum rates.
+
+    Plan: one scan for the decimal sufficient statistics (|strata|
+    rows), allocation arithmetic on the broadcast stats (sigma via the
+    corr-matrix exactness contract; the stratum weights round to 12 dp
+    into DECIMAL before the cross-strata sum so the total is
+    order-independent), then one deterministic rank per stratum over
+    the md5 key order — the same pure-function-of-the-data selection
+    contract as the other samplers, so reruns and retries pick
+    identical rows."""
+    from pyspark.sql import Window
+
+    from delfos_etl_pipeline_spark.functions.stable import round_half_up
+
+    ev = _t(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s1"),
+        F.sum(
+            round_half_up(F.col("value") * F.col("value"), 12).cast(
+                "decimal(30,12)"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    p = st.select(
+        "event_type",
+        "nh",
+        round_half_up(
+            F.col("nh")
+            * F.sqrt(
+                F.greatest(
+                    F.col("s2") / F.col("nh")
+                    - (F.col("s1") / F.col("nh")) * (F.col("s1") / F.col("nh")),
+                    F.lit(0.0),
+                )
+            ),
+            12,
+        ).alias("whr"),
+    )
+    tw = p.agg(
+        F.sum(F.col("whr").cast("decimal(26,12)")).cast("double").alias("tw"),
+        F.sum("nh").cast("bigint").alias("n"),
+    )
+    alloc = (
+        p.crossJoin(F.broadcast(tw))
+        .select(
+            "event_type",
+            F.floor(
+                F.floor(0.1 * F.col("n") + 0.5) * F.col("whr") / F.col("tw")
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("n_take"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    r = ev.select(
+        "event_id", "event_type", F.row_number().over(w).alias("rk")
+    )
+    return (
+        r.join(F.broadcast(alloc), "event_type")
+        .where(F.col("rk") <= F.col("n_take"))
+        .select("event_id", "event_type", "n_take")
+    )
