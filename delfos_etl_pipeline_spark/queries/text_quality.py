@@ -369,29 +369,52 @@ def text_lm_bigram_score(spark, sf_dir):
         cb.groupBy(F.substring("bg", 1, 1).alias("ch"))
         .agg(F.sum("nb").cast("bigint").alias("nu"))
     )
-    term = (
-        dbg.join(F.broadcast(cb), "bg")
-        .join(F.broadcast(cu), F.substring(F.col("bg"), 1, 1) == F.col("ch"))
-        .select(
-            "doc_id",
-            "cnt",
-            (
-                F.floor(
-                    F.log(F.col("nb") * 1.0 / F.col("nu")) * 1000000000.0
-                    + 0.5
-                )
-                / 1000000000.0
-            )
-            .cast("decimal(18,9)")
-            .alias("t"),
-        )
+    # Evaluate the model's ln terms on the DRIVER over the collected
+    # (bg, nb, nu) table — at most |alphabet|² rows by construction, the
+    # same table the broadcast join ships anyway. Rationale: JVM
+    # Math.log differs from the host libm by an ulp on some inputs
+    # (observed at sf0.1: one 9-dp term flipped, dragging one doc's
+    # 6-dp average across a half-up tie), and DuckDB uses the host libm
+    # — computing the 100-odd logs in Python pins ONE libm for the
+    # differential contract. The corpus-side plan is unchanged: counts
+    # stay distributed and exact; scoring is still one broadcast join +
+    # a doc-keyed decimal sum.
+    import math
+    from decimal import Decimal
+
+    model = (
+        cb.join(cu, F.substring(F.col("bg"), 1, 1) == F.col("ch"))
+        .select("bg", "nb", "nu")
+        .collect()
     )
+    tdf = docs.sparkSession.createDataFrame(
+        [
+            (
+                r["bg"],
+                Decimal(
+                    math.floor(math.log(r["nb"] / r["nu"]) * 1e9 + 0.5)
+                )
+                / Decimal(10**9),
+            )
+            for r in model
+        ],
+        "bg string, t decimal(18,9)",
+    )
+    term = dbg.join(F.broadcast(tdf), "bg").select("doc_id", "cnt", "t")
     n = F.sum("cnt")
+    # cnt must narrow to DECIMAL(10,0) before the product: BIGINT widens
+    # to DECIMAL(20,0), and (20,0)x(18,9) wants precision 39 > 38, so
+    # Spark (allowPrecisionLoss default) silently REDUCES THE SCALE and
+    # rounds every product — observed at sf0.1 as a 3.5e-8 drift in one
+    # doc's term sum that crossed a half-up tie at the 6th decimal.
+    # (10,0)x(18,9) = (29,9): exact. Per-doc bigram counts are bounded
+    # by document length, far under 10 digits.
+    prod = F.col("cnt").cast("decimal(10,0)") * F.col("t")
     return term.groupBy("doc_id").agg(
         n.cast("bigint").alias("n_bigrams"),
         (
             F.floor(
-                (F.sum(F.col("cnt") * F.col("t")).cast("double") / n)
+                (F.sum(prod).cast("double") / n)
                 * 1000000.0
                 + 0.5
             )
