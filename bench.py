@@ -119,6 +119,7 @@ HEADLINE = [
     "w9_percent_rank_cume",
     "text_collocations_pmi",
     "sample_neyman_allocation",
+    "mm_chunk_sample",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

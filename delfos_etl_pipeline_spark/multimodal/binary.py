@@ -447,3 +447,43 @@ def audio_features_batch(binary_df: DataFrame, decoder=None) -> DataFrame:
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(compute, _AUDIO_SCHEMA)
+
+
+def sample_chunks(
+    bin_df: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 4,
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_bytes, chunk_md5) — every ``stride``-th
+    ``chunk_size``-byte chunk of each binary payload (the video
+    frame-sampling access pattern over opaque bytes: decode-free seeks
+    into the payload at fixed offsets, the shape a real codec's
+    keyframe sampler uses). Pure Catalyst expressions over the binary
+    column — sequence → filter → explode → substring — no Python on
+    the data path; the payload column is read once and only the sampled
+    slices survive the projection (at 100 TB the bytes moved are
+    |chunks|/stride of the corpus)."""
+    n = F.length("payload")
+    idxs = F.filter(
+        F.sequence(
+            F.lit(0), F.ceil(n / F.lit(chunk_size)).cast("int") - 1
+        ),
+        lambda c: c % stride == 0,
+    )
+    return (
+        bin_df.select("doc_id", "payload", F.explode(idxs).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(
+                f"substring(payload, chunk_idx * {chunk_size} + 1,"
+                f" {chunk_size})"
+            ).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.length("chunk").cast("bigint").alias("chunk_bytes"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )

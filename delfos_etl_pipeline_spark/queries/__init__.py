@@ -116,6 +116,7 @@ _R4_CHANGED_FIRST = [
     "w9_percent_rank_cume",     # new: relative-standing window pair
     "text_collocations_pmi",    # new: PMI multiword-expression mining
     "sample_neyman_allocation", # new: variance-optimal stratified budget
+    "mm_chunk_sample",          # new: strided binary chunk/frame sampling
     "a_distinct_rollup_hll",    # new: mergeable sketches, rows-only + bound test
     "emb_project_pca",          # new: trained twin, rows-only + property tests
     # --- beyond here: plan-representation changes with BIT-IDENTICAL

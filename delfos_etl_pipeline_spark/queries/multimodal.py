@@ -157,3 +157,37 @@ def mm_audio_features(spark, sf_dir):
 
     wav = docs.mapInPandas(synth, "doc_id long, payload binary")
     return audio_features_batch(wav)
+
+
+@query(
+    "mm_chunk_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(length(substr(text, i * 32 + 1, 32)) AS BIGINT) AS chunk_bytes,
+           md5(substr(text, i * 32 + 1, 32)) AS chunk_md5
+    FROM b, unnest(generate_series(0, CAST(ceil(n / 32.0) AS BIGINT) - 1))
+         AS t(i)
+    WHERE i % 4 = 0
+    """,
+)
+def mm_chunk_sample(spark, sf_dir):
+    """Strided chunk sampling over opaque binary payloads — the video
+    keyframe-sampling access pattern (every 4th 32-byte chunk,
+    identified by content md5) executed as decode-free byte seeks in
+    pure Catalyst expressions (multimodal/binary.py sample_chunks).
+    ASCII-corpus oracle guard as mm_byte_histogram: payload bytes ==
+    text codepoints, so DuckDB mirrors the chunks via substr on the
+    text. At 100 TB only the sampled slices survive the projection."""
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        attach_binary_payload,
+        sample_chunks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_chunks(
+        attach_binary_payload(docs, "doc_id", "text"), chunk_size=32, stride=4
+    )
