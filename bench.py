@@ -120,6 +120,7 @@ HEADLINE = [
     "text_collocations_pmi",
     "sample_neyman_allocation",
     "mm_chunk_sample",
+    "w10_rolling_corr",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

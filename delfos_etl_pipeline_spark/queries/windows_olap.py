@@ -760,3 +760,106 @@ def w9_percent_rank_cume(spark, sf_dir):
         round_half_up(F.percent_rank().over(w), 6).alias("pr"),
         round_half_up(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "w10_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             floor((CAST(sum(CASE WHEN event_type = 'click'
+                                  THEN CAST(value AS DECIMAL(18,6)) END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'click' THEN 1 END))
+                   * 1000000.0 + 0.5) / 1000000.0 AS x,
+             floor((CAST(sum(CASE WHEN event_type = 'purchase'
+                                  THEN CAST(value AS DECIMAL(18,6)) END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'purchase' THEN 1 END))
+                   * 1000000.0 + 0.5) / 1000000.0 AS y
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY CAST(ts AS DATE)
+    ), s AS (
+      SELECT day, x, y,
+             count(*)                        OVER w AS n,
+             CAST(sum(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(18,6))
+                      * CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(18,6))
+                      * CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(18,6))
+                      * CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n,
+           CASE WHEN n < 2
+                     OR (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0
+                THEN NULL
+                ELSE floor((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS rolling_corr
+    FROM s
+    """,
+)
+def w10_rolling_corr(spark, sf_dir):
+    """Trailing 14-day Pearson correlation between the click and purchase
+    daily-mean series — the co-movement monitor (pairs-trading / metric
+    coupling) that a point-in-time corr matrix can't give. One raw scan
+    builds the conditional daily means; the five sufficient-statistic
+    sums run over ONE shared 14-row sliding frame on the calendar-sized
+    table (decimal partials, (37,12) products — exact at any frame
+    order), and the closed-form corr division is a single identical IEEE
+    expression. Degenerate frames (n<2 or zero variance) are NULL on
+    both engines."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+    )
+    dx = F.when(
+        F.col("event_type") == "click", F.col("value").cast("decimal(18,6)")
+    )
+    dy = F.when(
+        F.col("event_type") == "purchase",
+        F.col("value").cast("decimal(18,6)"),
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        round_half_up(
+            F.sum(dx).cast("double")
+            / F.count(F.when(F.col("event_type") == "click", 1)),
+            6,
+        ).alias("x"),
+        round_half_up(
+            F.sum(dy).cast("double")
+            / F.count(F.when(F.col("event_type") == "purchase", 1)),
+            6,
+        ).alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    xd = F.col("x").cast("decimal(18,6)")
+    yd = F.col("y").cast("decimal(18,6)")
+    s = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(xd).over(w).cast("double").alias("sx"),
+        F.sum(yd).over(w).cast("double").alias("sy"),
+        F.sum(xd * xd).over(w).cast("double").alias("sxx"),
+        F.sum(yd * yd).over(w).cast("double").alias("syy"),
+        F.sum(xd * yd).over(w).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den2 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        "day",
+        "n",
+        F.when(
+            (F.col("n") < 2) | (den2 <= 0), F.lit(None).cast("double")
+        )
+        .otherwise(round_half_up(num / F.sqrt(den2), 6))
+        .alias("rolling_corr"),
+    )
