@@ -259,11 +259,13 @@ def test_rolling_median_partitions_by_key(spark, sf_dir):
 
 
 def test_lm_score_model_tables_broadcast(spark, sf_dir):
-    """The bigram LM's two count tables are bounded by |alphabet|² — they
-    must reach the scoring joins as broadcasts (never a data-row shuffle
-    join), and the per-occurrence explode must not go cartesian."""
+    """The bigram LM's model is bounded by |alphabet|² — it must reach
+    the scoring join as ONE broadcast of the driver-evaluated t table
+    (the split-libm fix collapsed the former cb/cu broadcast pair), and
+    the per-occurrence explode must not go cartesian."""
     plan = _plan(spark, sf_dir, "text_lm_bigram_score")
-    assert _count(plan, "BroadcastHashJoin") >= 2, plan
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") == 0, plan
     assert _count(plan, "CartesianProduct") == 0
 
 
