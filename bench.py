@@ -121,6 +121,7 @@ HEADLINE = [
     "sample_neyman_allocation",
     "mm_chunk_sample",
     "w10_rolling_corr",
+    "dq_benford_digits",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -118,6 +118,7 @@ _R4_CHANGED_FIRST = [
     "sample_neyman_allocation", # new: variance-optimal stratified budget
     "mm_chunk_sample",          # new: strided binary chunk/frame sampling
     "w10_rolling_corr",         # new: trailing 14-day co-movement corr
+    "dq_benford_digits",        # new: Benford first-digit drift screen
     "a_distinct_rollup_hll",    # new: mergeable sketches, rows-only + bound test
     "emb_project_pca",          # new: trained twin, rows-only + property tests
     # --- beyond here: plan-representation changes with BIT-IDENTICAL

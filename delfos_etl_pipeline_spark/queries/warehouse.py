@@ -2353,3 +2353,79 @@ def heavy_hitters(spark, sf_dir):
             round_half_up(F.col("cnt") * 1.0 / F.col("n"), 6).alias("support"),
         )
     )
+
+
+@query(
+    "dq_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), o AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY digit
+    ), t AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM o),
+    e AS (
+      SELECT o.digit, o.observed,
+             t.n * (floor(log10(1 + 1.0 / o.digit) * 1000000000000.0 + 0.5)
+                    / 1000000000000.0) AS expected
+      FROM o, t
+    )
+    SELECT digit, observed,
+           floor(expected * 1000000.0 + 0.5) / 1000000.0 AS expected,
+           floor((observed - expected) * (observed - expected) / expected
+                 * 1000000.0 + 0.5) / 1000000.0 AS chi2_term
+    FROM e
+    """,
+)
+def dq_benford_digits(spark, sf_dir):
+    """Benford first-significant-digit test over order totals — the
+    data-quality/fraud screen for 'naturally occurring' numeric columns
+    (fabricated or truncated feeds flatten the leading-digit
+    distribution; the per-digit chi-squared terms localize which digits
+    drift). First digit via the decimal string form (identical
+    formatting both engines for DECIMAL(18,2) >= 1); expected shares
+    are the nine log10(1+1/d) constants evaluated ONCE in the driver
+    and rounded to 12 dp (the pinned-libm contract from the LM model —
+    never two engines' libm), shipped as a 9-row broadcast. One
+    map-side-combinable digit groupBy plus a 1-row total broadcast —
+    scan-bound at any scale."""
+    import math
+
+    ev = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = ev.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    o = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    t = o.agg(F.sum("observed").cast("bigint").alias("n"))
+    ratios = spark.createDataFrame(
+        [
+            (dd, math.floor(math.log10(1 + 1.0 / dd) * 1e12 + 0.5) / 1e12)
+            for dd in range(1, 10)
+        ],
+        "digit bigint, r double",
+    )
+    e = (
+        o.crossJoin(F.broadcast(t))
+        .join(F.broadcast(ratios), "digit")
+        .select(
+            "digit",
+            "observed",
+            (F.col("n") * F.col("r")).alias("_exp"),
+        )
+    )
+    return e.select(
+        "digit",
+        "observed",
+        round_half_up(F.col("_exp"), 6).alias("expected"),
+        round_half_up(
+            (F.col("observed") - F.col("_exp"))
+            * (F.col("observed") - F.col("_exp"))
+            / F.col("_exp"),
+            6,
+        ).alias("chi2_term"),
+    )
