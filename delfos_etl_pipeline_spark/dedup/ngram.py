@@ -212,7 +212,9 @@ def jaccard_pairs_prefix(
     and the two verification joins (keyed doc+shingle). All bounded;
     no driver state."""
     arrs = shingle_arrays(df, id_col, text_col, n, hashed=True)
-    sh = explode_shingles(arrs, with_size=True)  # (doc_id, sz, shingle)
+    # four consumers (frequency agg, prefix build, both verification
+    # sides) — persist so the tokenize+shingle subtree runs once
+    sh = explode_shingles(arrs, with_size=True).persist()
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
 
