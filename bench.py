@@ -122,6 +122,7 @@ HEADLINE = [
     "mm_chunk_sample",
     "w10_rolling_corr",
     "dq_benford_digits",
+    "orders_rfm_segmentation",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -117,6 +117,7 @@ _R4_CHANGED_FIRST = [
     "mm_chunk_sample",          # new: strided binary chunk/frame sampling
     "w10_rolling_corr",         # new: trailing 14-day co-movement corr
     "dq_benford_digits",        # new: Benford first-digit drift screen
+    "orders_rfm_segmentation",  # new: RFM quintile customer segments
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -2429,3 +2429,66 @@ def dq_benford_digits(spark, sf_dir):
             6,
         ).alias("chi2_term"),
     )
+
+
+@query(
+    "orders_rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, last_order, frequency, monetary,
+             ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           floor(avg(monetary) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def orders_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation — the marketing-warehouse classic:
+    quintile scores for Recency (last order date), Frequency (order
+    count), Monetary (lifetime spend, summed in exact integer cents),
+    aggregated into segment cells. ntile quintiles are deterministic
+    under the (value, custkey) total order. Plan: one orders scan into a
+    customer-grain aggregate, three rank windows over the CUSTOMER table
+    (|customers| rows — far below fact cardinality; for a customer table
+    too big for comfortable global windows the rank would swap to the
+    two-phase prefix scan, same algebra), then a segment-grain rollup.
+    The avg is per-cell mean of exact-cents sums — deterministic ratio
+    of decimals, rounded half-up both engines."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("double")
+            / 100.0
+        ).alias("monetary"),
+    )
+    wr = Window.orderBy("last_order", "o_custkey")
+    wf = Window.orderBy("frequency", "o_custkey")
+    wm = Window.orderBy("monetary", "o_custkey")
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5).over(wr).cast("bigint").alias("r_score"),
+        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
+        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        round_half_up(F.avg("monetary"), 6).alias("avg_monetary"),
+    )
