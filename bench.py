@@ -123,6 +123,7 @@ HEADLINE = [
     "w10_rolling_corr",
     "dq_benford_digits",
     "orders_rfm_segmentation",
+    "cohort_ltv_curve",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -118,6 +118,7 @@ _R4_CHANGED_FIRST = [
     "w10_rolling_corr",         # new: trailing 14-day co-movement corr
     "dq_benford_digits",        # new: Benford first-digit drift screen
     "orders_rfm_segmentation",  # new: RFM quintile customer segments
+    "cohort_ltv_curve",         # new: cumulative revenue by cohort age
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

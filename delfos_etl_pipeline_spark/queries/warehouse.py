@@ -2492,3 +2492,67 @@ def orders_rfm_segmentation(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         round_half_up(F.avg("monetary"), 6).alias("avg_monetary"),
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cm
+      FROM orders GROUP BY o_custkey
+    ), rev AS (
+      SELECT f.cm AS cohort_month,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+               - (year(f.cm) * 12 + month(f.cm)) AS age_months,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active_customers
+      FROM orders o JOIN f USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT cohort_month, CAST(age_months AS BIGINT) AS age_months,
+           active_customers,
+           CAST(rev_cents AS DOUBLE) / 100.0 AS period_revenue,
+           CAST(sum(rev_cents) OVER (PARTITION BY cohort_month
+                                     ORDER BY age_months) AS DOUBLE) / 100.0
+             AS cum_revenue
+    FROM rev
+    """,
+)
+def cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated by cohort age — the complement to
+    retention_cohorts (activity) on the revenue axis, the curve growth
+    teams read LTV/CAC from. Exact integer-cents revenue; the cumulative
+    window runs over (cohort x age) cells — calendar-squared
+    cardinality, never fact rows; the first-order table joins back
+    customer-keyed (broadcastable for dimension-sized customer sets,
+    plain shuffle join beyond). Cohort age via portable integer
+    year*12+month arithmetic, identical both engines."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cm")
+    )
+    j = o.join(f, "o_custkey")
+    age = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        - (F.year("cm") * 12 + F.month("cm"))
+    )
+    rev = j.groupBy(
+        F.col("cm").alias("cohort_month"), age.alias("age_months")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.countDistinct("o_custkey").cast("bigint").alias("active_customers"),
+    )
+    w = Window.partitionBy("cohort_month").orderBy("age_months")
+    return rev.select(
+        "cohort_month",
+        F.col("age_months").cast("bigint").alias("age_months"),
+        "active_customers",
+        (F.col("rev_cents").cast("double") / 100.0).alias("period_revenue"),
+        (F.sum("rev_cents").over(w).cast("double") / 100.0).alias(
+            "cum_revenue"
+        ),
+    )
