@@ -124,6 +124,7 @@ HEADLINE = [
     "dq_benford_digits",
     "orders_rfm_segmentation",
     "cohort_ltv_curve",
+    "attribution_last_touch",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

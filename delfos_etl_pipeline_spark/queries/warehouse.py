@@ -2556,3 +2556,48 @@ def cohort_ltv_curve(spark, sf_dir):
             "cum_revenue"
         ),
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT coalesce(channel, '(direct)') AS channel,
+           CAST(count(*) AS BIGINT) AS conversions
+    FROM e WHERE event_type = 'purchase'
+    GROUP BY coalesce(channel, '(direct)')
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution: each purchase credits the
+    user's most recent preceding non-purchase event type ('(direct)'
+    when none) — the marketing-analytics shape that is an as-of lookup
+    INSIDE one stream, executed as a running last-non-null over the
+    user timeline (one hash exchange on user_id, O(n) growing frame —
+    no self-join, no per-conversion probe). The frame excludes the
+    current row so back-to-back purchases attribute to the same earlier
+    touch rather than each other."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", channel.alias("channel"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(direct)")).alias("channel"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("conversions"))
+    )
