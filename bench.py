@@ -125,6 +125,7 @@ HEADLINE = [
     "orders_rfm_segmentation",
     "cohort_ltv_curve",
     "attribution_last_touch",
+    "markov_event_transitions",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

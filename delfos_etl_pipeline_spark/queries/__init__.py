@@ -120,6 +120,7 @@ _R4_CHANGED_FIRST = [
     "orders_rfm_segmentation",  # new: RFM quintile customer segments
     "cohort_ltv_curve",         # new: cumulative revenue by cohort age
     "attribution_last_touch",   # new: as-of credit via running last-non-null
+    "markov_event_transitions", # new: journey dynamics, |types|^2 table
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -2601,3 +2601,54 @@ def attribution_last_touch(spark, sf_dir):
         .groupBy(F.coalesce("channel", F.lit("(direct)")).alias("channel"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("conversions"))
     )
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), r AS (
+      SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n FROM t
+      GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           floor(t.n * 1.0 / r.row_n * 1000000.0 + 0.5) / 1000000.0 AS p
+    FROM t JOIN r USING (prev_type)
+    """,
+)
+def markov_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user event journeys:
+    P(next event type | current) from lagged pairs — the behavioral
+    model behind next-action prediction and journey simulation
+    (session_paths shows WHERE users go; this gives the normalized
+    dynamics). One user-keyed lag window over the fact rows, then
+    everything operates on the |types|² transition table; probabilities
+    are deterministic integer ratios rounded half-up."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    t = s.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    r = t.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("row_n"))
+    return (
+        t.join(F.broadcast(r), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            round_half_up(F.col("n") * 1.0 / F.col("row_n"), 6).alias("p"),
+        )
+    )
