@@ -121,6 +121,8 @@ _R4_CHANGED_FIRST = [
     "cohort_ltv_curve",         # new: cumulative revenue by cohort age
     "attribution_last_touch",   # new: as-of credit via running last-non-null
     "markov_event_transitions", # new: journey dynamics, |types|^2 table
+    "json_props_extract",       # new: schema-on-read JSON extraction
+    "ohlc_daily",               # new: OHLC resample via min_by/max_by
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -776,3 +776,57 @@ def streaming_stream_join_outer(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table("streaming_stream_join_outer_sink")
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             value
+      FROM events
+    )
+    SELECT event_type,
+           CAST(k // 10 AS BIGINT) AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(k) AS k_min,
+           max(k) AS k_max,
+           floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
+    FROM e
+    WHERE k IS NOT NULL
+    GROUP BY event_type, CAST(k // 10 AS BIGINT)
+    """,
+)
+def json_props_extract(spark, sf_dir):
+    """Semi-structured extraction (S-family): the ``props`` column is a
+    JSON string; parse it with a DECLARED schema via ``from_json`` (stays
+    JVM-side, inside whole-stage codegen — no Python in the loop; the
+    schema-on-read analog of the reference's typed API payloads,
+    api/app/main.py:80-164) and aggregate over the extracted field.
+    ``from_json`` with an explicit schema beats ``get_json_object`` at
+    scale: one parse per row regardless of how many fields are pulled,
+    and malformed payloads become NULL structs instead of job failures
+    (filtered here, counted nowhere — the DQ expectations suite is the
+    place that asserts parse rates). Bucketing k to deciles keeps the
+    output |types|×10 — agg is map-side-combinable, scan-bound."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    dec = F.col("value").cast("decimal(18,6)")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .where(F.col("k").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("k") / 10).cast("bigint").alias("k_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            round_half_up(
+                F.sum(dec).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
+        )
+    )

@@ -2652,3 +2652,59 @@ def markov_event_transitions(spark, sf_dir):
             round_half_up(F.col("n") * 1.0 / F.col("row_n"), 6).alias("p"),
         )
     )
+
+
+@query(
+    "ohlc_daily",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts ASC, event_id ASC)  AS rn_open,
+             row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, day,
+           max(CASE WHEN rn_open  = 1 THEN value END) AS open,
+           max(value)                                  AS high,
+           min(value)                                  AS low,
+           max(CASE WHEN rn_close = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT)                    AS n_trades,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0        AS volume
+    FROM o
+    GROUP BY event_type, day
+    """,
+)
+def ohlc_daily(spark, sf_dir):
+    """OHLC candlestick resampling — the canonical time-series downsample
+    (open/high/low/close per series per day, plus trade count and summed
+    volume). Spark-first: ONE aggregation pass with ``min_by``/``max_by``
+    over the deterministic (ts, event_id) ordering struct — no window, no
+    second shuffle; the oracle states the same values via row_number CTEs
+    because DuckDB's arg_min/arg_max cannot take a composite ordering
+    key. Volume accumulates in DECIMAL per the repo's float contract.
+    100 TB: group keys are (series, day) — naturally high-cardinality and
+    unskewed, partial aggregation map-side; the ordering struct rides the
+    same exchange, so cost is identical to the plain daily rollup A6."""
+    ev = _t(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    dec = F.col("value").cast("decimal(18,6)")
+    return (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "value",
+            ord_key.alias("_ord"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("value", F.col("_ord")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("_ord")).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            round_half_up(F.sum(dec).cast("double"), 6).alias("volume"),
+        )
+    )
