@@ -806,3 +806,79 @@ def er_canonical_records(spark, sf_dir):
             F.col("_rep.nc").alias("rep_n_chars"),
         )
     )
+
+
+@query(
+    "er_fuzzy_blocked",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name,
+             substring(c_name, 10, 7) AS k1,
+             substring(c_name, 17, 2) AS k2
+      FROM customer
+    ),
+    p1 AS (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+             a.c_name AS na, b.c_name AS nb
+      FROM c a JOIN c b ON a.k1 = b.k1 AND a.c_custkey < b.c_custkey
+    ),
+    p2 AS (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+             a.c_name AS na, b.c_name AS nb
+      FROM c a JOIN c b ON a.k2 = b.k2 AND a.c_custkey < b.c_custkey
+    ),
+    cand AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+    SELECT kb - ka AS key_delta,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           min(ka) AS example_key
+    FROM cand
+    WHERE levenshtein(na, nb) <= 1
+    GROUP BY kb - ka
+    """,
+)
+def er_fuzzy_blocked(spark, sf_dir):
+    """Fuzzy-match self-join with LOSSLESS pigeonhole blocking — the
+    entity-resolution primitive (typo-tolerant identity matching) at
+    linkable scale. Edit distance ≤ 1 between equal-length strings means
+    exactly one substituted character, so a pair must agree EXACTLY on at
+    least one of two disjoint segments of the name's digit suffix
+    (pigeonhole); two equi-join blocking passes — on digits[1..7] and
+    digits[8..9] — therefore have PROVABLY complete recall, and the
+    passes are disjoint (agreeing on both segments would mean identical
+    names, excluded by key_a < key_b on a unique column), so UNION ALL
+    needs no dedup. levenshtein() runs only on candidates — sum of
+    C(|block|,2), never the n² cross join; generalizes to distance d via
+    d+1 segments (match on ≥1, then distinct pairs). Both engines use
+    their native levenshtein (identical classic DP semantics). Output is
+    the pair census by key delta (a one-digit substitution at position p
+    shifts the numeric key by d·10^(9-p)), keeping the result
+    |positions|×9-bounded while the JOIN itself is the thing measured."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.substring("c_name", 10, 7).alias("k1"),
+        F.substring("c_name", 17, 2).alias("k2"),
+    )
+
+    def pass_on(key: str):
+        a = c.select(
+            F.col("c_custkey").alias("ka"),
+            F.col("c_name").alias("na"),
+            F.col(key).alias("_bk"),
+        )
+        b = c.select(
+            F.col("c_custkey").alias("kb"),
+            F.col("c_name").alias("nb"),
+            F.col(key).alias("_bk"),
+        )
+        return a.join(b, "_bk").where(F.col("ka") < F.col("kb"))
+
+    cand = pass_on("k1").unionByName(pass_on("k2"))
+    return (
+        cand.where(F.levenshtein("na", "nb") <= 1)
+        .groupBy((F.col("kb") - F.col("ka")).alias("key_delta"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("ka").alias("example_key"),
+        )
+    )
