@@ -124,6 +124,7 @@ _R4_CHANGED_FIRST = [
     "json_props_extract",       # new: schema-on-read JSON extraction
     "ohlc_daily",               # new: OHLC resample via min_by/max_by
     "er_fuzzy_blocked",         # new: lossless pigeonhole fuzzy join
+    "survival_kaplan_meier",    # new: KM life table, pinned-order fold
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -2708,3 +2708,107 @@ def ohlc_daily(spark, sf_dir):
             round_half_up(F.sum(dec).cast("double"), 6).alias("volume"),
         )
     )
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH RECURSIVE u AS (
+      SELECT user_id,
+             epoch_us(min(ts)) AS f0,
+             epoch_us(min(CASE WHEN event_type = 'purchase' THEN ts END)) AS fp
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CASE WHEN fp IS NOT NULL
+                   AND (fp - f0) // 3600000000 <= 120
+                  THEN (fp - f0) // 3600000000 ELSE 120 END AS t,
+             CASE WHEN fp IS NOT NULL
+                   AND (fp - f0) // 3600000000 <= 120
+                  THEN 1 ELSE 0 END AS ev
+      FROM u
+    ),
+    g AS (
+      SELECT t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS m
+      FROM s GROUP BY t
+    ),
+    r AS (
+      SELECT t, d,
+             CAST(sum(m) OVER (ORDER BY t DESC) AS BIGINT) AS n,
+             row_number() OVER (ORDER BY t ASC) AS rn
+      FROM g
+    ),
+    f AS (SELECT rn, t, d, n, 1.0 - d * 1.0 / n AS fac FROM r),
+    km AS (
+      SELECT rn, t, d, n, fac AS srv FROM f WHERE rn = 1
+      UNION ALL
+      SELECT f.rn, f.t, f.d, f.n, km.srv * f.fac
+      FROM km JOIN f ON f.rn = km.rn + 1
+    )
+    SELECT t, d, n AS n_at_risk,
+           floor(srv * 1000000000.0 + 0.5) / 1000000000.0 AS survival
+    FROM km WHERE d > 0
+    """,
+)
+def survival_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve for time-to-first-purchase (hours from
+    a user's first event), right-censored at a 120-hour administrative
+    follow-up horizon — the estimator behind activation/retention "time
+    to value" curves. Distributed part: one user-keyed aggregation
+    (min ts, min purchase ts) over the fact rows, then a groupBy onto the
+    |distinct hours|-row life table — at 100 TB that table is still ≤
+    horizon+1 rows, so at-risk suffix sums and the cumulative product
+    S(t) = Π(1 − d/n) run DRIVER-SIDE on the collected life table (the
+    model-table pattern: text_lm_bigram_score) as an explicit ascending
+    left fold. The oracle states the identical fold with a recursive CTE
+    rather than a windowed product() — window aggregation is free to
+    re-associate the multiplication tree, and IEEE multiply is not
+    associative; the recursive join pins left-to-right order on both
+    engines, making the doubles bit-identical before the half-up round.
+    Censored-only times carry factor 1.0 (multiplying by exactly 1.0 is
+    an IEEE no-op) and are dropped from the output per convention."""
+    import math
+
+    ev = _t(spark, sf_dir, "events")
+    horizon_h = 120
+    us_per_h = 3_600_000_000
+    u = ev.groupBy("user_id").agg(
+        F.unix_micros(F.min("ts")).alias("f0"),
+        F.unix_micros(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("fp"),
+    )
+    hrs = F.floor((F.col("fp") - F.col("f0")) / F.lit(us_per_h))
+    observed = F.col("fp").isNotNull() & (hrs <= horizon_h)
+    s = u.select(
+        F.when(observed, hrs).otherwise(F.lit(horizon_h)).alias("t"),
+        F.when(observed, F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    g = (
+        s.groupBy("t")
+        .agg(
+            F.sum("ev").cast("bigint").alias("d"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .orderBy("t")
+        .collect()
+    )
+    # Driver-side life table: suffix-sum at-risk counts, left-fold cumprod.
+    total = sum(row["m"] for row in g)
+    rows, srv, seen = [], 1.0, 0
+    for row in g:
+        n = total - seen
+        seen += row["m"]
+        srv = srv * (1.0 - row["d"] / n)
+        if row["d"] > 0:
+            rows.append(
+                (
+                    int(row["t"]),
+                    int(row["d"]),
+                    int(n),
+                    math.floor(srv * 1e9 + 0.5) / 1e9,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "t bigint, d bigint, n_at_risk bigint, survival double"
+    )
