@@ -125,6 +125,7 @@ _R4_CHANGED_FIRST = [
     "ohlc_daily",               # new: OHLC resample via min_by/max_by
     "er_fuzzy_blocked",         # new: lossless pigeonhole fuzzy join
     "survival_kaplan_meier",    # new: KM life table, pinned-order fold
+    "forecast_seasonal_backtest",  # new: holdout MAE/bias, micro-unit errors
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -2812,3 +2812,90 @@ def survival_kaplan_meier(spark, sf_dir):
     return spark.createDataFrame(
         rows, "t bigint, d bigint, n_at_risk bigint, survival double"
     )
+
+
+@query(
+    "forecast_seasonal_backtest",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value, hour(ts) AS hh, CAST(ts AS DATE) AS dd
+      FROM events
+    ),
+    mx AS (SELECT max(dd) AS md FROM b),
+    model AS (
+      SELECT event_type, hh,
+             floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS pred
+      FROM b, mx WHERE dd < md - 6
+      GROUP BY event_type, hh
+    ),
+    test AS (SELECT event_type, hh, value FROM b, mx WHERE dd >= md - 6)
+    SELECT t.event_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           floor((CAST(sum(CAST(floor(abs(t.value - m.pred) * 1000000.0 + 0.5)
+                                AS BIGINT)) AS DOUBLE)
+                  / count(*)) + 0.5) / 1000000.0 AS mae,
+           floor((CAST(sum(CAST(floor((t.value - m.pred) * 1000000.0 + 0.5)
+                                AS BIGINT)) AS DOUBLE)
+                  / count(*)) + 0.5) / 1000000.0 AS bias
+    FROM test t JOIN model m USING (event_type, hh)
+    GROUP BY t.event_type
+    """,
+)
+def forecast_seasonal_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest: hold out the last 7 calendar
+    days, predict each (series, hour-of-day) as its training-window mean,
+    and score MAE and signed bias per series — the baseline every real
+    forecasting deployment must beat, and the backtest harness shape
+    (train/apply/score) itself. Float contract: the model mean uses the
+    repo's exact-decimal-sum formula; per-row errors are then pinned to
+    integer MICRO-UNITS (floor(err·1e6 + 0.5) as BIGINT — half-up works
+    identically for negatives via floor on both engines), summed exactly
+    as integers, and divided once — no order-dependent float accumulation
+    anywhere. 100 TB: model is |series|×24 rows → broadcast join; train
+    and test are each one scan-partial-agg pass; the global max date is a
+    1-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        "value",
+        F.hour("ts").alias("hh"),
+        F.col("ts").cast("date").alias("dd"),
+    )
+    mx = b.agg(F.max("dd").alias("md"))
+    b = b.crossJoin(F.broadcast(mx))
+    dec = F.col("value").cast("decimal(18,6)")
+    model = (
+        b.where(F.col("dd") < F.date_sub(F.col("md"), 6))
+        .groupBy("event_type", "hh")
+        .agg(
+            round_half_up(
+                F.sum(dec).cast("double") / F.count(F.lit(1)), 6
+            ).alias("pred")
+        )
+    )
+    test = b.where(F.col("dd") >= F.date_sub(F.col("md"), 6)).select(
+        "event_type", "hh", "value"
+    )
+    err = F.col("value") - F.col("pred")
+    abs_u = F.floor(F.abs(err) * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    sgn_u = F.floor(err * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    return (
+        test.join(F.broadcast(model), ["event_type", "hh"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            (
+                F.floor(
+                    F.sum(abs_u).cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("mae"),
+            (
+                F.floor(
+                    F.sum(sgn_u).cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("bias"),
+        )
+    )
