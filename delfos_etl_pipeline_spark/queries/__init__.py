@@ -126,6 +126,8 @@ _R4_CHANGED_FIRST = [
     "er_fuzzy_blocked",         # new: lossless pigeonhole fuzzy join
     "survival_kaplan_meier",    # new: KM life table, pinned-order fold
     "forecast_seasonal_backtest",  # new: holdout MAE/bias, micro-unit errors
+    "trend_theil_sen",          # new: robust pairwise-slope median trend
+    "forecast_holt_linear",     # new: recursive smoothing, CTE-pinned fold
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -2899,3 +2899,178 @@ def forecast_seasonal_backtest(spark, sf_dir):
             ).alias("bias"),
         )
     )
+
+
+@query(
+    "trend_theil_sen",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+             floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS m
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             (b.m - a.m) / (b.di - a.di) AS slope
+      FROM d a JOIN d b ON a.event_type = b.event_type AND a.di < b.di
+    ),
+    r AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS c
+      FROM p
+    )
+    SELECT event_type,
+           CAST(max(c) AS BIGINT) AS n_pairs,
+           floor(((max(CASE WHEN rn = (c + 1) // 2 THEN slope END)
+                   + max(CASE WHEN rn = (c + 2) // 2 THEN slope END)) / 2.0)
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS sen_slope
+    FROM r GROUP BY event_type
+    """,
+)
+def trend_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend: the median of all pairwise slopes of the
+    daily-mean series per event type — the breakdown-resistant complement
+    to the OLS slope (trend_slope_daily), immune to the outlier days the
+    anomaly queries flag. Daily means come from exact decimal sums; the
+    O(days²) pair table is |types|·C(days,2) rows — days are bounded (a
+    year is 66k pairs), so this stays tiny at ANY corpus scale; the fact
+    scan is the only big pass. The median is rank-PINNED, not
+    quantile_cont: both engines pick ranks ⌊(c+1)/2⌋ and ⌊(c+2)/2⌋ via
+    row_number and average them with the identically-written (a+b)/2 —
+    interpolating quantile implementations are free to use a+(b-a)·f,
+    which is not the same IEEE expression. Ordering ties on equal slopes
+    don't matter: equal doubles average to themselves."""
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+                "di"
+            ),
+        )
+        .agg(
+            round_half_up(F.sum(dec).cast("double") / F.count(F.lit(1)), 6).alias(
+                "m"
+            )
+        )
+    )
+    a = d.select("event_type", F.col("di").alias("di_a"), F.col("m").alias("m_a"))
+    b = d.select("event_type", F.col("di").alias("di_b"), F.col("m").alias("m_b"))
+    p = a.join(b, "event_type").where(F.col("di_a") < F.col("di_b")).select(
+        "event_type",
+        ((F.col("m_b") - F.col("m_a")) / (F.col("di_b") - F.col("di_a"))).alias(
+            "slope"
+        ),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope")
+    wc = Window.partitionBy("event_type")
+    r = p.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("c"),
+    )
+    lo = F.max(F.when(F.col("rn") == F.floor((F.col("c") + 1) / 2), F.col("slope")))
+    hi = F.max(F.when(F.col("rn") == F.floor((F.col("c") + 2) / 2), F.col("slope")))
+    return r.groupBy("event_type").agg(
+        F.max("c").cast("bigint").alias("n_pairs"),
+        round_half_up((lo + hi) / F.lit(2.0), 9).alias("sen_slope"),
+    )
+
+
+@query(
+    "forecast_holt_linear",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+             floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS y
+      FROM events GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT event_type, di, y,
+             lead(y) OVER (PARTITION BY event_type ORDER BY di) AS y_next
+      FROM d
+    ),
+    h AS (
+      SELECT event_type, di, y,
+             y AS l, y_next - y AS b, CAST(NULL AS DOUBLE) AS f
+      FROM d2 WHERE di = 0
+      UNION ALL
+      SELECT d2.event_type, d2.di, d2.y,
+             0.5 * d2.y + 0.5 * (h.l + h.b),
+             0.3 * ((0.5 * d2.y + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b,
+             h.l + h.b
+      FROM h JOIN d2
+        ON d2.event_type = h.event_type AND d2.di = h.di + 1
+    )
+    SELECT event_type, di, y,
+           floor(l * 1000000000.0 + 0.5) / 1000000000.0 AS level,
+           floor(b * 1000000000.0 + 0.5) / 1000000000.0 AS trend,
+           floor(f * 1000000000.0 + 0.5) / 1000000000.0 AS forecast
+    FROM h
+    """,
+)
+def forecast_holt_linear(spark, sf_dir):
+    """Holt linear (double) exponential smoothing over each type's daily
+    mean series — level + trend state recurrences, the step up from the
+    seasonal-naive baseline and the classic example of an ITERATIVE
+    algorithm that plain SQL can't express without recursion. The fact
+    scan reduces to a |types|×|days| model table (exact decimal means);
+    the coupled recurrences l_t = αy_t + (1−α)(l+b), b_t = β(l_t−l) +
+    (1−β)b then run DRIVER-SIDE as a per-series left fold (model-table
+    pattern), while the oracle replays the SAME fold with a recursive
+    CTE carrying (l, b) — both engines evaluate the identically-written
+    IEEE expressions in the same order, so the doubles match bitwise.
+    Smoothing constants appear as LITERALS on both sides (0.5/0.5,
+    0.3/0.7): writing 1−β instead of 0.7 would yield a DIFFERENT double
+    than the 0.7 literal and break the hash. One-step-ahead forecast
+    f_t = l_{t−1} + b_{t−1}; the base row's forecast is NULL by
+    construction on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("di"),
+        )
+        .agg(
+            round_half_up(F.sum(dec).cast("double") / F.count(F.lit(1)), 6).alias(
+                "y"
+            )
+        )
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for row in d:
+        series.setdefault(row["event_type"], []).append((row["di"], row["y"]))
+
+    def r9(x):
+        import math
+
+        return None if x is None else math.floor(x * 1e9 + 0.5) / 1e9
+
+    rows = []
+    for et, pts in series.items():
+        pts.sort()
+        l = pts[0][1]
+        b = pts[1][1] - pts[0][1]
+        rows.append((et, pts[0][0], pts[0][1], r9(l), r9(b), None))
+        for di, y in pts[1:]:
+            f = l + b
+            l_new = 0.5 * y + 0.5 * (l + b)
+            b_new = 0.3 * (l_new - l) + 0.7 * b
+            l, b = l_new, b_new
+            rows.append((et, di, y, r9(l), r9(b), r9(f)))
+    return spark.createDataFrame(
+        rows,
+        "event_type string, di bigint, y double, level double, trend double,"
+        " forecast double",
+    )
