@@ -128,6 +128,7 @@ _R4_CHANGED_FIRST = [
     "forecast_seasonal_backtest",  # new: holdout MAE/bias, micro-unit errors
     "trend_theil_sen",          # new: robust pairwise-slope median trend
     "forecast_holt_linear",     # new: recursive smoothing, CTE-pinned fold
+    "attribution_position_based",  # new: U-shaped credits in exact ppm
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -3074,3 +3074,108 @@ def forecast_holt_linear(spark, sf_dir):
         "event_type string, di bigint, y double, level double, trend double,"
         " forecast double",
     )
+
+
+@query(
+    "attribution_position_based",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events
+    ),
+    j AS (
+      SELECT user_id, ts, event_id, event_type, is_p,
+             CAST(coalesce(sum(is_p) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS journey,
+             CAST(sum(is_p) OVER (PARTITION BY user_id) AS BIGINT) AS n_purch
+      FROM e
+    ),
+    t AS (
+      SELECT user_id, journey, event_type,
+             row_number() OVER (PARTITION BY user_id, journey
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, journey) AS n
+      FROM j WHERE is_p = 0 AND journey < n_purch
+    ),
+    c AS (
+      SELECT event_type,
+             CASE
+               WHEN n = 1 THEN 1000000
+               WHEN n = 2 THEN 500000
+               WHEN rn = 1 OR rn = n THEN 400000
+               ELSE CAST(floor(200000.0 / (n - 2) + 0.5) AS BIGINT)
+             END AS ppm
+      FROM t
+    )
+    SELECT event_type AS channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           floor((CAST(sum(ppm) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS credit
+    FROM c GROUP BY event_type
+    """,
+)
+def attribution_position_based(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution: each completed
+    purchase journey credits its first and last touches 40% each and
+    splits the remaining 20% across the middle (100% / 50-50 for 1- and
+    2-touch journeys). Journeys are carved with ONE user-keyed running
+    count of prior purchases — no self-join per conversion; touches
+    after a user's final purchase are unattributed and dropped. The
+    fractional credits are pinned to integer PARTS-PER-MILLION
+    (floor(200000/(n−2)+0.5) — the one non-terminating share) so the
+    cross-channel totals are exact integer sums, order-free; the single
+    double division happens once per output row. 100 TB: two window
+    passes (user, then user×journey) and a |channels|-row result;
+    journey state never materializes per-pair."""
+    ev = _t(spark, sf_dir, "events")
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_user = Window.partitionBy("user_id")
+    j = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        is_p.alias("is_p"),
+        F.coalesce(F.sum(is_p).over(w_prior), F.lit(0))
+        .cast("bigint")
+        .alias("journey"),
+        F.sum(is_p).over(w_user).cast("bigint").alias("n_purch"),
+    )
+    w_j = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    w_jc = Window.partitionBy("user_id", "journey")
+    t = (
+        j.where((F.col("is_p") == 0) & (F.col("journey") < F.col("n_purch")))
+        .select(
+            "event_type",
+            F.row_number().over(w_j).alias("rn"),
+            F.count(F.lit(1)).over(w_jc).alias("n"),
+        )
+    )
+    ppm = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(400000))
+        .otherwise(
+            F.floor(F.lit(200000.0) / (F.col("n") - 2) + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+    )
+    return (
+        t.select(F.col("event_type").alias("channel"), ppm.alias("ppm"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            round_half_up(F.sum("ppm").cast("double") / F.lit(1000000.0), 6).alias(
+                "credit"
+            ),
+        )
+    )
