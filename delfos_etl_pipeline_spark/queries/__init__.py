@@ -129,6 +129,8 @@ _R4_CHANGED_FIRST = [
     "trend_theil_sen",          # new: robust pairwise-slope median trend
     "forecast_holt_linear",     # new: recursive smoothing, CTE-pinned fold
     "attribution_position_based",  # new: U-shaped credits in exact ppm
+    "sample_class_balance",     # new: exact per-class quota downsample
+    "dq_referential_orphans",   # new: FK-edge orphan audit via anti joins
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -7,6 +7,7 @@ unchanged — importing this module registers its queries.
 from __future__ import annotations
 
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from delfos_etl_pipeline_spark.queries._registry import _t, query
@@ -196,4 +197,50 @@ def sample_neyman_allocation(spark, sf_dir):
         r.join(F.broadcast(alloc), "event_type")
         .where(F.col("rk") <= F.col("n_take"))
         .select("event_id", "event_type", "n_take")
+    )
+
+
+@query(
+    "sample_class_balance",
+    oracle="""
+    WITH k AS (
+      SELECT min(c) AS kk FROM (
+        SELECT count(*) AS c FROM embeddings GROUP BY label
+      )
+    ),
+    r AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM embeddings
+    )
+    SELECT vec_id, label FROM r, k WHERE rn <= kk
+    """,
+)
+def sample_class_balance(spark, sf_dir):
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-count rows, selected by md5-of-id order — the deterministic
+    stand-in for a seeded shuffle that both engines reproduce bit-for-bit
+    (the repo's hash-sampling contract; vec_id tiebreak makes the order
+    total). This is the label-skew equalizer that precedes classifier
+    fine-tuning; unlike fraction-based stratified sampling
+    (sample_stratified), the quota is exact per class, not expected.
+    100 TB: one |labels|-row broadcast for the quota, one label-keyed
+    window — rank-then-filter, no collect; md5 ordering spreads any
+    per-label hot spot across the sort, and the window partitions by the
+    stratification key so parallelism is |labels|-wide (fine: balancing
+    presumes per-class data fits a worker's sort spill)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    k = emb.groupBy("label").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.min("c").alias("kk")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        emb.select("vec_id", "label", F.row_number().over(w).alias("rn"))
+        .crossJoin(F.broadcast(k))
+        .where(F.col("rn") <= F.col("kk"))
+        .select("vec_id", "label")
     )

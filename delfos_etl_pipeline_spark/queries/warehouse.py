@@ -3179,3 +3179,145 @@ def attribution_position_based(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "dq_referential_orphans",
+    oracle="""
+    WITH e AS (
+      SELECT 'orders.o_custkey->customer' AS fk_edge,
+             count(*) AS n_child,
+             count(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+             )) AS n_orphans
+      FROM orders o
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders',
+             count(*),
+             count(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+             ))
+      FROM lineitem l
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             count(*),
+             count(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey
+             ))
+      FROM lineitem l
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             count(*),
+             count(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey
+             ))
+      FROM lineitem l
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             count(*),
+             count(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey
+             ))
+      FROM customer c
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation',
+             count(*),
+             count(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey
+             ))
+      FROM supplier s
+      UNION ALL
+      SELECT 'nation.n_regionkey->region',
+             count(*),
+             count(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey
+             ))
+      FROM nation n
+    )
+    SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           floor(n_orphans * 1.0 / n_child * 1000000.0 + 0.5) / 1000000.0
+             AS orphan_rate
+    FROM e
+    """,
+)
+def dq_referential_orphans(spark, sf_dir):
+    """Referential-integrity audit over the star schema's seven FK edges
+    (the graph operators/introspect.py discovers): child cardinality,
+    orphan count (children whose FK hits no parent key), and orphan rate
+    per edge — the DQ gate a warehouse load runs before exposing a
+    snapshot, complementing dq_expectations' column-level checks. Each
+    edge is a LEFT ANTI join against the parent's key column only —
+    dimension keys broadcast; the two lineitem-vs-bigtable edges
+    (orders) shuffle on the join key, which AQE handles. The three
+    lineitem edges share one scan subtree per edge pair; counts are
+    exact integers, so the union result hashes deterministically."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    edges = [
+        ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey", True),
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey", False),
+        (
+            "lineitem.l_partkey->part",
+            li,
+            "l_partkey",
+            _t(spark, sf_dir, "part"),
+            "p_partkey",
+            True,
+        ),
+        (
+            "lineitem.l_suppkey->supplier",
+            li,
+            "l_suppkey",
+            _t(spark, sf_dir, "supplier"),
+            "s_suppkey",
+            True,
+        ),
+        (
+            "customer.c_nationkey->nation",
+            c,
+            "c_nationkey",
+            _t(spark, sf_dir, "nation"),
+            "n_nationkey",
+            True,
+        ),
+        (
+            "supplier.s_nationkey->nation",
+            _t(spark, sf_dir, "supplier"),
+            "s_nationkey",
+            _t(spark, sf_dir, "nation"),
+            "n_nationkey",
+            True,
+        ),
+        (
+            "nation.n_regionkey->region",
+            _t(spark, sf_dir, "nation"),
+            "n_regionkey",
+            _t(spark, sf_dir, "region"),
+            "r_regionkey",
+            True,
+        ),
+    ]
+    parts = []
+    for name, child, ck, parent, pk, bcast in edges:
+        keys = parent.select(pk).distinct()
+        if bcast:
+            keys = F.broadcast(keys)
+        orphans = child.join(keys, child[ck] == keys[pk], "left_anti")
+        parts.append(
+            child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "fk_edge",
+        F.col("n_child").cast("bigint").alias("n_child"),
+        F.col("n_orphans").cast("bigint").alias("n_orphans"),
+        round_half_up(
+            F.col("n_orphans") * F.lit(1.0) / F.col("n_child"), 6
+        ).alias("orphan_rate"),
+    )
