@@ -131,6 +131,7 @@ _R4_CHANGED_FIRST = [
     "attribution_position_based",  # new: U-shaped credits in exact ppm
     "sample_class_balance",     # new: exact per-class quota downsample
     "dq_referential_orphans",   # new: FK-edge orphan audit via anti joins
+    "abc_pareto_parts",         # new: Pareto tiers via two-phase prefix scan
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -3321,3 +3321,85 @@ def dq_referential_orphans(spark, sf_dir):
             F.col("n_orphans") * F.lit(1.0) / F.col("n_child"), 6
         ).alias("orphan_rate"),
     )
+
+
+@query(
+    "abc_pareto_parts",
+    oracle="""
+    WITH r AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c4
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, rev_c4,
+             CAST(sum(rev_c4) OVER (ORDER BY rev_c4 DESC, l_partkey)
+                  AS BIGINT) AS cum_c4,
+             CAST(sum(rev_c4) OVER () AS BIGINT) AS tot_c4
+      FROM r
+    ),
+    k AS (
+      SELECT CASE
+               WHEN CAST(cum_c4 AS DOUBLE) / CAST(tot_c4 AS DOUBLE) <= 0.80
+                 THEN 'A'
+               WHEN CAST(cum_c4 AS DOUBLE) / CAST(tot_c4 AS DOUBLE) <= 0.95
+                 THEN 'B'
+               ELSE 'C'
+             END AS abc_class,
+             rev_c4, tot_c4
+      FROM c
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           floor((CAST(sum(rev_c4) AS DOUBLE) / 10000.0) * 100.0 + 0.5)
+             / 100.0 AS revenue,
+           floor((CAST(sum(rev_c4) AS DOUBLE) / CAST(max(tot_c4) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS revenue_share
+    FROM k GROUP BY abc_class
+    """,
+)
+def abc_pareto_parts(spark, sf_dir):
+    """ABC (Pareto) classification of parts by discounted revenue: A =
+    parts covering the first 80% of cumulative revenue, B the next 15%,
+    C the tail — the inventory-analytics primitive behind stock-policy
+    tiers. Revenue accumulates in the q9 scaled-integer idiom (cents ×
+    cents → exact ×10⁴ units), so every sum is order-free int64. The
+    cumulative share over parts ranked by revenue is the repo's TWO-PHASE
+    distributed prefix scan (_global_prefix_sum: range-repartition on
+    (-revenue, partkey), per-partition running sums, |partitions|-row
+    offset table — no single-partition window at any scale); the grand
+    total rides the same pass as its final offset+total. Class cuts
+    compare identical exact-integer-derived doubles on both engines."""
+    from delfos_etl_pipeline_spark.text.curation import _global_prefix_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev_c4 = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    ).alias("rev_c4")
+    r = li.groupBy("l_partkey").agg(rev_c4).withColumn(
+        "_neg_rev", -F.col("rev_c4")
+    )
+    cum = _global_prefix_sum(
+        r, ["_neg_rev", "l_partkey"], "rev_c4", "cum_c4"
+    )
+    tot = r.agg(F.sum("rev_c4").cast("bigint").alias("tot_c4"))
+    share = F.col("cum_c4").cast("double") / F.col("tot_c4").cast("double")
+    k = cum.crossJoin(F.broadcast(tot)).select(
+        F.when(share <= 0.80, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_c4",
+        "tot_c4",
+    )
+    return k.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        round_half_up(F.sum("rev_c4").cast("double") / F.lit(10000.0), 2).alias(
+            "revenue"
+        ),
+        round_half_up(
+            F.sum("rev_c4").cast("double") / F.max("tot_c4").cast("double"), 6
+        ).alias("revenue_share"),
+    )
