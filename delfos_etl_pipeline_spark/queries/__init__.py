@@ -132,6 +132,7 @@ _R4_CHANGED_FIRST = [
     "sample_class_balance",     # new: exact per-class quota downsample
     "dq_referential_orphans",   # new: FK-edge orphan audit via anti joins
     "abc_pareto_parts",         # new: Pareto tiers via two-phase prefix scan
+    "emb_silhouette_centroid",  # new: clustering quality, decimal-term dists
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -681,3 +681,138 @@ def emb_project_pca(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out, _ = pca_fit_project(emb, "vec_id", "embedding", k=16)
     return out
+
+
+@query(
+    "emb_silhouette_centroid",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS dim_idx,
+             floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS xd
+      FROM embeddings
+    ),
+    ct AS (
+      SELECT label AS label_c, dim_idx,
+             floor((CAST(sum(CAST(xd AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS centroid
+      FROM x GROUP BY label, dim_idx
+    ),
+    t AS (
+      SELECT x.vec_id, x.label, ct.label_c,
+             CAST(floor((x.xd - ct.centroid) * (x.xd - ct.centroid)
+                        * 1000000000000.0 + 0.5) / 1000000000000.0
+                  AS DECIMAL(30,12)) AS term
+      FROM x JOIN ct ON x.dim_idx = ct.dim_idx
+    ),
+    d AS (
+      SELECT vec_id, label, label_c,
+             sqrt(CAST(sum(term) AS DOUBLE)) AS dist
+      FROM t GROUP BY vec_id, label, label_c
+    ),
+    s AS (
+      SELECT vec_id, label,
+             max(CASE WHEN label_c = label THEN dist END) AS a,
+             min(CASE WHEN label_c <> label THEN dist END) AS b
+      FROM d GROUP BY vec_id, label
+    ),
+    u AS (
+      SELECT label,
+             CAST(floor((b - a) / greatest(a, b) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS su
+      FROM s
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(su) AS DOUBLE) / count(*) + 0.5) / 1000000000.0
+             AS silhouette
+    FROM u GROUP BY label
+    """,
+)
+def emb_silhouette_centroid(spark, sf_dir):
+    """Centroid-based (simplified) silhouette score per class — the
+    clustering-quality diagnostic: a = distance to the own-class
+    prototype, b = distance to the nearest other prototype, s =
+    (b−a)/max(a,b), averaged per class. Unlike the full silhouette's
+    O(n²) pairwise distances, the centroid form is O(n·k·dims): the
+    |labels|×dims prototype table (exact decimal means, same contract as
+    emb_centroid_by_label) BROADCASTS to an exploded (row, dim) long
+    form, squared deviations pin to DECIMAL(30,12) micro-terms (the
+    emb_standardize idiom) so the 64-dim reduction is an order-free
+    exact sum on both engines, and sqrt/divide/min are single
+    correctly-rounded IEEE ops. Per-class means accumulate the scores as
+    integer nano-units. 100 TB: one fact scan exploded ×dims×k with
+    map-side partial aggregation; nothing driver-side but the result."""
+    dims = 64
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.floor(
+                            F.element_at("embedding", i + 1).cast("double")
+                            * 1000000.0
+                            + 0.5
+                        )
+                        / 1000000.0
+                    )
+                    for i in range(dims)
+                ]
+            )
+        ).alias("dim_idx", "xd"),
+    )
+    ct = (
+        x.groupBy(F.col("label").alias("label_c"), "dim_idx")
+        .agg(
+            (
+                F.floor(
+                    (
+                        F.sum(F.col("xd").cast("decimal(18,6)")).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("centroid")
+        )
+    )
+    dev = F.col("xd") - F.col("centroid")
+    term = (
+        F.floor(dev * dev * F.lit(1000000000000.0) + F.lit(0.5))
+        / F.lit(1000000000000.0)
+    ).cast("decimal(30,12)")
+    d = (
+        x.join(F.broadcast(ct), "dim_idx")
+        .select("vec_id", "label", "label_c", term.alias("term"))
+        .groupBy("vec_id", "label", "label_c")
+        .agg(F.sqrt(F.sum("term").cast("double")).alias("dist"))
+    )
+    s = d.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("label_c") == F.col("label"), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("label_c") != F.col("label"), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    su = F.floor(
+        (F.col("b") - F.col("a"))
+        / F.greatest("a", "b")
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        s.select("label", su.alias("su"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.floor(F.sum("su").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+                / F.lit(1000000000.0)
+            ).alias("silhouette"),
+        )
+    )
