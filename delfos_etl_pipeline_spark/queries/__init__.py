@@ -133,6 +133,7 @@ _R4_CHANGED_FIRST = [
     "dq_referential_orphans",   # new: FK-edge orphan audit via anti joins
     "abc_pareto_parts",         # new: Pareto tiers via two-phase prefix scan
     "emb_silhouette_centroid",  # new: clustering quality, decimal-term dists
+    "dedup_containment",        # new: asymmetric sub-document containment
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

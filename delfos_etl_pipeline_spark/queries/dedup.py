@@ -882,3 +882,82 @@ def er_fuzzy_blocked(spark, sf_dir):
             F.min("ka").alias("example_key"),
         )
     )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT p.doc_a, p.doc_b, p.shared, sa.sz AS sz_a, sb.sz AS sz_b
+      FROM pairs p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+    )
+    SELECT doc_a AS doc_sub, doc_b AS doc_super,
+           round(shared * 1.0 / sz_a, 6) AS containment
+    FROM sized WHERE round(shared * 1.0 / sz_a, 6) >= 0.9
+    UNION ALL
+    SELECT doc_b, doc_a, round(shared * 1.0 / sz_b, 6)
+    FROM sized WHERE round(shared * 1.0 / sz_b, 6) >= 0.9
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """ASYMMETRIC near-dup: shingle containment C(a→b) = |A∩B|/|A| ≥ 0.9
+    — catches what Jaccard structurally cannot: a short document embedded
+    verbatim in a much longer one (quotes, boilerplate wrappers,
+    truncated re-crawls) scores near-zero Jaccard because the union is
+    dominated by the longer side, but containment of the SHORT side is ~1.
+    Same machinery as the Jaccard family (one shared-shingle count per
+    unordered candidate pair, sizes riding the shingle rows), then each
+    pair is tested in BOTH directions — directed output (doc_sub ⊆
+    doc_super). Scale posture is inherited: shingle-keyed candidate join
+    with the max_shingle_freq boilerplate bound (dedup/ngram.py module
+    docstring); the one extra cost vs Jaccard is the directed
+    projection, which is a map-side union of two filters over the same
+    aggregated pair relation — computed once, consumed twice via the
+    sized subtree (Catalyst reuses the exchange)."""
+    from delfos_etl_pipeline_spark.dedup.ngram import shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("shingle"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("shingle"),
+    )
+    sized = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .persist()
+    )
+    c_ab = F.round(F.col("shared") * F.lit(1.0) / F.col("sz_a"), 6)
+    c_ba = F.round(F.col("shared") * F.lit(1.0) / F.col("sz_b"), 6)
+    fwd = sized.where(c_ab >= 0.9).select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        c_ab.alias("containment"),
+    )
+    rev = sized.where(c_ba >= 0.9).select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_super"),
+        c_ba.alias("containment"),
+    )
+    return fwd.unionByName(rev)
