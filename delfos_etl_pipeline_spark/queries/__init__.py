@@ -134,6 +134,7 @@ _R4_CHANGED_FIRST = [
     "abc_pareto_parts",         # new: Pareto tiers via two-phase prefix scan
     "emb_silhouette_centroid",  # new: clustering quality, decimal-term dists
     "dedup_containment",        # new: asymmetric sub-document containment
+    "w11_range_interval",       # new: time-RANGE frame, tiebreak-free
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -878,3 +878,60 @@ def w10_rolling_corr(spark, sf_dir):
         .otherwise(round_half_up(num / F.sqrt(den2), 6))
         .alias("rolling_corr"),
     )
+
+
+@query(
+    "w11_range_interval",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS sec,
+             value
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           floor((CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                  / (count(*) OVER w)) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_1h
+    FROM e
+    WINDOW w AS (PARTITION BY event_type ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w11_range_interval(spark, sf_dir):
+    """Time-RANGE window frame: trailing one-HOUR count and mean per
+    event over its type's timeline — the frame is defined by the ORDER
+    value (epoch seconds within [t−3600, t]), not by row positions, so
+    bursts widen the frame and quiet spells shrink it; the row-frame
+    windows (w3/w6/w8) cannot express this. RANGE frames are also
+    tiebreak-free by construction: every row sharing the current second
+    is in-frame regardless of sort order, so no (ts, event_id) pinning
+    is needed for determinism. The mean accumulates DECIMAL(18,6) inside
+    the running frame (order-free exact sum). 100 TB: one hash exchange
+    on event_type + per-partition sort — same cost envelope as every
+    other single-window query; Spark's RANGE implementation keeps a
+    sliding frame buffer bounded by the densest hour per series."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(1000000.0)).cast("bigint").alias(
+            "sec"
+        ),
+        "value",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        round_half_up(
+            F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+        ).alias("mean_1h"),
+    )
