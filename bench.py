@@ -126,6 +126,20 @@ HEADLINE = [
     "cohort_ltv_curve",
     "attribution_last_touch",
     "markov_event_transitions",
+    "json_props_extract",
+    "ohlc_daily",
+    "er_fuzzy_blocked",
+    "survival_kaplan_meier",
+    "forecast_seasonal_backtest",
+    "trend_theil_sen",
+    "forecast_holt_linear",
+    "attribution_position_based",
+    "sample_class_balance",
+    "dq_referential_orphans",
+    "abc_pareto_parts",
+    "emb_silhouette_centroid",
+    "dedup_containment",
+    "w11_range_interval",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,
