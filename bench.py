@@ -140,6 +140,8 @@ HEADLINE = [
     "emb_silhouette_centroid",
     "dedup_containment",
     "w11_range_interval",
+    "growth_accounting_weekly",
+    "text_langid_confusion",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -135,6 +135,8 @@ _R4_CHANGED_FIRST = [
     "emb_silhouette_centroid",  # new: clustering quality, decimal-term dists
     "dedup_containment",        # new: asymmetric sub-document containment
     "w11_range_interval",       # new: time-RANGE frame, tiebreak-free
+    "growth_accounting_weekly", # new: new/retained/resurrected/churned
+    "text_langid_confusion",    # new: eval confusion matrix vs labels
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -462,3 +462,69 @@ def text_collocations_pmi(spark, sf_dir):
         .orderBy(F.desc("pmi"), "x", "y")
         .limit(20)
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ), h AS (
+      SELECT doc_id, lang,
+             len(list_filter(words, x -> x IN ('the','and','of','a','in')))   AS hits_en,
+             len(list_filter(words, x -> x IN ('der','die','und','das','ist'))) AS hits_de,
+             len(list_filter(words, x -> x IN ('le','la','et','les','des')))  AS hits_fr,
+             len(list_filter(words, x -> x IN ('el','los','y','que','una')))  AS hits_es
+      FROM w
+    ), p AS (
+      SELECT lang AS lang_actual,
+             CASE
+               WHEN hits_en > 0 AND hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+               WHEN hits_de > 0 AND hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+               WHEN hits_fr > 0 AND hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+               WHEN hits_es > 0 AND hits_es = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'es'
+               ELSE 'unk'
+             END AS lang_pred
+      FROM h
+    ), c AS (
+      SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY lang_actual, lang_pred
+    )
+    SELECT lang_actual, lang_pred, n,
+           floor(n * 1.0 / (CAST(sum(n) OVER (PARTITION BY lang_actual)
+                                 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+             AS row_rate
+    FROM c
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Classifier-evaluation harness over the language-ID heuristic: the
+    confusion matrix of predicted vs LABELED language (documents.lang is
+    ground truth in the testdata), with per-actual-language row rates —
+    the diagonal is recall. Reuses the registered text_langid expression
+    chain (same stopword-marker argmax, one pass, no UDFs) with the
+    label carried through the scan; the matrix is |langs|² rows, the
+    row-normalizer a broadcastable window over it. This is the
+    eval-during-curation shape: quality-gate a heuristic against a
+    labeled sample before unleashing it on the unlabeled 100 TB."""
+    from delfos_etl_pipeline_spark.text.analysis import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_id(docs, "doc_id", "text").select("doc_id", "lang_guess")
+    c = (
+        docs.select("doc_id", F.col("lang").alias("lang_actual"))
+        .join(pred, "doc_id")
+        .groupBy("lang_actual", F.col("lang_guess").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wrow = Window.partitionBy("lang_actual")
+    return c.select(
+        "lang_actual",
+        "lang_pred",
+        "n",
+        round_half_up(
+            F.col("n") * F.lit(1.0) / F.sum("n").over(wrow).cast("double"), 6
+        ).alias("row_rate"),
+    )

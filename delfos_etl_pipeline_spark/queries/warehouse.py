@@ -3403,3 +3403,93 @@ def abc_pareto_parts(spark, sf_dir):
             F.sum("rev_c4").cast("double") / F.max("tot_c4").cast("double"), 6
         ).alias("revenue_share"),
     )
+
+
+@query(
+    "growth_accounting_weekly",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, wk,
+             min(wk) OVER (PARTITION BY user_id) AS first_wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+      FROM a
+    ),
+    t AS (
+      SELECT wk,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(count(*) FILTER (WHERE wk = first_wk) AS BIGINT) AS n_new,
+             CAST(count(*) FILTER (WHERE prev_wk = wk - 7) AS BIGINT)
+               AS n_retained,
+             CAST(count(*) FILTER (WHERE prev_wk IS NOT NULL
+                                     AND prev_wk < wk - 7) AS BIGINT)
+               AS n_resurrected
+      FROM s GROUP BY wk
+    )
+    SELECT wk, n_active, n_new, n_retained, n_resurrected,
+           coalesce(lag(n_active) OVER (ORDER BY wk), 0) - n_retained
+             AS n_churned_from_prev
+    FROM t
+    """,
+)
+def growth_accounting_weekly(spark, sf_dir):
+    """Weekly growth accounting (the new/retained/resurrected/churned
+    decomposition every consumer-product dashboard runs): distinct
+    (user, ISO week) activity, each row classified against the user's
+    previous active week — new (first week ever), retained (active the
+    immediately preceding week), resurrected (returned after a gap) —
+    and churn derived by conservation: churned-from-prev = last week's
+    actives minus this week's retained. Identity n_active = n_new +
+    n_retained + n_resurrected holds by construction. One user-keyed
+    window over the deduplicated activity relation (|users|×|weeks|
+    rows, far smaller than the fact table), then a |weeks|-row lag.
+    Both engines truncate to Monday-start ISO weeks."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("wk")
+    s = a.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(wu).alias("first_wk"),
+        F.lag("wk").over(wo).alias("prev_wk"),
+    )
+    t = s.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_wk") == F.date_sub(F.col("wk"), 7), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_wk").isNotNull()
+                & (F.col("prev_wk") < F.date_sub(F.col("wk"), 7)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    wlag = Window.orderBy("wk")
+    return t.select(
+        "wk",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (
+            F.coalesce(F.lag("n_active").over(wlag), F.lit(0))
+            - F.col("n_retained")
+        ).alias("n_churned_from_prev"),
+    )
