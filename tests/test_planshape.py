@@ -448,3 +448,74 @@ def test_cusum_windows_only_on_calendar_table(spark, sf_dir):
     assert _count(plan, "CartesianProduct") == 0, plan
     # the persisted daily table serves both consumers
     assert _count(plan, "InMemoryTableScan") >= 2, plan
+
+
+def test_fuzzy_blocked_joins_on_block_keys(spark, sf_dir):
+    """The pigeonhole fuzzy join must plan BOTH passes as equi-joins on
+    the blocking segments — a cartesian (nested-loop on the levenshtein
+    predicate alone) would be the n² plan the blocking exists to avoid."""
+    plan = _plan(spark, sf_dir, "er_fuzzy_blocked")
+    assert _count(plan, "CartesianProduct") == 0, plan
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_silhouette_broadcasts_centroids(spark, sf_dir):
+    """The |labels|×dims prototype table must broadcast to the exploded
+    fact side; shuffling rows×dims on dim_idx would move the corpus."""
+    plan = _plan(spark, sf_dir, "emb_silhouette_centroid")
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan
+
+
+def test_forecast_backtest_broadcasts_model(spark, sf_dir):
+    """Seasonal backtest: the global-max date (1 row) and the
+    |series|×24 model table both broadcast onto the test scan."""
+    plan = _plan(spark, sf_dir, "forecast_seasonal_backtest")
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan
+    assert _count(plan, "BroadcastNestedLoopJoin") >= 1, plan  # 1-row max date
+    assert _count(plan, "CartesianProduct") == 0, plan
+
+
+def test_abc_pareto_prefix_stays_parallel(spark, sf_dir):
+    """The revenue prefix scan must be the two-phase range-partitioned
+    shape: every cumulative WINDOW keyed by the partition id, never a
+    partitionless window. (The grand-total scalar aggregate is allowed
+    its 1-row SinglePartition boundary reduce.)"""
+    plan = _plan(spark, sf_dir, "abc_pareto_parts")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "windowspecdefinition(_pid" in plan, plan
+    import re
+
+    assert not re.search(r"windowspecdefinition\((?!_pid)", plan), plan
+
+
+def test_containment_reuses_pair_subtree(spark, sf_dir):
+    """Directed containment consumes the aggregated pair relation twice
+    (forward + reverse filters); the persisted subtree must appear as an
+    InMemoryTableScan on both sides instead of recomputing the shingle
+    join, and nothing may plan cartesian."""
+    plan = _plan(spark, sf_dir, "dedup_containment")
+    assert _count(plan, "CartesianProduct") == 0, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_range_interval_window_partitions_by_series(spark, sf_dir):
+    """The time-RANGE frame must ride a hash exchange on event_type —
+    never a single global sort."""
+    plan = _plan(spark, sf_dir, "w11_range_interval")
+    assert "singlepartition" not in plan.lower(), plan
+
+
+def test_attribution_position_windows_stay_keyed(spark, sf_dir):
+    """Both window passes (user, then user×journey) must be partitioned;
+    the per-journey rank must not collapse to one task."""
+    plan = _plan(spark, sf_dir, "attribution_position_based")
+    assert "singlepartition" not in plan.lower(), plan
+
+
+def test_referential_orphans_broadcast_dim_keys(spark, sf_dir):
+    """Every dimension-keyed FK edge must anti-join against a BROADCAST
+    key set; only the lineitem→orders fact edge may shuffle."""
+    plan = _plan(spark, sf_dir, "dq_referential_orphans")
+    assert _count(plan, "BroadcastHashJoin") >= 5, plan
+    shuffles = _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin")
+    assert shuffles <= 2, plan
