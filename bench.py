@@ -142,6 +142,7 @@ HEADLINE = [
     "w11_range_interval",
     "growth_accounting_weekly",
     "text_langid_confusion",
+    "recsys_item_cosine",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

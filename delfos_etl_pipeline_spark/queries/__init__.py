@@ -137,6 +137,7 @@ _R4_CHANGED_FIRST = [
     "w11_range_interval",       # new: time-RANGE frame, tiebreak-free
     "growth_accounting_weekly", # new: new/retained/resurrected/churned
     "text_langid_confusion",    # new: eval confusion matrix vs labels
+    "recsys_item_cosine",       # new: item-item CF top-k, basket-bounded
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -3493,3 +3493,102 @@ def growth_accounting_weekly(spark, sf_dir):
             - F.col("n_retained")
         ).alias("n_churned_from_prev"),
     )
+
+
+@query(
+    "recsys_item_cosine",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    deg AS (
+      SELECT l_partkey, count(*) AS c FROM op GROUP BY l_partkey
+    ),
+    co AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c_pair
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT pa AS part, pb AS rec, c_pair FROM co
+      UNION ALL
+      SELECT pb, pa, c_pair FROM co
+    ),
+    scored AS (
+      SELECT s.part, s.rec, s.c_pair,
+             floor(s.c_pair / sqrt(da.c * db.c) * 1000000.0 + 0.5)
+               / 1000000.0 AS cosine
+      FROM sym s
+      JOIN deg da ON s.part = da.l_partkey
+      JOIN deg db ON s.rec = db.l_partkey
+    ),
+    ranked AS (
+      SELECT part, rec, c_pair, cosine,
+             row_number() OVER (PARTITION BY part
+                                ORDER BY cosine DESC, rec ASC) AS rk
+      FROM scored
+    )
+    SELECT part, rec, CAST(c_pair AS BIGINT) AS c_pair, cosine,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def recsys_item_cosine(spark, sf_dir):
+    """Item-item collaborative filtering ("also-bought"): cosine
+    similarity on the binary order×part incidence — sim(i,j) =
+    co-orders(i,j) / √(orders(i)·orders(j)) — with the top-3
+    recommendations per part. Complements basket_association_rules
+    (lift/confidence on the SAME co-occurrence relation) with the
+    normalized-similarity ranking an online recommender serves. The
+    pair generation self-joins WITHIN each order after (order, part)
+    dedup, so the blow-up is Σ basket² — bounded by real basket sizes,
+    never |parts|²; min-support ≥ 2 prunes singleton noise before the
+    degree joins; cosine = int/√(int·int) is a single correctly-rounded
+    IEEE op chain on both engines, and the per-part ranking ties break
+    on the rec key. 100 TB: co-occurrence counting is one shuffle on
+    orderkey + one on the pair — both combinable map-side; degrees
+    broadcast at |parts| ≪ fact scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    deg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .where(F.col("c_pair") >= 2)
+    )
+    sym = co.select(
+        F.col("pa").alias("part"), F.col("pb").alias("rec"), "c_pair"
+    ).unionByName(
+        co.select(F.col("pb").alias("part"), F.col("pa").alias("rec"), "c_pair")
+    )
+    da = deg.select(F.col("l_partkey").alias("part"), F.col("c").alias("ca"))
+    db = deg.select(F.col("l_partkey").alias("rec"), F.col("c").alias("cb"))
+    scored = (
+        sym.join(F.broadcast(da), "part")
+        .join(F.broadcast(db), "rec")
+        .select(
+            "part",
+            "rec",
+            "c_pair",
+            round_half_up(
+                F.col("c_pair") / F.sqrt(F.col("ca") * F.col("cb")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("cosine"), F.asc("rec"))
+    return (
+        scored.select(
+            "part",
+            "rec",
+            F.col("c_pair").cast("bigint").alias("c_pair"),
+            "cosine",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+        .select("part", "rec", "c_pair", "cosine", F.col("rk").cast("bigint").alias("rk"))
+    )
