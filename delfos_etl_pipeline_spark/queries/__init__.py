@@ -54,7 +54,7 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # REAL regression gate is tools/check_oracle.py, which runs EVERY
 # registered query against its oracle and is executed locally before each
 # commit — if the driver ever samples differently, nothing ships unchecked.
-# Round 4 final: ~56 genuinely-new queries this round exceed the ~50
+# Round 4 final: ~73 genuinely-new queries this round exceed the ~50
 # window by construction — the first 50 registered get their driver row
 # now; the remaining new entries (all certified exact at sf0.001/0.01/
 # 0.1 by the local differential sweeps) plus the bit-identical
