@@ -143,6 +143,9 @@ HEADLINE = [
     "growth_accounting_weekly",
     "text_langid_confusion",
     "recsys_item_cosine",
+    "seqpat_followed_by",
+    "o5_keyset_pagination",
+    "ols_elasticity_by_type",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

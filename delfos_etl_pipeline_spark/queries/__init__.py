@@ -138,6 +138,9 @@ _R4_CHANGED_FIRST = [
     "growth_accounting_weekly", # new: new/retained/resurrected/churned
     "text_langid_confusion",    # new: eval confusion matrix vs labels
     "recsys_item_cosine",       # new: item-item CF top-k, basket-bounded
+    "seqpat_followed_by",       # new: a-before-b support via type summaries
+    "o5_keyset_pagination",     # new: seek-method pages, pushable anchor
+    "ols_elasticity_by_type",   # new: cross-join regression, all-int stats
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -633,3 +633,55 @@ def skyline_orders(spark, sf_dir):
         "o_totalprice",
         "o_orderdate",
     )
+
+
+@query(
+    "o5_keyset_pagination",
+    oracle="""
+    WITH anchor AS (
+      SELECT o_totalprice AS ap, o_orderkey AS ak
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 1 OFFSET 99
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders, anchor
+    WHERE o_totalprice < ap
+       OR (o_totalprice = ap AND o_orderkey > ak)
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def o5_keyset_pagination(spark, sf_dir):
+    """Keyset (seek-method) pagination: page N+1 starts strictly after
+    the last seen (o_totalprice, o_orderkey) composite — the API-serving
+    pattern the reference's paginated query endpoint needs at scale
+    (api/app/main.py:80-164 pages with LIMIT/OFFSET; OFFSET k scans and
+    discards k rows EVERY page, so deep pages cost O(pages²) total,
+    while the seek predicate is pushable and each page is one
+    TakeOrderedAndProject). The anchor here is computed in-query (the
+    100th row) to keep the oracle self-contained; a real API passes it
+    as a cursor token. The page fetch itself never sorts more than
+    top-25 per partition (TakeOrderedAndProject), and the anchor
+    predicate prunes row groups via parquet min/max on o_totalprice."""
+    o = _t(spark, sf_dir, "orders")
+    anchor = (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select(
+            F.col("o_totalprice").alias("ap"), F.col("o_orderkey").alias("ak")
+        )
+        .offset(99)
+        .limit(1)
+    )
+    return (
+        o.crossJoin(F.broadcast(anchor))
+        .where(
+            (F.col("o_totalprice") < F.col("ap"))
+            | (
+                (F.col("o_totalprice") == F.col("ap"))
+                & (F.col("o_orderkey") > F.col("ak"))
+            )
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )

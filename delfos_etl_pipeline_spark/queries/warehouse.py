@@ -3592,3 +3592,150 @@ def recsys_item_cosine(spark, sf_dir):
         .where(F.col("rk") <= 3)
         .select("part", "rec", "c_pair", "cosine", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+@query(
+    "seqpat_followed_by",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_type,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY user_id, event_type
+    ),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    p AS (
+      SELECT a.event_type AS t_first, b.event_type AS t_then,
+             CAST(count(*) AS BIGINT) AS support
+      FROM u a JOIN u b
+        ON a.user_id = b.user_id
+       AND a.event_type <> b.event_type
+       AND a.first_ts < b.last_ts
+      GROUP BY 1, 2
+    )
+    SELECT t_first, t_then, support,
+           floor(support * 1.0 / n_users * 1000000.0 + 0.5) / 1000000.0
+             AS support_rate
+    FROM p, n
+    """,
+)
+def seqpat_followed_by(spark, sf_dir):
+    """Sequential-pattern mining, "followed-by" support: for every
+    ordered type pair (a → b), the number of users with SOME a occurring
+    before SOME b — the non-adjacent generalization of the Markov
+    transition matrix (markov_event_transitions counts only immediate
+    successors; funnels fix one path). The unbounded existential
+    ("any a before any b") collapses to a per-user per-type (min_ts,
+    max_ts) summary — a-before-b ⟺ first(a) < last(b) — so the pair
+    probe is a |users|·|types|² self-join of the SUMMARY relation, never
+    of events: the fact table is touched once, by one user×type
+    aggregation. Support rates divide by the 1-row distinct-user count
+    (broadcast). 100 TB: summary is |users|·|types| rows co-keyed on
+    user_id, so the self-join is exchange-reusing and combinable."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    n = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    a = u.select(
+        "user_id",
+        F.col("event_type").alias("t_first"),
+        F.col("first_ts").alias("fa"),
+    )
+    b = u.select(
+        "user_id",
+        F.col("event_type").alias("t_then"),
+        F.col("last_ts").alias("lb"),
+    )
+    p = (
+        a.join(b, "user_id")
+        .where(
+            (F.col("t_first") != F.col("t_then")) & (F.col("fa") < F.col("lb"))
+        )
+        .groupBy("t_first", "t_then")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    return p.crossJoin(F.broadcast(n)).select(
+        "t_first",
+        "t_then",
+        "support",
+        round_half_up(F.col("support") * F.lit(1.0) / F.col("n_users"), 6).alias(
+            "support_rate"
+        ),
+    )
+
+
+@query(
+    "ols_elasticity_by_type",
+    oracle="""
+    WITH s AS (
+      SELECT p.p_type,
+             CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+             CAST(l.l_quantity AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    a AS (
+      SELECT p_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM s GROUP BY p_type
+    )
+    SELECT p_type, n,
+           floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sy AS DOUBLE))
+                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE))) * 1000000000.0 + 0.5)
+             / 1000000000.0 AS qty_per_discount_pt,
+           floor((CAST(sy AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_qty,
+           floor((CAST(sx AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_discount_pts
+    FROM a WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+)
+def ols_elasticity_by_type(spark, sf_dir):
+    """Cross-sectional discount elasticity: per part type, the OLS slope
+    of order quantity on discount points — "how many extra units does a
+    discount point buy" — the pricing-analytics regression, joined
+    across the fact and the part dimension (trend_slope_daily regresses
+    within a time series; this regresses across a join). ALL sufficient
+    statistics are exact BIGINT sums (discount in integer points,
+    quantity integral in the data), so the closed-form slope sees
+    bit-identical operands with NO decimal machinery at all — the
+    cheapest possible exactness tier (overflow bound: n·Σxy < 2⁶³ to
+    ~sf 10⁶; widen to DECIMAL(38,0) beyond). Dimension broadcast, one
+    shuffle of five numbers per type."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "p_type",
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    a = s.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return a.where(
+        (n >= 2) & (n * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
+    ).select(
+        "p_type",
+        "n",
+        round_half_up((n * sxy - sx * sy) / (n * sxx - sx * sx), 9).alias(
+            "qty_per_discount_pt"
+        ),
+        round_half_up(sy / n, 6).alias("avg_qty"),
+        round_half_up(sx / n, 6).alias("avg_discount_pts"),
+    )
