@@ -146,6 +146,7 @@ HEADLINE = [
     "seqpat_followed_by",
     "o5_keyset_pagination",
     "ols_elasticity_by_type",
+    "emb_anova_f_topdims",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

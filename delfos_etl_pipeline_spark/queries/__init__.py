@@ -141,6 +141,7 @@ _R4_CHANGED_FIRST = [
     "seqpat_followed_by",       # new: a-before-b support via type summaries
     "o5_keyset_pagination",     # new: seek-method pages, pushable anchor
     "ols_elasticity_by_type",   # new: cross-join regression, all-int stats
+    "emb_anova_f_topdims",      # new: ANOVA F feature ranking per dim
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

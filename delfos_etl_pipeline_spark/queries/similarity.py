@@ -6,8 +6,10 @@ unchanged — importing this module registers its queries.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from delfos_etl_pipeline_spark.functions.stable import round_half_up
 from delfos_etl_pipeline_spark.queries._registry import _t, query
 
 # ---------------------------------------------------------------------------
@@ -815,4 +817,125 @@ def emb_silhouette_centroid(spark, sf_dir):
                 / F.lit(1000000000.0)
             ).alias("silhouette"),
         )
+    )
+
+
+@query(
+    "emb_anova_f_topdims",
+    oracle="""
+    WITH x AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim_idx,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+                  / 1000000.0 AS DECIMAL(18,6)) AS xd
+      FROM embeddings
+    ),
+    g AS (
+      SELECT dim_idx, label,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(xd) AS s,
+             sum(xd * xd) AS ss
+      FROM x GROUP BY dim_idx, label
+    ),
+    d AS (
+      SELECT dim_idx,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(s) AS DOUBLE) AS st,
+             CAST(sum(ss) AS DOUBLE) AS sst,
+             sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb_raw
+      FROM g GROUP BY dim_idx
+    ),
+    f AS (
+      SELECT dim_idx, k, nt,
+             (sb_raw - st * st / nt) AS ssb,
+             (sst - sb_raw) AS ssw
+      FROM d
+    ),
+    r AS (
+      SELECT dim_idx,
+             floor(((ssb / (k - 1)) / (ssw / (nt - k))) * 1000000.0 + 0.5)
+               / 1000000.0 AS f_stat
+      FROM f WHERE k > 1 AND nt > k AND ssw > 0
+    )
+    SELECT dim_idx, f_stat,
+           CAST(row_number() OVER (ORDER BY f_stat DESC, dim_idx) AS BIGINT)
+             AS rk
+    FROM r
+    ORDER BY rk LIMIT 8
+    """,
+)
+def emb_anova_f_topdims(spark, sf_dir):
+    """One-way ANOVA F feature ranking: the 8 embedding dimensions most
+    discriminative across class labels — F = (SSB/(k−1))/(SSW/(n−k))
+    from per-(dim, label) sufficient statistics, the classic filter-
+    method feature selector run before training a probe classifier.
+    Everything reduces to exact DECIMAL sums (count, Σx, Σx² per dim per
+    label — the emb_centroid contract), so between/within decompositions
+    see bit-identical doubles on both engines; Σ(s²/n) accumulates over
+    the |labels| per-dim groups — ≤ k terms in one aggregate whose
+    combine order is fixed by the deterministic singleton partitions of
+    a |dims|-row relation (verified exact at both SFs). 100 TB: one
+    exploded scan with map-side partials into |dims|·|labels| rows; the
+    ranking is a window over |dims| rows."""
+    dims = 64
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.floor(
+                            F.element_at("embedding", i + 1).cast("double")
+                            * 1000000.0
+                            + 0.5
+                        )
+                        / 1000000.0
+                    ).cast("decimal(18,6)")
+                    for i in range(dims)
+                ]
+            )
+        ).alias("dim_idx", "xd"),
+    )
+    g = x.groupBy("dim_idx", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xd").alias("s"),
+        F.sum(F.col("xd") * F.col("xd")).alias("ss"),
+    )
+    d = g.groupBy("dim_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("double").alias("st"),
+        F.sum("ss").cast("double").alias("sst"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        ).alias("sb_raw"),
+    )
+    fdf = d.select(
+        "dim_idx",
+        "k",
+        "nt",
+        (F.col("sb_raw") - F.col("st") * F.col("st") / F.col("nt")).alias("ssb"),
+        (F.col("sst") - F.col("sb_raw")).alias("ssw"),
+    )
+    r = fdf.where(
+        (F.col("k") > 1) & (F.col("nt") > F.col("k")) & (F.col("ssw") > 0)
+    ).select(
+        "dim_idx",
+        round_half_up(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("nt") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+    w = Window.orderBy(F.desc("f_stat"), F.asc("dim_idx"))
+    return (
+        r.select(
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+            "f_stat",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .orderBy("rk")
+        .limit(8)
     )
