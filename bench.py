@@ -147,6 +147,7 @@ HEADLINE = [
     "o5_keyset_pagination",
     "ols_elasticity_by_type",
     "emb_anova_f_topdims",
+    "dedup_lsh_recall_eval",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -142,6 +142,7 @@ _R4_CHANGED_FIRST = [
     "o5_keyset_pagination",     # new: seek-method pages, pushable anchor
     "ols_elasticity_by_type",   # new: cross-join regression, all-int stats
     "emb_anova_f_topdims",      # new: ANOVA F feature ranking per dim
+    "dedup_lsh_recall_eval",    # new: banding recall vs exact truth
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from delfos_etl_pipeline_spark.functions.stable import round_half_up
 from delfos_etl_pipeline_spark.queries._registry import _t, query
 
 # ---------------------------------------------------------------------------
@@ -961,3 +962,118 @@ def dedup_containment(spark, sf_dir):
         c_ba.alias("containment"),
     )
     return fwd.unionByName(rev)
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + 2), ' ')
+             )) AS shingles
+      FROM d
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), i ->
+               list_min(list_transform(shingles,
+                 s -> md5(i::VARCHAR || '|' || s)))) AS sg
+      FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(array_to_string(
+               list_slice(sg, band * 4 + 1, band * 4 + 4), '|')) AS bucket
+      FROM sig, unnest(range(0, 16)) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    sh_ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh_ex a JOIN sh_ex b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pairs p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) >= 0.6
+    ),
+    m AS (
+      SELECT (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM truth t
+              JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+               AS n_hit
+    )
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           floor(n_hit * 1.0 / n_true * 1000000.0 + 0.5) / 1000000.0
+             AS recall
+    FROM m
+    """,
+)
+def dedup_lsh_recall_eval(spark, sf_dir):
+    """Dedup-detector EVAL harness: banding recall of MinHash(64)+LSH(16
+    bands) against the exact-Jaccard ≥ 0.6 ground truth — the number
+    every production dedup deployment must publish before trusting the
+    approximate path (the 16×4 banding S-curve predicts ~99% recall at
+    J=0.6; this measures it on the actual corpus). Composes two
+    ALREADY-ORACLED pipelines — lsh_candidates (pre-verification banding
+    output) and jaccard_pairs (exact truth) — and reduces to one row of
+    counts: truth, candidates, hits, recall. The join of the two pair
+    sets is by (doc_a, doc_b) keys, both sides already deduplicated and
+    far smaller than the corpus; everything else is the previously
+    certified machinery (md5 keying for the oracle twin, xxhash64 in
+    production). Precision needs no row: LSH candidates are verified
+    exactly downstream, so false positives cost only verify time."""
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from delfos_etl_pipeline_spark.dedup.ngram import (
+        jaccard_pairs,
+        shingle_arrays,
+        shingle_sets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(
+        shingle_arrays(docs, "doc_id", "text", n=3, hashed=False),
+        hash_fn="md5",
+    )
+    cand = lsh_candidates(sig, hash_fn="md5").persist()
+    truth = jaccard_pairs(
+        shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True),
+        threshold=0.6,
+    ).select("doc_a", "doc_b").persist()
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    m = (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        .crossJoin(
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        )
+        .crossJoin(hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
+    )
+    return m.select(
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        round_half_up(F.col("n_hit") * F.lit(1.0) / F.col("n_true"), 6).alias(
+            "recall"
+        ),
+    )
