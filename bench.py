@@ -148,6 +148,7 @@ HEADLINE = [
     "ols_elasticity_by_type",
     "emb_anova_f_topdims",
     "dedup_lsh_recall_eval",
+    "text_simpson_diversity",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -143,6 +143,7 @@ _R4_CHANGED_FIRST = [
     "ols_elasticity_by_type",   # new: cross-join regression, all-int stats
     "emb_anova_f_topdims",      # new: ANOVA F feature ranking per dim
     "dedup_lsh_recall_eval",    # new: banding recall vs exact truth
+    "text_simpson_diversity",   # new: integer-exact repetitiveness signal
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from delfos_etl_pipeline_spark.functions.stable import round_half_up
 from delfos_etl_pipeline_spark.queries._registry import _t, query
 
 # ---------------------------------------------------------------------------
@@ -490,4 +491,80 @@ def text_bpe_train(spark, sf_dir):
             for t, (x, y, c) in enumerate(merges)
         ],
         "merge_rank bigint, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+@query(
+    "text_simpson_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n,
+             list_transform(range(1, length(text) + 1),
+                            i -> substr(text, i, 1)) AS chars
+      FROM documents WHERE length(text) > 1
+    ),
+    d AS (
+      SELECT doc_id, n,
+             list_distinct(chars) AS dchars,
+             chars
+      FROM c
+    ),
+    s AS (
+      SELECT doc_id, n,
+             CAST(len(dchars) AS BIGINT) AS n_distinct,
+             CAST(list_sum(list_transform(dchars,
+               ch -> len(list_filter(chars, x -> x = ch))
+                     * (len(list_filter(chars, x -> x = ch)) - 1)))
+               AS BIGINT) AS rep
+      FROM d
+    )
+    SELECT doc_id, n, n_distinct,
+           floor(rep * 1.0 / (n * (n - 1)) * 1000000.0 + 0.5) / 1000000.0
+             AS simpson_repeat,
+           floor((1.0 - rep * 1.0 / (n * (n - 1))) * 1000000.0 + 0.5)
+             / 1000000.0 AS diversity
+    FROM s
+    """,
+)
+def text_simpson_diversity(spark, sf_dir):
+    """Character-level Simpson diversity per document — the probability
+    two random characters differ (1 − Σ cᵢ(cᵢ−1)/n(n−1)) — the
+    repetitiveness signal that flags degenerate boilerplate/spam where
+    entropy would need transcendental log2 (a split-libm hazard across
+    engines): Simpson's index is a pure INTEGER ratio, so both engines
+    compute bit-identical doubles from exact counts. All
+    expression-level (split → distinct → counted filters, mirrored
+    list_transform/list_filter in the oracle), zero exchanges — a
+    scan-bound quality gate like the Gopher signals it complements.
+    Alphabet is bounded (ASCII corpus), so the per-doc work is
+    O(len·|alphabet|) with no data movement at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    c = docs.where(F.length("text") > 1).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n"),
+        chars.alias("chars"),
+    ).select(
+        "doc_id", "n", "chars", F.array_distinct("chars").alias("dchars")
+    )
+    cnt = lambda ch: F.size(F.filter(F.col("chars"), lambda x: x == ch))
+    rep = F.aggregate(
+        F.transform(F.col("dchars"), lambda ch: (cnt(ch) * (cnt(ch) - 1)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    s = c.select(
+        "doc_id",
+        "n",
+        F.size("dchars").cast("bigint").alias("n_distinct"),
+        rep.alias("rep"),
+    )
+    raw = F.col("rep") * F.lit(1.0) / (F.col("n") * (F.col("n") - 1))
+    return s.select(
+        "doc_id",
+        "n",
+        "n_distinct",
+        round_half_up(raw, 6).alias("simpson_repeat"),
+        round_half_up(F.lit(1.0) - raw, 6).alias("diversity"),
     )
