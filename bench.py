@@ -149,6 +149,7 @@ HEADLINE = [
     "emb_anova_f_topdims",
     "dedup_lsh_recall_eval",
     "text_simpson_diversity",
+    "sim_ivf_recall_eval",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -939,3 +939,102 @@ def emb_anova_f_topdims(spark, sf_dir):
         .orderBy("rk")
         .limit(8)
     )
+
+
+@query(
+    "sim_ivf_recall_eval",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v
+      WHERE vec_id <> 0 ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT v.vec_id, v.e, c.cid,
+             list_dot_product(v.e, c.ce) /
+               (sqrt(list_dot_product(v.e, v.e)) *
+                sqrt(list_dot_product(c.ce, c.ce))) AS sim
+      FROM v JOIN cent c ON true
+      WHERE v.vec_id <> 0
+    ),
+    assign AS (
+      SELECT vec_id, e, cid AS cluster FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+    ),
+    probe AS (
+      SELECT c.cid FROM cent c, q
+      ORDER BY list_dot_product(c.ce, q.qe) /
+               (sqrt(list_dot_product(c.ce, c.ce)) *
+                sqrt(list_dot_product(q.qe, q.qe))) DESC, c.cid
+      LIMIT 2
+    ),
+    ivf AS (
+      SELECT a.vec_id,
+             round(list_dot_product(a.e, q.qe) /
+                   (sqrt(list_dot_product(a.e, a.e)) *
+                    sqrt(list_dot_product(q.qe, q.qe))), 6) AS cs
+      FROM assign a, q
+      WHERE a.cluster IN (SELECT cid FROM probe)
+      ORDER BY cs DESC, a.vec_id
+      LIMIT 10
+    ),
+    exact AS (
+      SELECT v.vec_id,
+             round(list_dot_product(v.e, q.qe) /
+                   (sqrt(list_dot_product(v.e, v.e)) *
+                    sqrt(list_dot_product(q.qe, q.qe))), 6) AS cs
+      FROM v, q WHERE v.vec_id <> 0
+      ORDER BY cs DESC, v.vec_id
+      LIMIT 10
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM exact e JOIN ivf i ON e.vec_id = i.vec_id) AS n_hit,
+           floor((SELECT count(*) FROM exact e JOIN ivf i
+                  ON e.vec_id = i.vec_id) * 1.0 / 10 * 1000000.0 + 0.5)
+             / 1000000.0 AS recall_at_10
+    """,
+)
+def sim_ivf_recall_eval(spark, sf_dir):
+    """ANN EVAL harness: recall@10 of the IVF probe (8 cells, n_probe=2,
+    deterministic fixed-centroid build — the exact-oracled quantizer)
+    against the brute-force exact top-10 — the one number that decides
+    n_probe/n_clusters in production, here pinned as a first-class
+    certified query like the dedup twin (dedup_lsh_recall_eval). The
+    eval composes two already-oracled pipelines (ivf_topk and
+    brute_force_topk) and joins their id sets; at 100 TB the eval runs
+    on a held-out query sample while the brute-force side is the
+    documented N-scan ground-truth pass you pay once per tuning
+    sweep."""
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        build_ivf_index_fixed,
+        ivf_topk,
+    )
+    from delfos_etl_pipeline_spark.similarity.knn import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    corpus = emb.where(F.col("vec_id") != 0)
+    assigned, centroids = build_ivf_index_fixed(
+        corpus, "vec_id", "embedding", n_clusters=8
+    )
+    ivf = ivf_topk(
+        assigned, centroids, qvec, "vec_id", "embedding", k=10, n_probe=2
+    ).select("vec_id")
+    exact = brute_force_topk(corpus, qvec, k=10).select("vec_id")
+    hit = exact.join(ivf, "vec_id")
+    return (
+        hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        .select(
+            F.lit(10).cast("bigint").alias("k"),
+            "n_hit",
+            round_half_up(F.col("n_hit") * F.lit(1.0) / F.lit(10), 6).alias(
+                "recall_at_10"
+            ),
+        )
+    )
