@@ -150,6 +150,7 @@ HEADLINE = [
     "dedup_lsh_recall_eval",
     "text_simpson_diversity",
     "sim_ivf_recall_eval",
+    "f_datetime_suite",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

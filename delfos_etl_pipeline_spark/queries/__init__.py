@@ -145,6 +145,7 @@ _R4_CHANGED_FIRST = [
     "dedup_lsh_recall_eval",    # new: banding recall vs exact truth
     "text_simpson_diversity",   # new: integer-exact repetitiveness signal
     "sim_ivf_recall_eval",      # new: ANN recall@10 vs exact truth
+    "f_datetime_suite",         # new: calendar scalars, ISO-normalized dow
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

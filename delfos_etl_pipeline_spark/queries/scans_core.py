@@ -830,3 +830,54 @@ def json_props_extract(spark, sf_dir):
             ).alias("avg_value"),
         )
     )
+
+
+@query(
+    "f_datetime_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS INTEGER)      AS y,
+           CAST(quarter(ts) AS INTEGER)   AS q,
+           CAST(month(ts) AS INTEGER)     AS mo,
+           CAST(day(ts) AS INTEGER)       AS d,
+           CAST(hour(ts) AS INTEGER)      AS h,
+           CAST(minute(ts) AS INTEGER)    AS mi,
+           CAST(isodow(ts) AS INTEGER)    AS iso_dow,
+           CAST(dayofyear(ts) AS INTEGER) AS doy,
+           CAST(weekofyear(ts) AS INTEGER) AS iso_week,
+           last_day(CAST(ts AS DATE))     AS month_end,
+           CAST(date_trunc('month', ts) + INTERVAL 1 MONTH AS DATE)
+                                          AS next_month_start,
+           CAST(ts AS DATE) + 90          AS plus_90d
+    FROM events
+    """,
+)
+def f_datetime_suite(spark, sf_dir):
+    """Datetime scalar-function suite (the calendar half of the F-family;
+    f_scalar_suite covers numerics): field extraction (year → minute),
+    calendar navigation (ISO day-of-week, day/week-of-year, month end,
+    next month start, +90 days) — the expressions every date-dimension
+    build and partition-pruning predicate is made of, certified for
+    cross-engine agreement. The one semantic trap is day-of-week
+    numbering: Spark's dayofweek() is 1=Sunday while DuckDB's isodow()
+    is 1=Monday — normalized here to ISO on the Spark side with
+    (dow+5)%7+1 rather than silently shipping engine-native numbering
+    (the memory-documented hazard). Pure narrow projection: zero
+    exchanges, scan-bound at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    iso_dow = (F.dayofweek("ts") + 5) % 7 + 1
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("int").alias("y"),
+        F.quarter("ts").cast("int").alias("q"),
+        F.month("ts").cast("int").alias("mo"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        F.hour("ts").cast("int").alias("h"),
+        F.minute("ts").cast("int").alias("mi"),
+        iso_dow.cast("int").alias("iso_dow"),
+        F.dayofyear("ts").cast("int").alias("doy"),
+        F.weekofyear("ts").cast("int").alias("iso_week"),
+        F.last_day("ts").alias("month_end"),
+        F.add_months(F.trunc("ts", "month"), 1).alias("next_month_start"),
+        F.date_add(F.col("ts").cast("date"), 90).alias("plus_90d"),
+    )
