@@ -151,6 +151,7 @@ HEADLINE = [
     "text_simpson_diversity",
     "sim_ivf_recall_eval",
     "f_datetime_suite",
+    "ts_interarrival_stats",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

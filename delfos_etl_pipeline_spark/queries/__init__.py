@@ -146,6 +146,7 @@ _R4_CHANGED_FIRST = [
     "text_simpson_diversity",   # new: integer-exact repetitiveness signal
     "sim_ivf_recall_eval",      # new: ANN recall@10 vs exact truth
     "f_datetime_suite",         # new: calendar scalars, ISO-normalized dow
+    "ts_interarrival_stats",    # new: gap process moments, decimal sq-sums
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

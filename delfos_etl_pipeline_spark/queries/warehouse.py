@@ -3739,3 +3739,74 @@ def ols_elasticity_by_type(spark, sf_dir):
         round_half_up(sy / n, 6).alias("avg_qty"),
         round_half_up(sx / n, 6).alias("avg_discount_pts"),
     )
+
+
+@query(
+    "ts_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_us) AS BIGINT) AS sg,
+             sum(CAST(gap_us AS DECIMAL(38,0)) * CAST(gap_us AS DECIMAL(38,0)))
+               AS sgg,
+             CAST(min(gap_us) AS BIGINT) AS mn,
+             CAST(max(gap_us) AS BIGINT) AS mx
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           floor((CAST(sg AS DOUBLE) / n_gaps / 1000000.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_gap_s,
+           floor(sqrt(greatest(
+                   (CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                    / n_gaps) / (n_gaps - 1), 0.0)) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS std_gap_s,
+           CAST(mn AS DOUBLE) / 1000000.0 AS min_gap_s,
+           CAST(mx AS DOUBLE) / 1000000.0 AS max_gap_s
+    FROM a
+    """,
+)
+def ts_interarrival_stats(spark, sf_dir):
+    """Inter-arrival time statistics per event series — the telemetry
+    characterization (mean/σ/extremes of the gap process) behind
+    burstiness analysis, rate-limit sizing, and the watermark-delay
+    choice the streaming queries hard-code. Gaps are EXACT integer
+    microseconds from one lag window; Σg stays int64 (bounded by the
+    total time span × rows) while Σg² accumulates in DECIMAL(38,0) —
+    gap² reaches 10²⁰ at hour-scale gaps, past int64 — so both moments
+    are order-free exact and the variance formula sees bit-identical
+    doubles (the sql_std pattern on integer input). One hash exchange
+    on the series key; five numbers per group out."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    dec = F.col("gap_us").cast("decimal(38,0)")
+    a = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap_us").cast("bigint").alias("sg"),
+        F.sum(dec * dec).alias("sgg"),
+        F.min("gap_us").cast("bigint").alias("mn"),
+        F.max("gap_us").cast("bigint").alias("mx"),
+    )
+    n = F.col("n_gaps")
+    sg = F.col("sg").cast("double")
+    sgg = F.col("sgg").cast("double")
+    var = F.greatest((sgg - sg * sg / n) / (n - 1), F.lit(0.0))
+    return a.select(
+        "event_type",
+        "n_gaps",
+        round_half_up(sg / n / F.lit(1000000.0), 6).alias("mean_gap_s"),
+        round_half_up(F.sqrt(var) / F.lit(1000000.0), 6).alias("std_gap_s"),
+        (F.col("mn").cast("double") / F.lit(1000000.0)).alias("min_gap_s"),
+        (F.col("mx").cast("double") / F.lit(1000000.0)).alias("max_gap_s"),
+    )
