@@ -152,6 +152,8 @@ HEADLINE = [
     "sim_ivf_recall_eval",
     "f_datetime_suite",
     "ts_interarrival_stats",
+    "session_depth_stats",
+    "market_concentration_hhi",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

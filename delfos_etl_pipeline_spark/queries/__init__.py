@@ -147,6 +147,8 @@ _R4_CHANGED_FIRST = [
     "sim_ivf_recall_eval",      # new: ANN recall@10 vs exact truth
     "f_datetime_suite",         # new: calendar scalars, ISO-normalized dow
     "ts_interarrival_stats",    # new: gap process moments, decimal sq-sums
+    "session_depth_stats",      # new: bounce/depth/duration scorecard
+    "market_concentration_hhi", # new: HHI via pico-unit share squares
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

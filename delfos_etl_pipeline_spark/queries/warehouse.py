@@ -3810,3 +3810,143 @@ def ts_interarrival_stats(spark, sf_dir):
         (F.col("mn").cast("double") / F.lit(1000000.0)).alias("min_gap_s"),
         (F.col("mx").cast("double") / F.lit(1000000.0)).alias("max_gap_s"),
     )
+
+
+@query(
+    "session_depth_stats",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ), per AS (
+      SELECT user_id, session_no,
+             CAST(count(*) AS BIGINT) AS depth,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+      FROM sess GROUP BY user_id, session_no
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (WHERE depth = 1) AS BIGINT) AS n_bounces,
+           floor(count(*) FILTER (WHERE depth = 1) * 1.0 / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS bounce_rate,
+           floor((CAST(sum(depth) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_depth,
+           CAST(max(depth) AS BIGINT) AS max_depth,
+           floor((CAST(sum(dur_us) AS DOUBLE) / count(*) / 1000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_duration_s
+    FROM per
+    """,
+)
+def session_depth_stats(spark, sf_dir):
+    """Session-quality scorecard over the 30-minute-gap sessionization:
+    session count, bounce rate (single-event sessions), mean/max depth,
+    and mean duration — the engagement summary a product dashboard
+    derives FROM the session relation session_windows materializes
+    (native session_window group-by; the oracle re-derives sessions via
+    lag+cumsum, re-certifying the semantics through a second consumer).
+    Depth and duration are exact integers (counts; µs spans), so every
+    reduction is order-free; the final scorecard is one row. Same
+    single user-keyed exchange as session_windows, then a scalar
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("depth"),
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("dur_us"),
+        )
+    )
+    n = F.count(F.lit(1))
+    bounces = F.sum(F.when(F.col("depth") == 1, 1).otherwise(0))
+    return per.agg(
+        n.cast("bigint").alias("n_sessions"),
+        bounces.cast("bigint").alias("n_bounces"),
+        round_half_up(bounces * F.lit(1.0) / n, 6).alias("bounce_rate"),
+        round_half_up(F.sum("depth").cast("double") / n, 6).alias("mean_depth"),
+        F.max("depth").cast("bigint").alias("max_depth"),
+        round_half_up(
+            F.sum("dur_us").cast("double") / n / F.lit(1000000.0), 6
+        ).alias("mean_duration_s"),
+    )
+
+
+@query(
+    "market_concentration_hhi",
+    oracle="""
+    WITH r AS (
+      SELECT p.p_type, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS rev_c4
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, l.l_suppkey
+    ),
+    t AS (
+      SELECT p_type, CAST(sum(rev_c4) AS BIGINT) AS tot_c4,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM r GROUP BY p_type
+    ),
+    s AS (
+      SELECT r.p_type, t.n_suppliers,
+             CAST(floor(
+               (CAST(r.rev_c4 AS DOUBLE) / CAST(t.tot_c4 AS DOUBLE))
+               * (CAST(r.rev_c4 AS DOUBLE) / CAST(t.tot_c4 AS DOUBLE))
+               * 1000000000000.0 + 0.5) AS BIGINT) AS share_sq_pico
+      FROM r JOIN t USING (p_type)
+    )
+    SELECT p_type, CAST(max(n_suppliers) AS BIGINT) AS n_suppliers,
+           floor(CAST(sum(share_sq_pico) AS DOUBLE) / 1000000000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS hhi
+    FROM s GROUP BY p_type
+    """,
+)
+def market_concentration_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index of supplier revenue per
+    part type — Σ shareᵢ², the antitrust/market-structure metric (1/n
+    for perfect competition → 1.0 for monopoly) that complements the ABC
+    tiers with a single concentration number per market. Revenue in the
+    q9 scaled-integer idiom; each squared share is an IEEE-pinned double
+    then floored to integer PICO-units, so the per-market reduction is
+    an exact integer sum — no float-accumulation order dependence across
+    the |suppliers| terms (the micro-unit pattern, one decimal place
+    deeper because shares square to 10⁻¹²-scale values). Two keyed
+    aggregations and a broadcastable totals join; |types|-row output."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    ).cast("bigint")
+    r = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "l_suppkey")
+        .agg(rev.alias("rev_c4"))
+    )
+    t = r.groupBy("p_type").agg(
+        F.sum("rev_c4").cast("bigint").alias("tot_c4"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    share = F.col("rev_c4").cast("double") / F.col("tot_c4").cast("double")
+    s = r.join(F.broadcast(t), "p_type").select(
+        "p_type",
+        "n_suppliers",
+        F.floor(share * share * F.lit(1000000000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("share_sq_pico"),
+    )
+    return s.groupBy("p_type").agg(
+        F.max("n_suppliers").cast("bigint").alias("n_suppliers"),
+        round_half_up(
+            F.sum("share_sq_pico").cast("double") / F.lit(1000000000000.0), 6
+        ).alias("hhi"),
+    )
