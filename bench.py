@@ -154,6 +154,9 @@ HEADLINE = [
     "ts_interarrival_stats",
     "session_depth_stats",
     "market_concentration_hhi",
+    "returns_rate_by_brand",
+    "audience_overlap_jaccard",
+    "revenue_new_vs_repeat",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -149,6 +149,9 @@ _R4_CHANGED_FIRST = [
     "ts_interarrival_stats",    # new: gap process moments, decimal sq-sums
     "session_depth_stats",      # new: bounce/depth/duration scorecard
     "market_concentration_hhi", # new: HHI via pico-unit share squares
+    "returns_rate_by_brand",    # new: conditional-agg merch screen
+    "audience_overlap_jaccard", # new: all-pairs segment overlap matrix
+    "revenue_new_vs_repeat",    # new: acquisition/retention revenue mix
     # --- beyond here: plan-representation changes with BIT-IDENTICAL
     # outputs (SQL-parsed literals / persist reuse), each re-certified
     # exact by tools/check_oracle.py this round; they take any window

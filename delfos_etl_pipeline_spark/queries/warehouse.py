@@ -3950,3 +3950,186 @@ def market_concentration_hhi(spark, sf_dir):
             F.sum("share_sq_pico").cast("double") / F.lit(1000000000000.0), 6
         ).alias("hhi"),
     )
+
+
+@query(
+    "returns_rate_by_brand",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') AS BIGINT)
+             AS n_returned,
+           floor(count(*) FILTER (WHERE l.l_returnflag = 'R') * 1.0
+                 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS return_rate,
+           floor((CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0
+             AS revenue_returned
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def returns_rate_by_brand(spark, sf_dir):
+    """Return-rate league table per brand: line share and discounted
+    revenue flagged 'R' — the merchandising quality screen (which brands
+    ship product that comes back) built from one broadcast dim join and
+    one combinable aggregation; revenue in the q9 scaled-integer idiom
+    so the returned-revenue sum is order-free exact. |brands|-row
+    output; conditional aggregation instead of a second filtered scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cents4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    is_r = F.col("l_returnflag") == "R"
+    n = F.count(F.lit(1))
+    nr = F.sum(F.when(is_r, 1).otherwise(0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            n.cast("bigint").alias("n_lines"),
+            nr.cast("bigint").alias("n_returned"),
+            round_half_up(nr * F.lit(1.0) / n, 6).alias("return_rate"),
+            round_half_up(
+                F.sum(F.when(is_r, cents4).otherwise(0)).cast("double")
+                / F.lit(10000.0),
+                2,
+            ).alias("revenue_returned"),
+        )
+    )
+
+
+@query(
+    "audience_overlap_jaccard",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sz AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut
+      GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+           floor(i.n_both * 1.0 / (sa.n + sb.n - i.n_both) * 1000000.0 + 0.5)
+             / 1000000.0 AS jaccard
+    FROM inter i
+    JOIN sz sa ON i.type_a = sa.event_type
+    JOIN sz sb ON i.type_b = sb.event_type
+    """,
+)
+def audience_overlap_jaccard(spark, sf_dir):
+    """Audience-overlap matrix: Jaccard of the USER SETS behind every
+    pair of event types — the segment-overlap analysis (does the
+    error-hitting audience overlap the purchasing audience?) that
+    set_ops_user_segments answers for two fixed segments, generalized
+    to all C(|types|,2) pairs. The fact table reduces to the distinct
+    (user, type) relation FIRST (|users|·|types| bound), the pair
+    intersection is a user-keyed self-join of that summary — never of
+    events — and set sizes broadcast back onto the |types|² result.
+    Same summary-relation trick as seqpat_followed_by; exact integer
+    ratios."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sz = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            round_half_up(
+                F.col("n_both")
+                * F.lit(1.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "revenue_new_vs_repeat",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             min(o_orderdate) OVER (PARTITION BY o_custkey) AS first_od,
+             o_orderdate
+      FROM orders
+    )
+    SELECT mo,
+           CAST(count(*) FILTER (WHERE o_orderdate = first_od) AS BIGINT)
+             AS n_first_orders,
+           CAST(count(*) FILTER (WHERE o_orderdate <> first_od) AS BIGINT)
+             AS n_repeat_orders,
+           floor((CAST(sum(CASE WHEN o_orderdate = first_od THEN cents
+                               ELSE 0 END) AS DOUBLE) / 100.0) * 100.0 + 0.5)
+             / 100.0 AS new_revenue,
+           floor((CAST(sum(CASE WHEN o_orderdate <> first_od THEN cents
+                               ELSE 0 END) AS DOUBLE) / 100.0) * 100.0 + 0.5)
+             / 100.0 AS repeat_revenue
+    FROM o GROUP BY mo
+    """,
+)
+def revenue_new_vs_repeat(spark, sf_dir):
+    """New-vs-repeat revenue split per month: orders placed on a
+    customer's FIRST order date count as acquisition revenue, later
+    orders as retention revenue — the growth-mix decomposition
+    (complementing cohort_ltv_curve's cumulative view with a
+    per-period one). First-order detection is an unbounded min window
+    on the customer key — no self-join against an aggregate; revenue
+    in exact cents. Ties (several orders on the first date) all count
+    as 'first', the standard convention, and identically on both
+    engines since the comparison is date equality. One customer-keyed
+    exchange, |months|-row output."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mo"),
+        cents.alias("cents"),
+        (F.col("o_orderdate") == F.min("o_orderdate").over(w)).alias("is_first"),
+    )
+    return base.groupBy("mo").agg(
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first_orders"),
+        F.sum(F.when(~F.col("is_first"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeat_orders"),
+        round_half_up(
+            F.sum(F.when(F.col("is_first"), F.col("cents")).otherwise(0)).cast(
+                "double"
+            )
+            / F.lit(100.0),
+            2,
+        ).alias("new_revenue"),
+        round_half_up(
+            F.sum(F.when(~F.col("is_first"), F.col("cents")).otherwise(0)).cast(
+                "double"
+            )
+            / F.lit(100.0),
+            2,
+        ).alias("repeat_revenue"),
+    )
