@@ -54,12 +54,94 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # REAL regression gate is tools/check_oracle.py, which runs EVERY
 # registered query against its oracle and is executed locally before each
 # commit — if the driver ever samples differently, nothing ships unchecked.
-# Round 4 final: ~73 genuinely-new queries this round exceed the ~50
-# window by construction — the first 50 registered get their driver row
-# now; the remaining new entries (all certified exact at sf0.001/0.01/
-# 0.1 by the local differential sweeps) plus the bit-identical
-# plan-representation re-certifications and the stale r01-only rows
-# lead round 5's rotation.
+# Round 5 window (VERDICT r4 items 1-2, 6): (a) the two r4 driver-RED
+# queries, now scalarized (array outputs -> integer-string signatures),
+# at the very front; (b) the 43 registrations that have never had a
+# driver row (r4's wave outgrew the window; every one judge-verified
+# green via tools/check_oracle.py, but the driver record is the durable
+# evidence); (c) queries whose behavior changed this round (ADVICE r4
+# fixes) — most already sit in (b); (d) genuinely-new r5 queries; then
+# (e) the plan-representation re-certifications that kept r1-r3 rows.
+_R5_FIXED_RED = [
+    "text_inverted_index",  # doc_gaps/tfs arrays -> string signatures
+    "emb_standardize",      # z array -> z_ppm micro-unit string signature
+]
+
+# Entries 51+ of the r4 registration order: registered and locally
+# certified exact in r4, but never driver-checked. ADVICE-r4 behavior
+# fixes landed this round for: emb_anova_f_topdims (decimal-pinned
+# between-group terms), forecast_holt_linear (short-series guard +
+# gap-aware indexing), mm_chunk_sample (empty-payload clamp),
+# text_collocations_pmi (single-runtime ln).
+_R5_NEVER_CHECKED = [
+    "w9_percent_rank_cume",
+    "text_collocations_pmi",
+    "sample_neyman_allocation",
+    "mm_chunk_sample",
+    "w10_rolling_corr",
+    "dq_benford_digits",
+    "orders_rfm_segmentation",
+    "cohort_ltv_curve",
+    "attribution_last_touch",
+    "markov_event_transitions",
+    "json_props_extract",
+    "ohlc_daily",
+    "er_fuzzy_blocked",
+    "survival_kaplan_meier",
+    "forecast_seasonal_backtest",
+    "trend_theil_sen",
+    "forecast_holt_linear",
+    "attribution_position_based",
+    "sample_class_balance",
+    "dq_referential_orphans",
+    "abc_pareto_parts",
+    "emb_silhouette_centroid",
+    "dedup_containment",
+    "w11_range_interval",
+    "growth_accounting_weekly",
+    "text_langid_confusion",
+    "recsys_item_cosine",
+    "seqpat_followed_by",
+    "o5_keyset_pagination",
+    "ols_elasticity_by_type",
+    "emb_anova_f_topdims",
+    "dedup_lsh_recall_eval",
+    "text_simpson_diversity",
+    "sim_ivf_recall_eval",
+    "f_datetime_suite",
+    "ts_interarrival_stats",
+    "session_depth_stats",
+    "market_concentration_hhi",
+    "returns_rate_by_brand",
+    "audience_overlap_jaccard",
+    "revenue_new_vs_repeat",
+    "a_distinct_rollup_hll",
+    "emb_project_pca",
+]
+
+# Genuinely-new r5 registrations (filled as the round progresses); any
+# overflow past the ~50-slot window is locally certified and leads r6.
+_R5_NEW = [
+    "w6_rolling_median_prod",  # scale-safe approx twin (VERDICT item 4)
+]
+
+# r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN
+# vector-literal family + persist-inserted subtrees. Bit-identical
+# outputs, locally re-certified; they take slots after the queues above.
+_R5_RECERT = [
+    "sim_ivf_topk",
+    "sim_knn_bruteforce",
+    "sim_lsh_bucketed",
+    "emb_scalar_quantize",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "sample_token_budget",
+    "pack_sequences_ctx",
+    "ts_gapfill_locf",
+    "text_lm_bigram_score",
+]
+
+# Retained for provenance: the r4 window order (first 50 got r4 rows).
 _R4_CHANGED_FIRST = [
     "curate_pipeline_staged",   # new: materialized-boundary corpus build
     "sample_weighted_ares",     # round_half_up contract fix (ADVICE r3)
@@ -210,10 +292,18 @@ _RECERTIFIED_R3 = {
 def _driver_order() -> list[str]:
     """Order queries() so the driver's ~50-query rotating correctness
     window always covers (a) everything new or behavior-changed this
-    round, then (b) the queries whose last green row is oldest — round 4
-    targets the remaining r01-only-verified names (VERDICT r3 item 4) —
-    then (c) one flagship per operator family, then the rest."""
-    front = [n for n in _R4_CHANGED_FIRST if n in QUERIES]
+    round, then (b) the queries whose driver evidence is oldest — round
+    5 leads with the two fixed RED rows, then the 43 never-driver-
+    checked registrations (VERDICT r4 items 1-2) — then (c) one
+    flagship per operator family, then the rest."""
+    r5_front = (
+        _R5_FIXED_RED + _R5_NEVER_CHECKED + _R5_NEW + _R5_RECERT
+    )
+    front = [n for n in r5_front if n in QUERIES]
+    placed = set(front)
+    front += [
+        n for n in _R4_CHANGED_FIRST if n in QUERIES and n not in placed
+    ]
     placed = set(front)
     stale = [
         n

@@ -300,11 +300,11 @@ def emb_centroid_by_label(spark, sf_dir):
       FROM stats
     )
     SELECT d.vec_id, d.label,
-           list(
-             floor((CASE WHEN sigma = 0 THEN 0.0
-                         ELSE (xd - mu) / sigma END) * 1000000.0 + 0.5)
-               / 1000000.0
-             ORDER BY dim_idx) AS z
+           string_agg(
+             CAST(CAST(floor((CASE WHEN sigma = 0 THEN 0.0
+                                   ELSE (xd - mu) / sigma END)
+                             * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR),
+             ',' ORDER BY dim_idx) AS z_ppm
     FROM d JOIN sig USING (dim_idx)
     GROUP BY d.vec_id, d.label
     """,
@@ -375,19 +375,29 @@ def emb_standardize(spark, sf_dir):
     params = stats.select(
         F.expr(mu_sql).alias("mu"), F.expr(sig_sql).alias("sigma")
     )
-    z = F.transform(
-        F.col("xd"),
-        lambda x, i: F.floor(
-            F.when(F.get(F.col("sigma"), i) == 0, F.lit(0.0))
-            .otherwise((x - F.get(F.col("mu"), i)) / F.get(F.col("sigma"), i))
-            * 1000000.0
-            + 0.5
-        )
-        / 1000000.0,
+    # z is emitted as a comma-joined micro-unit (1e-6) integer-string
+    # signature, not an array column: the driver's pandas canonicalizer
+    # cannot hash array cells (the r4 RED-row class), and the floor(
+    # x*1e6+0.5) BIGINT is already computed before the old /1e6 division,
+    # so dropping the division loses nothing — bigint->string formatting
+    # is engine-stable where double->string is not.
+    z = F.array_join(
+        F.transform(
+            F.col("xd"),
+            lambda x, i: F.floor(
+                F.when(F.get(F.col("sigma"), i) == 0, F.lit(0.0))
+                .otherwise(
+                    (x - F.get(F.col("mu"), i)) / F.get(F.col("sigma"), i)
+                )
+                * 1000000.0
+                + 0.5
+            ).cast("string"),
+        ),
+        ",",
     )
     return (
         base.crossJoin(F.broadcast(params))
-        .select("vec_id", "label", z.alias("z"))
+        .select("vec_id", "label", z.alias("z_ppm"))
     )
 
 

@@ -213,8 +213,8 @@ def text_tfidf_top_terms(spark, sf_dir):
       SELECT term, block_id,
              CAST(count(*) AS BIGINT) AS n_docs_block,
              CAST(sum(tf) AS BIGINT) AS cf_block,
-             list(gap ORDER BY doc_id) AS doc_gaps,
-             list(tf ORDER BY doc_id) AS tfs
+             string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc_id) AS doc_gaps,
+             string_agg(CAST(tf AS VARCHAR), ',' ORDER BY doc_id) AS tfs
       FROM g GROUP BY term, block_id
     )
     SELECT term, block_id,
@@ -244,7 +244,8 @@ def text_inverted_index(spark, sf_dir):
     doc_id) tf agg with map-side combine, one keyed (term, block) agg,
     one term-keyed window — all linear in corpus tokens. Delta encoding
     is exact integer math in both engines; lists are aggregated in
-    explicit doc_id order, so the arrays hash-match bitwise."""
+    explicit doc_id order and serialized as comma-joined integer-string
+    signatures, so the postings hash-match bitwise."""
     docs = _t(spark, sf_dir, "documents")
     block = 1024
     w2 = docs.select(
@@ -258,16 +259,27 @@ def text_inverted_index(spark, sf_dir):
     )
     lagw = Window.partitionBy("term", "block_id").orderBy("doc_id")
     g = tf.withColumn("gap", F.col("doc_id") - F.lag("doc_id", 1, 0).over(lagw))
+    # Posting lists are serialized as comma-joined integer strings (not
+    # arrays): the driver's pandas canonicalizer cannot hash array cells
+    # (the r4 RED-row class), and bigint->string formatting is identical
+    # across engines where double->string is not (mm_byte_histogram
+    # `counts`-contract precedent).
     blocks = g.groupBy("term", "block_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs_block"),
         F.sum("tf").cast("bigint").alias("cf_block"),
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("doc_id", "gap"))),
-            lambda s: s["gap"],
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("doc_id", "gap"))),
+                lambda s: s["gap"].cast("string"),
+            ),
+            ",",
         ).alias("doc_gaps"),
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
-            lambda s: s["tf"],
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda s: s["tf"].cast("string"),
+            ),
+            ",",
         ).alias("tfs"),
     )
     dfw = Window.partitionBy("term")
