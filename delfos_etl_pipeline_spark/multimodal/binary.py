@@ -471,7 +471,12 @@ def sample_chunks(
         lambda c: c % stride == 0,
     )
     return (
-        bin_df.select("doc_id", "payload", F.explode(idxs).alias("chunk_idx"))
+        # Zero-length payloads emit NO chunk rows (ADVICE r4): without
+        # the guard, ceil(0/chunk)-1 = -1 and sequence(0, -1) auto-steps
+        # DOWN, yielding [0, -1] — one spurious empty chunk per empty
+        # document (the oracle's generate_series(0, -1) is empty).
+        bin_df.where(n > 0)
+        .select("doc_id", "payload", F.explode(idxs).alias("chunk_idx"))
         .select(
             "doc_id",
             "chunk_idx",

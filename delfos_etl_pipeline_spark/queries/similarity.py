@@ -853,7 +853,10 @@ def emb_silhouette_centroid(spark, sf_dir):
              CAST(sum(n) AS BIGINT) AS nt,
              CAST(sum(s) AS DOUBLE) AS st,
              CAST(sum(ss) AS DOUBLE) AS sst,
-             sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb_raw
+             CAST(sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+                                 * 1000000000000.0 + 0.5)
+                           / 1000000000000.0 AS DECIMAL(30,12)))
+                  AS DOUBLE) AS sb_raw
       FROM g GROUP BY dim_idx
     ),
     f AS (
@@ -882,10 +885,10 @@ def emb_anova_f_topdims(spark, sf_dir):
     method feature selector run before training a probe classifier.
     Everything reduces to exact DECIMAL sums (count, Σx, Σx² per dim per
     label — the emb_centroid contract), so between/within decompositions
-    see bit-identical doubles on both engines; Σ(s²/n) accumulates over
-    the |labels| per-dim groups — ≤ k terms in one aggregate whose
-    combine order is fixed by the deterministic singleton partitions of
-    a |dims|-row relation (verified exact at both SFs). 100 TB: one
+    see bit-identical doubles on both engines; each per-label s²/n term
+    is rounded half-up into DECIMAL(30,12) before the Σ over labels, so
+    the between-group sum is order-free regardless of partition count,
+    AQE merge order, or cluster layout (verified exact at both SFs). 100 TB: one
     exploded scan with map-side partials into |dims|·|labels| rows; the
     ranking is a window over |dims| rows."""
     dims = 64
@@ -918,9 +921,22 @@ def emb_anova_f_topdims(spark, sf_dir):
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("s").cast("double").alias("st"),
         F.sum("ss").cast("double").alias("sst"),
+        # Each per-label s²/n term is rounded half-up into DECIMAL(30,12)
+        # BEFORE the sum (ADVICE r4): a plain double accumulation here is
+        # order-sensitive across partition/merge layouts, which would let
+        # the oracle hash drift with parallelism even though today's
+        # fixed-local runs pass — the cusum/silhouette term-pinning
+        # contract.
         F.sum(
-            F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
-        ).alias("sb_raw"),
+            round_half_up(
+                F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n"),
+                12,
+            ).cast("decimal(30,12)")
+        )
+        .cast("double")
+        .alias("sb_raw"),
     )
     fdf = d.select(
         "dim_idx",

@@ -400,17 +400,20 @@ def text_bm25_search(spark, sf_dir):
       GROUP BY x, y
     ), nb AS (
       SELECT CAST(sum(cb) AS BIGINT) AS nb FROM bg
+    ), cand AS (
+      SELECT bg.x, bg.y, bg.cb,
+             (bg.cb * 1.0 / nb.nb) /
+             ((ux.cu * 1.0 / tot.nu) * (uy.cu * 1.0 / tot.nu)) AS r
+      FROM bg, nb, tot
+      JOIN uni ux ON bg.x = ux.w
+      JOIN uni uy ON bg.y = uy.w
+      WHERE bg.cb >= 5
+      ORDER BY r DESC, bg.x, bg.y
+      LIMIT 20
     )
-    SELECT bg.x, bg.y, bg.cb,
-           floor(ln((bg.cb * 1.0 / nb.nb) /
-                    ((ux.cu * 1.0 / tot.nu) * (uy.cu * 1.0 / tot.nu)))
-                 * 1000000.0 + 0.5) / 1000000.0 AS pmi
-    FROM bg, nb, tot
-    JOIN uni ux ON bg.x = ux.w
-    JOIN uni uy ON bg.y = uy.w
-    WHERE bg.cb >= 5
-    ORDER BY pmi DESC, bg.x, bg.y
-    LIMIT 20
+    SELECT x, y, cb,
+           floor(ln(r) * 1000000.0 + 0.5) / 1000000.0 AS pmi
+    FROM cand
     """,
 )
 def text_collocations_pmi(spark, sf_dir):
@@ -419,11 +422,17 @@ def text_collocations_pmi(spark, sf_dir):
     separates real multiword expressions from merely frequent pairs
     (top_ngrams ranks raw counts; PMI normalizes away unigram
     popularity). One tokenize pass feeds both the unigram and bigram
-    histograms (persisted); totals ride as 1-row broadcasts; PMI is a
-    single identical IEEE ln on integer-ratio inputs (the established
-    cross-engine ln contract) and the top-k is TakeOrderedAndProject.
-    Corpus-scale: both histograms are vocabulary-sized, the only
-    corpus-scan work is the explode+count with map-side combine."""
+    histograms (persisted); totals ride as 1-row broadcasts; the top-k
+    is TakeOrderedAndProject. Libm discipline (ADVICE r4): ln is
+    IMPLEMENTATION-defined (JVM Math.log vs host libm can differ by an
+    ulp, flipping a 6-dp half-up tie), but ln is monotone — so ranking
+    uses the raw ratio r = (cb/nb)/((cux/nu)(cuy/nu)), a pure ×/÷
+    IEEE expression on identical integers that is bit-identical in any
+    engine, and the ln itself is evaluated once, driver-side in Python
+    (host libm, same as DuckDB's — the dq_benford_digits pinned-libm
+    pattern) over the 20 surviving rows only. Corpus-scale: both
+    histograms are vocabulary-sized, the only corpus-scan work is the
+    explode+count with map-side combine; the driver touches 20 rows."""
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
         F.split(F.lower(F.col("text")), r"\s+").alias("wa")
@@ -451,17 +460,11 @@ def text_collocations_pmi(spark, sf_dir):
     nb = bg.agg(F.sum("cb").cast("bigint").alias("nb"))
     ux = uni.select(F.col("w").alias("x"), F.col("cu").alias("cux"))
     uy = uni.select(F.col("w").alias("y"), F.col("cu").alias("cuy"))
-    pmi = round_half_up(
-        F.log(
-            (F.col("cb") * 1.0 / F.col("nb"))
-            / (
-                (F.col("cux") * 1.0 / F.col("nu"))
-                * (F.col("cuy") * 1.0 / F.col("nu"))
-            )
-        ),
-        6,
+    r = (F.col("cb") * 1.0 / F.col("nb")) / (
+        (F.col("cux") * 1.0 / F.col("nu"))
+        * (F.col("cuy") * 1.0 / F.col("nu"))
     )
-    return (
+    top = (
         bg.where(F.col("cb") >= 5)
         # plain equi-joins on the word key: the unigram table is
         # vocabulary-sized (can exceed broadcast at web scale) — let
@@ -470,9 +473,24 @@ def text_collocations_pmi(spark, sf_dir):
         .join(uy, "y")
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(nb))
-        .select("x", "y", "cb", pmi.alias("pmi"))
-        .orderBy(F.desc("pmi"), "x", "y")
+        .select("x", "y", "cb", r.alias("r"))
+        .orderBy(F.desc("r"), "x", "y")
         .limit(20)
+        .collect()
+    )
+    import math
+
+    rows = [
+        (
+            t["x"],
+            t["y"],
+            t["cb"],
+            math.floor(math.log(t["r"]) * 1e6 + 0.5) / 1e6,
+        )
+        for t in top
+    ]
+    return spark.createDataFrame(
+        rows, "x string, y string, cb bigint, pmi double"
     )
 
 

@@ -2992,22 +2992,28 @@ def trend_theil_sen(spark, sf_dir):
                     / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS y
       FROM events GROUP BY 1, 2
     ),
-    d2 AS (
+    dr AS (
       SELECT event_type, di, y,
-             lead(y) OVER (PARTITION BY event_type ORDER BY di) AS y_next
+             CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY di) AS BIGINT) AS rn
       FROM d
     ),
+    d2 AS (
+      SELECT event_type, di, y, rn,
+             lead(y) OVER (PARTITION BY event_type ORDER BY rn) AS y_next
+      FROM dr
+    ),
     h AS (
-      SELECT event_type, di, y,
+      SELECT event_type, di, y, rn,
              y AS l, y_next - y AS b, CAST(NULL AS DOUBLE) AS f
-      FROM d2 WHERE di = 0
+      FROM d2 WHERE rn = 1
       UNION ALL
-      SELECT d2.event_type, d2.di, d2.y,
+      SELECT d2.event_type, d2.di, d2.y, d2.rn,
              0.5 * d2.y + 0.5 * (h.l + h.b),
              0.3 * ((0.5 * d2.y + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b,
              h.l + h.b
       FROM h JOIN d2
-        ON d2.event_type = h.event_type AND d2.di = h.di + 1
+        ON d2.event_type = h.event_type AND d2.rn = h.rn + 1
     )
     SELECT event_type, di, y,
            floor(l * 1000000000.0 + 0.5) / 1000000000.0 AS level,
@@ -3061,6 +3067,15 @@ def forecast_holt_linear(spark, sf_dir):
     for et, pts in series.items():
         pts.sort()
         l = pts[0][1]
+        # Both sides index by RANK within the series, not calendar day
+        # (ADVICE r4): the fold advances to the next observed day even
+        # across calendar gaps and for series not starting at the epoch,
+        # matching the oracle's rn = h.rn + 1 recursion. A single-day
+        # series has no trend estimate — emit the base row with NULL
+        # trend/forecast (the oracle's lead() yields NULL there).
+        if len(pts) < 2:
+            rows.append((et, pts[0][0], pts[0][1], r9(l), None, None))
+            continue
         b = pts[1][1] - pts[0][1]
         rows.append((et, pts[0][0], pts[0][1], r9(l), r9(b), None))
         for di, y in pts[1:]:

@@ -270,3 +270,19 @@ def test_decode_ppm_real_roundtrip(spark):
     (row,) = decode_image_batch(df, width=9, height=6).collect()
     got = np.frombuffer(row.pixels, dtype=np.uint8).reshape(6, 9, 3)
     assert (got == img).all()
+
+
+def test_sample_chunks_empty_payload_emits_no_rows(spark):
+    """sequence(0, ceil(0/32)-1) would auto-step down to [0, -1] and
+    emit a spurious empty chunk for a zero-length payload (ADVICE r4);
+    the empty-payload guard must drop it while normal payloads chunk."""
+    from delfos_etl_pipeline_spark.multimodal.binary import sample_chunks
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, bytearray(b"x" * 100))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_chunks(df, chunk_size=32, stride=2).collect()
+    assert {r.doc_id for r in rows} == {2}
+    got = {(r.chunk_idx, r.chunk_bytes) for r in rows}
+    assert got == {(0, 32), (2, 32)}  # ceil(100/32)=4 chunks, stride 2
