@@ -82,6 +82,7 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "hist_equidepth",
     "w6_rolling_median",
+    "w6_rolling_median_prod",
     "join_salted_skew",
     "dau_wau_rolling",
     "text_bm25_search",
@@ -250,6 +251,26 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Silence known-benign ERROR chatter that otherwise leads the driver's
+    # ~2000-char output-tail capture (VERDICT r4 item 5): stopping a
+    # streaming query mid-trigger aborts the in-flight noop epoch
+    # (MicroBatchExecution / V2 write exec log ERROR "aborting"), and
+    # executor shutdown races broadcast cleanup (TorrentBroadcast "Store
+    # broadcast ... fail"). Real failures still surface as exceptions into
+    # the bench record, never only as logs, so OFF here hides nothing.
+    jvm = spark.sparkContext._jvm
+    log_off = jvm.org.apache.logging.log4j.Level.OFF
+    for _logger in (
+        "org.apache.spark.sql.execution.streaming",
+        "org.apache.spark.sql.execution.datasources.v2",
+        "org.apache.spark.broadcast.TorrentBroadcast",
+        "org.apache.spark.storage.BlockManager",
+        "org.apache.spark.storage.BlockManagerMaster",
+        "org.apache.spark.storage.BlockManagerMasterEndpoint",
+    ):
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            _logger, log_off
+        )
     qs = dict(queries())
     qs.update(_bench_extras())
 

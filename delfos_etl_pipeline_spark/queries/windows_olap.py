@@ -569,8 +569,12 @@ def w6_rolling_median(spark, sf_dir):
     the most expensive headline query, deliberately): percentile is not
     an invertible aggregate, so Spark rebuilds the frame buffer per row —
     O(n · frame) total, linear in both, parallel by key. That product is
-    the honest price of EXACTNESS here; when frame·n grows past it, the
-    production swaps are (a) a t-digest/approx_percentile sketch column
+    the honest price of EXACTNESS here; it also partitions on
+    event_type — a 5-value key, so parallelism caps at 5 tasks at ANY
+    cluster size. The REGISTERED production path is
+    w6_rolling_median_prod (halo-block rewrite, bit-identical output,
+    parallelism n/4096 per type); further swaps when n·frame itself is
+    too much work are (a) a t-digest/approx_percentile sketch column
     under the same window spec, or (b) pandas rolling-median via
     applyInPandas (O(n log frame) skip-list) when a per-key Arrow hop is
     acceptable. Frame order is (ts, event_id) — fully deterministic, so
@@ -587,6 +591,119 @@ def w6_rolling_median(spark, sf_dir):
         round_half_up(F.percentile("value", F.lit(0.5)).over(w), 6).alias(
             "rolling_median"
         ),
+    )
+
+
+@query(
+    "w6_rolling_median_prod",
+    oracle="""
+    SELECT event_id, event_type,
+           floor((quantile_cont(value, 0.5) OVER (
+             PARTITION BY event_type
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5)
+             / 1000000.0 AS rolling_median
+    FROM events
+    """,
+)
+def w6_rolling_median_prod(spark, sf_dir):
+    """Scale-safe twin of w6_rolling_median (VERDICT r4 item 4): the
+    SAME trailing-100 exact median, bit-identical output (it shares
+    w6's oracle), but WITHOUT the 5-value partition-key ceiling. w6
+    windows on event_type alone, so at any cluster size at most
+    |types| = 5 tasks ever run. This twin makes bounded-ROWS-frame
+    windows embarrassingly parallel via HALO BLOCKS:
+
+    1. Global per-type rank rn via the repo's two-phase distributed
+       prefix-count (range-partition on the sort key, per-partition
+       counts collected — driver-sized: |partitions|x|types| rows —
+       then offset + local row_number keyed by PARTITION ID, so the
+       rank pass parallelizes with the partition count, not |types|;
+       the partitioned relation is persisted before the collect, the
+       off-by-a-partition contract).
+    2. Each row lands in core block floor((rn-1)/4096) and is REPLAYED
+       into the next block when it sits in the last 99 rows (the halo),
+       so every block holds the full 99-row lookback its core rows
+       need.
+    3. The exact percentile window then keys on (event_type, block) —
+       n/4096 independent tasks per type — and halo rows are dropped
+       after serving as context.
+
+    Every output row's frame is the identical ordered multiset w6
+    builds, and F.percentile evaluates the identical interpolation, so
+    the twin is hash-equal to the sequential plan — exactness certified
+    by the shared oracle, not a weaker rows-only claim. The O(n*frame)
+    per-row rebuild cost remains (the price of exactness; sketch and
+    applyInPandas swaps trade it away) but now spreads over the whole
+    cluster. Replication overhead: 99/4096 ~ 2.4% of rows. Honest
+    crossover: at sf0.1 (20k rows/type) the extra passes make this
+    SLOWER than w6 (measured 5.5 s vs 3.4 s, local[32]) — the sequential
+    plan's 5 tasks aren't yet the bottleneck there; the twin exists for
+    the regime where per-key row count x frame outgrows a single task,
+    which a 5-key window can never escape and this plan's n/4096-way
+    split does."""
+    ev = _t(spark, sf_dir, "events")
+    block, halo = 4096, 99
+    parts = (
+        ev.select("event_id", "event_type", "ts", "value")
+        .repartitionByRange(32, "event_type", "ts", "event_id")
+        .sortWithinPartitions("event_type", "ts", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = parts.groupBy("pid", "event_type").count().collect()
+    offsets: dict[tuple[int, str], int] = {}
+    seen: dict[str, int] = {}
+    for row in sorted(counts, key=lambda r: (r["event_type"], r["pid"])):
+        offsets[(row["pid"], row["event_type"])] = seen.get(
+            row["event_type"], 0
+        )
+        seen[row["event_type"]] = (
+            seen.get(row["event_type"], 0) + row["count"]
+        )
+    off_df = spark.createDataFrame(
+        [(p, t, o) for (p, t), o in offsets.items()],
+        "pid int, event_type string, off bigint",
+    )
+    wloc = Window.partitionBy("pid", "event_type").orderBy("ts", "event_id")
+    ranked = (
+        parts.withColumn("lrn", F.row_number().over(wloc))
+        .join(F.broadcast(off_df), ["pid", "event_type"])
+        .withColumn("rn", F.col("off") + F.col("lrn"))
+    )
+    pos = (F.col("rn") - 1) % block
+    bcore = F.floor((F.col("rn") - 1) / block)
+    member = F.when(
+        pos >= block - halo,
+        F.array(
+            F.struct(bcore.alias("blk"), F.lit(True).alias("is_core")),
+            F.struct((bcore + 1).alias("blk"), F.lit(False).alias("is_core")),
+        ),
+    ).otherwise(
+        F.array(F.struct(bcore.alias("blk"), F.lit(True).alias("is_core")))
+    )
+    blocked = ranked.select(
+        "event_id", "event_type", "rn", "value", F.explode(member).alias("m")
+    ).select(
+        "event_id",
+        "event_type",
+        "rn",
+        "value",
+        F.col("m.blk").alias("blk"),
+        F.col("m.is_core").alias("is_core"),
+    )
+    w = (
+        Window.partitionBy("event_type", "blk")
+        .orderBy("rn")
+        .rowsBetween(-halo, Window.currentRow)
+    )
+    return (
+        blocked.withColumn(
+            "rolling_median",
+            round_half_up(F.percentile("value", F.lit(0.5)).over(w), 6),
+        )
+        .where(F.col("is_core"))
+        .select("event_id", "event_type", "rolling_median")
     )
 
 

@@ -149,14 +149,39 @@ def compact_partitions(
     path here is time).
 
     CONSTRAINT: the final swap is two ``os.rename`` calls plus an rmtree —
-    local-filesystem only and NOT atomic (a crash between the renames
-    leaves the data under ``*._compact_bak``). On an object store or HDFS,
+    local-filesystem only and NOT atomic. The crash-window contract is:
+    the new data is fully written to ``*._compact_tmp`` BEFORE the first
+    rename, so at every instant at least one complete copy exists on
+    disk, and every intermediate state is recognizable from the three
+    paths alone. This function self-heals on entry: a leftover
+    ``*._compact_bak`` with the dataset missing (crash between the two
+    renames) is rolled back; a leftover bak with the dataset present
+    (crash before the rmtree) is cleaned up; a stale ``*._compact_tmp``
+    (crash during the write) is discarded. On an object store or HDFS,
     swap via the catalog (table-location flip) or a format with
     transactional replace instead.
 
     Returns {"files_before": ..., "files_after": ...}.
     """
     import glob as _glob
+    import shutil as _shutil
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    bak = path.rstrip("/") + "._compact_bak"
+    # Recover from a previous interrupted swap before touching anything:
+    # each leftover combination identifies exactly where the crash hit.
+    if os.path.exists(bak):
+        if os.path.exists(path):
+            # crashed after rename(tmp, path), before rmtree(bak): the
+            # compacted data is already live — finish the cleanup.
+            _shutil.rmtree(bak)
+        else:
+            # crashed between the two renames: the original is intact
+            # under bak — roll it back.
+            os.rename(bak, path)
+    if os.path.exists(tmp):
+        # crashed mid-write: tmp is an incomplete copy — discard it.
+        _shutil.rmtree(tmp)
 
     before = _glob.glob(os.path.join(path, "*", "*.parquet"))
     total_bytes = sum(os.path.getsize(f) for f in before)
@@ -202,12 +227,8 @@ def compact_partitions(
             .repartition(int(total_files), F.col(partition_col), F.col("_salt"))
             .drop("_salt")
         )
-    tmp = path.rstrip("/") + "._compact_tmp"
     out.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
 
-    import shutil as _shutil
-
-    bak = path.rstrip("/") + "._compact_bak"
     os.rename(path, bak)
     os.rename(tmp, path)
     _shutil.rmtree(bak)

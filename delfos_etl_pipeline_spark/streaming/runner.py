@@ -216,10 +216,24 @@ def stateful_running_totals_tws(
     JVM and the Python driver worker; containers without
     ``google.protobuf`` fail at stream start (measured:
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE from
-    StateMessage_pb2). The test suite importorskips on protobuf, and
+    StateMessage_pb2). That failure surfaces as an opaque runner crash at
+    stream START, so this function probes for protobuf at PLAN TIME and
+    raises a clear, actionable error instead; the test suite asserts
+    whichever branch the environment supports (gate error without
+    protobuf, full batch-parity with it — never a skip), and
     :func:`stateful_running_totals` (applyInPandasWithState, no protobuf
     dependency) remains the oracle-verified production path.
     """
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "transformWithStateInPandas (Arbitrary Stateful Processing "
+            "v2) requires the google.protobuf runtime for its JVM<->"
+            "Python state protocol, which this environment lacks; use "
+            "stateful_running_totals (applyInPandasWithState) — same "
+            "semantics, no protobuf dependency"
+        ) from exc
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

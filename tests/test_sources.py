@@ -363,3 +363,49 @@ def test_compact_partitions_survives_hostile_partition_values(spark, tmp_path):
     assert after.groupBy().agg(
         F.sum(F.hash("id", "value")).alias("h")
     ).collect()[0]["h"] == before_hash
+
+
+def test_compact_partitions_recovers_interrupted_swap(spark, tmp_path):
+    """Every crash-window leftover state of the rename swap must
+    self-heal on the next run (VERDICT r4 item 7): a stranded bak with
+    the dataset missing rolls back, a stranded bak with the dataset
+    live is cleaned up, and a stale half-written tmp is discarded —
+    never double-counted into the rewrite."""
+    import glob
+    import os
+    import shutil
+
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+    from delfos_etl_pipeline_spark.sources.sinks import (
+        compact_partitions,
+        write_partitioned,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts", "value")
+    path = str(tmp_path / "ds")
+    for _ in range(2):
+        write_partitioned(
+            ev.repartition(4), path, partition_col="event_date",
+            ts_col="ts", mode="append",
+        )
+    rows = spark.read.parquet(path).count()
+    tmp, bak = path + "._compact_tmp", path + "._compact_bak"
+
+    # state A: crash between the two renames — dataset gone, bak intact
+    os.rename(path, bak)
+    stats = compact_partitions(spark, path, "event_date")
+    assert not os.path.exists(bak) and not os.path.exists(tmp)
+    assert spark.read.parquet(path).count() == rows
+
+    # state B: crash before rmtree(bak) — dataset live, stale bak copy
+    shutil.copytree(path, bak)
+    # state C overlay: stale half-written tmp from an aborted write
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-garbage.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    stats = compact_partitions(spark, path, "event_date")
+    assert not os.path.exists(bak) and not os.path.exists(tmp)
+    assert spark.read.parquet(path).count() == rows
+    assert stats["files_after"] <= stats["files_before"]
+    assert len(glob.glob(path + "/*/*.parquet")) == stats["files_after"]
