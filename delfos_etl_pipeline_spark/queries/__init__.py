@@ -122,7 +122,11 @@ _R5_NEVER_CHECKED = [
 # Genuinely-new r5 registrations (filled as the round progresses); any
 # overflow past the ~50-slot window is locally certified and leads r6.
 _R5_NEW = [
-    "w6_rolling_median_prod",  # scale-safe approx twin (VERDICT item 4)
+    "w6_rolling_median_prod",  # exact halo-block twin (VERDICT item 4)
+    "ts_acf_daily",            # new: ACF lags 1-7, pinned cross terms
+    "ts_seasonal_decompose",   # new: MA trend + dow seasonal + remainder
+    "orders_backlog_aging",    # new: open-order aging buckets at as-of
+    "dq_psi_drift",            # new: PSI drift screen, pinned-libm ln
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

@@ -4148,3 +4148,440 @@ def revenue_new_vs_repeat(spark, sf_dir):
             2,
         ).alias("repeat_revenue"),
     )
+
+
+@query(
+    "ts_acf_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS m
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), st AS (
+      SELECT event_type, count(*) AS nd,
+             CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS sm
+      FROM daily GROUP BY event_type
+    ), p AS (
+      SELECT event_type, sm / nd AS mu FROM st
+    ), den AS (
+      SELECT d.event_type,
+             CAST(sum(CAST(floor((d.m - p.mu) * (d.m - p.mu)
+                                 * 1000000000000.0 + 0.5)
+                           / 1000000000000.0 AS DECIMAL(30,12))) AS DOUBLE)
+               AS den
+      FROM daily d JOIN p USING (event_type) GROUP BY d.event_type
+    ), lagged AS (
+      SELECT event_type, day, m,
+             lag(m, 1) OVER w AS l1, lag(m, 2) OVER w AS l2,
+             lag(m, 3) OVER w AS l3, lag(m, 4) OVER w AS l4,
+             lag(m, 5) OVER w AS l5, lag(m, 6) OVER w AS l6,
+             lag(m, 7) OVER w AS l7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), pairs AS (
+      SELECT event_type, 1 AS lag_k, m, l1 AS ml FROM lagged WHERE l1 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 2, m, l2 FROM lagged WHERE l2 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 3, m, l3 FROM lagged WHERE l3 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 4, m, l4 FROM lagged WHERE l4 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 5, m, l5 FROM lagged WHERE l5 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 6, m, l6 FROM lagged WHERE l6 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 7, m, l7 FROM lagged WHERE l7 IS NOT NULL
+    ), num AS (
+      SELECT pr.event_type, pr.lag_k,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(floor((pr.m - p.mu) * (pr.ml - p.mu)
+                                 * 1000000000000.0 + 0.5)
+                           / 1000000000000.0 AS DECIMAL(30,12))) AS DOUBLE)
+               AS num
+      FROM pairs pr JOIN p USING (event_type)
+      GROUP BY pr.event_type, pr.lag_k
+    )
+    SELECT n.event_type, CAST(n.lag_k AS BIGINT) AS lag_k, n.n_pairs,
+           floor((n.num / d.den) * 1000000.0 + 0.5) / 1000000.0 AS acf
+    FROM num n JOIN den d USING (event_type)
+    """,
+)
+def ts_acf_daily(spark, sf_dir):
+    """Sample autocorrelation function (lags 1-7) of each type's daily
+    mean series — the diagnostic that tells a forecasting pipeline
+    whether yesterday predicts today (high lag-1), whether a weekly
+    cycle exists (lag-7 spike — pairs with anomaly_seasonal_zscore's
+    deseasonalization and forecast_holt_linear's trend model), or
+    whether the series is white noise (all lags ~ 0). Standard ACF
+    normalization: r_k = sum((x_t-mu)(x_{t+k}-mu)) / sum((x_t-mu)^2),
+    both sums over the FULL series (denominator counts all nd days).
+
+    Scale shape: one raw-data pass into the |types|x|days| daily model
+    table (map-side combined, persisted — it feeds mean, denominator,
+    and the lag pivots); the seven lags come from ONE day-ordered window
+    pass emitting seven lag columns, unpivoted via posexplode — never
+    seven self-joins. Exactness: every cross/square term is rounded
+    half-up to 12 dp into DECIMAL(30,12) before its sum (order-free
+    under any partitioning — the cusum/silhouette term-pinning
+    contract); mu is one exact-decimal-sum-over-count division."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            round_half_up(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        .persist()
+    )
+    p = daily.groupBy("event_type").agg(
+        (
+            F.sum(F.col("m").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    den = (
+        daily.join(F.broadcast(p), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                round_half_up(
+                    (F.col("m") - F.col("mu")) * (F.col("m") - F.col("mu")),
+                    12,
+                ).cast("decimal(30,12)")
+            )
+            .cast("double")
+            .alias("den")
+        )
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "m",
+        *[F.lag("m", k).over(wl).alias(f"l{k}") for k in range(1, 8)],
+    )
+    pairs = (
+        lagged.select(
+            "event_type",
+            "m",
+            F.posexplode(
+                F.array(*[F.col(f"l{k}") for k in range(1, 8)])
+            ).alias("pos", "ml"),
+        )
+        .where(F.col("ml").isNotNull())
+        .withColumn("lag_k", (F.col("pos") + 1).cast("bigint"))
+    )
+    num = (
+        pairs.join(F.broadcast(p), "event_type")
+        .groupBy("event_type", "lag_k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                round_half_up(
+                    (F.col("m") - F.col("mu")) * (F.col("ml") - F.col("mu")),
+                    12,
+                ).cast("decimal(30,12)")
+            )
+            .cast("double")
+            .alias("num"),
+        )
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        "lag_k",
+        "n_pairs",
+        round_half_up(F.col("num") / F.col("den"), 6).alias("acf"),
+    )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS m
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), tr AS (
+      SELECT event_type, day, m,
+             CASE WHEN count(*) OVER w = 7
+                  THEN floor((CAST(sum(CAST(m AS DECIMAL(18,6))) OVER w
+                                   AS DOUBLE) / 7.0) * 1000000.0 + 0.5)
+                       / 1000000.0
+             END AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT event_type, day, m, trend,
+             CAST(dayofweek(day) AS BIGINT) + 1 AS dow,
+             m - trend AS d
+      FROM tr
+    ), seas AS (
+      SELECT event_type, dow,
+             floor((CAST(sum(CAST(floor(d * 1000000000000.0 + 0.5)
+                                  / 1000000000000.0 AS DECIMAL(24,12)))
+                         AS DOUBLE) / count(d)) * 1000000.0 + 0.5)
+               / 1000000.0 AS seasonal
+      FROM det WHERE d IS NOT NULL GROUP BY event_type, dow
+    )
+    SELECT t.event_type, t.day, t.m AS daily_mean, t.trend,
+           s.seasonal,
+           CASE WHEN t.d IS NOT NULL
+                THEN floor((t.d - s.seasonal) * 1000000.0 + 0.5) / 1000000.0
+           END AS remainder
+    FROM det t JOIN seas s
+      ON t.event_type = s.event_type AND t.dow = s.dow
+    """,
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition of each type's daily
+    mean series: trend = centered 7-day moving average (full windows
+    only — edges get NULL, the textbook rule), seasonal = day-of-week
+    mean of the detrended series, remainder = what neither explains.
+    The moving-average + seasonal-means construction is the 'decompose'
+    baseline every anomaly/forecast stack starts from (STL's ancestor);
+    anomaly_seasonal_zscore consumes the same structure implicitly.
+
+    Scale shape: one raw pass to the |types|x|days| model table
+    (persisted), one day-ordered bounded window (ROWS +-3) for the
+    trend, one |types|x7 aggregation for the seasonal profile joined
+    back broadcast. Exactness: the trailing frame sums DECIMAL(18,6)
+    (exact at any partitioning), trend divides once by the 7.0 literal;
+    detrended terms pin to 12 dp DECIMAL before the seasonal mean; the
+    day-of-week key is ISO-normalized across engines (Spark dayofweek
+    is 1-7 Sunday-based, DuckDB 0-6 — the oracle adds 1, the
+    f_datetime_suite contract)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            round_half_up(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        .persist()
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "m",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            round_half_up(
+                F.sum(F.col("m").cast("decimal(18,6)")).over(w).cast("double")
+                / F.lit(7.0),
+                6,
+            ),
+        ).alias("trend"),
+    )
+    det = tr.select(
+        "event_type",
+        "day",
+        "m",
+        "trend",
+        F.dayofweek("day").cast("bigint").alias("dow"),
+        (F.col("m") - F.col("trend")).alias("d"),
+    )
+    seas = (
+        det.where(F.col("d").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            round_half_up(
+                F.sum(
+                    round_half_up(F.col("d"), 12).cast("decimal(24,12)")
+                ).cast("double")
+                / F.count("d"),
+                6,
+            ).alias("seasonal")
+        )
+    )
+    return det.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        F.col("m").alias("daily_mean"),
+        "trend",
+        "seasonal",
+        F.when(
+            F.col("d").isNotNull(),
+            round_half_up(F.col("d") - F.col("seasonal"), 6),
+        ).alias("remainder"),
+    )
+
+
+@query(
+    "orders_backlog_aging",
+    oracle="""
+    WITH snap AS (SELECT max(o_orderdate) AS asof FROM orders),
+    open_o AS (
+      SELECT o.o_orderkey, o.o_totalprice,
+             CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(s.asof AS DATE)) AS BIGINT) AS age_days
+      FROM orders o, snap s
+      WHERE o.o_orderstatus = 'O'
+    ),
+    b AS (
+      SELECT CASE
+               WHEN age_days <= 365 THEN '0-1y'
+               WHEN age_days <= 1095 THEN '1-3y'
+               WHEN age_days <= 1825 THEN '3-5y'
+               ELSE '5y+'
+             END AS age_bucket,
+             o_totalprice
+      FROM open_o
+    )
+    SELECT age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE))
+                 * 100.0 + 0.5) / 100.0 AS backlog_value
+    FROM b GROUP BY age_bucket
+    """,
+)
+def orders_backlog_aging(spark, sf_dir):
+    """Open-order backlog aging report: orders still in status 'O' at
+    the dataset's as-of date (max order date — the snapshot the
+    reference's daily batch would pin), bucketed by age with count and
+    total value per bucket — the operations dashboard that surfaces how
+    much revenue is stuck and for how long (pairs with
+    orders_open_concurrency's sweep-line view of WIP over time).
+
+    Scale shape: the as-of date is a 1-row aggregate broadcast into the
+    fact scan (no driver round-trip in the plan — the scalar rides the
+    cross join); the status filter pushes to the parquet scan; the
+    bucket CASE is pure codegen; one 4-key aggregation with map-side
+    combine ends the plan. Money sums accumulate in DECIMAL(18,2)
+    (exact, order-free) and surface as half-up-rounded doubles."""
+    o = _t(spark, sf_dir, "orders")
+    snap = o.agg(F.max("o_orderdate").alias("asof"))
+    age = F.datediff(
+        F.col("asof").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("bigint")
+    bucket = (
+        F.when(age <= 365, "0-1y")
+        .when(age <= 1095, "1-3y")
+        .when(age <= 1825, "3-5y")
+        .otherwise("5y+")
+    )
+    return (
+        o.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(snap))
+        .groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            round_half_up(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("backlog_value"),
+        )
+    )
+
+
+@query(
+    "dq_psi_drift",
+    oracle="""
+    WITH mm AS (SELECT min(value) AS mn, max(value) AS mx
+                FROM events WHERE value IS NOT NULL),
+    b AS (
+      SELECT least(CAST(floor((value - mn) / (mx - mn) * 10.0) AS BIGINT),
+                   9) AS bin,
+             CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                  THEN 1 ELSE 0 END AS is_e
+      FROM events, mm WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT bin, CAST(sum(is_e) AS BIGINT) AS n_e,
+             CAST(sum(1 - is_e) AS BIGINT) AS n_a
+      FROM b GROUP BY bin
+    ),
+    t AS (SELECT CAST(sum(n_e) AS BIGINT) AS te,
+                 CAST(sum(n_a) AS BIGINT) AS ta FROM c),
+    g AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    j AS (
+      SELECT CAST(g.bin AS BIGINT) AS bin,
+             CAST(coalesce(c.n_e, 0) AS BIGINT) AS n_expected,
+             CAST(coalesce(c.n_a, 0) AS BIGINT) AS n_actual
+      FROM g LEFT JOIN c ON g.bin = c.bin
+    )
+    SELECT j.bin, j.n_expected, j.n_actual,
+           CASE WHEN j.n_expected > 0 AND j.n_actual > 0
+                THEN floor(((j.n_expected * 1.0 / t.te)
+                            - (j.n_actual * 1.0 / t.ta))
+                           * ln((j.n_expected * 1.0 / t.te)
+                                / (j.n_actual * 1.0 / t.ta))
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS psi_term
+    FROM j, t
+    """,
+)
+def dq_psi_drift(spark, sf_dir):
+    """Population Stability Index over the value column: first half of
+    the month (expected window) vs second half (actual window), 10
+    equal-width bins over the observed range — the model-monitoring
+    drift screen (PSI > 0.2 = retrain) that localizes WHICH part of the
+    distribution moved, where a single KS statistic (ks_two_sample)
+    only says THAT it moved. Per-bin psi_term = (p-q)*ln(p/q); empty
+    bins on either side yield NULL (no Laplace fudge — a bin appearing
+    from nothing is a signal the report should show as such).
+
+    Scale shape: one min/max scalar pass broadcast into one binning
+    pass (codegen CASE on a pure arithmetic bin id — no quantile state),
+    one 10-key aggregation; the 10x2 count table is driver-sized by
+    construction, so the ln terms are evaluated ONCE in Python (host
+    libm = DuckDB's libm, the dq_benford_digits pinned-libm contract —
+    never the JVM's Math.log, which can differ by an ulp). The integer
+    bin counts and their IEEE ratio/difference arithmetic are
+    bit-identical in both engines."""
+    import math
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = ev.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * F.lit(10.0)
+            ).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+        F.when(
+            F.to_date("ts") <= F.lit("2024-01-15").cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("is_e"),
+    )
+    counts = {
+        r["bin"]: (r["n_e"], r["n_a"])
+        for r in b.groupBy("bin")
+        .agg(
+            F.sum("is_e").cast("bigint").alias("n_e"),
+            F.sum(1 - F.col("is_e")).cast("bigint").alias("n_a"),
+        )
+        .collect()
+    }
+    te = sum(v[0] for v in counts.values())
+    ta = sum(v[1] for v in counts.values())
+    rows = []
+    for bin_id in range(10):
+        ne, na = counts.get(bin_id, (0, 0))
+        term = None
+        if ne > 0 and na > 0:
+            p, q = ne * 1.0 / te, na * 1.0 / ta
+            term = math.floor((p - q) * math.log(p / q) * 1e6 + 0.5) / 1e6
+        rows.append((bin_id, ne, na, term))
+    return spark.createDataFrame(
+        rows, "bin bigint, n_expected bigint, n_actual bigint, psi_term double"
+    )
