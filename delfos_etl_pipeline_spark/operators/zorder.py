@@ -93,3 +93,89 @@ def zorder_layout(
         "_zorder", morton_key([F.col(f"_code_{c}") for c in cols], bits)
     ).drop(*[f"_code_{c}" for c in cols])
     return z.repartitionByRange(n_files, "_zorder").sortWithinPartitions("_zorder")
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    x_col: Column,
+    y_col: Column,
+    bits: int,
+    out_col: str = "hilbert_key",
+) -> DataFrame:
+    """Append the 2-D Hilbert curve index of (``bits``-bit x, y) cells —
+    the canonical xy2d quadrant-rotation recurrence, one PROJECTION per
+    rotation step over named state columns (_hx, _hy, _hd). Hilbert
+    beats Morton for data layout because consecutive keys are always
+    ADJACENT cells (no Z-curve diagonal jumps), so range-partitioned
+    files have strictly tighter bounding boxes at equal file counts.
+
+    Why a projection chain and not one nested Column: each step
+    references the previous x AND y twice, so inline composition grows
+    the expression tree 3^bits (measured: analysis hangs at bits=8);
+    named intermediate columns keep the plan linear in ``bits``, and
+    CollapseProject keeps the steps separate because collapsing would
+    duplicate non-cheap expressions. Still pure codegen — shift/mask/
+    CASE, stateless per row, no UDF."""
+    n = 1 << bits
+    out = df.withColumns(
+        {
+            "_hx": x_col.cast("long"),
+            "_hy": y_col.cast("long"),
+            "_hd": F.lit(0).cast("long"),
+        }
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        xx, yy = F.col("_hx"), F.col("_hy")
+        rx = F.shiftright(xx, i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(yy, i).bitwiseAND(F.lit(1))
+        out = out.withColumns(
+            {
+                "_hd": F.col("_hd")
+                + F.lit(s * s).cast("long")
+                * ((F.lit(3) * rx).bitwiseXOR(ry)).cast("long"),
+                "_hx": F.when(
+                    ry == 0,
+                    F.when(rx == 1, F.lit(n - 1) - yy).otherwise(yy),
+                ).otherwise(xx),
+                "_hy": F.when(
+                    ry == 0,
+                    F.when(rx == 1, F.lit(n - 1) - xx).otherwise(xx),
+                ).otherwise(yy),
+            }
+        )
+    return out.withColumn(out_col, F.col("_hd")).drop("_hx", "_hy", "_hd")
+
+
+def sql_hilbert_query(
+    source_sql: str, carry_cols: list[str], x_sql: str, y_sql: str, bits: int
+) -> str:
+    """DuckDB twin of :func:`hilbert_key`: a chain of one CTE per
+    rotation step (linear SQL growth — a single nested expression would
+    explode 3^bits), carrying ``carry_cols`` through and emitting the
+    final ``hilbert_key``. Identical bit arithmetic, so the comparison
+    is exact."""
+    n = 1 << bits
+    carry = ", ".join(carry_cols)
+    parts = [
+        f"h{bits} AS (SELECT {carry}, CAST({x_sql} AS BIGINT) AS x,"
+        f" CAST({y_sql} AS BIGINT) AS y, CAST(0 AS BIGINT) AS d"
+        f" FROM {source_sql})"
+    ]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"((x >> {i}) & 1)"
+        ry = f"((y >> {i}) & 1)"
+        parts.append(
+            f"h{i} AS (SELECT {carry},"
+            f" CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+            f" THEN {n - 1} - y ELSE y END ELSE x END AS x,"
+            f" CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+            f" THEN {n - 1} - x ELSE x END ELSE y END AS y,"
+            f" d + {s * s} * xor(3 * {rx}, {ry}) AS d FROM h{i + 1})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT {carry}, CAST(d AS BIGINT) AS hilbert_key FROM h0"
+    )

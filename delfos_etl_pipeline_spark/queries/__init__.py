@@ -127,6 +127,9 @@ _R5_NEW = [
     "ts_seasonal_decompose",   # new: MA trend + dow seasonal + remainder
     "orders_backlog_aging",    # new: open-order aging buckets at as-of
     "dq_psi_drift",            # new: PSI drift screen, pinned-libm ln
+    "text_readability",        # new: Flesch/FK scores, shuffle-free scan
+    "sample_systematic",       # new: every-kth via distributed rank
+    "layout_hilbert_key",      # new: Hilbert curve key, exact bit math
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

@@ -244,3 +244,41 @@ def sample_class_balance(spark, sf_dir):
         .where(F.col("rn") <= F.col("kk"))
         .select("vec_id", "label")
     )
+
+
+@query(
+    "sample_systematic",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, ts, user_id, event_type, value,
+             CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rn
+      FROM events
+    )
+    SELECT event_id, ts, user_id, event_type, value, rn
+    FROM r WHERE (rn - 1) % 20 = 0
+    """,
+)
+def sample_systematic(spark, sf_dir):
+    """Systematic (every k-th, k=20) sample in global (ts, event_id)
+    order — the audit/QA draw that guarantees even coverage of the
+    whole time range where a Bernoulli draw (sample_bernoulli) can
+    cluster by chance; rows keep their global rank so an auditor can
+    reconstruct exactly which stratum of the stream each one represents.
+
+    The naive plan is the classic scale trap: row_number() with no
+    PARTITION BY funnels 100 TB through ONE task. Here the rank comes
+    from operators/rank.py::distributed_rank — range partition on the
+    sort key, driver-collected per-partition counts (scalars), then
+    offset + local row_number keyed by partition id — so the plan's
+    parallelism is the partition count at every stage and the only
+    driver state is |partitions| integers. The oracle's single-node
+    window certifies the distributed rank exactly, modulo nothing."""
+    from delfos_etl_pipeline_spark.operators.rank import distributed_rank
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ranked = distributed_rank(ev, order_cols=("ts", "event_id"))
+    return ranked.where((F.col("rn") - 1) % 20 == 0).select(
+        "event_id", "ts", "user_id", "event_type", "value", "rn"
+    )

@@ -596,3 +596,78 @@ def text_simpson_diversity(spark, sf_dir):
         round_half_up(raw, 6).alias("simpson_repeat"),
         round_half_up(F.lit(1.0) - raw, 6).alias("diversity"),
     )
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           floor((206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                  - 84.6 * (n_syllables * 1.0 / n_words))
+                 * 1000000.0 + 0.5) / 1000000.0 AS flesch,
+           floor((0.39 * (n_words * 1.0 / n_sentences)
+                  + 11.8 * (n_syllables * 1.0 / n_words) - 15.59)
+                 * 1000000.0 + 0.5) / 1000000.0 AS fk_grade
+    FROM c WHERE n_words > 0
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease and Flesch-Kincaid grade level per document —
+    the classic readability pair a curation pipeline uses to stratify a
+    corpus by audience complexity (and to cut OCR junk whose
+    degenerate 'sentence' structure scores absurdly). Syllables use the
+    standard vowel-group proxy (runs of [aeiouy] — exact syllabification
+    needs a dictionary; the proxy is deterministic and monotone with
+    true counts), sentences are [.!?]+ runs clamped to >= 1 so headline
+    fragments don't divide by zero.
+
+    Scale shape: a single stateless projection over the corpus scan —
+    three regex counters and two fixed IEEE polynomials, all codegen,
+    no shuffle at all (the ideal 100 TB shape: bytes in, scores out,
+    perfectly partition-parallel). Exactness: the counts are integers
+    from identical regex semantics (character classes only — no
+    engine-specific syntax), and each score is ONE identically-written
+    IEEE expression on those integers, rounded half-up to 6 dp."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+        )
+    ).cast("bigint")
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("bigint")
+    n_syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+    ).cast("bigint")
+    c = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    wps = F.col("n_words") * 1.0 / F.col("n_sentences")
+    spw = F.col("n_syllables") * 1.0 / F.col("n_words")
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        round_half_up(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch"),
+        round_half_up(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )

@@ -642,34 +642,14 @@ def w6_rolling_median_prod(spark, sf_dir):
     the regime where per-key row count x frame outgrows a single task,
     which a 5-key window can never escape and this plan's n/4096-way
     split does."""
+    from delfos_etl_pipeline_spark.operators.rank import distributed_rank
+
     ev = _t(spark, sf_dir, "events")
     block, halo = 4096, 99
-    parts = (
-        ev.select("event_id", "event_type", "ts", "value")
-        .repartitionByRange(32, "event_type", "ts", "event_id")
-        .sortWithinPartitions("event_type", "ts", "event_id")
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = parts.groupBy("pid", "event_type").count().collect()
-    offsets: dict[tuple[int, str], int] = {}
-    seen: dict[str, int] = {}
-    for row in sorted(counts, key=lambda r: (r["event_type"], r["pid"])):
-        offsets[(row["pid"], row["event_type"])] = seen.get(
-            row["event_type"], 0
-        )
-        seen[row["event_type"]] = (
-            seen.get(row["event_type"], 0) + row["count"]
-        )
-    off_df = spark.createDataFrame(
-        [(p, t, o) for (p, t), o in offsets.items()],
-        "pid int, event_type string, off bigint",
-    )
-    wloc = Window.partitionBy("pid", "event_type").orderBy("ts", "event_id")
-    ranked = (
-        parts.withColumn("lrn", F.row_number().over(wloc))
-        .join(F.broadcast(off_df), ["pid", "event_type"])
-        .withColumn("rn", F.col("off") + F.col("lrn"))
+    ranked = distributed_rank(
+        ev.select("event_id", "event_type", "ts", "value"),
+        order_cols=("ts", "event_id"),
+        key_cols=("event_type",),
     )
     pos = (F.col("rn") - 1) % block
     bcore = F.floor((F.col("rn") - 1) / block)

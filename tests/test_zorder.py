@@ -126,3 +126,38 @@ def test_zorder_files_actually_skip_on_second_dim(spark, tmp_path):
         spark.read.parquet(z_path).where(pred).count()
         == spark.read.parquet(lin_path).where(pred).count()
     )
+
+
+def test_hilbert_key_matches_canonical_and_steps_by_one(spark):
+    """The unrolled Spark recurrence must equal the canonical xy2d
+    algorithm on the full 16x16 grid (bits=4), and the inverse walk
+    must step exactly one cell per consecutive key — the locality
+    property that makes Hilbert the stronger clustering curve."""
+    from delfos_etl_pipeline_spark.operators.zorder import with_hilbert_key
+
+    def xy2d_ref(order, x, y):
+        d, s = 0, order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = order - 1 - x, order - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits, n = 4, 16
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    rows = with_hilbert_key(grid, F.col("x"), F.col("y"), bits).collect()
+    inv = {}
+    for r in rows:
+        assert r.hilbert_key == xy2d_ref(n, r.x, r.y), (r.x, r.y)
+        inv[r.hilbert_key] = (r.x, r.y)
+    assert len(inv) == n * n  # bijective over the grid
+    for d in range(n * n - 1):
+        (x0, y0), (x1, y1) = inv[d], inv[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
