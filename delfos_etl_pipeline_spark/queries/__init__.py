@@ -130,6 +130,7 @@ _R5_NEW = [
     "text_readability",        # new: Flesch/FK scores, shuffle-free scan
     "sample_systematic",       # new: every-kth via distributed rank
     "layout_hilbert_key",      # new: Hilbert curve key, exact bit math
+    "emb_kmeans_step",         # new: one exact Lloyd iteration
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

@@ -1064,3 +1064,90 @@ def sim_ivf_recall_eval(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "emb_kmeans_step",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)
+    ),
+    assign AS (
+      SELECT v.vec_id, v.e, c.cid AS cluster
+      FROM v JOIN cent c ON true
+      QUALIFY row_number() OVER (
+        PARTITION BY v.vec_id
+        ORDER BY list_dot_product(v.e, c.ce) /
+                 (sqrt(list_dot_product(v.e, v.e)) *
+                  sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid) = 1
+    ),
+    r AS (
+      SELECT cluster, generate_subscripts(e, 1) - 1 AS dim_idx,
+             CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000000.0 + 0.5)
+                  / 1000000.0 AS DECIMAL(18,6)) AS x
+      FROM assign
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(dim_idx AS BIGINT) AS dim_idx,
+           CAST(count(*) AS BIGINT) AS n,
+           floor((CAST(sum(x) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+             / 1000000.0 AS centroid
+    FROM r GROUP BY cluster, dim_idx
+    """,
+)
+def emb_kmeans_step(spark, sf_dir):
+    """One exact Lloyd iteration of k-means over the embedding corpus:
+    assign every vector to its nearest of 8 deterministic seed
+    centroids (the lowest-id embeddings, cosine similarity, lowest-cid
+    tie-break — the build_ivf_index_fixed quantizer), then recompute
+    per-cluster per-dimension means. This is the distributed primitive
+    every vector-index build loop (IVF coarse quantizer, PQ codebook
+    training) repeats to convergence; certifying ONE step exactly
+    certifies the loop body the seeded-KMeans production path iterates.
+
+    Scale shape: centroids ride as 8 broadcast literal vectors into a
+    single corpus scan (argmax over an in-row struct array — no join,
+    no shuffle for assignment); the update is ONE 8-key aggregation of
+    64 flat decimal sums each (the emb_centroid_by_label contract:
+    elements rounded half-up to 6 dp into DECIMAL(18,6) before the
+    order-free exact sum), then a posexplode of the 8x64 result only.
+    Assignment comparisons are identical IEEE cosine doubles in both
+    engines, so the partition of the corpus — and therefore every mean
+    — matches bitwise."""
+    from delfos_etl_pipeline_spark.similarity.ivf import build_ivf_index_fixed
+
+    dims = 64
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = build_ivf_index_fixed(emb, n_clusters=8)
+    sums = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(
+                (
+                    F.floor(
+                        F.element_at("embedding", i + 1).cast("double")
+                        * 1000000.0
+                        + 0.5
+                    )
+                    / 1000000.0
+                ).cast("decimal(18,6)")
+            ).alias(f"s{i}")
+            for i in range(dims)
+        ],
+    )
+    return sums.select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n",
+        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(dims)])).alias(
+            "dim_idx", "s"
+        ),
+    ).select(
+        "cluster",
+        F.col("dim_idx").cast("bigint").alias("dim_idx"),
+        "n",
+        round_half_up(F.col("s").cast("double") / F.col("n"), 6).alias(
+            "centroid"
+        ),
+    )
