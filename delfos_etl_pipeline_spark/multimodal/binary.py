@@ -492,3 +492,21 @@ def sample_chunks(
             F.md5("chunk").alias("chunk_md5"),
         )
     )
+
+
+def sniff_format(payload: Column) -> Column:
+    """Magic-byte file-type dispatch over an opaque binary column:
+    uppercase hex of the first 4 bytes matched against the standard
+    signatures (BMP 'BM', PPM 'P6', RIFF, PNG, PDF '%PDF', ZIP 'PK').
+    Pure codegen (substring + hex + CASE) — the router a mixed media
+    drop-zone applies before handing each format to its decoder."""
+    magic8 = F.hex(F.substring(payload, 1, 4))
+    return (
+        F.when(magic8.startswith("424D"), "bmp")
+        .when(magic8.startswith("5036"), "ppm")
+        .when(magic8 == "52494646", "riff")
+        .when(magic8 == "89504E47", "png")
+        .when(magic8.startswith("25504446"), "pdf")
+        .when(magic8.startswith("504B"), "zip")
+        .otherwise("unknown")
+    )

@@ -131,6 +131,11 @@ _R5_NEW = [
     "sample_systematic",       # new: every-kth via distributed rank
     "layout_hilbert_key",      # new: Hilbert curve key, exact bit math
     "emb_kmeans_step",         # new: one exact Lloyd iteration
+    "streaks_gaps_islands",    # new: consecutive-day activity runs
+    "graph_degree_distribution",  # new: near-dup graph shape histogram
+    "promo_uplift_did",        # new: diff-in-diff uplift, 4-cell reduce
+    "text_zipf_fit",           # new: rank-frequency OLS, pinned-libm ln
+    "mm_magic_profile",        # new: magic-byte format dispatch profile
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

@@ -1095,3 +1095,48 @@ def dedup_lsh_recall_eval(spark, sf_dir):
             "recall"
         ),
     )
+
+
+def _degree_dist_oracle() -> str:
+    edges = _CLUSTERS_ORACLE[: _CLUSTERS_ORACLE.index("), reach")] + ")"
+    return edges + """,
+    deg AS (
+      SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM edges GROUP BY a
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """
+
+
+@query("graph_degree_distribution", oracle=_degree_dist_oracle())
+def graph_degree_distribution(spark, sf_dir):
+    """Degree distribution of the exact near-dup graph: how many
+    documents have k near-duplicate neighbors — the first thing to read
+    off a dedup graph before choosing cluster policy (a heavy tail
+    means boilerplate template hubs → cap-and-sample; a flat head
+    means pairwise dupes → simple keep-first). Complements
+    graph_triangles (local structure) and dedup_clusters (global
+    components) with the corpus-level shape.
+
+    Scale shape: the near-dup pair list (doc_a < doc_b, blocked
+    shingle join — never all-pairs) unions both directions, then two
+    keyed integer aggregations (node -> degree, degree -> count), both
+    map-side combinable; nothing here is heavier than the edge list
+    itself. Pure integer counting — exact with no rounding contract."""
+    from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True),
+        threshold=0.6,
+    )
+    edges = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = edges.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )

@@ -191,3 +191,73 @@ def mm_chunk_sample(spark, sf_dir):
     return sample_chunks(
         attach_binary_payload(docs, "doc_id", "text"), chunk_size=32, stride=4
     )
+
+
+@query(
+    "mm_magic_profile",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, encode(text) AS payload,
+             substring(hex(encode(text)), 1, 8) AS magic8
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, octet_length(payload) AS n_bytes,
+             CASE
+               WHEN magic8 LIKE '424D%' THEN 'bmp'
+               WHEN magic8 LIKE '5036%' THEN 'ppm'
+               WHEN magic8 = '52494646' THEN 'riff'
+               WHEN magic8 = '89504E47' THEN 'png'
+               WHEN magic8 LIKE '25504446%' THEN 'pdf'
+               WHEN magic8 LIKE '504B%' THEN 'zip'
+               ELSE 'unknown'
+             END AS format
+      FROM b
+    )
+    SELECT format,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+           CAST(max(n_bytes) AS BIGINT) AS max_bytes
+    FROM f GROUP BY format
+    """,
+)
+def mm_magic_profile(spark, sf_dir):
+    """File-type sniffing over opaque binary payloads: dispatch on the
+    leading magic bytes (BMP/PPM/RIFF/PNG/PDF/ZIP signatures) and
+    profile count + byte volume per detected format — the first pass a
+    multimodal lake runs over a mixed drop-zone before routing each
+    format to its decoder (mm_image_decode / mm_audio_features), and
+    the guard that catches mislabeled blobs BEFORE a decoder crashes on
+    them. The driver corpus is UTF-8 text payloads, so everything lands
+    in 'unknown' by design — the dispatch mechanism, not the corpus
+    mix, is what the oracle certifies (the attach_binary_payload
+    contract: same schema as real media bytes).
+
+    Scale shape: the Spark side reads TWO leading bytes per row
+    (substring on the binary column — parquet reads the page but the
+    projection touches 4 hex chars) plus octet_length, then one
+    small-key aggregation with map-side combine; no UDF, no shuffle
+    beyond the format histogram. Magic hex is uppercase in both
+    engines; counts and byte sums are exact integers."""
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        attach_binary_payload,
+        sniff_format,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bin_df = attach_binary_payload(docs, "doc_id", "text")
+    fmt = sniff_format(F.col("payload"))
+    return (
+        bin_df.select(
+            fmt.alias("format"),
+            F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        )
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.min("n_bytes").cast("bigint").alias("min_bytes"),
+            F.max("n_bytes").cast("bigint").alias("max_bytes"),
+        )
+    )

@@ -558,3 +558,104 @@ def text_langid_confusion(spark, sf_dir):
             F.col("n") * F.lit(1.0) / F.sum("n").over(wrow).cast("double"), 6
         ).alias("row_rate"),
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+      FROM documents
+    ), uni AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cu
+      FROM w WHERE term <> '' GROUP BY term
+    ), top AS (
+      SELECT cu,
+             CAST(row_number() OVER (ORDER BY cu DESC, term) AS BIGINT)
+               AS rank
+      FROM uni ORDER BY cu DESC, term LIMIT 200
+    ), t AS (
+      SELECT CAST(floor(ln(rank) * 1000000000000.0 + 0.5) AS BIGINT) AS xi,
+             CAST(floor(ln(cu) * 1000000000000.0 + 0.5) AS BIGINT) AS yi
+      FROM top
+    ), t2 AS (
+      SELECT xi, yi,
+             CAST(floor((xi / 1000000000000.0) * (yi / 1000000000000.0)
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS xyi,
+             CAST(floor((xi / 1000000000000.0) * (xi / 1000000000000.0)
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS x2i
+      FROM t
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(xi) AS sxi, sum(yi) AS syi,
+             sum(xyi) AS sxyi, sum(x2i) AS sx2i
+      FROM t2
+    )
+    SELECT n AS n_terms,
+           floor(((n * (sxyi / 1000000000000.0)
+                   - (sxi / 1000000000000.0) * (syi / 1000000000000.0))
+                  / (n * (sx2i / 1000000000000.0)
+                     - (sxi / 1000000000000.0) * (sxi / 1000000000000.0)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+           floor((((syi / 1000000000000.0)
+                   - ((n * (sxyi / 1000000000000.0)
+                       - (sxi / 1000000000000.0) * (syi / 1000000000000.0))
+                      / (n * (sx2i / 1000000000000.0)
+                         - (sxi / 1000000000000.0)
+                           * (sxi / 1000000000000.0)))
+                     * (sxi / 1000000000000.0)) / n)
+                 * 1000000.0 + 0.5) / 1000000.0 AS zipf_intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the corpus frequency spectrum: OLS slope of
+    ln(frequency) on ln(rank) over the top-200 terms — natural text
+    lands near -1; machine-generated or heavily-boilerplated corpora
+    bend the line (too flat = vocabulary stuffing, too steep =
+    template spam), making the slope a one-number corpus-health gate
+    alongside text_simpson_diversity.
+
+    Scale shape: the corpus scan reduces to the vocabulary histogram
+    (map-side combined), the top-200 is TakeOrderedAndProject (never a
+    global sort), and the 200 (rank, freq) pairs collect driver-side —
+    a model table by construction. Libm discipline: both ln terms are
+    evaluated OUTSIDE the JVM (Python host libm = DuckDB's libm, the
+    dq_benford/pmi contract), pinned to integer pico-units, summed
+    exactly as integers (order-free), and the slope/intercept are each
+    ONE identical IEEE expression over those integer sums."""
+    import math
+
+    docs = _t(spark, sf_dir, "documents")
+    uni = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    )
+    top = uni.orderBy(F.desc("cu"), F.asc("term")).limit(200).collect()
+    n = len(top)
+    sxi = syi = sxyi = sx2i = 0
+    for rank, row in enumerate(top, start=1):
+        xi = math.floor(math.log(rank) * 1e12 + 0.5)
+        yi = math.floor(math.log(row["cu"]) * 1e12 + 0.5)
+        sxi += xi
+        syi += yi
+        sxyi += math.floor((xi / 1e12) * (yi / 1e12) * 1e12 + 0.5)
+        sx2i += math.floor((xi / 1e12) * (xi / 1e12) * 1e12 + 0.5)
+    sx, sy = sxi / 1e12, syi / 1e12
+    sxy, sx2 = sxyi / 1e12, sx2i / 1e12
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                math.floor(slope * 1e6 + 0.5) / 1e6,
+                math.floor(intercept * 1e6 + 0.5) / 1e6,
+            )
+        ],
+        "n_terms bigint, zipf_slope double, zipf_intercept double",
+    )

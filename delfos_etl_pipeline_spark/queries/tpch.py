@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from delfos_etl_pipeline_spark.functions.stable import round_half_up
 from delfos_etl_pipeline_spark.queries._registry import _t, query
 
 @query(
@@ -1145,4 +1146,111 @@ def tpch_q20_promotable_suppliers(spark, sf_dir):
         .join(qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
         .select("s_name", "s_suppkey")
         .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "promo_uplift_did",
+    oracle="""
+    WITH cells AS (
+      SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo,
+             CASE WHEN l.l_shipdate >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS is_post,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT is_promo, is_post,
+             floor((rev_cents * 1.0 / 100.0 / n_lines) * 1000000.0 + 0.5)
+               / 1000000.0 AS mean_rev
+      FROM cells
+    ), w AS (
+      SELECT max(CASE WHEN is_promo = 1 AND is_post = 1 THEN mean_rev END)
+               AS promo_post,
+             max(CASE WHEN is_promo = 1 AND is_post = 0 THEN mean_rev END)
+               AS promo_pre,
+             max(CASE WHEN is_promo = 0 AND is_post = 1 THEN mean_rev END)
+               AS ctrl_post,
+             max(CASE WHEN is_promo = 0 AND is_post = 0 THEN mean_rev END)
+               AS ctrl_pre
+      FROM m
+    )
+    SELECT promo_pre, promo_post, ctrl_pre, ctrl_post,
+           floor(((promo_post - promo_pre) - (ctrl_post - ctrl_pre))
+                 * 1000000.0 + 0.5) / 1000000.0 AS did_uplift
+    FROM w
+    """,
+)
+def promo_uplift_did(spark, sf_dir):
+    """Difference-in-differences uplift estimate for promo parts: the
+    change in mean per-line revenue across the 1998 boundary for
+    promo-typed parts MINUS the same change for everything else — the
+    causal-inference workhorse that separates 'promo lines earn more
+    after the change' from 'all lines earned more after the change'
+    (a plain before/after on the treated group confounds the two).
+
+    Scale shape: one fact-dim equi-join (part is the broadcast side at
+    any realistic scale), then a FOUR-cell aggregation with map-side
+    combine — the whole query reduces 100 TB to 4 rows in one pass.
+    Exactness: revenue pins to integer cents per line (floor half-up —
+    order-free BIGINT sums, the micro-unit contract), the four cell
+    means round half-up at 6 dp, and the DiD combination of four
+    identical rounded doubles is a single identical IEEE expression."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + 0.5
+    ).cast("bigint")
+    cells = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.when(F.col("p_type").like("PROMO%"), 1)
+            .otherwise(0)
+            .alias("is_promo"),
+            F.when(
+                F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"), 1
+            )
+            .otherwise(0)
+            .alias("is_post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(cents).cast("bigint").alias("rev_cents"),
+        )
+    )
+    mean_rev = round_half_up(
+        F.col("rev_cents") * 1.0 / F.lit(100.0) / F.col("n_lines"), 6
+    )
+    m = cells.select("is_promo", "is_post", mean_rev.alias("mean_rev"))
+    w = m.agg(
+        F.max(
+            F.when((F.col("is_promo") == 1) & (F.col("is_post") == 1),
+                   F.col("mean_rev"))
+        ).alias("promo_post"),
+        F.max(
+            F.when((F.col("is_promo") == 1) & (F.col("is_post") == 0),
+                   F.col("mean_rev"))
+        ).alias("promo_pre"),
+        F.max(
+            F.when((F.col("is_promo") == 0) & (F.col("is_post") == 1),
+                   F.col("mean_rev"))
+        ).alias("ctrl_post"),
+        F.max(
+            F.when((F.col("is_promo") == 0) & (F.col("is_post") == 0),
+                   F.col("mean_rev"))
+        ).alias("ctrl_pre"),
+    )
+    return w.select(
+        "promo_pre",
+        "promo_post",
+        "ctrl_pre",
+        "ctrl_post",
+        round_half_up(
+            (F.col("promo_post") - F.col("promo_pre"))
+            - (F.col("ctrl_post") - F.col("ctrl_pre")),
+            6,
+        ).alias("did_uplift"),
     )

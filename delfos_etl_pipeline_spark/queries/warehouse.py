@@ -4585,3 +4585,54 @@ def dq_psi_drift(spark, sf_dir):
     return spark.createDataFrame(
         rows, "bin bigint, n_expected bigint, n_actual bigint, psi_term double"
     )
+
+
+@query(
+    "streaks_gaps_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), r AS (
+      SELECT user_id, day,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS BIGINT) AS rn
+      FROM d
+    ), g AS (
+      SELECT user_id, day, day - CAST(rn AS INTEGER) AS grp FROM r
+    )
+    SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+           CAST(count(*) AS BIGINT) AS streak_days
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def streaks_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days
+    (start, end, length) — the engagement-streak primitive behind
+    retention features, streak-based rewards, and churn-risk flags
+    (growth_accounting_weekly sees week-over-week presence; this sees
+    the day-level runs inside it). Classic island key: day minus the
+    per-user day rank is CONSTANT exactly while days are consecutive —
+    one dense integer/date subtraction, no iterative chasing.
+
+    Scale shape: DISTINCT (user, day) collapses the fact table first
+    (map-side combinable — the raw scan never reaches the window), then
+    ONE user-keyed window (high-cardinality key, cluster-parallel) and
+    ONE (user, island) aggregation — two keyed exchanges total, all
+    integer/date arithmetic, no UDF. Pure calendar math is identical in
+    both engines, so the match is exact with no rounding contract
+    needed."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w).cast("int")
+        ).alias("grp"),
+    )
+    return g.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+    ).drop("grp")

@@ -286,3 +286,33 @@ def test_sample_chunks_empty_payload_emits_no_rows(spark):
     assert {r.doc_id for r in rows} == {2}
     got = {(r.chunk_idx, r.chunk_bytes) for r in rows}
     assert got == {(0, 32), (2, 32)}  # ceil(100/32)=4 chunks, stride 2
+
+
+def test_sniff_format_detects_standard_signatures(spark):
+    """The magic-byte dispatch must route each standard signature to its
+    format (the driver corpus is all-text so the oracle only certifies
+    the 'unknown' arm; this covers the real ones)."""
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.multimodal.binary import sniff_format
+
+    cases = [
+        (1, b"BM\x00\x00rest", "bmp"),
+        (2, b"P6\n2 2\n255\n" + b"\x00" * 12, "ppm"),
+        (3, b"RIFF\x24\x00\x00\x00WAVE", "riff"),
+        (4, b"\x89PNG\r\n\x1a\n", "png"),
+        (5, b"%PDF-1.7\n", "pdf"),
+        (6, b"PK\x03\x04....", "zip"),
+        (7, b"plain text here", "unknown"),
+        (8, b"", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _ in cases], "doc_id long, payload binary"
+    )
+    got = {
+        r.doc_id: r.fmt
+        for r in df.select(
+            "doc_id", sniff_format(F.col("payload")).alias("fmt")
+        ).collect()
+    }
+    assert got == {i: want for i, _, want in cases}
