@@ -136,6 +136,8 @@ _R5_NEW = [
     "promo_uplift_did",        # new: diff-in-diff uplift, 4-cell reduce
     "text_zipf_fit",           # new: rank-frequency OLS, pinned-libm ln
     "mm_magic_profile",        # new: magic-byte format dispatch profile
+    "dedup_cluster_keep_policy",  # new: survivor selection over closure
+    "risk_var_es_daily",       # new: rank-pinned VaR + expected shortfall
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

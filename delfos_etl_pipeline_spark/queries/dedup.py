@@ -1140,3 +1140,61 @@ def graph_degree_distribution(spark, sf_dir):
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+def _keep_policy_oracle() -> str:
+    closure = _CLUSTERS_ORACLE[: _CLUSTERS_ORACLE.index("SELECT c.node")]
+    return closure + """
+    SELECT c.cluster_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(min(struct_pack(neg_chars := -d.n_chars,
+                                doc_id := c.node)).doc_id AS BIGINT)
+             AS kept_doc_id,
+           CAST(max(d.n_chars) AS BIGINT) AS kept_n_chars,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM comp c JOIN documents d ON c.node = d.doc_id
+    GROUP BY c.cluster_id
+    """
+
+
+@query("dedup_cluster_keep_policy", oracle=_keep_policy_oracle())
+def dedup_cluster_keep_policy(spark, sf_dir):
+    """Survivor selection over the near-dup closure — the step that
+    turns 'these documents form a duplicate group' into an actionable
+    KEEP/DROP decision: one representative per cluster (longest text,
+    ties to the lowest doc_id — deterministic, re-runnable) and the
+    drop count the curation report bills against dedup. This is the
+    web-corpus policy layer on top of dedup_clusters, the analogue of
+    er_canonical_records' survivorship for entity resolution.
+
+    Scale shape: the closure itself is the O(log n)-round star
+    alternation (never all-pairs); policy is then ONE cluster-keyed
+    aggregation — the argmin rides as a (size-ordered) struct min, so
+    no per-cluster window/sort materializes, and the documents join
+    brings only n_chars (column pruning drops the text). Exact
+    integers throughout."""
+    from delfos_etl_pipeline_spark.dedup.clusters import duplicate_clusters
+    from delfos_etl_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_sets(docs, "doc_id", "text", n=3, hashed=True, with_size=True),
+        threshold=0.6,
+    )
+    clusters = duplicate_clusters(pairs)
+    j = clusters.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    return j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("neg_chars"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        )["doc_id"]
+        .cast("bigint")
+        .alias("kept_doc_id"),
+        F.max("n_chars").cast("bigint").alias("kept_n_chars"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+    )

@@ -4636,3 +4636,81 @@ def streaks_gaps_islands(spark, sf_dir):
         F.max("day").alias("streak_end"),
         F.count(F.lit(1)).cast("bigint").alias("streak_days"),
     ).drop("grp")
+
+
+@query(
+    "risk_var_es_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS m
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), r AS (
+      SELECT event_type, day, m,
+             CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY m, day) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+      FROM daily
+    ), k AS (
+      SELECT event_type, nd,
+             CAST(ceil(0.05 * nd) AS BIGINT) AS kk
+      FROM r GROUP BY event_type, nd
+    )
+    SELECT r.event_type, k.nd, k.kk AS k_tail,
+           max(CASE WHEN r.rn = k.kk THEN r.m END) AS var95,
+           floor((CAST(sum(CASE WHEN r.rn <= k.kk
+                                THEN CAST(r.m AS DECIMAL(18,6)) END)
+                       AS DOUBLE) / k.kk) * 1000000.0 + 0.5)
+             / 1000000.0 AS es95
+    FROM r JOIN k USING (event_type)
+    GROUP BY r.event_type, k.nd, k.kk
+    """,
+)
+def risk_var_es_daily(spark, sf_dir):
+    """Lower-tail risk pair per event type over the daily-mean series:
+    95% Value-at-Risk (the k-th smallest daily mean, nearest-rank
+    definition k = ceil(0.05·n) — a RANK-pinned quantile, so no
+    interpolation expression can diverge between engines) and Expected
+    Shortfall (the exact mean of those k tail days — the coherent risk
+    measure Basel moved to because VaR alone ignores how bad the tail
+    is). The ops reading: 'on the worst 5% of days, the average level
+    was es95'.
+
+    Scale shape: one raw pass to the |types|x|days| model table, one
+    type-keyed ranking window over days (calendar-bounded), one
+    type-keyed aggregation — map-side combinable, broadcast-free. Tail
+    sums accumulate in DECIMAL(18,6) (order-free), VaR is a plain
+    element pick via MAX(CASE rn = k), and ties in m break on day, so
+    ranking is total in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        round_half_up(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    wr = Window.partitionBy("event_type").orderBy("m", "day")
+    wc = Window.partitionBy("event_type")
+    r = daily.select(
+        "event_type",
+        "m",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("nd"),
+    )
+    kk = F.ceil(F.lit(0.05) * F.col("nd")).cast("bigint")
+    r2 = r.withColumn("kk", kk)
+    return r2.groupBy("event_type", "nd", F.col("kk").alias("k_tail")).agg(
+        F.max(F.when(F.col("rn") == F.col("kk"), F.col("m"))).alias("var95"),
+        round_half_up(
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.col("kk"),
+                    F.col("m").cast("decimal(18,6)"),
+                )
+            ).cast("double")
+            / F.col("k_tail"),
+            6,
+        ).alias("es95"),
+    )
