@@ -25,6 +25,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right ``value_cols`` with
     ``right.on <= left.on`` within the same ``by`` key (backward as-of,
@@ -36,6 +37,13 @@ def asof_join(
     Right value columns are emitted as ``{name}{suffix}``; left rows with
     no earlier right row get NULLs (left-outer semantics).
 
+    ``tolerance_us`` bounds match staleness like pandas ``merge_asof``'s
+    ``tolerance``: a nearest match farther than that many microseconds
+    (in the join direction) is treated as NO match — its value columns
+    null out and ``staleness_us{suffix}`` (emitted only when a tolerance
+    is set) is NULL. Exact integer epoch-microsecond arithmetic, never
+    interval/boundary-crossing date math.
+
     Matches pandas ``merge_asof`` row semantics: ALL value columns come
     from the single most recent right ROW — carried as one struct picked
     with a single ``last(ignorenulls=True)`` — so a NULL field in the
@@ -45,7 +53,10 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in {on, *by}]
 
-    row_struct = F.struct(*[F.col(c) for c in value_cols])
+    struct_fields = [F.col(c) for c in value_cols]
+    if tolerance_us is not None:
+        struct_fields.append(F.col(on).alias("__r_on"))
+    row_struct = F.struct(*struct_fields)
     lt = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
@@ -68,9 +79,22 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last(F.col("__r_row"), ignorenulls=True).over(w)
+    if tolerance_us is None:
+        carried = unioned.select(
+            *[F.col(c) for c in left.columns],
+            F.col("__side"),
+            *[matched[c].alias(f"{c}{suffix}") for c in value_cols],
+        )
+        return carried.where(F.col("__side") == 1).drop("__side")
+    if direction == "backward":
+        staleness = F.unix_micros(F.col(on)) - F.unix_micros(matched["__r_on"])
+    else:
+        staleness = F.unix_micros(matched["__r_on"]) - F.unix_micros(F.col(on))
+    ok = staleness <= F.lit(tolerance_us)
     carried = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("__side"),
-        *[matched[c].alias(f"{c}{suffix}") for c in value_cols],
+        *[F.when(ok, matched[c]).alias(f"{c}{suffix}") for c in value_cols],
+        F.when(ok, staleness).cast("bigint").alias(f"staleness_us{suffix}"),
     )
     return carried.where(F.col("__side") == 1).drop("__side")

@@ -138,6 +138,10 @@ _R5_NEW = [
     "mm_magic_profile",        # new: magic-byte format dispatch profile
     "dedup_cluster_keep_policy",  # new: survivor selection over closure
     "risk_var_es_daily",       # new: rank-pinned VaR + expected shortfall
+    "asof_join_tolerance",     # new: staleness-bounded as-of (merge_asof)
+    "user_event_entropy",      # new: behavioral-mix entropy, pinned terms
+    "revenue_waterfall",       # new: cent-exact finance reconciliation
+    "events_fano_hourly",      # new: burstiness via integer moments
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

@@ -64,3 +64,55 @@ def asof_join_forward(spark, sf_dir):
         left, right, on="ts", by=["user_id"], value_cols=["value"],
         direction="forward",
     )
+
+
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    WITH j AS (
+      SELECT l.event_id, l.user_id, l.ts, l.value,
+             r.value AS rv, r.ts AS rts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        ON l.user_id = r.user_id AND r.ts <= l.ts
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN rts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(rts) <= 21600000000
+                THEN rv END AS value_asof,
+           CAST(CASE WHEN rts IS NOT NULL
+                      AND epoch_us(ts) - epoch_us(rts) <= 21600000000
+                     THEN epoch_us(ts) - epoch_us(rts) END
+                AS BIGINT) AS staleness_us_asof
+    FROM j
+    """,
+)
+def asof_join_tolerance(spark, sf_dir):
+    """Tolerance-bounded backward as-of join (pandas merge_asof's
+    ``tolerance``, QuestDB's bounded ASOF): each purchase gets the
+    latest error value per user ONLY if it is at most 6 hours stale —
+    older context is worse than none for feature engineering, and the
+    emitted staleness_us lets the consumer threshold further without
+    re-joining. Same single-shuffle union-and-carry plan as
+    asof_join_events (the matched row's timestamp rides inside the
+    carried struct); staleness compares exact integer epoch
+    microseconds on both sides — never interval or hour-boundary date
+    math (DuckDB's datediff counts boundary CROSSINGS, not elapsed
+    time)."""
+    from delfos_etl_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        left,
+        right,
+        on="ts",
+        by=["user_id"],
+        value_cols=["value"],
+        tolerance_us=6 * 3600 * 1_000_000,
+    )

@@ -1254,3 +1254,69 @@ def promo_uplift_did(spark, sf_dir):
             6,
         ).alias("did_uplift"),
     )
+
+
+@query(
+    "revenue_waterfall",
+    oracle="""
+    WITH l AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS gross_c,
+             CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5)
+                  AS BIGINT) AS disc_c,
+             CAST(floor(l_extendedprice * (1 - l_discount) * l_tax * 100.0
+                        + 0.5) AS BIGINT) AS tax_c,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT) AS net_c
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           floor((sum(gross_c) * 1.0 / 100.0) * 100.0 + 0.5) / 100.0
+             AS gross_revenue,
+           floor((sum(disc_c) * 1.0 / 100.0) * 100.0 + 0.5) / 100.0
+             AS discount_given,
+           floor((sum(net_c) * 1.0 / 100.0) * 100.0 + 0.5) / 100.0
+             AS net_revenue,
+           floor((sum(tax_c) * 1.0 / 100.0) * 100.0 + 0.5) / 100.0
+             AS tax_collected,
+           floor(((sum(net_c) + sum(tax_c)) * 1.0 / 100.0) * 100.0 + 0.5)
+             / 100.0 AS charged_total
+    FROM l GROUP BY l_returnflag
+    """,
+)
+def revenue_waterfall(spark, sf_dir):
+    """Finance revenue waterfall by return flag: gross -> discount ->
+    net -> tax -> charged, each step an exact money column — the
+    reconciliation report whose columns must ADD UP row by row (audit
+    requirement), which is why every per-line term pins to integer
+    cents half-up BEFORE summation: BIGINT cent sums are order-free and
+    the waterfall identity gross - discount = net holds to the cent by
+    construction, where independent float sums would drift apart in
+    the last digits. One scan, one small-key aggregation with map-side
+    combine — the TPC-H q1 shape with the money-integrity contract
+    made explicit."""
+    l = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(c * 100.0 + 0.5).cast("bigint")  # noqa: E731
+    base = l.select(
+        "l_returnflag",
+        cents(F.col("l_extendedprice")).alias("gross_c"),
+        cents(F.col("l_extendedprice") * F.col("l_discount")).alias("disc_c"),
+        cents(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * F.col("l_tax")
+        ).alias("tax_c"),
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "net_c"
+        ),
+    )
+    money = lambda c: round_half_up(c * 1.0 / F.lit(100.0), 2)  # noqa: E731
+    return base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        money(F.sum("gross_c")).alias("gross_revenue"),
+        money(F.sum("disc_c")).alias("discount_given"),
+        money(F.sum("net_c")).alias("net_revenue"),
+        money(F.sum("tax_c")).alias("tax_collected"),
+        money(F.sum("net_c") + F.sum("tax_c")).alias("charged_total"),
+    )

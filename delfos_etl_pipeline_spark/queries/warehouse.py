@@ -4714,3 +4714,146 @@ def risk_var_es_daily(spark, sf_dir):
             6,
         ).alias("es95"),
     )
+
+
+@query(
+    "user_event_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ), pt AS (
+      SELECT user_id, n,
+             CAST(floor((CASE WHEN n > 0
+                  THEN (n * 1.0 / sum(n) OVER (PARTITION BY user_id))
+                       * ln(n * 1.0 / sum(n) OVER (PARTITION BY user_id))
+             END) * 1000000000000.0 + 0.5) / 1000000000000.0
+                  AS DECIMAL(24,12)) AS term
+      FROM c
+    ), t AS (
+      SELECT user_id,
+             CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(term) AS DOUBLE) AS hraw
+      FROM pt GROUP BY user_id
+    )
+    SELECT user_id, nt AS n_events, k AS n_types,
+           floor((-hraw) * 1000000.0 + 0.5) / 1000000.0 AS entropy,
+           CASE WHEN k > 1
+                THEN floor(((-hraw) / ln(k * 1.0)) * 1000000.0 + 0.5)
+                     / 1000000.0
+                ELSE 0.0 END AS entropy_norm
+    FROM t
+    """,
+)
+def user_event_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type mix — the
+    explorer-vs-specialist behavioral segmentation signal (H=0: one
+    event type only; H=ln k: uniform across all k types; the
+    normalized form compares users with different type counts). Joins
+    the profiling family as the per-entity counterpart of
+    mutual_information's corpus-level dependence measure.
+
+    Scale shape: one (user, type)-keyed count with map-side combine
+    (the raw scan's only pass), then a user-keyed aggregation of <=
+    |types| rows each — no broadcast, no window over raw events.
+    Exactness: p = n/nt is an identical integer-ratio IEEE division;
+    p*ln(p) follows the repo's in-engine ln contract (the
+    text_tfidf_top_terms precedent — integer-ratio inputs, half-up
+    rounding); each term then pins to DECIMAL(24,12) before the
+    per-user sum so accumulation order can never move the hash."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wt = Window.partitionBy("user_id")
+    p = F.col("n") * 1.0 / F.sum("n").over(wt)
+    terms = c.select(
+        "user_id",
+        "n",
+        # pinned to DECIMAL before the sum: even a <=5-term double sum is
+        # partial/merge-order-dependent across partitions (ADVICE-r4
+        # class); the decimal accumulation is order-free.
+        round_half_up(F.when(F.col("n") > 0, p * F.log(p)), 12)
+        .cast("decimal(24,12)")
+        .alias("term"),
+    )
+    t = terms.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("term").cast("double").alias("hraw"),
+    )
+    return t.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        round_half_up(-F.col("hraw"), 6).alias("entropy"),
+        F.when(
+            F.col("n_types") > 1,
+            round_half_up(
+                (-F.col("hraw")) / F.log(F.col("n_types") * 1.0), 6
+            ),
+        )
+        .otherwise(0.0)
+        .alias("entropy_norm"),
+    )
+
+
+@query(
+    "events_fano_hourly",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(n) AS BIGINT) AS sn,
+             CAST(sum(n * n) AS BIGINT) AS sn2
+      FROM h GROUP BY event_type
+    )
+    SELECT event_type, n_hours,
+           floor((sn * 1.0 / n_hours) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_per_hour,
+           floor(((sn2 * 1.0 / n_hours) - (sn * 1.0 / n_hours)
+                  * (sn * 1.0 / n_hours)) * 1000000.0 + 0.5) / 1000000.0
+             AS var_per_hour,
+           floor((((sn2 * 1.0 / n_hours) - (sn * 1.0 / n_hours)
+                   * (sn * 1.0 / n_hours)) / (sn * 1.0 / n_hours))
+                 * 1000000.0 + 0.5) / 1000000.0 AS fano
+    FROM s
+    """,
+)
+def events_fano_hourly(spark, sf_dir):
+    """Fano factor (index of dispersion, variance/mean of hourly event
+    counts) per type — the point-process burstiness test: ~1 means
+    Poisson-like arrivals (capacity planning can use the mean), >> 1
+    means bursty clumping (the p99 story anomaly_seasonal_zscore then
+    localizes), << 1 means scheduler-regular traffic. One number per
+    type that tells you whether mean-based sizing is even valid.
+
+    Scale shape: hourly bucketing is the first map-side-combinable
+    aggregation (the raw scan's only pass), the per-type moment
+    reduction runs over |types|x|hours| rows. Exactness: counts are
+    integers, n*n sums are exact BIGINTs (no decimal needed — pure
+    integer moments), and mean/variance/Fano are identical IEEE
+    expressions over those integer sums, rounded half-up at 6 dp."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("n").cast("bigint").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sn2"),
+    )
+    mean = F.col("sn") * 1.0 / F.col("n_hours")
+    var = (F.col("sn2") * 1.0 / F.col("n_hours")) - mean * mean
+    return s.select(
+        "event_type",
+        "n_hours",
+        round_half_up(mean, 6).alias("mean_per_hour"),
+        round_half_up(var, 6).alias("var_per_hour"),
+        round_half_up(var / mean, 6).alias("fano"),
+    )
