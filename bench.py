@@ -158,6 +158,26 @@ HEADLINE = [
     "returns_rate_by_brand",
     "audience_overlap_jaccard",
     "revenue_new_vs_repeat",
+    # round 5
+    "ts_acf_daily",
+    "ts_seasonal_decompose",
+    "orders_backlog_aging",
+    "dq_psi_drift",
+    "text_readability",
+    "sample_systematic",
+    "layout_hilbert_key",
+    "emb_kmeans_step",
+    "streaks_gaps_islands",
+    "graph_degree_distribution",
+    "promo_uplift_did",
+    "text_zipf_fit",
+    "mm_magic_profile",
+    "dedup_cluster_keep_policy",
+    "risk_var_es_daily",
+    "asof_join_tolerance",
+    "user_event_entropy",
+    "revenue_waterfall",
+    "events_fano_hourly",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,
