@@ -142,6 +142,10 @@ _R5_NEW = [
     "user_event_entropy",      # new: behavioral-mix entropy, pinned terms
     "revenue_waterfall",       # new: cent-exact finance reconciliation
     "events_fano_hourly",      # new: burstiness via integer moments
+    "w12_streak_reset_count",  # new: reset-on-condition running count
+    "text_novelty_fraction",   # new: first-occurrence shingle novelty
+    "dq_uniqueness_profile",   # new: column dominance/uniqueness screen
+    "orders_median_gap_days",  # new: rank-pinned per-customer cadence
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

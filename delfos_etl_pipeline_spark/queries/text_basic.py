@@ -659,3 +659,84 @@ def text_zipf_fit(spark, sf_dir):
         ],
         "n_terms bigint, zipf_slope double, zipf_intercept double",
     )
+
+
+@query(
+    "text_novelty_fraction",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)
+    ), first_seen AS (
+      SELECT shingle, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           floor((sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  * 1.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0
+             AS novelty
+    FROM sh s JOIN first_seen f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def text_novelty_fraction(spark, sf_dir):
+    """Per-document novelty: the fraction of a document's distinct
+    3-gram shingles appearing for the FIRST time in corpus (doc_id)
+    order — the curation signal that separates fresh content from
+    recombinations of already-seen text, used to prioritize genuinely
+    new data in a training mix (dedup answers 'is this a copy of ONE
+    document'; novelty answers 'is any of this new at all', catching
+    mosaic plagiarism that pairwise Jaccard misses).
+
+    Scale shape: one shingle explode (the dedup family's corpus pass),
+    a shingle-keyed MIN aggregation (map-side combinable — the
+    first-occurrence table is vocabulary-sized), a shingle-keyed join
+    back, and a doc-keyed count — all linear in corpus shingles, no
+    self-join, no all-pairs anything. Integer counts; one pinned 6-dp
+    ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w")
+    )
+    # Guard the degenerate case BEFORE sequence(): for a <3-word doc the
+    # bound is 0 and Spark's sequence(1, 0) auto-steps DOWN to [1, 0]
+    # (the mm_chunk_sample empty-payload class) — slice(w, 0, 3) would
+    # then error at runtime. The where() keeps only docs with >= 1
+    # shingle, matching the oracle's empty generate_series(1, 0).
+    n3 = F.size("w") - 2
+    sh = (
+        words.where(n3 >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n3),
+                    lambda i: F.array_join(F.slice("w", i, 3), " "),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    first_seen = sh.groupBy("shingle").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            round_half_up(novel * 1.0 / F.count(F.lit(1)), 6).alias(
+                "novelty"
+            ),
+        )
+    )

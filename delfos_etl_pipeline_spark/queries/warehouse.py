@@ -4857,3 +4857,164 @@ def events_fano_hourly(spark, sf_dir):
         round_half_up(var, 6).alias("var_per_hour"),
         round_half_up(var / mean, 6).alias("fano"),
     )
+
+
+@query(
+    "dq_uniqueness_profile",
+    oracle="""
+    WITH cols AS (
+      SELECT 'event_type' AS col_name, event_type AS val FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'props', props FROM events
+    ), c AS (
+      SELECT col_name, val, CAST(count(*) AS BIGINT) AS n
+      FROM cols WHERE val IS NOT NULL GROUP BY col_name, val
+    ), s AS (
+      SELECT col_name,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             min(struct_pack(neg_n := -n, v := val)).v AS top_value,
+             CAST(max(n) AS BIGINT) AS top_count
+      FROM c GROUP BY col_name
+    )
+    SELECT col_name, n_rows, n_distinct, top_value, top_count,
+           floor((top_count * 1.0 / n_rows) * 1000000.0 + 0.5) / 1000000.0
+             AS top_share,
+           floor((n_distinct * 1.0 / n_rows) * 1000000.0 + 0.5) / 1000000.0
+             AS uniqueness
+    FROM s
+    """,
+)
+def dq_uniqueness_profile(spark, sf_dir):
+    """Column-level uniqueness/dominance profile (the pandas-profiling /
+    Deequ staple): per profiled column — total non-null rows, distinct
+    count, the most frequent value with its share (ties to the
+    lexicographically smallest value, deterministic), and the
+    uniqueness ratio. The screen that catches constant columns
+    (uniqueness ~ 0, top_share ~ 1), accidental key columns, and
+    enum-cardinality drift before they poison joins or models.
+
+    Scale shape: the profiled columns stack into (col_name, val) long
+    form IN ONE SCAN (Spark compiles the union of projections over the
+    same relation into a single pass at the source; no per-column
+    re-scan), then two keyed aggregations — (col, val) counts with
+    map-side combine, then a 3-key reduction where the argmax rides as
+    a struct MIN ((-count, value) lexicographic — partial-aggregable,
+    no per-column sort). Integer counts; pinned 6-dp ratios."""
+    ev = _t(spark, sf_dir, "events")
+    cols = (
+        ev.select(F.lit("event_type").alias("col_name"),
+                  F.col("event_type").alias("val"))
+        .unionAll(
+            ev.select(F.lit("user_id"),
+                      F.col("user_id").cast("string"))
+        )
+        .unionAll(ev.select(F.lit("props"), F.col("props")))
+    )
+    c = (
+        cols.where(F.col("val").isNotNull())
+        .groupBy("col_name", "val")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    s = c.groupBy("col_name").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.min(
+            F.struct((-F.col("n")).alias("neg_n"), F.col("val").alias("v"))
+        )["v"].alias("top_value"),
+        F.max("n").cast("bigint").alias("top_count"),
+    )
+    return s.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        "top_value",
+        "top_count",
+        round_half_up(F.col("top_count") * 1.0 / F.col("n_rows"), 6).alias(
+            "top_share"
+        ),
+        round_half_up(F.col("n_distinct") * 1.0 / F.col("n_rows"), 6).alias(
+            "uniqueness"
+        ),
+    )
+
+
+@query(
+    "orders_median_gap_days",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             lag(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev_d
+      FROM orders
+    ), g AS (
+      SELECT o_custkey,
+             CAST(datediff('day', prev_d, d) AS BIGINT) AS gap
+      FROM o WHERE prev_d IS NOT NULL
+    ), r AS (
+      SELECT o_custkey, gap,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY gap) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS c
+      FROM g
+    )
+    SELECT o_custkey,
+           CAST(max(c) AS BIGINT) AS n_gaps,
+           (max(CASE WHEN rn = (c + 1) // 2 THEN gap END) * 1.0
+            + max(CASE WHEN rn = (c + 2) // 2 THEN gap END)) / 2.0
+             AS median_gap_days
+    FROM r GROUP BY o_custkey
+    """,
+)
+def orders_median_gap_days(spark, sf_dir):
+    """Median days between consecutive orders per customer — the
+    purchase-cadence feature behind replenishment reminders and the
+    'expected next order' churn clock (orders_rfm_segmentation bins
+    recency once; this captures each customer's own rhythm, robust to
+    one long vacation gap where the mean is not). Median over a
+    HIGH-CARDINALITY key: per-customer rank windows parallelize across
+    the cluster (nothing like w6's 5-key ceiling).
+
+    Exactness (the rank-PIN median contract): the median is the
+    average of the elements at ranks floor((c+1)/2) and floor((c+2)/2)
+    — written as (a*1.0 + b)/2.0 IDENTICALLY in both engines, never an
+    interpolating quantile whose a+(b-a)*f form is a different IEEE
+    expression. Gaps are exact integer day differences (both engines
+    BIGINT — Spark datediff returns INT and is cast up)."""
+    o = _t(spark, sf_dir, "orders")
+    wlag = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.lag(F.col("o_orderdate").cast("date")).over(wlag).alias(
+                "prev_d"
+            ),
+        )
+        .where(F.col("prev_d").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("d", "prev_d").cast("bigint").alias("gap"),
+        )
+    )
+    wr = Window.partitionBy("o_custkey").orderBy("gap")
+    wc = Window.partitionBy("o_custkey")
+    r = g.select(
+        "o_custkey",
+        "gap",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("c"),
+    )
+    lo = F.max(
+        F.when(F.col("rn") == F.floor((F.col("c") + 1) / 2), F.col("gap"))
+    )
+    hi = F.max(
+        F.when(F.col("rn") == F.floor((F.col("c") + 2) / 2), F.col("gap"))
+    )
+    return r.groupBy("o_custkey").agg(
+        F.max("c").cast("bigint").alias("n_gaps"),
+        ((lo * 1.0 + hi) / 2.0).alias("median_gap_days"),
+    )

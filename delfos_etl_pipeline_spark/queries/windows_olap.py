@@ -1032,3 +1032,68 @@ def w11_range_interval(spark, sf_dir):
             F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w), 6
         ).alias("mean_1h"),
     )
+
+
+@query(
+    "w12_streak_reset_count",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END AS bad
+      FROM events
+    ), g AS (
+      SELECT user_id, ts, event_id, value, bad,
+             CAST(sum(bad) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS grp
+      FROM f
+    )
+    SELECT user_id, ts, event_id,
+           CAST(CASE WHEN bad = 1 THEN 0
+                     ELSE row_number() OVER (
+                            PARTITION BY user_id, grp
+                            ORDER BY ts, event_id)
+                          - CASE WHEN grp > 0 THEN 1 ELSE 0 END
+                END AS BIGINT) AS streak_len
+    FROM g
+    """,
+)
+def w12_streak_reset_count(spark, sf_dir):
+    """Reset-on-condition running count: each event's current streak of
+    consecutive 'good' rows (value present and non-negative) per user,
+    resetting to 0 at every bad row — the conditional-reset window
+    recurrence behind health streaks, consecutive-success counters, and
+    circuit-breaker logic, which no built-in frame expresses directly.
+    Standard two-window rewrite: the running count of RESETS is an
+    island id (constant between bad rows), then a row_number within
+    (user, island) — minus one when the island opens with its reset row
+    — is the streak. Both windows key on user_id and share the same
+    (ts, event_id) total order, so Spark evaluates them in ONE hash
+    exchange + sort (the w7_running_distinct shape); state per frame is
+    a counter, O(1) memory at any scale. Pure integer arithmetic —
+    exact with no rounding contract."""
+    ev = _t(spark, sf_dir, "events")
+    bad = F.when(
+        F.col("value").isNull() | (F.col("value") < 0), 1
+    ).otherwise(0)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        bad.alias("bad"),
+        F.sum(bad).over(wrun).cast("bigint").alias("grp"),
+    )
+    wisl = Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    streak = F.when(F.col("bad") == 1, F.lit(0)).otherwise(
+        F.row_number().over(wisl)
+        - F.when(F.col("grp") > 0, 1).otherwise(0)
+    )
+    return g.select(
+        "user_id", "ts", "event_id", streak.cast("bigint").alias("streak_len")
+    )
