@@ -146,6 +146,7 @@ _R5_NEW = [
     "text_novelty_fraction",   # new: first-occurrence shingle novelty
     "dq_uniqueness_profile",   # new: column dominance/uniqueness screen
     "orders_median_gap_days",  # new: rank-pinned per-customer cadence
+    "streaming_hopping_window_agg",  # new: sliding windows, stream parity
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

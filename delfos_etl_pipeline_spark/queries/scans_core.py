@@ -881,3 +881,65 @@ def f_datetime_suite(spark, sf_dir):
         F.add_months(F.trunc("ts", "month"), 1).alias("next_month_start"),
         F.date_add(F.col("ts").cast("date"), 90).alias("plus_90d"),
     )
+
+
+@query(
+    "streaming_hopping_window_agg",
+    oracle=f"""
+    WITH starts AS (
+      SELECT ts, value,
+             unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                     time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])
+               AS window_start
+      FROM events
+    ), w AS (
+      SELECT window_start, value FROM starts
+      WHERE ts >= window_start
+        AND ts < window_start + INTERVAL 10 MINUTE
+    )
+    SELECT window_start,
+           {sql_mean("value")} AS value_mean,
+           min(value)          AS value_min,
+           max(value)          AS value_max,
+           {sql_std("value")}  AS value_std
+    FROM w GROUP BY window_start
+    """,
+)
+def streaming_hopping_window_agg(spark, sf_dir):
+    """HOPPING (sliding) event-time windows under Structured Streaming:
+    10-minute windows every 5 minutes — each event contributes to 2
+    overlapping windows, the smoothing dashboards want when tumbling
+    edges chop a burst in half. Same watermarked availableNow drain and
+    batch/stream parity contract as streaming_window_agg; the oracle
+    reproduces the hop by exploding each event into its window/slide
+    candidate starts (the identity Spark's window() applies
+    internally). State economics at 100 TB: rows-in-state multiply by
+    window/slide (2 here) and the watermark still expires them — the
+    slide ratio, not the data rate, is the state-size lever."""
+    import os as _os
+    import tempfile
+
+    from delfos_etl_pipeline_spark.sources.parquet import load_table
+    from delfos_etl_pipeline_spark.streaming.runner import (
+        read_parquet_stream,
+        run_available_now,
+        streaming_windowed_stats,
+    )
+
+    src = _os.path.join(tempfile.mkdtemp(prefix="delfos_stream_"), "events")
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    ev.write.parquet(src)
+
+    stream = read_parquet_stream(spark, src, ev.schema)
+    result = streaming_windowed_stats(
+        stream, "ts", ("value",), "10 minutes", watermark="1 hour",
+        stable=True, slide="5 minutes",
+    )
+    q = run_available_now(
+        result,
+        _os.path.join(tempfile.mkdtemp(prefix="delfos_ckpt_"), "ckpt"),
+        "streaming_hopping_window_agg_sink",
+        output_mode="complete",
+    )
+    q.awaitTermination(300)
+    return spark.table("streaming_hopping_window_agg_sink")

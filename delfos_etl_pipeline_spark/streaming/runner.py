@@ -34,16 +34,25 @@ def streaming_windowed_stats(
     stats: tuple[str, ...] = DEFAULT_STATS,
     dedup_cols: tuple[str, ...] | None = None,
     stable: bool = False,
+    slide: str | None = None,
 ) -> DataFrame:
     """A1 under streaming: watermark → (optional) dedup → tumbling window
     multi-agg. Output schema matches the batch ``windowed_stats``;
     ``stable=True`` uses the cross-engine hash-stable stat formulas
     (functions/stable.py), which are ordinary aggregate expressions and
-    run identically under streaming."""
+    run identically under streaming. ``slide`` (< window) switches to
+    HOPPING windows: each event lands in window/slide overlapping
+    groups — state grows by the same factor, which the watermark still
+    bounds (the state-size lever at scale is the slide ratio)."""
     s = stream.withWatermark(ts_col, watermark)
     if dedup_cols:
         s = s.dropDuplicates([ts_col, *dedup_cols])
-    grouped = s.groupBy(F.window(F.col(ts_col), window))
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    grouped = s.groupBy(win)
     if stable:
         from delfos_etl_pipeline_spark.functions.stable import (
             stable_stat_aggs,
