@@ -147,6 +147,7 @@ _R5_NEW = [
     "dq_uniqueness_profile",   # new: column dominance/uniqueness screen
     "orders_median_gap_days",  # new: rank-pinned per-customer cadence
     "streaming_hopping_window_agg",  # new: sliding windows, stream parity
+    "ivm_agg_merge",           # new: base+delta partial-agg merge == full
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

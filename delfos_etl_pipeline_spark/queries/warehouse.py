@@ -5018,3 +5018,63 @@ def orders_median_gap_days(spark, sf_dir):
         F.max("c").cast("bigint").alias("n_gaps"),
         ((lo * 1.0 + hi) / 2.0).alias("median_gap_days"),
     )
+
+
+@query(
+    "ivm_agg_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS value_sum,
+           floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS value_mean
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ivm_agg_merge(spark, sf_dir):
+    """Incremental view maintenance for an aggregate table: the Spark
+    side deliberately computes the per-type stats as TWO partial
+    aggregations — the 'materialized base' (first half of the month)
+    and the 'arriving delta' (second half) — then MERGES the partials
+    (sum of counts, sum of exact decimal sums), while the oracle
+    recomputes from scratch over everything. The exact hash match IS
+    the IVM correctness contract: because every state component is a
+    commutative monoid (BIGINT count, DECIMAL sum — never a stored
+    float mean), base ⊕ delta ≡ full recompute, bit for bit. This is
+    the pattern that lets a 100 TB nightly aggregate absorb a daily
+    delta in O(delta) instead of O(history): partials per partition,
+    merged at read or compaction time (the mergeable-sketch design the
+    approx-distinct/percentile twins use, here in exact form).
+
+    Scale shape: two disjoint scans (in production: one delta scan plus
+    a read of the stored partial table), one tiny keyed merge — the
+    merge input is |types| rows per side."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(18,6)")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("pn"),
+            F.sum(dec).alias("ps"),
+        )
+
+    base = partial(ev.where(F.to_date("ts") <= F.lit("2024-01-15").cast("date")))
+    delta = partial(ev.where(F.to_date("ts") > F.lit("2024-01-15").cast("date")))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            F.sum("ps").alias("s"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        round_half_up(F.col("s").cast("double"), 6).alias("value_sum"),
+        round_half_up(
+            F.col("s").cast("double") / F.col("n_events"), 6
+        ).alias("value_mean"),
+    )
