@@ -148,6 +148,7 @@ _R5_NEW = [
     "orders_median_gap_days",  # new: rank-pinned per-customer cadence
     "streaming_hopping_window_agg",  # new: sliding windows, stream parity
     "ivm_agg_merge",           # new: base+delta partial-agg merge == full
+    "funnel_negative_condition",  # new: A->B with no C between, linear
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

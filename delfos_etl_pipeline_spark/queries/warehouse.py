@@ -5078,3 +5078,110 @@ def ivm_agg_merge(spark, sf_dir):
             F.col("s").cast("double") / F.col("n_events"), 6
         ).alias("value_mean"),
     )
+
+
+@query(
+    "funnel_negative_condition",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_err
+      FROM events
+    ), c AS (
+      SELECT user_id, ts, event_id, event_type, run_err,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN struct_pack(pts := ts, peid := event_id,
+                                       pre := run_err) END)
+               OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ROWS UNBOUNDED PRECEDING) AS nxt
+      FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_views,
+           CAST(sum(CASE WHEN nxt.pts IS NOT NULL
+                          AND (nxt.pts > ts OR (nxt.pts = ts
+                               AND nxt.peid > event_id))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(sum(CASE WHEN nxt.pts IS NOT NULL
+                          AND (nxt.pts > ts OR (nxt.pts = ts
+                               AND nxt.peid > event_id))
+                          AND nxt.pre - run_err = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM c WHERE event_type = 'view'
+    GROUP BY user_id
+    """,
+)
+def funnel_negative_condition(spark, sf_dir):
+    """Negative-condition funnel: view -> purchase with NO error in
+    between — the exclusion-step pattern ('converted WITHOUT hitting an
+    error page') that plain step funnels (funnel_conversion,
+    seqpat_followed_by) cannot express, and the naive triple self-join
+    prices at O(n³). Here it is TWO linear window passes: a running
+    error count per user (ascending), then the nearest FOLLOWING
+    purchase — with its error count — carried as a struct MIN in one
+    DESCENDING running frame (the reversed-running-min idiom from the
+    gapfill lesson: following-frame aggregates rescan per row, but a
+    reversed cumulative frame is incremental). clean = the purchase's
+    error count minus the view's (neither endpoint is an error, so the
+    difference counts exactly the errors strictly between). Both
+    windows key on user_id — one hash exchange, cluster-parallel,
+    O(1) frame state. Exact integers; struct comparison breaks ts ties
+    by event_id identically in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    wasc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(wasc)
+        .cast("bigint")
+        .alias("run_err"),
+    )
+    wdesc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = F.min(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct(
+                F.col("ts").alias("pts"),
+                F.col("event_id").alias("peid"),
+                F.col("run_err").alias("pre"),
+            ),
+        )
+    ).over(wdesc)
+    c = e.withColumn("nxt", nxt)
+    after = F.col("nxt.pts").isNotNull() & (
+        (F.col("nxt.pts") > F.col("ts"))
+        | (
+            (F.col("nxt.pts") == F.col("ts"))
+            & (F.col("nxt.peid") > F.col("event_id"))
+        )
+    )
+    return (
+        c.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_views"),
+            F.sum(F.when(after, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_converted"),
+            F.sum(
+                F.when(
+                    after & (F.col("nxt.pre") - F.col("run_err") == 0), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clean"),
+        )
+    )
