@@ -722,6 +722,10 @@ def text_novelty_fraction(spark, sf_dir):
             ).alias("shingle"),
         )
         .distinct()
+        # consumed by BOTH the first-occurrence agg and the join back:
+        # persist, or the shingle explode runs twice (2-4x, the repo's
+        # shared-subtree contract; verified 2 scans in the plan before).
+        .persist()
     )
     first_seen = sh.groupBy("shingle").agg(
         F.min("doc_id").cast("bigint").alias("first_doc")

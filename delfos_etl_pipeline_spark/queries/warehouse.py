@@ -4897,22 +4897,32 @@ def dq_uniqueness_profile(spark, sf_dir):
     enum-cardinality drift before they poison joins or models.
 
     Scale shape: the profiled columns stack into (col_name, val) long
-    form IN ONE SCAN (Spark compiles the union of projections over the
-    same relation into a single pass at the source; no per-column
-    re-scan), then two keyed aggregations — (col, val) counts with
-    map-side combine, then a 3-key reduction where the argmax rides as
-    a struct MIN ((-count, value) lexicographic — partial-aggregable,
-    no per-column sort). Integer counts; pinned 6-dp ratios."""
+    form via ONE in-row explode over a single scan (a UNION of
+    projections would re-scan the source once per column — verified in
+    the physical plan and rewritten), then two keyed aggregations —
+    (col, val) counts with map-side combine, then a 3-key reduction
+    where the argmax rides as a struct MIN ((-count, value)
+    lexicographic — partial-aggregable, no per-column sort). Integer
+    counts; pinned 6-dp ratios."""
     ev = _t(spark, sf_dir, "events")
-    cols = (
-        ev.select(F.lit("event_type").alias("col_name"),
-                  F.col("event_type").alias("val"))
-        .unionAll(
-            ev.select(F.lit("user_id"),
-                      F.col("user_id").cast("string"))
-        )
-        .unionAll(ev.select(F.lit("props"), F.col("props")))
-    )
+    cols = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("col_name"),
+                    F.col("event_type").alias("val"),
+                ),
+                F.struct(
+                    F.lit("user_id").alias("col_name"),
+                    F.col("user_id").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("props").alias("col_name"),
+                    F.col("props").alias("val"),
+                ),
+            )
+        ).alias("cv")
+    ).select(F.col("cv.col_name").alias("col_name"), F.col("cv.val").alias("val"))
     c = (
         cols.where(F.col("val").isNotNull())
         .groupBy("col_name", "val")
