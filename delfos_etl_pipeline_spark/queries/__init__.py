@@ -149,6 +149,7 @@ _R5_NEW = [
     "streaming_hopping_window_agg",  # new: sliding windows, stream parity
     "ivm_agg_merge",           # new: base+delta partial-agg merge == full
     "funnel_negative_condition",  # new: A->B with no C between, linear
+    "stats_bootstrap_ci_mean",  # new: integer-ladder Poisson bootstrap CI
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

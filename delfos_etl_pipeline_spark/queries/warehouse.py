@@ -5195,3 +5195,139 @@ def funnel_negative_condition(spark, sf_dir):
             .alias("n_clean"),
         )
     )
+
+
+@query(
+    "stats_bootstrap_ci_mean",
+    oracle="""
+    WITH reps AS (
+      SELECT e.event_type, e.value, t.b,
+             CAST(('0x' || substring(
+                     md5(CAST(e.event_id AS VARCHAR) || ':'
+                         || CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000000 AS u
+      FROM events e, unnest(generate_series(0, 39)) AS t(b)
+      WHERE e.value IS NOT NULL
+    ), w AS (
+      SELECT event_type, b,
+             CASE WHEN u < 367879 THEN 0
+                  WHEN u < 735758 THEN 1
+                  WHEN u < 919698 THEN 2
+                  WHEN u < 980973 THEN 3
+                  WHEN u < 996340 THEN 4
+                  WHEN u < 999405 THEN 5
+                  ELSE 6 END AS wt,
+             value
+      FROM reps
+    ), m AS (
+      SELECT event_type, b,
+             floor((CAST(sum(wt * CAST(floor(value * 1000000.0 + 0.5)
+                                       / 1000000.0 AS DECIMAL(18,6)))
+                         AS DOUBLE)
+                    / sum(wt)) * 1000000.0 + 0.5) / 1000000.0 AS mean_b
+      FROM w GROUP BY event_type, b HAVING sum(wt) > 0
+    ), r AS (
+      SELECT event_type, mean_b,
+             CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY mean_b, b) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+      FROM m
+    ), full_m AS (
+      SELECT event_type,
+             floor((CAST(sum(CAST(floor(value * 1000000.0 + 0.5)
+                                  / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_full
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT r.event_type, f.mean_full,
+           CAST(max(r.nb) AS BIGINT) AS n_replicates,
+           max(CASE WHEN r.rn = 2 THEN r.mean_b END) AS ci_lo,
+           max(CASE WHEN r.rn = 39 THEN r.mean_b END) AS ci_hi
+    FROM r JOIN full_m f USING (event_type)
+    GROUP BY r.event_type, f.mean_full
+    """,
+)
+def stats_bootstrap_ci_mean(spark, sf_dir):
+    """Percentile-bootstrap 95% confidence interval for the per-type
+    mean — 40 Poisson-bootstrap replicates (Chamandy et al.'s
+    'Estimating Uncertainty for Massive Data Streams', the
+    one-pass-friendly bootstrap: resampling WITH replacement is
+    approximated by giving each row an independent Poisson(1) weight
+    per replicate, so no global resample shuffle ever happens), CI =
+    rank-pinned 2nd / 39th replicate means. The report every mean
+    should ship with: 'the average is X, and with this much data it
+    could plausibly be anywhere in [lo, hi]'.
+
+    Determinism/exactness: the Poisson weights come from an integer
+    md5 bucket in [0, 1e6) compared against INTEGER inverse-CDF
+    cutoffs (367879 = floor(1e6·P(X<=0)), ...) — no float comparison,
+    no RNG state, identical in any engine and on re-run; weighted sums
+    accumulate in DECIMAL; replicate means rank-pin with a tie-break
+    on the replicate id. Scale shape: the 40 replicates ride ONE
+    explode of the scan (40x map work, map-side combined into
+    |types|x40 partials — never 40 scans, never a resample shuffle);
+    everything after is model-table-sized."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    from delfos_etl_pipeline_spark.operators.sampling import hash_bucket
+
+    B = 40
+    reps = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+    )
+    u = hash_bucket(
+        F.concat_ws(":", F.col("event_id").cast("string"), F.col("b")),
+        1_000_000,
+    )
+    wt = (
+        F.when(u < 367879, 0)
+        .when(u < 735758, 1)
+        .when(u < 919698, 2)
+        .when(u < 980973, 3)
+        .when(u < 996340, 4)
+        .when(u < 999405, 5)
+        .otherwise(6)
+    )
+    dec = (
+        F.floor(F.col("value") * 1000000.0 + 0.5) / 1000000.0
+    ).cast("decimal(18,6)")
+    m = (
+        reps.select("event_type", "b", wt.alias("wt"), dec.alias("vd"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("wt").alias("sw"),
+            F.sum(F.col("wt") * F.col("vd")).alias("svd"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            round_half_up(
+                F.col("svd").cast("double") / F.col("sw"), 6
+            ).alias("mean_b"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("mean_b", "b")
+    wc = Window.partitionBy("event_type")
+    r = m.select(
+        "event_type",
+        "mean_b",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("nb"),
+    )
+    full_m = ev.groupBy("event_type").agg(
+        round_half_up(
+            F.sum(dec).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_full")
+    )
+    return (
+        r.join(F.broadcast(full_m), "event_type")
+        .groupBy("event_type", "mean_full")
+        .agg(
+            F.max("nb").cast("bigint").alias("n_replicates"),
+            F.max(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == 39, F.col("mean_b"))).alias("ci_hi"),
+        )
+    )
