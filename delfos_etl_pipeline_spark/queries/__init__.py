@@ -150,6 +150,8 @@ _R5_NEW = [
     "ivm_agg_merge",           # new: base+delta partial-agg merge == full
     "funnel_negative_condition",  # new: A->B with no C between, linear
     "stats_bootstrap_ci_mean",  # new: integer-ladder Poisson bootstrap CI
+    "orders_ship_latency_percentiles",  # new: rank-pinned SLA report
+    "emb_norm_profile",        # new: per-label L2-norm sanity gate
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

@@ -1151,3 +1151,101 @@ def emb_kmeans_step(spark, sf_dir):
             "centroid"
         ),
     )
+
+
+@query(
+    "emb_norm_profile",
+    oracle="""
+    WITH r AS (
+      SELECT vec_id, label,
+             floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS xd
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label,
+             floor(sqrt(CAST(sum(CAST(floor(xd * xd * 1000000000000.0 + 0.5)
+                                      / 1000000000000.0 AS DECIMAL(30,12)))
+                             AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+               AS nrm
+      FROM r GROUP BY vec_id, label
+    ), rk AS (
+      SELECT label, vec_id, nrm,
+             CAST(row_number() OVER (
+               PARTITION BY label ORDER BY nrm, vec_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS c
+      FROM n
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(max(c) AS BIGINT) AS n_vectors,
+           min(nrm) AS norm_min,
+           (max(CASE WHEN rn = (c + 1) // 2 THEN nrm END) * 1.0
+            + max(CASE WHEN rn = (c + 2) // 2 THEN nrm END)) / 2.0
+             AS norm_median,
+           max(nrm) AS norm_max
+    FROM rk GROUP BY label
+    """,
+)
+def emb_norm_profile(spark, sf_dir):
+    """L2-norm distribution per label — the first sanity gate before
+    ANY similarity work: cosine-based ANN assumes comparable norms, and
+    a label whose median norm sits far from 1 (or whose min is ~0:
+    zero vectors) poisons dot-product shortcuts, k-means assignment,
+    and quantization ranges alike (emb_scalar_quantize's int8 range is
+    calibrated per batch; skewed norms waste its dynamic range).
+
+    Scale shape: one corpus pass explodes elements into a
+    per-(vec, label) reduction of pinned element squares (map-side
+    combinable, order-free decimal sums), then a label-keyed rank pass
+    over the already one-row-per-vector relation. Norms take one identical IEEE sqrt on an
+    exact decimal total; the median rank-pins with a vec_id tie-break
+    (the orders_median_gap_days contract)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    r = emb.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5)
+                / 1000000.0,
+            )
+        ).alias("xd"),
+    )
+    n = r.groupBy("vec_id", "label").agg(
+        round_half_up(
+            F.sqrt(
+                F.sum(
+                    round_half_up(F.col("xd") * F.col("xd"), 12).cast(
+                        "decimal(30,12)"
+                    )
+                ).cast("double")
+            ),
+            6,
+        ).alias("nrm")
+    )
+    wr = Window.partitionBy("label").orderBy("nrm", "vec_id")
+    wc = Window.partitionBy("label")
+    rk = n.select(
+        "label",
+        "nrm",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("c"),
+    )
+    lo = F.max(
+        F.when(F.col("rn") == F.floor((F.col("c") + 1) / 2), F.col("nrm"))
+    )
+    hi = F.max(
+        F.when(F.col("rn") == F.floor((F.col("c") + 2) / 2), F.col("nrm"))
+    )
+    return rk.groupBy("label").agg(
+        F.max("c").cast("bigint").alias("n_vectors"),
+        F.min("nrm").alias("norm_min"),
+        ((lo * 1.0 + hi) / 2.0).alias("norm_median"),
+        F.max("nrm").alias("norm_max"),
+    ).select(
+        F.col("label").cast("bigint").alias("label"),
+        "n_vectors",
+        "norm_min",
+        "norm_median",
+        "norm_max",
+    )
