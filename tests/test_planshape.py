@@ -519,3 +519,56 @@ def test_referential_orphans_broadcast_dim_keys(spark, sf_dir):
     assert _count(plan, "BroadcastHashJoin") >= 5, plan
     shuffles = _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin")
     assert shuffles <= 2, plan
+
+
+def test_w12_streak_single_exchange(spark, sf_dir):
+    """Both streak windows share the (user_id, ts ordering): exactly one
+    hash exchange, O(1) frame state (no join-back of an aggregate)."""
+    plan = _plan(spark, sf_dir, "w12_streak_reset_count")
+    assert _count(plan, "Exchange") == 1, plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_funnel_negative_single_exchange(spark, sf_dir):
+    """Running error count + carried-struct reversed running min + final
+    per-user aggregation all key on user_id: one hash exchange, no
+    self-join (the naive plan is a triple self-join)."""
+    plan = _plan(spark, sf_dir, "funnel_negative_condition")
+    assert _count(plan, "Exchange") == 1, plan
+    assert (
+        _count(plan, "SortMergeJoin")
+        + _count(plan, "ShuffledHashJoin")
+        + _count(plan, "BroadcastHashJoin")
+        + _count(plan, "CartesianProduct")
+        == 0
+    ), plan
+
+
+def test_uniqueness_profile_single_scan(spark, sf_dir):
+    """The per-column stack must be ONE scan + explode — a union of
+    projections re-scans the source per profiled column."""
+    plan = _plan(spark, sf_dir, "dq_uniqueness_profile")
+    assert _count(plan, "Scan parquet") == 1, plan
+    assert _count(plan, "Generate") == 1, plan
+
+
+def test_distributed_rank_no_single_partition_window(spark, sf_dir):
+    """sample_systematic's global rank must never fall into the
+    single-task global window: no SinglePartition exchange anywhere."""
+    plan = _plan(spark, sf_dir, "sample_systematic")
+    assert "SinglePartition" not in plan, plan
+    assert _count(plan, "Exchange") >= 1  # the range partition
+
+
+def test_readability_no_exchange(spark, sf_dir):
+    """Flesch/FK scoring is a stateless projection: zero exchanges."""
+    plan = _plan(spark, sf_dir, "text_readability")
+    assert _count(plan, "Exchange") == 0, plan
+
+
+def test_backlog_aging_broadcast_snapshot(spark, sf_dir):
+    """The as-of scalar rides a broadcast; the status filter reaches the
+    scan as a pushed filter."""
+    plan = _plan(spark, sf_dir, "orders_backlog_aging")
+    assert _count(plan, "BroadcastNestedLoopJoin") == 1, plan
+    assert "o_orderstatus" in plan and "PushedFilters" in plan
