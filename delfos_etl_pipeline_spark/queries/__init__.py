@@ -152,6 +152,8 @@ _R5_NEW = [
     "stats_bootstrap_ci_mean",  # new: integer-ladder Poisson bootstrap CI
     "orders_ship_latency_percentiles",  # new: rank-pinned SLA report
     "emb_norm_profile",        # new: per-label L2-norm sanity gate
+    "shard_balance_report",    # new: training-shard skew audit
+    "curate_quality_gate_sweep",  # new: threshold retention curve
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

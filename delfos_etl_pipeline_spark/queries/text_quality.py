@@ -671,3 +671,167 @@ def text_readability(spark, sf_dir):
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
         ).alias("fk_grade"),
     )
+
+
+@query(
+    "shard_balance_report",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 8 AS shard
+      FROM documents
+    ), s AS (
+      SELECT shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM k GROUP BY shard
+    ), t AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+             CAST(sum(n_chars) AS BIGINT) AS tc,
+             CAST(count(*) AS BIGINT) AS ns,
+             CAST(max(n_docs) AS BIGINT) AS mx
+      FROM s
+    )
+    SELECT CAST(s.shard AS INT) AS shard, s.n_docs, s.n_chars,
+           floor((s.n_docs * 1.0 / t.td) * 1000000.0 + 0.5) / 1000000.0
+             AS doc_share,
+           floor((t.mx * t.ns * 1.0 / t.td) * 1000000.0 + 0.5) / 1000000.0
+             AS max_skew_ratio
+    FROM s, t
+    """,
+)
+def shard_balance_report(spark, sf_dir):
+    """Shard-balance audit for the training-shard shuffle: per-shard doc
+    and byte volume, each shard's share, and the corpus-wide max-skew
+    ratio (largest shard vs the perfectly-even share) — the number that
+    decides whether the LAST training-data-loader worker straggles. A
+    hash shuffle is only as good as this report says it is; shipping
+    shards without it means discovering imbalance as a stalled epoch.
+
+    Scale shape: the assignment is the stateless md5 projection the
+    shard_train_split oracle certifies (xxhash64 in production); the
+    report is one 8-key aggregation plus a 1-row broadcast of totals.
+    Integer counts; two pinned 6-dp ratios. The skew ratio repeats on
+    every row by design (a report header, not a per-shard fact)."""
+    from delfos_etl_pipeline_spark.operators.sharding import shard_assignment
+
+    docs = _t(spark, sf_dir, "documents")
+    a = shard_assignment(
+        docs, "doc_id", n_shards=8, seed=42, keying="md5",
+        with_position=False,
+    )
+    s = (
+        a.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    t = s.agg(
+        F.sum("n_docs").cast("bigint").alias("td"),
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.max("n_docs").cast("bigint").alias("mx"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_docs",
+        "n_chars",
+        round_half_up(F.col("n_docs") * 1.0 / F.col("td"), 6).alias(
+            "doc_share"
+        ),
+        round_half_up(
+            F.col("mx") * F.col("ns") * 1.0 / F.col("td"), 6
+        ).alias("max_skew_ratio"),
+    )
+
+
+@query(
+    "curate_quality_gate_sweep",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ), q AS (
+      SELECT doc_id, n_chars,
+             round(least(len(words) / 100.0, 1.0) * 0.4
+                   + round(len(list_distinct(words)) * 1.0 / len(words), 6)
+                     * 0.4
+                   + least(round(len(list_filter(words,
+                               x -> x IN ('the','a','of','and','in','to','is')))
+                                 * 1.0 / len(words), 6) * 5.0, 1.0) * 0.2,
+                   6) AS quality_score
+      FROM w
+    ), t AS (SELECT unnest([0.2, 0.4, 0.5, 0.6, 0.8]) AS thr),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS td,
+             CAST(sum(n_chars) AS BIGINT) AS tc
+      FROM q
+    )
+    SELECT t.thr AS threshold,
+           CAST(sum(CASE WHEN q.quality_score >= t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_kept,
+           CAST(sum(CASE WHEN q.quality_score >= t.thr
+                         THEN q.n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+           floor((sum(CASE WHEN q.quality_score >= t.thr THEN 1 ELSE 0 END)
+                  * 1.0 / max(tot.td)) * 1000000.0 + 0.5) / 1000000.0
+             AS doc_share,
+           floor((sum(CASE WHEN q.quality_score >= t.thr
+                           THEN q.n_chars ELSE 0 END)
+                  * 1.0 / max(tot.tc)) * 1000000.0 + 0.5) / 1000000.0
+             AS char_share
+    FROM q, t, tot
+    GROUP BY t.thr
+    """,
+)
+def curate_quality_gate_sweep(spark, sf_dir):
+    """Threshold sweep for the quality gate: for each candidate cutoff,
+    how many documents and how many characters survive — the curve a
+    curation run reads BEFORE committing to a gate (pick the knee, not
+    a folklore constant; a 0.1 threshold shift can silently halve a
+    training corpus). Sweeps the blended [0,1] quality score the
+    text_stats operator ships (length, lexical diversity, stopword
+    signal — the Gopher-style composite).
+
+    Scale shape: quality scores are ONE stateless corpus pass (the
+    text_stats projection); each doc then fans out x|thresholds| (5
+    rows — a broadcast nested-loop over a literal array, NOT a shuffle)
+    into a 5-key conditional aggregation with map-side combine; totals
+    ride the same broadcast. At 100 TB this is exactly one scan of the
+    text plus 5x map work on the tiny scored projection. Integer
+    counts; pinned 6-dp shares (the score itself is rounded half-up at
+    6 dp inside the operator, identically in the oracle)."""
+    from delfos_etl_pipeline_spark.text.analysis import text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    q = text_stats(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    ).join(docs.select("doc_id", "n_chars"), "doc_id")
+    thr = spark.createDataFrame(
+        [(0.2,), (0.4,), (0.5,), (0.6,), (0.8,)], "thr double"
+    )
+    tot = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("td"),
+        F.sum("n_chars").cast("bigint").alias("tc"),
+    )
+    kept = F.when(F.col("quality_score") >= F.col("thr"), 1).otherwise(0)
+    kept_chars = F.when(
+        F.col("quality_score") >= F.col("thr"), F.col("n_chars")
+    ).otherwise(0)
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("thr").alias("threshold"))
+        .agg(
+            F.sum(kept).cast("bigint").alias("docs_kept"),
+            F.sum(kept_chars).cast("bigint").alias("chars_kept"),
+            round_half_up(
+                F.sum(kept) * 1.0 / F.max("td"), 6
+            ).alias("doc_share"),
+            round_half_up(
+                F.sum(kept_chars) * 1.0 / F.max("tc"), 6
+            ).alias("char_share"),
+        )
+    )
