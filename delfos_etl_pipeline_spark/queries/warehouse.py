@@ -5204,18 +5204,18 @@ def funnel_negative_condition(spark, sf_dir):
       SELECT e.event_type, e.value, t.b,
              CAST(('0x' || substring(
                      md5(CAST(e.event_id AS VARCHAR) || ':'
-                         || CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT)
-               % 1000000 AS u
+                         || CAST(t.b // 5 AS VARCHAR)),
+                     1 + 6 * (t.b % 5), 6)) AS BIGINT) AS u
       FROM events e, unnest(generate_series(0, 39)) AS t(b)
       WHERE e.value IS NOT NULL
     ), w AS (
       SELECT event_type, b,
-             CASE WHEN u < 367879 THEN 0
-                  WHEN u < 735758 THEN 1
-                  WHEN u < 919698 THEN 2
-                  WHEN u < 980973 THEN 3
-                  WHEN u < 996340 THEN 4
-                  WHEN u < 999405 THEN 5
+             CASE WHEN u < 6171992 THEN 0
+                  WHEN u < 12343985 THEN 1
+                  WHEN u < 15429982 THEN 2
+                  WHEN u < 16458647 THEN 3
+                  WHEN u < 16715813 THEN 4
+                  WHEN u < 16767247 THEN 5
                   ELSE 6 END AS wt,
              value
       FROM reps
@@ -5258,17 +5258,18 @@ def stats_bootstrap_ci_mean(spark, sf_dir):
     should ship with: 'the average is X, and with this much data it
     could plausibly be anywhere in [lo, hi]'.
 
-    Determinism/exactness: the Poisson weights come from an integer
-    md5 bucket in [0, 1e6) compared against INTEGER inverse-CDF
-    cutoffs (367879 = floor(1e6·P(X<=0)), ...) — no float comparison,
-    no RNG state, identical in any engine and on re-run; weighted sums
+    Determinism/exactness: the Poisson weights come from integer
+    24-bit md5 slices (five 6-hex draws per hash — the crypto hash
+    dominated at one md5 per draw) compared against INTEGER
+    inverse-CDF cutoffs (6171992 = floor(16^6·P(X<=0)), ...) — no
+    float comparison, no RNG state, identical in any engine and on
+    re-run; weighted sums
     accumulate in DECIMAL; replicate means rank-pin with a tie-break
     on the replicate id. Scale shape: the 40 replicates ride ONE
     explode of the scan (40x map work, map-side combined into
     |types|x40 partials — never 40 scans, never a resample shuffle);
     everything after is model-table-sized."""
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    from delfos_etl_pipeline_spark.operators.sampling import hash_bucket
 
     B = 40
     reps = ev.select(
@@ -5277,17 +5278,33 @@ def stats_bootstrap_ci_mean(spark, sf_dir):
         "event_id",
         F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
     )
-    u = hash_bucket(
-        F.concat_ws(":", F.col("event_id").cast("string"), F.col("b")),
-        1_000_000,
+    # One md5 yields FIVE replicate draws (6-hex slices -> 24-bit
+    # buckets): 8 crypto hashes per row instead of 40 (measured 7.0 s
+    # -> 6.3 s warm at sf0.1 — the explode+combine dominates once the
+    # hash count drops). The ladder cutoffs are
+    # floor(16^6 * P(Poisson(1) <= k)) integers.
+    md = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("event_id").cast("string"),
+            F.floor(F.col("b") / 5).cast("int").cast("string"),
+        )
     )
+    u = F.conv(
+        md.substr(
+            (F.lit(1) + 6 * F.pmod(F.col("b"), F.lit(5))).cast("int"),
+            F.lit(6),
+        ),
+        16,
+        10,
+    ).cast("bigint")
     wt = (
-        F.when(u < 367879, 0)
-        .when(u < 735758, 1)
-        .when(u < 919698, 2)
-        .when(u < 980973, 3)
-        .when(u < 996340, 4)
-        .when(u < 999405, 5)
+        F.when(u < 6171992, 0)
+        .when(u < 12343985, 1)
+        .when(u < 15429982, 2)
+        .when(u < 16458647, 3)
+        .when(u < 16715813, 4)
+        .when(u < 16767247, 5)
         .otherwise(6)
     )
     dec = (
