@@ -178,6 +178,17 @@ HEADLINE = [
     "user_event_entropy",
     "revenue_waterfall",
     "events_fano_hourly",
+    "w12_streak_reset_count",
+    "text_novelty_fraction",
+    "dq_uniqueness_profile",
+    "orders_median_gap_days",
+    "ivm_agg_merge",
+    "funnel_negative_condition",
+    "stats_bootstrap_ci_mean",
+    "orders_ship_latency_percentiles",
+    "emb_norm_profile",
+    "shard_balance_report",
+    "curate_quality_gate_sweep",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,
