@@ -154,6 +154,8 @@ _R5_NEW = [
     "emb_norm_profile",        # new: per-label L2-norm sanity gate
     "shard_balance_report",    # new: training-shard skew audit
     "curate_quality_gate_sweep",  # new: threshold retention curve
+    "asof_join_nearest",       # new: merge_asof nearest, tie->backward
+    "dq_null_rate_daily",      # new: per-day per-column null drift
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

@@ -5348,3 +5348,78 @@ def stats_bootstrap_ci_mean(spark, sf_dir):
             F.max(F.when(F.col("rn") == 39, F.col("mean_b"))).alias("ci_hi"),
         )
     )
+
+
+@query(
+    "dq_null_rate_daily",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ts AS DATE) AS day, 'value' AS col_name,
+             CASE WHEN value IS NULL THEN 1 ELSE 0 END AS is_null
+      FROM events
+      UNION ALL
+      SELECT CAST(ts AS DATE), 'props',
+             CASE WHEN props IS NULL THEN 1 ELSE 0 END
+      FROM events
+      UNION ALL
+      SELECT CAST(ts AS DATE), 'user_id',
+             CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
+      FROM events
+    )
+    SELECT day, col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(is_null) AS BIGINT) AS n_null,
+           floor((sum(is_null) * 1.0 / count(*)) * 1000000.0 + 0.5)
+             / 1000000.0 AS null_rate
+    FROM s GROUP BY day, col_name
+    """,
+)
+def dq_null_rate_daily(spark, sf_dir):
+    """Null-rate drift by column BY DAY — the time dimension
+    dq_uniqueness_profile lacks: a whole-table null rate hides the
+    upstream schema break that started on the 14th (one bad deploy
+    averages away in a month of data; the daily series spikes the day
+    it happened). The standard freshness/completeness monitor a
+    warehouse runs after each daily load (pairs with dq_expectations'
+    one-shot gates).
+
+    Scale shape: the three monitored columns stack via ONE in-row
+    explode over a single scan (the dq_uniqueness_profile rewrite
+    lesson — a union of projections re-scans per column), then one
+    (day, col) aggregation with map-side combine; integer counts and a
+    pinned 6-dp rate. Partition-pruned to the audited window when the
+    table is date-partitioned."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    s = ev.select(
+        day,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("value").alias("col_name"),
+                    F.when(F.col("value").isNull(), 1)
+                    .otherwise(0)
+                    .alias("is_null"),
+                ),
+                F.struct(
+                    F.lit("props").alias("col_name"),
+                    F.when(F.col("props").isNull(), 1)
+                    .otherwise(0)
+                    .alias("is_null"),
+                ),
+                F.struct(
+                    F.lit("user_id").alias("col_name"),
+                    F.when(F.col("user_id").isNull(), 1)
+                    .otherwise(0)
+                    .alias("is_null"),
+                ),
+            )
+        ).alias("cv"),
+    ).select("day", F.col("cv.col_name").alias("col_name"), F.col("cv.is_null").alias("is_null"))
+    return s.groupBy("day", "col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("is_null").cast("bigint").alias("n_null"),
+        round_half_up(F.sum("is_null") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "null_rate"
+        ),
+    )
