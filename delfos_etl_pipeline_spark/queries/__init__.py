@@ -156,6 +156,8 @@ _R5_NEW = [
     "curate_quality_gate_sweep",  # new: threshold retention curve
     "asof_join_nearest",       # new: merge_asof nearest, tie->backward
     "dq_null_rate_daily",      # new: per-day per-column null drift
+    "emb_cosine_hist_sampled",  # new: embedding-geometry health check
+    "funnel_time_to_convert",  # new: daily conversion-delay percentiles
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

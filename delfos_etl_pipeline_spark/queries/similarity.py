@@ -1249,3 +1249,80 @@ def emb_norm_profile(spark, sf_dir):
         "norm_median",
         "norm_max",
     )
+
+
+@query(
+    "emb_cosine_hist_sampled",
+    oracle="""
+    WITH k AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings
+      ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                 ::BIGINT % 1000000, vec_id
+      LIMIT 64
+    ), p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) *
+                    sqrt(list_dot_product(b.e, b.e))), 6) AS cs
+      FROM k a JOIN k b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(least(floor((cs + 1.0) / 2.0 * 10.0), 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(min(cs), 6) AS cs_min,
+           round(max(cs), 6) AS cs_max
+    FROM p GROUP BY 1
+    """,
+)
+def emb_cosine_hist_sampled(spark, sf_dir):
+    """Pairwise-cosine histogram over a deterministic 64-vector sample —
+    the embedding-space health check: a healthy corpus puts most random
+    pairs near 0 (spread mass); a collapsed encoder (all pairs ~1) or a
+    bimodal duplicate-heavy corpus shows up immediately, BEFORE anyone
+    trusts ANN recall numbers built on that geometry.
+
+    Scale posture: the quadratic part runs on a SAMPLE chosen by md5
+    rank (deterministic, re-runnable, oracle-reproducible — the
+    hash-order trick from the sampling family), so the all-pairs join
+    is 64x64 regardless of corpus size; the corpus-scale cost is ONE
+    TakeOrdered pass to pick the sample. This is the sanctioned shape
+    for pairwise diagnostics: never all-pairs on the corpus (that N²
+    lives only in declared truth baselines), always all-pairs on a
+    bounded deterministic sample. Cosines round half-up at 6 dp;
+    bin = least(floor((cs+1)/2*10), 9) is identical integer IEEE in
+    both engines."""
+    from delfos_etl_pipeline_spark.operators.sampling import hash_bucket
+    from delfos_etl_pipeline_spark.similarity.knn import (
+        _as_double,
+        cosine_similarity_col,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = (
+        emb.orderBy(
+            hash_bucket(F.col("vec_id"), 1_000_000), F.col("vec_id")
+        )
+        .limit(64)
+        .select("vec_id", "embedding")
+    )
+    a = k.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
+    )
+    b = k.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
+    )
+    cs = round_half_up(
+        cosine_similarity_col(_as_double("ea"), _as_double("eb")), 6
+    )
+    p = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .select(cs.alias("cs"))
+    )
+    bin_id = F.least(
+        F.floor((F.col("cs") + 1.0) / 2.0 * 10.0), F.lit(9.0)
+    ).cast("bigint")
+    return p.groupBy(bin_id.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.min("cs"), 6).alias("cs_min"),
+        F.round(F.max("cs"), 6).alias("cs_max"),
+    )

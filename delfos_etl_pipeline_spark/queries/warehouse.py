@@ -5423,3 +5423,118 @@ def dq_null_rate_daily(spark, sf_dir):
             "null_rate"
         ),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+    ), c AS (
+      SELECT user_id, ts, event_id, event_type,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN struct_pack(pts := ts, peid := event_id) END)
+               OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ROWS UNBOUNDED PRECEDING) AS nxt
+      FROM e
+    ), d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST((epoch_us(nxt.pts) - epoch_us(ts)) // 1000000 AS BIGINT)
+               AS delay_s
+      FROM c
+      WHERE event_type = 'view' AND nxt.pts IS NOT NULL
+        AND (nxt.pts > ts OR (nxt.pts = ts AND nxt.peid > event_id))
+    ), r AS (
+      SELECT day, delay_s,
+             CAST(row_number() OVER (
+               PARTITION BY day ORDER BY delay_s) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY day) AS BIGINT) AS c
+      FROM d
+    )
+    SELECT day,
+           CAST(max(c) AS BIGINT) AS n_conversions,
+           (max(CASE WHEN rn = (c + 1) // 2 THEN delay_s END) * 1.0
+            + max(CASE WHEN rn = (c + 2) // 2 THEN delay_s END)) / 2.0
+             AS p50_delay_s,
+           CAST(max(CASE WHEN rn = c - (c // 10) THEN delay_s END)
+                AS BIGINT) AS p90_delay_s
+    FROM r GROUP BY day
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution by day: for every view that
+    eventually purchases, the delay to that NEXT purchase, summarized
+    as daily rank-pinned p50/p90 — the latency half of the funnel
+    story (funnel_conversion counts WHO converts;
+    funnel_negative_condition counts who converts cleanly; this says
+    HOW LONG conversion takes, the number a checkout-flow change is
+    judged by). Reuses the carried-struct reversed running-min idiom
+    (one user-keyed window pass finds each view's next purchase), then
+    delays pin to integer SECONDS via epoch-microsecond arithmetic
+    (never hour-boundary date math) and rank-pin per day — all
+    cluster-parallel keys, no self-join. Exact integers end to end;
+    the p50 average is the (a*1.0+b)/2.0 pinned form."""
+    ev = _t(spark, sf_dir, "events")
+    wdesc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = F.min(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct(
+                F.col("ts").alias("pts"), F.col("event_id").alias("peid")
+            ),
+        )
+    ).over(wdesc)
+    c = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "nxt", nxt
+    )
+    after = F.col("nxt.pts").isNotNull() & (
+        (F.col("nxt.pts") > F.col("ts"))
+        | (
+            (F.col("nxt.pts") == F.col("ts"))
+            & (F.col("nxt.peid") > F.col("event_id"))
+        )
+    )
+    d = (
+        c.where((F.col("event_type") == "view") & after)
+        .select(
+            F.to_date("ts").alias("day"),
+            F.floor(
+                (
+                    F.unix_micros(F.col("nxt.pts"))
+                    - F.unix_micros(F.col("ts"))
+                )
+                / 1000000
+            )
+            .cast("bigint")
+            .alias("delay_s"),
+        )
+    )
+    wr = Window.partitionBy("day").orderBy("delay_s")
+    wc = Window.partitionBy("day")
+    r = d.select(
+        "day",
+        "delay_s",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("c"),
+    )
+    lo = F.max(
+        F.when(F.col("rn") == F.floor((F.col("c") + 1) / 2), F.col("delay_s"))
+    )
+    hi = F.max(
+        F.when(F.col("rn") == F.floor((F.col("c") + 2) / 2), F.col("delay_s"))
+    )
+    p90 = F.max(
+        F.when(
+            F.col("rn") == F.col("c") - F.floor(F.col("c") / 10),
+            F.col("delay_s"),
+        )
+    )
+    return r.groupBy("day").agg(
+        F.max("c").cast("bigint").alias("n_conversions"),
+        ((lo * 1.0 + hi) / 2.0).alias("p50_delay_s"),
+        p90.cast("bigint").alias("p90_delay_s"),
+    )
