@@ -1311,7 +1311,11 @@ def emb_cosine_hist_sampled(spark, sf_dir):
     b = k.select(
         F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
     )
-    cs = round_half_up(
+    # F.round (not round_half_up): the sim family's convention — DuckDB's
+    # native round() is the oracle twin for irrational cosine values
+    # (ties at the 6th decimal are measure-zero for transcendental
+    # outputs; round_half_up here would PAIR WRONG with the oracle).
+    cs = F.round(
         cosine_similarity_col(_as_double("ea"), _as_double("eb")), 6
     )
     p = (
