@@ -189,6 +189,10 @@ HEADLINE = [
     "emb_norm_profile",
     "shard_balance_report",
     "curate_quality_gate_sweep",
+    "asof_join_nearest",
+    "dq_null_rate_daily",
+    "emb_cosine_hist_sampled",
+    "funnel_time_to_convert",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,
