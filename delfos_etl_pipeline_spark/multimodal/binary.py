@@ -510,3 +510,88 @@ def sniff_format(payload: Column) -> Column:
         .when(magic8.startswith("504B"), "zip")
         .otherwise("unknown")
     )
+
+
+#: Arrow batch schema for spectrogram_features_batch — scalar columns
+#: only (band shares serialize as a ppm integer-string signature, the
+#: mm_byte_histogram counts contract).
+_SPEC_SCHEMA = (
+    "doc_id long, n_frames long, band_sig string, spectral_centroid double"
+)
+
+
+def spectrogram_features_batch(
+    binary_df: DataFrame,
+    n_fft: int = 256,
+    hop: int = 128,
+    n_bands: int = 8,
+    decoder=None,
+) -> DataFrame:
+    """REAL short-time-Fourier spectral features over WAV payloads: each
+    decoded PCM stream is framed (rectangular window — keeps the
+    Parseval certification exact-simple), rfft'd per frame, and the
+    one-sided power spectrum folds into ``n_bands`` equal frequency
+    bands accumulated across frames. Output per doc: frame count, band
+    energy SHARES as a ppm integer signature, and the normalized
+    spectral centroid — the 'brightness' scalar that separates hiss
+    from hum without shipping the whole spectrogram.
+
+    This is the engine's template for DSP-grade featurization the SQL
+    surface cannot express: numpy FFT inside Arrow-batched mapInPandas
+    (one rfft batch per frame, vectorizable to a strided matmul for
+    real workloads), certified not by a SQL oracle but by property
+    tests — Parseval's theorem ties total spectral power to the
+    time-domain energy the ORACLE-CERTIFIED mm_audio_features RMS
+    already pins, and a pure tone must land its energy in the
+    containing band (tests/test_multimodal.py). At 100 TB: narrow,
+    zero-exchange, payload bytes never shuffle (the
+    audio_features_batch posture)."""
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, data = (decoder or decode_wav)(bytes(payload))
+                x = data[:, 0].astype(np.float64)
+                n_frames = (
+                    1 + (len(x) - n_fft) // hop if len(x) >= n_fft else 0
+                )
+                bands = np.zeros(n_bands)
+                edges = None
+                for f in range(n_frames):
+                    seg = x[f * hop : f * hop + n_fft]
+                    spec = np.abs(np.fft.rfft(seg)) ** 2
+                    if edges is None:
+                        edges = np.linspace(
+                            0, len(spec), n_bands + 1
+                        ).astype(int)
+                    for b in range(n_bands):
+                        bands[b] += spec[edges[b] : edges[b + 1]].sum()
+                total = bands.sum()
+                shares = bands / total if total > 0 else bands
+                centers = (np.arange(n_bands) + 0.5) / n_bands
+                centroid = (
+                    float((shares * centers).sum()) if total > 0 else 0.0
+                )
+                sig = ",".join(
+                    str(int(np.floor(s * 1e6 + 0.5))) for s in shares
+                )
+                out.append(
+                    (
+                        int(doc_id),
+                        int(n_frames),
+                        sig,
+                        round(centroid, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_frames", "band_sig", "spectral_centroid",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        compute, _SPEC_SCHEMA
+    )

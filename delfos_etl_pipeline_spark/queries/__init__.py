@@ -158,6 +158,8 @@ _R5_NEW = [
     "dq_null_rate_daily",      # new: per-day per-column null drift
     "emb_cosine_hist_sampled",  # new: embedding-geometry health check
     "funnel_time_to_convert",  # new: daily conversion-delay percentiles
+    "sim_matryoshka_recall_eval",  # new: truncated-dim recall vs truth
+    "mm_audio_spectrogram",    # new: real STFT bands, Parseval-certified
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

@@ -261,3 +261,53 @@ def mm_magic_profile(spark, sf_dir):
             F.max("n_bytes").cast("bigint").alias("max_bytes"),
         )
     )
+
+
+@query("mm_audio_spectrogram")
+def mm_audio_spectrogram(spark, sf_dir):
+    """REAL STFT spectral features end-to-end: documents synthesize to
+    8-bit PCM WAV payloads (encode_wav_pcm, the mm_audio_features
+    corpus), decode through the chunk-walking WAV parser, and each
+    frame's numpy rfft power folds into 8 band-energy shares plus a
+    spectral centroid (multimodal/binary.py::spectrogram_features_batch).
+    ROWS-ONLY by nature: an FFT has no ANSI-SQL twin — certification is
+    (a) Parseval's theorem tying total spectral power to the
+    time-domain energy whose RMS the mm_audio_features oracle pins
+    bit-exactly on the SAME payloads, and (b) the pure-tone band-
+    localization property test (tests/test_multimodal.py). Narrow,
+    zero-exchange, Arrow-batched — payload bytes never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        encode_wav_pcm,
+        spectrogram_features_batch,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav_pcm(
+                            np.frombuffer(
+                                t.encode("ascii"), dtype=np.uint8
+                            ).astype(np.int32)
+                            - 128,
+                            16000,
+                            bits=8,
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    wav = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return spectrogram_features_batch(wav, n_fft=256, hop=128, n_bands=8)

@@ -1330,3 +1330,76 @@ def emb_cosine_hist_sampled(spark, sf_dir):
         F.round(F.min("cs"), 6).alias("cs_min"),
         F.round(F.max("cs"), 6).alias("cs_max"),
     )
+
+
+@query(
+    "sim_matryoshka_recall_eval",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    tr AS (
+      SELECT v.vec_id
+      FROM v, q WHERE v.vec_id <> 0
+      ORDER BY round(
+          list_dot_product(list_slice(v.e, 1, 16), list_slice(q.qe, 1, 16)) /
+          (sqrt(list_dot_product(list_slice(v.e, 1, 16),
+                                 list_slice(v.e, 1, 16))) *
+           sqrt(list_dot_product(list_slice(q.qe, 1, 16),
+                                 list_slice(q.qe, 1, 16)))), 6) DESC,
+        v.vec_id
+      LIMIT 10
+    ),
+    exact AS (
+      SELECT v.vec_id
+      FROM v, q WHERE v.vec_id <> 0
+      ORDER BY round(list_dot_product(v.e, q.qe) /
+                     (sqrt(list_dot_product(v.e, v.e)) *
+                      sqrt(list_dot_product(q.qe, q.qe))), 6) DESC, v.vec_id
+      LIMIT 10
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST(16 AS BIGINT) AS dims_truncated,
+           CAST(count(*) AS BIGINT) AS n_hit,
+           floor((count(*) * 1.0 / 10) * 1000000.0 + 0.5) / 1000000.0
+             AS recall_at_10
+    FROM exact e JOIN tr t ON e.vec_id = t.vec_id
+    """,
+)
+def sim_matryoshka_recall_eval(spark, sf_dir):
+    """Matryoshka-truncation eval: recall@10 of searching on just the
+    FIRST 16 of 64 embedding dimensions against full-dimension exact
+    truth — the measurement behind the modern memory/latency lever
+    (MRL-style embeddings are trained so prefixes stay usable; 4x
+    fewer bytes per vector means 4x more corpus per executor and 4x
+    cheaper dot products in the coarse stage). Same harness contract
+    as sim_ivf_recall_eval / dedup_lsh_recall_eval: the candidate
+    system and the truth baseline both run under the oracle, so the
+    reported recall itself is exact — an eval you can gate a rollout
+    on, not an anecdote. Production shape: truncate-then-rerank
+    (prefix scan for candidates, full-dim rerank of the short list);
+    this certifies stage one's quality."""
+    from delfos_etl_pipeline_spark.similarity.knn import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    corpus = emb.where(F.col("vec_id") != 0)
+    tr_corpus = corpus.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("emb16")
+    )
+    tr = brute_force_topk(
+        tr_corpus, qvec[:16], "vec_id", "emb16", k=10
+    ).select("vec_id")
+    exact = brute_force_topk(
+        corpus, qvec, "vec_id", "embedding", k=10
+    ).select("vec_id")
+    return exact.join(tr, "vec_id").agg(
+        F.lit(10).cast("bigint").alias("k"),
+        F.lit(16).cast("bigint").alias("dims_truncated"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+        round_half_up(F.count(F.lit(1)) * 1.0 / F.lit(10), 6).alias(
+            "recall_at_10"
+        ),
+    )

@@ -316,3 +316,42 @@ def test_sniff_format_detects_standard_signatures(spark):
         ).collect()
     }
     assert got == {i: want for i, _, want in cases}
+
+
+def test_spectrogram_parseval_and_tone_localization(spark):
+    """The STFT features must obey Parseval (total one-sided rfft power
+    == n_fft * time-domain frame energy for a rectangular window) and
+    localize a pure tone's energy in its containing band; and the
+    Spark-side batch output must match the same numpy math computed
+    directly."""
+    import numpy as np
+
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        encode_wav_pcm,
+        spectrogram_features_batch,
+    )
+
+    n_fft, hop = 256, 128
+    # Parseval on one frame (numpy invariant the operator relies on)
+    rng = np.random.default_rng(7)
+    seg = rng.integers(-100, 100, n_fft).astype(np.float64)
+    spec = np.abs(np.fft.rfft(seg)) ** 2
+    # one-sided: DC and (even-n) Nyquist appear once, others twice
+    doubled = 2 * spec.sum() - spec[0] - spec[-1]
+    assert np.isclose(doubled, n_fft * (seg**2).sum(), rtol=1e-9)
+
+    # pure tone at bin 96 of 129 -> band 6 of 8 (edges [0,16,..,96,112,129])
+    t = np.arange(n_fft * 4)
+    tone = (100 * np.sin(2 * np.pi * 96 / n_fft * t)).astype(np.int32)
+    wav = encode_wav_pcm(tone, 16000, bits=16)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "doc_id long, payload binary"
+    )
+    (row,) = spectrogram_features_batch(
+        df, n_fft=n_fft, hop=hop, n_bands=8
+    ).collect()
+    shares = [int(s) for s in row.band_sig.split(",")]
+    assert row.n_frames == 1 + (len(tone) - n_fft) // hop
+    assert len(shares) == 8
+    assert shares[6] == max(shares) and shares[6] > 900000  # > 90% in ppm
+    assert abs(row.spectral_centroid - (6 + 0.5) / 8) < 0.02
