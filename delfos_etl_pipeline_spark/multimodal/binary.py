@@ -595,3 +595,91 @@ def spectrogram_features_batch(
     return binary_df.select("doc_id", "payload").mapInPandas(
         compute, _SPEC_SCHEMA
     )
+
+
+#: Arrow batch schema for patch_grid_batch — one row PER PATCH
+#: (mapInPandas fan-out like sample_video_frames).
+_PATCH_SCHEMA = (
+    "doc_id long, py int, px int, patch_h int, patch_w int, "
+    "mean_intensity double, patch_md5 string"
+)
+
+
+def patch_grid_batch(
+    binary_df: DataFrame,
+    patch: int = 8,
+    decoder=None,
+) -> DataFrame:
+    """ViT-style non-overlapping patch grid over decoded images: each
+    payload decodes (real BMP/PPM decoders by default, any codec via
+    ``decoder=``), the H x W x 3 tensor splits into ``patch`` x
+    ``patch`` tiles (edge remainders dropped, the ViT convention), and
+    each tile emits one row with its grid coordinates, mean intensity,
+    and an md5 content fingerprint — the tokenization step a
+    vision-language pipeline runs before patch embeddings, and the
+    fingerprint is what patch-level dedup joins on. mapInPandas
+    FAN-OUT (rows out >> rows in — the sample_video_frames contract);
+    at 100 TB the grid is narrow and zero-exchange, and downstream
+    patch dedup is a hash join on patch_md5, never pixel comparison."""
+    import hashlib
+
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if decoder is not None:
+                    img = decoder(raw)
+                else:
+                    try:
+                        img = decode_bmp(raw)
+                    except (ValueError, NotImplementedError):
+                        try:
+                            img = decode_ppm(raw)
+                        except (ValueError, NotImplementedError):
+                            img = _fake_decode_image(raw)
+                img = np.asarray(img)
+                h, w = img.shape[0], img.shape[1]
+                for py in range(h // patch):
+                    for px in range(w // patch):
+                        tile = img[
+                            py * patch : (py + 1) * patch,
+                            px * patch : (px + 1) * patch,
+                        ]
+                        out.append(
+                            (
+                                int(doc_id),
+                                py,
+                                px,
+                                patch,
+                                patch,
+                                # floor-half-up, not python round():
+                                # the tile sum is <= 192*255 (exact in
+                                # float64 at ANY summation order), so
+                                # this matches the SQL oracle's
+                                # floor(sum/192*1e6+0.5) bit for bit;
+                                # round() would tie-break half-even.
+                                float(
+                                    np.floor(
+                                        float(tile.mean()) * 1e6 + 0.5
+                                    )
+                                    / 1e6
+                                ),
+                                hashlib.md5(
+                                    np.ascontiguousarray(tile).tobytes()
+                                ).hexdigest(),
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "py", "px", "patch_h", "patch_w",
+                    "mean_intensity", "patch_md5",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        compute, _PATCH_SCHEMA
+    )

@@ -160,6 +160,7 @@ _R5_NEW = [
     "funnel_time_to_convert",  # new: daily conversion-delay percentiles
     "sim_matryoshka_recall_eval",  # new: truncated-dim recall vs truth
     "mm_audio_spectrogram",    # new: real STFT bands, Parseval-certified
+    "mm_patch_grid",           # new: ViT patch fan-out, exact tile means
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

@@ -311,3 +311,56 @@ def mm_audio_spectrogram(spark, sf_dir):
 
     wav = docs.mapInPandas(synth, "doc_id long, payload binary")
     return spectrogram_features_batch(wav, n_fft=256, hop=128, n_bands=8)
+
+
+@query(
+    "mm_patch_grid",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, greatest(length(text), 1) AS n FROM documents
+    ),
+    g AS (
+      SELECT d.doc_id, d.text, d.n, py.py, px.px
+      FROM d,
+           (SELECT unnest(generate_series(0, 3)) AS py) py,
+           (SELECT unnest(generate_series(0, 3)) AS px) px
+    )
+    SELECT doc_id, CAST(py AS INT) AS py, CAST(px AS INT) AS px,
+           CAST(8 AS INT) AS patch_h, CAST(8 AS INT) AS patch_w,
+           floor((list_sum(list_transform(range(0, 192),
+                   k -> CASE WHEN length(text) = 0 THEN 0
+                        ELSE unicode(substr(text,
+                          ((((8 * py + k // 24) * 32
+                             + (8 * px + (k % 24) // 3)) * 3 + k % 3) % n)
+                          + 1, 1)) END))
+                  * 1.0 / 192.0) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_intensity
+    FROM g
+    """,
+)
+def mm_patch_grid(spark, sf_dir):
+    """ViT-style patch tokenization end-to-end: payloads decode (the
+    deterministic byte-tiling stand-in here — real BMP/PPM decoders
+    take the same seam, pytest-certified on a real PPM with content
+    fingerprints), split into the 4x4 grid of 8x8 tiles a
+    vision-language pipeline embeds, and each tile reports its grid
+    coordinates and mean intensity. The ORACLE replays the stand-in
+    decoder's byte arithmetic exactly — pixel (r,c,ch) of the 32x32x3
+    tensor is payload byte ((r*32+c)*3+ch) mod n — so the patch
+    PLUMBING (fan-out shape, indexing, exact per-tile reduction) is
+    hash-certified, not just row-counted; tile sums of <= 192 bytes
+    are exact integers in float64 at any summation order, making the
+    numpy mean and the SQL sum bit-identical before the shared
+    floor-half-up rounding. The md5 patch fingerprint (the patch-dedup
+    join key) stays in the operator and is certified by the real-image
+    pytest. Narrow zero-exchange fan-out at any scale."""
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        attach_binary_payload,
+        patch_grid_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bin_df = attach_binary_payload(docs, "doc_id", "text")
+    return patch_grid_batch(bin_df, patch=8).select(
+        "doc_id", "py", "px", "patch_h", "patch_w", "mean_intensity"
+    )

@@ -355,3 +355,36 @@ def test_spectrogram_parseval_and_tone_localization(spark):
     assert len(shares) == 8
     assert shares[6] == max(shares) and shares[6] > 900000  # > 90% in ppm
     assert abs(row.spectral_centroid - (6 + 0.5) / 8) < 0.02
+
+
+def test_patch_grid_real_ppm_roundtrip(spark):
+    """A real P6 PPM must split into the exact ViT grid: (h//p)*(w//p)
+    rows, each patch's mean and md5 matching the same numpy slice
+    computed directly, and identical tiles sharing a fingerprint."""
+    import hashlib
+
+    import numpy as np
+
+    from delfos_etl_pipeline_spark.multimodal.binary import patch_grid_batch
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)
+    img[0:8, 8:16] = img[0:8, 0:8]  # duplicate tile -> same md5
+    ppm = b"P6\n19 17\n255\n" + img.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm))], "doc_id long, payload binary"
+    )
+    rows = patch_grid_batch(df, patch=8).collect()
+    assert len(rows) == (17 // 8) * (19 // 8)  # 2 x 2 grid
+    by_pos = {(r.py, r.px): r for r in rows}
+    tile = img[0:8, 0:8]
+    r00 = by_pos[(0, 0)]
+    assert r00.patch_md5 == hashlib.md5(
+        np.ascontiguousarray(tile).tobytes()
+    ).hexdigest()
+    import math
+
+    want = math.floor(float(tile.mean()) * 1e6 + 0.5) / 1e6
+    assert abs(r00.mean_intensity - want) < 1e-9
+    assert by_pos[(0, 0)].patch_md5 == by_pos[(0, 1)].patch_md5
+    assert by_pos[(1, 0)].patch_md5 != by_pos[(0, 0)].patch_md5
