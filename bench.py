@@ -193,6 +193,9 @@ HEADLINE = [
     "dq_null_rate_daily",
     "emb_cosine_hist_sampled",
     "funnel_time_to_convert",
+    "sim_matryoshka_recall_eval",
+    "mm_audio_spectrogram",
+    "mm_patch_grid",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,
