@@ -196,6 +196,7 @@ HEADLINE = [
     "sim_matryoshka_recall_eval",
     "mm_audio_spectrogram",
     "mm_patch_grid",
+    "dedup_threshold_sweep",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

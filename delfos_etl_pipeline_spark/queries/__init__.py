@@ -161,6 +161,7 @@ _R5_NEW = [
     "sim_matryoshka_recall_eval",  # new: truncated-dim recall vs truth
     "mm_audio_spectrogram",    # new: real STFT bands, Parseval-certified
     "mm_patch_grid",           # new: ViT patch fan-out, exact tile means
+    "dedup_threshold_sweep",   # new: cosine-cutoff pair-count curve
 ]
 
 # r4 perf-rewrite queries that kept r1-r3 rows (VERDICT item 6): ANN

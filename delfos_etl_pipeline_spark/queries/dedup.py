@@ -1198,3 +1198,89 @@ def dedup_cluster_keep_policy(spark, sf_dir):
         F.max("n_chars").cast("bigint").alias("kept_n_chars"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
     )
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    p AS (
+      SELECT round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cs,
+             a.vec_id AS ia, b.vec_id AS ib
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3
+    ),
+    t AS (SELECT unnest([0.3, 0.35, 0.4, 0.45, 0.5]) AS thr),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM v)
+    SELECT t.thr AS threshold,
+           CAST(sum(CASE WHEN p.cs >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN p.cs >= t.thr THEN p.ia END)
+                + count(DISTINCT CASE WHEN p.cs >= t.thr THEN p.ib END)
+                AS BIGINT) AS n_touched_sides,
+           floor((sum(CASE WHEN p.cs >= t.thr THEN 1 ELSE 0 END)
+                  * 1.0 / max(tot.nv)) * 1000000.0 + 0.5) / 1000000.0
+             AS pairs_per_vector
+    FROM p, t, tot
+    GROUP BY t.thr
+    """,
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Threshold sweep for semantic dedup: candidate pair counts (and
+    the pairs-per-vector load factor) at five cosine cutoffs — the
+    curve read BEFORE committing a near-dup threshold, exactly as
+    curate_quality_gate_sweep does for the quality gate: a 0.05
+    threshold move can swing the dedup graph from forest to hairball,
+    and this table shows the cliff before the cluster job finds it the
+    hard way. n_touched_sides upper-bounds the affected vectors (the
+    clustering workload's node count).
+
+    Scale posture: pairs come from the SAME guarded-BLAS exact pass
+    the dedup_embedding_cosine oracle certifies, pre-filtered at the
+    LOWEST swept threshold (everything below it can never appear in
+    any bucket — the sweep adds zero pair-generation cost over the
+    loosest single run); the thresholds ride a broadcast literal
+    array into a 5-key conditional aggregation. At corpus scale the
+    pair source swaps to the LSH-banded candidate path unchanged —
+    the sweep only consumes (cs) pairs. Note: synthetic embeddings
+    put these thresholds in the far tail (the dedup_embedding_cosine
+    caveat); real corpora sweep 0.90-0.99."""
+    from delfos_etl_pipeline_spark.dedup.embedding import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3
+    ).select(
+        F.col("cosine_sim").alias("cs"),
+        F.col("id_a").alias("ia"),
+        F.col("id_b").alias("ib"),
+    )
+    thr = spark.createDataFrame(
+        [(0.3,), (0.35,), (0.4,), (0.45,), (0.5,)], "thr double"
+    )
+    tot = emb.agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    hit = F.when(F.col("cs") >= F.col("thr"), 1).otherwise(0)
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("thr").alias("threshold"))
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_pairs"),
+            (
+                F.count_distinct(
+                    F.when(F.col("cs") >= F.col("thr"), F.col("ia"))
+                )
+                + F.count_distinct(
+                    F.when(F.col("cs") >= F.col("thr"), F.col("ib"))
+                )
+            )
+            .cast("bigint")
+            .alias("n_touched_sides"),
+            round_half_up(F.sum(hit) * 1.0 / F.max("nv"), 6).alias(
+                "pairs_per_vector"
+            ),
+        )
+    )
