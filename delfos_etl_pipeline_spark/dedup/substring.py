@@ -1,0 +1,168 @@
+"""Exact-substring deduplication — corpus-wide repeated-span REMOVAL.
+
+The scalable Spark form of suffix-array exact-substring dedup (Lee et
+al., "Deduplicating Training Data Makes Language Models Better",
+ACL'22): every span of ``k`` consecutive tokens whose k-gram occurs at
+least ``min_freq`` times corpus-wide (counting every position, including
+repeats inside one document) is removed from EVERY document it covers.
+At fixed k this is suffix-array-equivalent for spans of exactly k
+tokens, and a maximal duplicated run of m >= k tokens is covered by its
+m-k+1 duplicated k-gram starts, so whole runs are removed in one pass —
+the corpus-dedup-before-training step a pretraining pipeline runs after
+document-level exact/near dedup (dedup/exact.py, dedup/minhash.py), and
+the REMOVAL tier on top of the measurement proxy
+:func:`delfos_etl_pipeline_spark.dedup.ngram.dup_ngram_stats`.
+
+Plan shape (linear in corpus tokens, no self-join, no candidate
+blow-up): one per-doc k-gram array (narrow, built like
+ngram.shingle_arrays with positions preserved), a gram-keyed frequency
+aggregation (map-side combine absorbs ubiquitous-gram skew), one
+instance-to-frequency join that fans out 1x (each gram instance meets
+ONE frequency row), a doc-keyed collect of duplicated start positions,
+and a doc-keyed join back to the token arrays; span reconstruction
+(coverage flags, kept tokens, maximal-run count) is pure array
+expression work per document — zero additional exchange, no window
+function. 100 TB posture: shuffles carry (long, long) pairs and
+bounded per-doc position arrays only; payload text shuffles exactly
+once (the pre-split repartition, see shingle_arrays' rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.functions.stable import round_half_up
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_freq: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, n_spans, cleaned_text,
+    removed_fraction) — each document with every corpus-duplicated
+    >=k-token span removed.
+
+    A token position is removed iff some duplicated k-gram covers it;
+    ``n_spans`` counts the maximal removed runs. ``hashed=True`` keys
+    the frequency aggregation on 8-byte xxhash64 grams (the production
+    form: fixed-width shuffle keys, collision risk ~|grams|^2/2^64);
+    ``hashed=False`` keeps literal gram strings. Tokenization matches
+    the rest of the dedup family: lower + whitespace split.
+    """
+    sess = df.sparkSession
+    bound = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .repartition(sess.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.split(F.lower(F.col("_t")), r"\s+").alias("_w"))
+    )
+    n_words = F.size("_w")
+    if hashed:
+        # hash each word once, combine k consecutive word-hashes — the
+        # shingle_arrays trick: no per-gram string slice/concat.
+        withg = bound.select(
+            "doc_id", "_w",
+            F.transform("_w", lambda w: F.xxhash64(w)).alias("_wh"),
+        )
+
+        def _gram(i):
+            return F.xxhash64(
+                *[F.element_at(F.col("_wh"), i + j) for j in range(k)]
+            )
+
+        empty = F.array().cast("array<bigint>")
+    else:
+        withg = bound.withColumn("_wh", F.col("_w"))
+
+        def _gram(i):
+            return F.concat_ws(" ", F.slice(F.col("_w"), i, k))
+
+        empty = F.array().cast("array<string>")
+
+    # Guarded sequence: Spark sequence(1, b) with b < 1 auto-steps DOWN
+    # ([1, 0]) instead of returning empty — short docs would index word 0
+    # and crash. (shingle_arrays never hits this because the corpora have
+    # no sub-n-word docs; the guard makes this operator total.)
+    grams_arr = F.when(
+        n_words >= k,
+        F.transform(F.sequence(F.lit(1), n_words - (k - 1)), _gram),
+    ).otherwise(empty)
+
+    # posexplode_outer, not posexplode: plain explode triggers
+    # InferFiltersFromGenerate's size(...)>0 filter, which inlines the
+    # whole gram construction below the projection (ngram.py
+    # explode_shingles rationale — measured 4.4x there).
+    g = (
+        withg.select(
+            "doc_id", F.posexplode_outer(grams_arr).alias("_p0", "gram")
+        )
+        .where(F.col("gram").isNotNull())
+        .select("doc_id", (F.col("_p0") + 1).alias("start"), "gram")
+        # PERSIST: the gram-instance relation feeds BOTH the frequency
+        # aggregation and the instance->frequency join; without it the
+        # whole split+hash+gram construction evaluates twice (the
+        # curation.py prefix-sum precedent — MEMORY_AND_DISK spills,
+        # never recomputes; LRU eviction reclaims it).
+        .persist()
+    )
+    dupg = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .where(F.col("_f") >= min_freq)
+        .select("gram")
+    )
+    starts = (
+        g.join(dupg, "gram")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("start")).alias("_ds"))
+    )
+
+    doc = withg.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "_w",
+        F.coalesce(F.col("_ds"), F.array().cast("array<int>")).alias("_ds"),
+    )
+    # Materialize coverage flags ONCE per doc (one projection per step —
+    # CollapseProject keeps non-cheap exprs split, so downstream
+    # references don't re-run the exists() scan per use).
+    doc = doc.withColumn(
+        "_cov",
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w")),
+            lambda p: F.exists(
+                "_ds", lambda s: (p >= s) & (p <= s + (k - 1))
+            ),
+        ),
+    )
+    doc = doc.withColumn(
+        "_kept",
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.size("_w")),
+                lambda p: ~F.element_at(F.col("_cov"), p),
+            ),
+            lambda p: F.element_at(F.col("_w"), p),
+        ),
+    )
+    n_spans = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.size("_w")),
+            lambda p: F.element_at(F.col("_cov"), p)
+            & ((p == 1) | ~F.element_at(F.col("_cov"), p - 1)),
+        )
+    )
+    n_removed = F.size("_w") - F.size("_kept")
+    return doc.select(
+        "doc_id",
+        F.size("_w").cast("bigint").alias("n_tokens"),
+        n_removed.cast("bigint").alias("n_removed"),
+        n_spans.cast("bigint").alias("n_spans"),
+        F.array_join(F.col("_kept"), " ").alias("cleaned_text"),
+        round_half_up(n_removed / F.size("_w"), 6).alias(
+            "removed_fraction"
+        ),
+    )

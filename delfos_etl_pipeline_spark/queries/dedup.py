@@ -701,6 +701,77 @@ def dedup_dupngram_fraction(spark, sf_dir):
     return dup_ngram_stats(docs, "doc_id", "text", n=5)
 
 
+@query(
+    "dedup_exact_substring",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS start, array_to_string(w[i:i+4], ' ') AS g
+      FROM words, unnest(generate_series(1, greatest(len(w)-4, 0))) AS t(i)
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    dstart AS (SELECT doc_id, start FROM grams WHERE g IN (SELECT g FROM dupg)),
+    covered AS (
+      SELECT DISTINCT doc_id, start + j AS pos
+      FROM dstart, unnest(generate_series(0, 4)) AS t(j)
+    ),
+    runs AS (
+      SELECT doc_id, count(*) AS n_spans FROM (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM covered) s
+      WHERE prev IS NULL OR pos - prev > 1
+      GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, w[i] AS token
+      FROM words, unnest(generate_series(1, len(w))) AS t(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.token FROM tok t
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+    ),
+    ka AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(token, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_tokens,
+           CAST(len(w.w) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans,
+           coalesce(ka.cleaned, '') AS cleaned_text,
+           floor((len(w.w) - coalesce(ka.n_kept, 0)) * 1.0 / len(w.w)
+                 * 1000000.0 + 0.5) / 1000000.0 AS removed_fraction
+    FROM words w
+    LEFT JOIN ka ON ka.doc_id = w.doc_id
+    LEFT JOIN runs r ON r.doc_id = w.doc_id
+    """,
+)
+def dedup_exact_substring(spark, sf_dir):
+    """Exact-substring dedup — repeated >=5-token span REMOVAL (not just
+    the dup_ngram_stats measurement): every span covered by a k-gram
+    occurring >=2 times corpus-wide is cut from every document, and each
+    doc reports its cleaned text plus removal stats (Lee et al. ACL'22
+    ExactSubstr, at fixed k=5). Linear plan — gram-keyed frequency agg,
+    1x instance->frequency join, doc-keyed collect of duplicated starts,
+    then pure array-expression span reconstruction; no self-join, no
+    window (dedup/substring.py has the 100 TB shuffle inventory). The
+    oracle replays the same semantics with literal string grams and a
+    NOT EXISTS anti-join; the engine keys grams by xxhash64 (8-byte
+    shuffle keys, the dup_ngram_stats precedent)."""
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        remove_duplicate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "doc_id", "text", k=5, min_freq=2)
+
+
 _ER_ORACLE = """
     WITH RECURSIVE words AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents

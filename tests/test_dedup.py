@@ -453,3 +453,58 @@ def test_auto_falls_back_beyond_guard(spark, monkeypatch):
         for r in C.duplicate_clusters(pairs, algorithm="auto").collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)}
+
+
+def test_remove_duplicate_spans_cuts_shared_runs(spark):
+    """A 6-token run shared by two docs must vanish from BOTH (every
+    k-gram start of the run is duplicated, so the whole maximal run is
+    covered); unique text survives verbatim; a doc-internal repeat also
+    counts toward min_freq."""
+    from pyspark.sql import Row
+
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens, k=5
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"one two {shared} three four"),
+            Row(doc_id=2, text=f"{shared} five six seven eight nine"),
+            # internal repeat: the same 5-gram twice inside ONE doc
+            Row(doc_id=3, text="p q r s t p q r s t"),
+            Row(doc_id=4, text="totally unique words here only once"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", k=5, min_freq=2
+        ).collect()
+    }
+    assert out[1]["cleaned_text"] == "one two three four"
+    assert out[1]["n_removed"] == 6 and out[1]["n_spans"] == 1
+    assert out[2]["cleaned_text"] == "five six seven eight nine"
+    assert out[2]["n_removed"] == 6 and out[2]["n_spans"] == 1
+    # doc 3: both instances of the repeated 5-gram are removed
+    assert out[3]["n_removed"] == 10 and out[3]["cleaned_text"] == ""
+    assert out[3]["removed_fraction"] == 1.0
+    assert out[4]["cleaned_text"] == "totally unique words here only once"
+    assert out[4]["n_removed"] == 0 and out[4]["n_spans"] == 0
+
+
+def test_remove_duplicate_spans_short_docs_total(spark):
+    """Docs shorter than k tokens carry no grams (the guarded sequence:
+    Spark sequence(1, b<1) steps DOWN without it) and survive whole."""
+    from pyspark.sql import Row
+
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="tiny doc"), Row(doc_id=2, text="tiny doc")]
+    )
+    rows = remove_duplicate_spans(df, "doc_id", "text", k=5).collect()
+    assert all(r["n_removed"] == 0 for r in rows)
+    assert all(r["cleaned_text"] == "tiny doc" for r in rows)

@@ -572,3 +572,16 @@ def test_backlog_aging_broadcast_snapshot(spark, sf_dir):
     plan = _plan(spark, sf_dir, "orders_backlog_aging")
     assert _count(plan, "BroadcastNestedLoopJoin") == 1, plan
     assert "o_orderstatus" in plan and "PushedFilters" in plan
+
+
+def test_exact_substring_linear_no_selfjoin(spark, sf_dir):
+    """Exact-substring removal must stay linear: the gram construction
+    runs ONCE (persisted instance relation feeds both the frequency agg
+    and the join), no all-pairs edge anywhere, and span reconstruction
+    is pure array work — no window node."""
+    plan = _plan(spark, sf_dir, "dedup_exact_substring")
+    assert _count(plan, "Generate") == 1, plan
+    assert _count(plan, "Scan parquet") <= 2, plan
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
+    assert _count(plan, "Window") == 0, plan

@@ -38,3 +38,13 @@ def test_oracle_keys_subset_of_queries():
     qs = Q.queries()
     missing = [n for n in Q.oracle_sql() if n not in qs]
     assert not missing, f"oracle_sql entries without a queries() twin: {missing}"
+
+
+def test_round_window_names_all_registered():
+    """Every _R7_* window entry must resolve in QUERIES — a
+    claimed-but-unshipped name fails here instead of being silently
+    dropped (ADVICE r6). _driver_order() also asserts this at runtime."""
+    from delfos_etl_pipeline_spark import queries as qpkg
+
+    for n in qpkg._R7_NEW + qpkg._R7_RECERT:
+        assert n in qpkg.QUERIES, n
