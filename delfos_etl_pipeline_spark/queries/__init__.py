@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from delfos_etl_pipeline_spark.queries._registry import (  # noqa: F401
+    LAZY_ORACLE,
     ORACLE,
     QUERIES,
     query,
@@ -63,6 +64,8 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 _R7_NEW = [
     "dedup_exact_substring",   # repeated >=5-token span REMOVAL (item 1)
     "mm_image_dhash_dedup",    # perceptual dHash near-dup pairs (item 2)
+    "mm_audio_spectrogram",    # upgraded rows-only -> EXACT generated
+                               # VALUES oracle (item 3)
 ]
 
 # Post-rewrite re-certs queued during r7 (plan changes with
@@ -438,4 +441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Resolve deferred oracles once (generated VALUES tables etc.);
+    # cached into ORACLE so repeat calls are free.
+    for n, thunk in list(LAZY_ORACLE.items()):
+        if n not in ORACLE:
+            ORACLE[n] = thunk()
     return {n: ORACLE[n] for n in _driver_order() if n in ORACLE}

@@ -263,18 +263,103 @@ def mm_magic_profile(spark, sf_dir):
     )
 
 
-@query("mm_audio_spectrogram")
+def _spectrogram_oracle_sql(
+    n_fft: int = 256, hop: int = 128, n_bands: int = 8
+) -> str:
+    """Generated EXACT oracle for mm_audio_spectrogram (the
+    dedup_embedding_lsh generated-oracle pattern, extended to a
+    data-derived VALUES table): an FFT has no ANSI-SQL form, so the
+    expected rows are recomputed DRIVER-SIDE from every distinct
+    document text across all testdata scale factors, keyed by
+    md5(text), and emitted as a VALUES table the oracle joins to
+    whatever ``documents`` view the harness registered — one oracle
+    string, valid at any sf. What the recomputation keeps independent
+    of the engine path: amplitudes derive straight from text codepoints
+    (byte - 128, the mm_audio_features oracle identity) — the WAV
+    encode→decode round trip, Arrow batching, schema, and distribution
+    are all exercised only engine-side. What it necessarily shares: the
+    numpy rfft kernel and the frame-then-band accumulation ORDER
+    (IEEE float sums are non-associative; a reordered fold could flip a
+    ppm digit at a rounding boundary). Generation cost: one pass over
+    ~6k short docs, cached after the first oracle_sql() call."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return "SELECT 1 WHERE 1=0"
+
+    rows: dict[str, tuple[int, str, float]] = {}
+    centers = (np.arange(n_bands) + 0.5) / n_bands
+    root = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+    for sf in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        path = os.path.join(root, sf, "documents.parquet")
+        if not os.path.exists(path):
+            continue
+        for text in pq.read_table(path, columns=["text"]).column(0).to_pylist():
+            if not text:
+                continue
+            key = hashlib.md5(text.encode("utf-8")).hexdigest()
+            if key in rows:
+                continue
+            x = (
+                np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(
+                    np.int32
+                )
+                - 128
+            ).astype(np.float64)
+            n_frames = 1 + (len(x) - n_fft) // hop if len(x) >= n_fft else 0
+            bands = np.zeros(n_bands)
+            edges = np.linspace(0, n_fft // 2 + 1, n_bands + 1).astype(int)
+            for f in range(n_frames):
+                spec = np.abs(np.fft.rfft(x[f * hop : f * hop + n_fft])) ** 2
+                for b in range(n_bands):
+                    bands[b] += spec[edges[b] : edges[b + 1]].sum()
+            total = bands.sum()
+            shares = bands / total if total > 0 else bands
+            centroid = float((shares * centers).sum()) if total > 0 else 0.0
+            sig = ",".join(
+                str(int(np.floor(s * 1e6 + 0.5))) for s in shares
+            )
+            rows[key] = (int(n_frames), sig, round(centroid, 6))
+    if not rows:  # no testdata present: degenerate-but-valid empty oracle
+        return (
+            "SELECT doc_id, CAST(0 AS BIGINT) AS n_frames, '' AS band_sig,"
+            " 0.0 AS spectral_centroid FROM documents WHERE 1=0"
+        )
+    values = ",\n      ".join(
+        f"('{k}', {nf}, '{sig}', {c!r})" for k, (nf, sig, c) in rows.items()
+    )
+    return f"""
+    WITH expected(text_md5, n_frames, band_sig, spectral_centroid) AS (
+      VALUES {values}
+    )
+    SELECT d.doc_id, CAST(e.n_frames AS BIGINT) AS n_frames,
+           e.band_sig, CAST(e.spectral_centroid AS DOUBLE)
+             AS spectral_centroid
+    FROM documents d JOIN expected e ON md5(d.text) = e.text_md5
+    WHERE d.n_chars > 0
+    """
+
+
+@query("mm_audio_spectrogram", lazy_oracle=_spectrogram_oracle_sql)
 def mm_audio_spectrogram(spark, sf_dir):
     """REAL STFT spectral features end-to-end: documents synthesize to
     8-bit PCM WAV payloads (encode_wav_pcm, the mm_audio_features
     corpus), decode through the chunk-walking WAV parser, and each
     frame's numpy rfft power folds into 8 band-energy shares plus a
     spectral centroid (multimodal/binary.py::spectrogram_features_batch).
-    ROWS-ONLY by nature: an FFT has no ANSI-SQL twin — certification is
-    (a) Parseval's theorem tying total spectral power to the
-    time-domain energy whose RMS the mm_audio_features oracle pins
-    bit-exactly on the SAME payloads, and (b) the pure-tone band-
-    localization property test (tests/test_multimodal.py). Narrow,
+    EXACT oracle since r7 (previously rows-only): a generated
+    md5(text)-keyed VALUES table recomputed driver-side from the
+    corpus — see :func:`_spectrogram_oracle_sql` for exactly which
+    halves of the pipeline the twin keeps independent. Belt-and-braces
+    certification on top: (a) Parseval's theorem tying total spectral
+    power to the time-domain energy whose RMS the mm_audio_features
+    oracle pins bit-exactly on the SAME payloads, and (b) the pure-tone
+    band-localization property test (tests/test_multimodal.py). Narrow,
     zero-exchange, Arrow-batched — payload bytes never shuffle."""
     import numpy as np
     import pandas as pd
