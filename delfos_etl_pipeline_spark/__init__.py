@@ -8,6 +8,13 @@ joins — plus large-scale training-data operators (dedup, similarity
 search, text analysis, multimodal columns) designed for 100 TB inputs.
 """
 
+from delfos_etl_pipeline_spark._vendor import ensure_protobuf
+
+# Workers unpickling our UDFs import this package, so the conditional
+# google.protobuf shim (needed by transformWithState v2's state
+# protocol) lands on every interpreter's sys.path — see _vendor.
+ensure_protobuf()
+
 from delfos_etl_pipeline_spark.session import get_spark
 from delfos_etl_pipeline_spark.sources.parquet import (
     TABLES,

@@ -221,17 +221,26 @@ def stateful_running_totals_tws(
     future-proof for timers/multiple variables) instead of the implicit
     single GroupState blob.
 
-    ENVIRONMENT-GATED: the v2 state protocol speaks protobuf between the
-    JVM and the Python driver worker; containers without
-    ``google.protobuf`` fail at stream start (measured:
-    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE from
-    StateMessage_pb2). That failure surfaces as an opaque runner crash at
-    stream START, so this function probes for protobuf at PLAN TIME and
-    raises a clear, actionable error instead; the test suite asserts
-    whichever branch the environment supports (gate error without
-    protobuf, full batch-parity with it — never a skip), and
+    The v2 state protocol speaks length-prefixed protobuf between the
+    JVM state server and the Python workers (StateMessage_pb2). Since
+    r7 this container runs it FOR REAL: the vendored minimal protobuf
+    runtime (delfos_etl_pipeline_spark/_vendor/protobuf_shim, installed
+    by ``ensure_protobuf()`` at package import onto both sys.path and
+    PYTHONPATH so the JVM-spawned TWS driver worker inherits it) carries
+    the full handshake — tests/test_streaming.py asserts batch parity
+    end-to-end. The plan-time probe below stays as a guard for
+    environments where neither a real protobuf nor the shim is on the
+    worker path, where stream start would otherwise die with an opaque
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.
+
+    TWS also REQUIRES a multi-column-family state store:
+    HDFSBackedStateStoreProvider (the Spark default) raises
+    UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES at task
+    start, so this function sets the RocksDB provider on the session
+    (read at query START; affects subsequent stateful streaming queries
+    in the session — an implementation detail, not a semantics change).
     :func:`stateful_running_totals` (applyInPandasWithState, no protobuf
-    dependency) remains the oracle-verified production path.
+    dependency) remains the oracle-verified v1 production path.
     """
     try:
         import google.protobuf.descriptor  # noqa: F401
@@ -243,6 +252,14 @@ def stateful_running_totals_tws(
             "stateful_running_totals (applyInPandasWithState) — same "
             "semantics, no protobuf dependency"
         ) from exc
+    sess = stream.sparkSession
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    if "RocksDB" not in (sess.conf.get(provider_conf, "") or ""):
+        sess.conf.set(
+            provider_conf,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
