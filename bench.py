@@ -200,6 +200,8 @@ HEADLINE = [
     # round 7
     "dedup_exact_substring",
     "mm_image_dhash_dedup",
+    "curate_pipeline_substr",
+    "dedup_url_manifest",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

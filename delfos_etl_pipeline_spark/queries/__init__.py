@@ -66,6 +66,10 @@ _R7_NEW = [
     "mm_image_dhash_dedup",    # perceptual dHash near-dup pairs (item 2)
     "mm_audio_spectrogram",    # upgraded rows-only -> EXACT generated
                                # VALUES oracle (item 3)
+    "curate_pipeline_substr",  # corpus build exercising span removal
+                               # end-to-end (item 7)
+    "dedup_url_manifest",      # manifest-level URL dedup before decode
+                               # (item 7)
 ]
 
 # Post-rewrite re-certs queued during r7 (plan changes with

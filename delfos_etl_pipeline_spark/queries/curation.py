@@ -305,3 +305,109 @@ def curate_pipeline_staged(spark, sf_dir):
         docs.where(F.col("doc_id") % 17 == 0),
         workdir,
     )
+
+
+@query(
+    "curate_pipeline_substr",
+    oracle="""
+    WITH corpus0 AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents
+    ),
+    quality AS (
+      SELECT * FROM corpus0
+      WHERE len(w) >= 30
+        AND len(list_distinct(w)) * 1.0 / len(w) >= 0.35
+    ),
+    deduped AS (
+      SELECT * FROM quality
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+    ),
+    grams AS (
+      SELECT doc_id, i AS start, array_to_string(w[i:i+4], ' ') AS g
+      FROM deduped, unnest(generate_series(1, greatest(len(w)-4, 0))) AS t(i)
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    dstart AS (
+      SELECT doc_id, start FROM grams WHERE g IN (SELECT g FROM dupg)
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, start + j AS pos
+      FROM dstart, unnest(generate_series(0, 4)) AS t(j)
+    ),
+    stats AS (
+      SELECT d.doc_id, d.lang,
+             CAST(len(d.w) AS BIGINT) AS n_tokens,
+             CAST(coalesce(c.n_cov, 0) AS BIGINT) AS n_removed
+      FROM deduped d
+      LEFT JOIN (SELECT doc_id, count(*) AS n_cov FROM covered
+                 GROUP BY doc_id) c ON c.doc_id = d.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs_in,
+           CAST(count(*) FILTER (WHERE n_tokens - n_removed >= 20)
+                AS BIGINT) AS n_docs_kept,
+           CAST(count(*) FILTER (WHERE n_tokens - n_removed < 20)
+                AS BIGINT) AS n_docs_dropped,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+           CAST(sum(n_removed) AS BIGINT) AS tokens_removed,
+           CAST(coalesce(sum(n_tokens - n_removed)
+                FILTER (WHERE n_tokens - n_removed >= 20), 0)
+                AS BIGINT) AS tokens_after
+    FROM stats GROUP BY lang
+    """,
+)
+def curate_pipeline_substr(spark, sf_dir):
+    """Corpus build exercising the r7 SPAN-REMOVAL operator end to end:
+    quality gate (>= 30 words, type/token >= 0.35) → exact document
+    dedup (keep lowest id per identical text) → exact-substring dedup
+    (remove_duplicate_spans, k=5: gram frequencies computed WITHIN the
+    surviving deduped corpus — the order a real pretraining build runs,
+    so boilerplate that survives document-level dedup still gets cut) →
+    min-length re-gate (cleaned docs must keep >= 20 tokens) → per-lang
+    curation report (docs in/kept/dropped, tokens before/removed/
+    after). Everything integer-exact; the oracle replays the full chain
+    with literal string grams on top of the flagship's quality/dedup
+    CTEs. Plan: the flagship's narrow stages + substring removal's
+    linear gram pipeline (dedup/substring.py) + one small per-lang agg;
+    no new shuffle class beyond dedup_exact_substring itself."""
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        remove_duplicate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    quality = (
+        docs.withColumn("_w", words)
+        .where(
+            (F.size("_w") >= 30)
+            & (F.size(F.array_distinct("_w")) / F.size("_w") >= 0.35)
+        )
+        .drop("_w")
+    )
+    deduped = (
+        quality.withColumn(
+            "_m", F.min("doc_id").over(Window.partitionBy("text"))
+        )
+        .where(F.col("doc_id") == F.col("_m"))
+        .drop("_m")
+    )
+    cleaned = remove_duplicate_spans(deduped, "doc_id", "text", k=5)
+    stats = cleaned.join(deduped.select("doc_id", "lang"), "doc_id")
+    kept = F.col("n_tokens") - F.col("n_removed") >= 20
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_in"),
+        F.count(F.when(kept, 1)).cast("bigint").alias("n_docs_kept"),
+        F.count(F.when(~kept, 1)).cast("bigint").alias("n_docs_dropped"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_before"),
+        F.sum("n_removed").cast("bigint").alias("tokens_removed"),
+        F.coalesce(
+            F.sum(
+                F.when(kept, F.col("n_tokens") - F.col("n_removed"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("tokens_after"),
+    )

@@ -1355,3 +1355,119 @@ def dedup_threshold_sweep(spark, sf_dir):
             ),
         )
     )
+
+
+# Deterministic messy-manifest synthesis: collisions happen exactly when
+# two docs share (source, lang, doc_id%7, doc_id%4=0-class) — the mixed
+# case, fragment, tracking params, and trailing slash are per-doc NOISE
+# the canonicalizer must collapse for the dedup to find them.
+_MANIFEST_URL_SQL = """
+      'https://' ||
+      CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END ||
+      '.example.com/' || lang || '/doc/' ||
+      CAST(doc_id % 7 AS VARCHAR) ||
+      CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+      CASE WHEN doc_id % 4 <> 0
+           THEN '?utm_source=feed&p=' || CAST((doc_id % 7) % 3 AS VARCHAR)
+                || '&utm_id=' || CAST(doc_id % 11 AS VARCHAR)
+           ELSE '?utm_source=feed' END ||
+      CASE WHEN doc_id % 3 = 0 THEN '#s' || CAST(doc_id AS VARCHAR)
+           ELSE '' END
+"""
+
+
+@query(
+    "dedup_url_manifest",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_bytes,
+             {_MANIFEST_URL_SQL} AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, source, n_bytes,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), '#.*$', ''),
+                   '&utm_[^&]*', '', 'g'),
+                 '\\?utm_[^&]*&', '?'),
+               '\\?utm_[^&]*$', '') AS curl
+      FROM manifest
+    ),
+    canon2 AS (
+      SELECT doc_id, source, n_bytes,
+             regexp_replace(
+               regexp_replace(curl, '/\\?', '?'), '/$', '') AS curl
+      FROM canon
+    ),
+    per_url AS (
+      SELECT source, curl,
+             count(*) AS cnt,
+             sum(n_bytes) AS bytes_all,
+             arg_min(n_bytes, doc_id) AS bytes_kept
+      FROM canon2 GROUP BY source, curl
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_urls,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_rows,
+           CAST(sum(bytes_all) AS BIGINT) AS bytes_total,
+           CAST(sum(bytes_all) - sum(bytes_kept) AS BIGINT)
+             AS bytes_skipped
+    FROM per_url GROUP BY source
+    """,
+)
+def dedup_url_manifest(spark, sf_dir):
+    """Manifest-level exact dedup BEFORE decode — the cheapest 100 TB
+    win: a crawl/file listing (url, size) is canonicalized and deduped
+    so duplicate payloads are never fetched or decoded at all. URL
+    canonicalization is the real operator chain (lowercase, strip
+    fragment, strip utm_* tracking params — keeping meaningful params —
+    strip trailing slash); dedup keeps the lowest doc_id per canonical
+    URL and the report quantifies per-source listing size, duplicate
+    rows, and the BYTES the decode stage never has to touch. The
+    manifest itself is synthesized deterministically from the documents
+    table (host from source, path from doc_id residues, the messy
+    variants — case, fragments, tracking params, trailing slash — keyed
+    by doc_id mod classes) so both engines derive identical input; the
+    operator chain is exactly what runs on a real CommonCrawl WARC
+    listing. Pure expression work + one (source, url)-keyed agg + one
+    per-source agg — touches listing METADATA only, never payloads;
+    at 100 TB this plan's input is the manifest (GBs), not the corpus
+    (TBs)."""
+    url = F.expr(_MANIFEST_URL_SQL.replace("VARCHAR", "STRING"))
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), r"#.*$", ""),
+                r"&utm_[^&]*",
+                "",
+            ),
+            r"\?utm_[^&]*&",
+            "?",
+        ),
+        r"\?utm_[^&]*$",
+        "",
+    )
+    canon = F.regexp_replace(F.regexp_replace(canon, r"/\?", "?"), r"/$", "")
+    manifest = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_bytes"),
+        canon.alias("curl"),
+    )
+    per_url = manifest.groupBy("source", "curl").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_bytes").alias("bytes_all"),
+        F.min_by("n_bytes", "doc_id").alias("bytes_kept"),
+    )
+    return per_url.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_urls"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        (F.sum("cnt") - F.count(F.lit(1))).cast("bigint").alias("n_dup_rows"),
+        F.sum("bytes_all").cast("bigint").alias("bytes_total"),
+        (F.sum("bytes_all") - F.sum("bytes_kept"))
+        .cast("bigint")
+        .alias("bytes_skipped"),
+    )
