@@ -202,6 +202,8 @@ HEADLINE = [
     "mm_image_dhash_dedup",
     "curate_pipeline_substr",
     "dedup_url_manifest",
+    "dedup_minhash_est_error",
+    "mm_video_scene_cuts",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

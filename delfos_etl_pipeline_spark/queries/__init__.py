@@ -70,6 +70,8 @@ _R7_NEW = [
                                # end-to-end (item 7)
     "dedup_url_manifest",      # manifest-level URL dedup before decode
                                # (item 7)
+    "dedup_minhash_est_error", # sketch-vs-true Jaccard estimator audit
+    "mm_video_scene_cuts",     # SAD shot-boundary metric, shuffle-free
 ]
 
 # Post-rewrite re-certs queued during r7 (plan changes with

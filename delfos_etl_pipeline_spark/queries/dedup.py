@@ -1471,3 +1471,131 @@ def dedup_url_manifest(spark, sf_dir):
         .cast("bigint")
         .alias("bytes_skipped"),
     )
+
+
+@query(
+    "dedup_minhash_est_error",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + 2), ' ')
+             )) AS shingles
+      FROM d
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), i ->
+               list_min(list_transform(shingles,
+                 s -> md5(i::VARCHAR || '|' || s)))) AS sg
+      FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(array_to_string(
+               list_slice(sg, band * 4 + 1, band * 4 + 4), '|')) AS bucket
+      FROM sig, unnest(range(0, 16)) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    m AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(range(1, 65), i -> x.sg[i] = y.sg[i]))
+               AS n_match,
+             len(list_intersect(a.shingles, b.shingles)) AS shared,
+             len(a.shingles) AS sa, len(b.shingles) AS sb
+      FROM cand c
+      JOIN sig x ON x.doc_id = c.doc_a
+      JOIN sig y ON y.doc_id = c.doc_b
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_match AS BIGINT) AS n_match,
+           CAST(n_match * 15625 AS BIGINT) AS est_ppm,
+           CAST(floor(shared * 1000000.0 / (sa + sb - shared) + 0.5)
+                AS BIGINT) AS exact_ppm,
+           CAST(abs(n_match * 15625
+                - floor(shared * 1000000.0 / (sa + sb - shared) + 0.5))
+                AS BIGINT) AS err_ppm
+    FROM m
+    """,
+)
+def dedup_minhash_est_error(spark, sf_dir):
+    """MinHash ESTIMATOR-quality audit: for every banded candidate pair,
+    the sketch's Jaccard estimate (matching signature components / 64 —
+    exact integers: ppm = n_match * 15625) against the true set Jaccard,
+    with the absolute error in ppm. The companion to
+    dedup_lsh_recall_eval: recall tells you what banding MISSES; this
+    tells you how far the estimator is OFF on what it finds — what a
+    pipeline checks before trusting an LSH threshold as a proxy for a
+    true-Jaccard policy (E[err] ~ sqrt(j(1-j)/64) ~ 6% at j=0.5, and
+    the empirical distribution catches biased shingle spaces that the
+    binomial bound doesn't). md5-keyed end to end, so signatures,
+    banding, candidates, and both estimators are reproduced bit-exactly
+    by the oracle (the dedup_minhash_lsh precedent); the single float op
+    is one division+floor, identical IEEE in both engines. Plan: the
+    persisted signature relation feeds banding and both join probes —
+    signature construction runs once; candidates stay banded, never
+    all-pairs."""
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from delfos_etl_pipeline_spark.dedup.ngram import shingle_arrays
+
+    docs = _t(spark, sf_dir, "documents")
+    arrs = shingle_arrays(docs, "doc_id", "text", n=3, hashed=False).persist()
+    sigs = minhash_signatures(arrs, 64, hash_fn="md5").persist()
+    cand = lsh_candidates(sigs, 64, 16, hash_fn="md5")
+    paired = (
+        cand.join(
+            sigs.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+            ),
+            "doc_b",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_b",
+        )
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - shared
+    exact_ppm = F.floor(shared * F.lit(1000000.0) / union + F.lit(0.5))
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        n_match.cast("bigint").alias("n_match"),
+        (n_match * 15625).cast("bigint").alias("est_ppm"),
+        exact_ppm.cast("bigint").alias("exact_ppm"),
+        F.abs(n_match * 15625 - exact_ppm).cast("bigint").alias("err_ppm"),
+    )

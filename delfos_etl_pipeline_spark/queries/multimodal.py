@@ -555,3 +555,88 @@ def mm_patch_grid(spark, sf_dir):
     return patch_grid_batch(bin_df, patch=8).select(
         "doc_id", "py", "px", "patch_h", "patch_w", "mean_intensity"
     )
+
+
+@query(
+    "mm_video_scene_cuts",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE length(text) > 0
+    ),
+    fr AS (
+      SELECT doc_id, f, substr(text, f * 64 + 1, 64) AS chunk
+      FROM d, unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1))
+           AS t(f)
+    ),
+    pairs AS (
+      SELECT a.doc_id, b.f AS frame_idx, a.chunk AS ca, b.chunk AS cb
+      FROM fr a JOIN fr b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+    ),
+    m AS (
+      SELECT doc_id, frame_idx,
+             len(list_filter(range(1, least(len(ca), len(cb)) + 1),
+                 i -> substr(ca, i, 1) <> substr(cb, i, 1)))
+               + abs(len(ca) - len(cb)) AS diff_bytes,
+             greatest(len(ca), len(cb)) AS frame_bytes
+      FROM pairs
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(diff_bytes AS BIGINT) AS diff_bytes,
+           CAST(floor(diff_bytes * 1000000.0 / frame_bytes + 0.5)
+                AS BIGINT) AS diff_ppm,
+           CAST(CASE WHEN floor(diff_bytes * 1000000.0 / frame_bytes + 0.5)
+                     >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+    FROM m
+    """,
+)
+def mm_video_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over strided frame samples — the classic
+    sum-of-absolute-difference shot-boundary metric, run decode-free
+    over opaque payloads: each payload splits into fixed 64-byte frames
+    (the sample_chunks access pattern), consecutive frames score their
+    byte-difference fraction, and diff_ppm >= 50% flags a cut. On real
+    video the same plan runs over demuxed frame bytes (pixels column of
+    sample_video_frames) or dhash_batch signatures for content-shifted
+    frames; here the byte tier keeps it pure Catalyst — the frame
+    array, consecutive pairing (slice+zip_with, no window, no
+    self-join), and per-pair difference are all array expressions, so
+    the operator is shuffle-FREE: at 100 TB it is a single narrow pass
+    over the payload column. Integer-exact: byte counts, one
+    division+floor-half-up into ppm."""
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    ch = F.expr(
+        "transform(sequence(0, cast(ceil(length(text) / 64.0) as int) - 1),"
+        " f -> substring(text, f * 64 + 1, 64))"
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("_ch"), 1, F.size("_ch") - 1),
+        F.slice(F.col("_ch"), 2, F.size("_ch") - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    rows = (
+        docs.select("doc_id", ch.alias("_ch"))
+        .select("doc_id", F.posexplode_outer(pairs).alias("_p", "_pair"))
+        .where(F.col("_pair").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("_p") + 1).cast("bigint").alias("frame_idx"),
+            F.col("_pair.a").alias("a"),
+            F.col("_pair.b").alias("b"),
+        )
+    )
+    diff = F.expr(
+        "size(filter(sequence(1, least(length(a), length(b))),"
+        " i -> substring(a, i, 1) != substring(b, i, 1)))"
+        " + abs(length(a) - length(b))"
+    )
+    frame_bytes = F.greatest(F.length("a"), F.length("b"))
+    diff_ppm = F.floor(diff * F.lit(1000000.0) / frame_bytes + F.lit(0.5))
+    return rows.select(
+        "doc_id",
+        "frame_idx",
+        diff.cast("bigint").alias("diff_bytes"),
+        diff_ppm.cast("bigint").alias("diff_ppm"),
+        (diff_ppm >= 500000).cast("bigint").alias("is_cut"),
+    )
