@@ -204,6 +204,7 @@ HEADLINE = [
     "dedup_url_manifest",
     "dedup_minhash_est_error",
     "mm_video_scene_cuts",
+    "curate_decontaminate_spans",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -13,18 +13,26 @@ document-level exact/near dedup (dedup/exact.py, dedup/minhash.py), and
 the REMOVAL tier on top of the measurement proxy
 :func:`delfos_etl_pipeline_spark.dedup.ngram.dup_ngram_stats`.
 
+:func:`remove_spans_matching` is the CROSS-CORPUS variant: spans whose
+k-gram occurs anywhere in a reference corpus are cut — span-level
+benchmark decontamination (keep the document, surgically remove the
+leaked span; text/curation.py decontaminate_corpus is the drop-the-doc
+tier), and equally the incremental-ingest shape (clean a nightly batch
+against the standing corpus).
+
 Plan shape (linear in corpus tokens, no self-join, no candidate
 blow-up): one per-doc k-gram array (narrow, built like
 ngram.shingle_arrays with positions preserved), a gram-keyed frequency
-aggregation (map-side combine absorbs ubiquitous-gram skew), one
-instance-to-frequency join that fans out 1x (each gram instance meets
-ONE frequency row), a doc-keyed collect of duplicated start positions,
-and a doc-keyed join back to the token arrays; span reconstruction
-(coverage flags, kept tokens, maximal-run count) is pure array
-expression work per document — zero additional exchange, no window
-function. 100 TB posture: shuffles carry (long, long) pairs and
-bounded per-doc position arrays only; payload text shuffles exactly
-once (the pre-split repartition, see shingle_arrays' rationale).
+aggregation (map-side combine absorbs ubiquitous-gram skew) — or, for
+the matching variant, a distinct-gram build on the reference side — one
+instance-to-gram join that fans out 1x, a doc-keyed collect of
+duplicated start positions, and a doc-keyed join back to the token
+arrays; span reconstruction (coverage flags, kept tokens, maximal-run
+count) is pure array expression work per document — zero additional
+exchange, no window function. 100 TB posture: shuffles carry
+(long, long) pairs and bounded per-doc position arrays only; payload
+text shuffles exactly once (the pre-split repartition, see
+shingle_arrays' rationale).
 """
 
 from __future__ import annotations
@@ -35,25 +43,11 @@ from pyspark.sql import functions as F
 from delfos_etl_pipeline_spark.functions.stable import round_half_up
 
 
-def remove_duplicate_spans(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 5,
-    min_freq: int = 2,
-    hashed: bool = True,
-) -> DataFrame:
-    """(doc_id, n_tokens, n_removed, n_spans, cleaned_text,
-    removed_fraction) — each document with every corpus-duplicated
-    >=k-token span removed.
-
-    A token position is removed iff some duplicated k-gram covers it;
-    ``n_spans`` counts the maximal removed runs. ``hashed=True`` keys
-    the frequency aggregation on 8-byte xxhash64 grams (the production
-    form: fixed-width shuffle keys, collision risk ~|grams|^2/2^64);
-    ``hashed=False`` keeps literal gram strings. Tokenization matches
-    the rest of the dedup family: lower + whitespace split.
-    """
+def _doc_grams(
+    df: DataFrame, id_col: str, text_col: str, k: int, hashed: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Build (withg, grams): the per-doc token/word-hash arrays and the
+    positional gram-instance relation (doc_id, start, gram)."""
     sess = df.sparkSession
     bound = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
@@ -102,25 +96,13 @@ def remove_duplicate_spans(
         )
         .where(F.col("gram").isNotNull())
         .select("doc_id", (F.col("_p0") + 1).alias("start"), "gram")
-        # PERSIST: the gram-instance relation feeds BOTH the frequency
-        # aggregation and the instance->frequency join; without it the
-        # whole split+hash+gram construction evaluates twice (the
-        # curation.py prefix-sum precedent — MEMORY_AND_DISK spills,
-        # never recomputes; LRU eviction reclaims it).
-        .persist()
     )
-    dupg = (
-        g.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_f"))
-        .where(F.col("_f") >= min_freq)
-        .select("gram")
-    )
-    starts = (
-        g.join(dupg, "gram")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("start")).alias("_ds"))
-    )
+    return withg, g
 
+
+def _reconstruct(withg: DataFrame, starts: DataFrame, k: int) -> DataFrame:
+    """Join duplicated start positions back to the token arrays and cut
+    the covered spans — pure array expressions, no window."""
     doc = withg.join(starts, "doc_id", "left").select(
         "doc_id",
         "_w",
@@ -166,3 +148,78 @@ def remove_duplicate_spans(
             "removed_fraction"
         ),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_freq: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, n_spans, cleaned_text,
+    removed_fraction) — each document with every corpus-duplicated
+    >=k-token span removed.
+
+    A token position is removed iff some duplicated k-gram covers it;
+    ``n_spans`` counts the maximal removed runs. ``hashed=True`` keys
+    the frequency aggregation on 8-byte xxhash64 grams (the production
+    form: fixed-width shuffle keys, collision risk ~|grams|^2/2^64);
+    ``hashed=False`` keeps literal gram strings. Tokenization matches
+    the rest of the dedup family: lower + whitespace split.
+    """
+    withg, g = _doc_grams(df, id_col, text_col, k, hashed)
+    # PERSIST: the gram-instance relation feeds BOTH the frequency
+    # aggregation and the instance->frequency join; without it the
+    # whole split+hash+gram construction evaluates twice (the
+    # curation.py prefix-sum precedent — MEMORY_AND_DISK spills,
+    # never recomputes; LRU eviction reclaims it).
+    g = g.persist()
+    dupg = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .where(F.col("_f") >= min_freq)
+        .select("gram")
+    )
+    starts = (
+        g.join(dupg, "gram")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("start")).alias("_ds"))
+    )
+    return _reconstruct(withg, starts, k)
+
+
+def remove_spans_matching(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref_id_col: str | None = None,
+    ref_text_col: str | None = None,
+    k: int = 5,
+    hashed: bool = True,
+) -> DataFrame:
+    """Cut every span of ``df`` whose k-gram occurs ANYWHERE in
+    ``ref_df`` — span-level decontamination (ref = benchmark eval set)
+    or incremental substring dedup (ref = the standing corpus). Same
+    output contract as :func:`remove_duplicate_spans`.
+
+    The reference side reduces to its DISTINCT gram set (no positions —
+    only membership matters), so the probe is a semi join: each df gram
+    instance meets at most one reference gram row, the 1x-fan-out
+    guarantee again. For a stable reference corpus, production persists
+    the distinct gram relation once per corpus version and every batch
+    pays only its own gram build plus the keyed probe.
+    """
+    withg, g = _doc_grams(df, id_col, text_col, k, hashed)
+    _, ref_g = _doc_grams(
+        ref_df, ref_id_col or id_col, ref_text_col or text_col, k, hashed
+    )
+    ref_grams = ref_g.select("gram").distinct()
+    starts = (
+        g.join(ref_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("start")).alias("_ds"))
+    )
+    return _reconstruct(withg, starts, k)

@@ -72,6 +72,7 @@ _R7_NEW = [
                                # (item 7)
     "dedup_minhash_est_error", # sketch-vs-true Jaccard estimator audit
     "mm_video_scene_cuts",     # SAD shot-boundary metric, shuffle-free
+    "curate_decontaminate_spans",  # span-level eval decontamination
 ]
 
 # Post-rewrite re-certs queued during r7 (plan changes with

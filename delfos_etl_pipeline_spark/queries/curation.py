@@ -411,3 +411,86 @@ def curate_pipeline_substr(spark, sf_dir):
         .cast("bigint")
         .alias("tokens_after"),
     )
+
+
+@query(
+    "curate_decontaminate_spans",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents WHERE doc_id % 17 <> 0
+    ),
+    ev AS (
+      SELECT regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    eg AS (
+      SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS g
+      FROM ev, unnest(generate_series(1, greatest(len(w)-4, 0))) AS t(i)
+    ),
+    cg AS (
+      SELECT doc_id, i AS start, array_to_string(w[i:i+4], ' ') AS g
+      FROM corpus, unnest(generate_series(1, greatest(len(w)-4, 0))) AS t(i)
+    ),
+    dstart AS (
+      SELECT doc_id, start FROM cg WHERE g IN (SELECT g FROM eg)
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, start + j AS pos
+      FROM dstart, unnest(generate_series(0, 4)) AS t(j)
+    ),
+    runs AS (
+      SELECT doc_id, count(*) AS n_spans FROM (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM covered) s
+      WHERE prev IS NULL OR pos - prev > 1
+      GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, w[i] AS token
+      FROM corpus, unnest(generate_series(1, len(w))) AS t(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.token FROM tok t
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+    ),
+    ka AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(token, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_tokens,
+           CAST(len(w.w) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans,
+           coalesce(ka.cleaned, '') AS cleaned_text,
+           floor((len(w.w) - coalesce(ka.n_kept, 0)) * 1.0 / len(w.w)
+                 * 1000000.0 + 0.5) / 1000000.0 AS removed_fraction
+    FROM corpus w
+    LEFT JOIN ka ON ka.doc_id = w.doc_id
+    LEFT JOIN runs r ON r.doc_id = w.doc_id
+    """,
+)
+def curate_decontaminate_spans(spark, sf_dir):
+    """SPAN-LEVEL benchmark decontamination: instead of dropping every
+    corpus document that shares a 5-gram with the eval set
+    (curate_decontaminate's whole-doc policy — high recall, high
+    collateral), surgically cut only the leaked spans
+    (dedup/substring.py::remove_spans_matching, ref = the doc_id%17
+    eval split) and keep the rest of the document. The trade a real
+    pretraining pipeline weighs: doc-drop loses ~17x more tokens than
+    the contamination itself on this corpus; span-cut loses exactly the
+    covered positions. Same output contract and oracle machinery as
+    dedup_exact_substring; the reference side reduces to a DISTINCT
+    gram set probed by a semi join (1x fan-out, persistable per corpus
+    version). Plan inventory in dedup/substring.py."""
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        remove_spans_matching,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    eval_df = docs.where(F.col("doc_id") % 17 == 0)
+    return remove_spans_matching(corpus, eval_df, "doc_id", "text", k=5)

@@ -508,3 +508,38 @@ def test_remove_duplicate_spans_short_docs_total(spark):
     rows = remove_duplicate_spans(df, "doc_id", "text", k=5).collect()
     assert all(r["n_removed"] == 0 for r in rows)
     assert all(r["cleaned_text"] == "tiny doc" for r in rows)
+
+
+def test_remove_spans_matching_cuts_only_reference_overlap(spark):
+    """Cross-corpus span cut: spans matching a reference gram are
+    removed; corpus-internal duplication is NOT (that's
+    remove_duplicate_spans' job), and reference docs are never
+    emitted."""
+    from pyspark.sql import Row
+
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        remove_spans_matching,
+    )
+
+    leak = "alpha beta gamma delta epsilon"
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"intro words {leak} outro words"),
+            # internal repeat only — must survive untouched
+            Row(doc_id=2, text="p q r s t p q r s t"),
+        ]
+    )
+    ref = spark.createDataFrame(
+        [Row(doc_id=100, text=f"eval question {leak} eval answer")]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_spans_matching(
+            corpus, ref, "doc_id", "text", k=5
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["cleaned_text"] == "intro words outro words"
+    assert out[1]["n_removed"] == 5 and out[1]["n_spans"] == 1
+    assert out[2]["n_removed"] == 0
+    assert out[2]["cleaned_text"] == "p q r s t p q r s t"
