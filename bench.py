@@ -205,6 +205,7 @@ HEADLINE = [
     "dedup_minhash_est_error",
     "mm_video_scene_cuts",
     "curate_decontaminate_spans",
+    "text_bpe_encode_corpus",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -73,6 +73,8 @@ _R7_NEW = [
     "dedup_minhash_est_error", # sketch-vs-true Jaccard estimator audit
     "mm_video_scene_cuts",     # SAD shot-boundary metric, shuffle-free
     "curate_decontaminate_spans",  # span-level eval decontamination
+    "text_bpe_encode_corpus",  # per-doc MODEL-token counts under the
+                               # trained BPE, exact 20-round oracle
 ]
 
 # Post-rewrite re-certs queued during r7 (plan changes with

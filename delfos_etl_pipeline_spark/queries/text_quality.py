@@ -835,3 +835,117 @@ def curate_quality_gate_sweep(spark, sf_dir):
             ).alias("char_share"),
         )
     )
+
+
+def _bpe_encode_oracle(k: int = 20) -> str:
+    """The _bpe_oracle training chain with word identity carried through
+    every round, finished by the corpus-encode join: tokens per word =
+    symbols left in the merged string, summed over each document's word
+    instances."""
+    sql = """
+    WITH w AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    h0 AS MATERIALIZED (
+      SELECT word, cnt,
+             ' ' || array_to_string(string_split(word, ''), ' ') AS s
+      FROM w
+    )"""
+    for t in range(1, k + 1):
+        sql += f""",
+    p{t} AS (
+      SELECT x, y, CAST(sum(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, toks[i] AS x, toks[i + 1] AS y
+            FROM (SELECT cnt, string_split(trim(s), ' ') AS toks FROM h{t - 1}),
+                 unnest(range(1, len(toks))) AS u(i))
+      GROUP BY x, y
+    ),
+    b{t} AS MATERIALIZED (SELECT x, y, c FROM p{t} ORDER BY c DESC, x, y LIMIT 1),
+    h{t} AS MATERIALIZED (
+      SELECT word, cnt, replace(s, ' ' || x || ' ' || y, ' ' || x || y) AS s
+      FROM h{t - 1}, b{t}
+    )"""
+    return sql + f""",
+    enc AS (
+      SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_toks
+      FROM h{k}
+    ),
+    inst AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT i.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(e.n_toks) AS BIGINT) AS n_bpe_tokens
+      FROM inst i JOIN enc e ON e.word = i.word
+      WHERE i.word <> ''
+      GROUP BY i.doc_id
+    )
+    SELECT doc_id, n_words, n_bpe_tokens,
+           CAST(floor(n_bpe_tokens * 1000000.0 / n_words + 0.5) AS BIGINT)
+             AS toks_per_word_ppm
+    FROM per_doc
+    """
+
+
+@query("text_bpe_encode_corpus", oracle=_bpe_encode_oracle(20))
+def text_bpe_encode_corpus(spark, sf_dir):
+    """Corpus-wide TOKENIZATION under the trained BPE model — the step
+    after text_bpe_train that every budget/packing/mixture decision
+    actually consumes: apply the 20 learned merges to the word
+    histogram (bpe_encode_words — the lookup table form: raw text is
+    never re-segmented per document) and join each document's word
+    instances against it for exact per-doc BPE token counts and the
+    tokens-per-word ratio in integer ppm. The realistic replacement for
+    the whitespace proxy used by sample_token_budget: token budgets in
+    MODEL tokens, not words. Plan: ONE corpus scan builds the
+    histogram (persisted — feeds driver-guarded training and the encode
+    lookup), merges apply on |distinct words| rows however big the
+    corpus, and the encode join broadcasts the model-sized lookup; the
+    oracle unrolls training with word identity carried through all 20
+    rounds, so the per-doc counts are certified against bit-exact
+    training AND encoding."""
+    from delfos_etl_pipeline_spark.text.bpe import (
+        bpe_encode_words,
+        train_bpe_auto,
+        word_histogram,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = word_histogram(docs).persist()
+    merges = train_bpe_auto(hist, num_merges=20)
+    enc = bpe_encode_words(hist, merges).select(
+        "word", F.size("tokens").cast("bigint").alias("n_toks")
+    )
+    inst = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("word"),
+        )
+        .where((F.col("word").isNotNull()) & (F.col("word") != ""))
+    )
+    per_doc = (
+        inst.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        F.floor(
+            F.col("n_bpe_tokens") * F.lit(1000000.0) / F.col("n_words")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("toks_per_word_ppm"),
+    )
