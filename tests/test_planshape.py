@@ -595,3 +595,31 @@ def test_image_dhash_decode_once_banded_join(spark, sf_dir):
     assert _count(plan, "MapInPandas") == 1, plan
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_scene_cuts_shuffle_free(spark, sf_dir):
+    """mm_video_scene_cuts claims a single narrow pass: no Exchange, no
+    join, no window anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "mm_video_scene_cuts")
+    assert _count(plan, "Exchange") == 0, plan
+    assert _count(plan, "Window") == 0
+    assert _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin") == 0
+
+
+def test_url_manifest_metadata_only(spark, sf_dir):
+    """dedup_url_manifest must never read the payload column: the scan
+    schema carries only listing metadata (doc_id/source/lang/n_chars),
+    not text."""
+    plan = _plan(spark, sf_dir, "dedup_url_manifest")
+    import re
+
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "text" not in m.group(1), m.group(0) if m else plan
+
+
+def test_bpe_encode_broadcasts_lookup(spark, sf_dir):
+    """The corpus-encode join must broadcast the model-sized lookup,
+    never shuffle the word instances against it."""
+    plan = _plan(spark, sf_dir, "text_bpe_encode_corpus")
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan
+    assert _count(plan, "SortMergeJoin") == 0
