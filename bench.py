@@ -206,6 +206,7 @@ HEADLINE = [
     "mm_video_scene_cuts",
     "curate_decontaminate_spans",
     "text_bpe_encode_corpus",
+    "text_blocklist_screen",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -75,6 +75,7 @@ _R7_NEW = [
     "curate_decontaminate_spans",  # span-level eval decontamination
     "text_bpe_encode_corpus",  # per-doc MODEL-token counts under the
                                # trained BPE, exact 20-round oracle
+    "text_blocklist_screen",   # C4/UT1-style term-density filter
 ]
 
 # Post-rewrite re-certs queued during r7 (plan changes with

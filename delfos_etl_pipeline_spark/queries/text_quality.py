@@ -949,3 +949,95 @@ def text_bpe_encode_corpus(spark, sf_dir):
         .cast("bigint")
         .alias("toks_per_word_ppm"),
     )
+
+
+@query(
+    "text_blocklist_screen",
+    oracle="""
+    WITH bl(category, word) AS (
+      VALUES ('latency', 'slow'), ('latency', 'small'),
+             ('dup', 'dup'), ('dup', 'merge'), ('dup', 'copy')
+    ),
+    inst AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+'))
+               AS word
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
+      FROM inst GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT i.doc_id,
+             CAST(count(*) FILTER (WHERE b.category = 'latency')
+                  AS BIGINT) AS n_latency,
+             CAST(count(*) FILTER (WHERE b.category = 'dup')
+                  AS BIGINT) AS n_dup
+      FROM inst i JOIN bl b ON b.word = i.word
+      GROUP BY i.doc_id
+    )
+    SELECT n.doc_id, n.n_words,
+           coalesce(h.n_latency, 0) AS n_latency,
+           coalesce(h.n_dup, 0) AS n_dup,
+           CAST(CASE WHEN coalesce(h.n_latency, 0) * 10 >= n.n_words
+                       OR coalesce(h.n_dup, 0) * 20 >= n.n_words
+                     THEN 1 ELSE 0 END AS BIGINT) AS blocked
+    FROM n LEFT JOIN hits h ON h.doc_id = n.doc_id
+    """,
+)
+def text_blocklist_screen(spark, sf_dir):
+    """Blocklist density screen — the C4/UT1-style term-list filter
+    every web-corpus pipeline runs: per-document counts of terms from a
+    categorized blocklist, with a DENSITY policy (category count / doc
+    length over a per-category threshold) rather than any-hit blocking,
+    so common-word lists don't nuke the corpus. Thresholds compare as
+    pure integers (count * k >= n_words — no float division anywhere),
+    and the blocklist join BROADCASTS the model-sized term table
+    against the exploded word instances: one narrow scan, one doc-keyed
+    agg, zero large-side shuffles beyond it. In production the VALUES
+    list is a loaded blocklist table (UT1, custom domain lists) —
+    the plan is unchanged at 100 TB because the list side stays
+    broadcast-sized."""
+    bl = spark.createDataFrame(
+        [
+            ("latency", "slow"), ("latency", "small"),
+            ("dup", "dup"), ("dup", "merge"), ("dup", "copy"),
+        ],
+        "category string, word string",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    inst = docs.select(
+        "doc_id",
+        F.explode_outer(F.split(F.lower(F.col("text")), r"\s+")).alias(
+            "word"
+        ),
+    )
+    n = inst.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words")
+    )
+    hits = (
+        inst.join(F.broadcast(bl), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("category") == "latency", 1))
+            .cast("bigint")
+            .alias("n_latency"),
+            F.count(F.when(F.col("category") == "dup", 1))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+    joined = n.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce("n_latency", F.lit(0)).cast("bigint").alias("n_latency"),
+        F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+    )
+    return joined.withColumn(
+        "blocked",
+        (
+            (F.col("n_latency") * 10 >= F.col("n_words"))
+            | (F.col("n_dup") * 20 >= F.col("n_words"))
+        )
+        .cast("bigint"),
+    )
