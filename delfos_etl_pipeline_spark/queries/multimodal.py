@@ -464,43 +464,65 @@ def mm_image_dhash_dedup(spark, sf_dir):
     h = dhash_batch(
         attach_binary_payload(docs, "doc_id", "text"), grid=8, patch=4
     ).persist()
-    bands = h.select(
+    # Pack the bit string into two 32-bit halves ONCE per doc (Horner
+    # fold), so each candidate pair's Hamming distance is two XORs + two
+    # bit_counts instead of 128 substring calls — at sf0.1 the banded
+    # join emits ~10^5-10^6 candidate rows (8-bit band keys over
+    # correlated real hashes collide heavily), and the per-pair
+    # substring form measured 35 s; the popcount form is join-bound.
+    packed = h.select(
         "doc_id",
         "dhash_sig",
+        F.expr(
+            "aggregate(sequence(1, 32), 0L, (acc, i) -> acc * 2 +"
+            " if(substring(dhash_sig, i, 1) = '1', 1L, 0L))"
+        ).alias("hi"),
+        F.expr(
+            "aggregate(sequence(33, 64), 0L, (acc, i) -> acc * 2 +"
+            " if(substring(dhash_sig, i, 1) = '1', 1L, 0L))"
+        ).alias("lo"),
+    )
+    bands = packed.select(
+        "doc_id",
+        "hi",
+        "lo",
         F.explode(F.sequence(F.lit(0), F.lit(7))).alias("band"),
+        "dhash_sig",
     ).select(
         "doc_id",
-        "dhash_sig",
+        "hi",
+        "lo",
         "band",
         F.expr("substring(dhash_sig, band * 8 + 1, 8)").alias("bkey"),
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("dhash_sig").alias("sig_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
         "band",
         "bkey",
     )
     b = bands.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("dhash_sig").alias("sig_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
         "band",
         "bkey",
     )
-    cand = (
+    ham = F.expr(
+        "bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"
+    )
+    # Filter to the (output-sized) qualifying pairs BEFORE the distinct,
+    # so the dedup exchange carries ~|result| rows, not every
+    # band-collision candidate.
+    return (
         a.join(b, ["band", "bkey"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
-    )
-    ham = F.expr(
-        "size(filter(sequence(1, 64), "
-        "i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
-    )
-    return (
-        cand.select(
+        .select(
             "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
         )
         .where(F.col("hamming") <= 7)
+        .distinct()
     )
 
 
