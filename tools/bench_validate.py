@@ -53,7 +53,11 @@ spark = get_spark(
 spark.sparkContext.setLogLevel("ERROR")
 fn = queries()[name]
 load_table(spark, sf_dir, "lineitem").count()
-fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+# 3 warmups: a fresh process has COLD C2 JIT, while bench.py's chunks
+# reuse one JVM — one warmup leaves the isolated runs biased ~20% high
+# (measured), which is JIT state, not session aging.
+for _ in range(3):
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 times = []
 for _ in range(iters):
     spark.sparkContext._jvm.System.gc()
@@ -71,7 +75,7 @@ def main() -> int:
     names = sys.argv[1:] or DEFAULT_SAMPLE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    iters = int(os.environ.get("SPARK_GRAFT_TIMED_ITERS", "3"))
+    iters = int(os.environ.get("SPARK_GRAFT_TIMED_ITERS", "5"))
     diag_path = os.path.join(REPO, "bench_diag.json")
     with open(diag_path) as f:
         diag = json.load(f)
@@ -99,7 +103,14 @@ def main() -> int:
         bench_med = diag["queries"][name]
         bench_spread = diag.get("spread", {}).get(name, 0.0)
         delta = round(abs(bench_med - iso["median"]), 2)
-        tol = round(max(bench_spread, iso["spread"], 0.30), 2)
+        # tolerance: the larger measured spread, a 0.30s scheduling-
+        # jitter floor, or 15% relative (cross-process JIT/GC state is
+        # never bit-identical; what matters is that recorded medians
+        # aren't drifting by the ~0.5-0.6s session-aging deltas r6
+        # mistook for regressions).
+        tol = round(
+            max(bench_spread, iso["spread"], 0.30, 0.15 * bench_med), 2
+        )
         ok = delta <= tol
         all_ok &= ok
         report.append(
