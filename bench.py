@@ -207,6 +207,7 @@ HEADLINE = [
     "curate_decontaminate_spans",
     "text_bpe_encode_corpus",
     "text_blocklist_screen",
+    "dedup_semdedup_survivors",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -76,6 +76,8 @@ _R7_NEW = [
     "text_bpe_encode_corpus",  # per-doc MODEL-token counts under the
                                # trained BPE, exact 20-round oracle
     "text_blocklist_screen",   # C4/UT1-style term-density filter
+    "dedup_semdedup_survivors",  # semantic dedup end-to-end: LSH ->
+                                 # closure -> survivor delete-list
 ]
 
 # Post-rewrite re-certs queued during r7 (plan changes with

@@ -1599,3 +1599,64 @@ def dedup_minhash_est_error(spark, sf_dir):
         exact_ppm.cast("bigint").alias("exact_ppm"),
         F.abs(n_match * 15625 - exact_ppm).cast("bigint").alias("err_ppm"),
     )
+
+
+def _semdedup_oracle_sql() -> str:
+    """Wrap the certified banded-hyperplane-LSH pair oracle in the
+    recursive-CTE transitive closure (the _ER_ORACLE pattern) and the
+    min-id survivor policy."""
+    base = _embedding_lsh_oracle_sql()
+    return f"""
+    WITH RECURSIVE pairs AS ({base}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS kept_vec_id,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM comp GROUP BY cluster_id
+    """
+
+
+@query("dedup_semdedup_survivors", oracle=_semdedup_oracle_sql())
+def dedup_semdedup_survivors(spark, sf_dir):
+    """SemDeDup-style SEMANTIC dedup end to end (Abbas et al. 2023:
+    bucket the embedding space, dedup within buckets, keep one item per
+    semantic duplicate group): banded hyperplane-LSH candidates with
+    exact cosine >= 0.4 verification (the certified
+    embedding_near_dup_pairs_lsh path — buckets play the role of
+    SemDeDup's k-means cells, deterministic so the oracle reproduces
+    them), transitive closure into semantic clusters
+    (dedup/clusters.py), and min-id survivor selection with per-cluster
+    drop counts — the actual DELETE list a semantic-dedup pass hands
+    the corpus writer. Composes three oracle-certified tiers into one
+    driver-checked result; the closure oracle is the recursive-CTE
+    _ER_ORACLE pattern over the LSH pair oracle. Scale: banded+capped
+    candidates (never all-pairs), O(diameter) label-prop rounds on
+    clique-ish dup graphs, one cluster-keyed agg for the policy."""
+    from delfos_etl_pipeline_spark.dedup.clusters import duplicate_clusters
+    from delfos_etl_pipeline_spark.dedup.embedding import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.4
+    )
+    cc = duplicate_clusters(pairs, src="id_a", dst="id_b")
+    return cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("doc_id").cast("bigint").alias("kept_vec_id"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+    ).select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "n_members",
+        "kept_vec_id",
+        "n_dropped",
+    )
