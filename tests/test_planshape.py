@@ -623,3 +623,11 @@ def test_bpe_encode_broadcasts_lookup(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_bpe_encode_corpus")
     assert _count(plan, "BroadcastHashJoin") >= 1, plan
     assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_semdedup_no_allpairs_edge(spark, sf_dir):
+    """dedup_semdedup_survivors: the candidate stage must stay banded —
+    no cartesian/nested-loop edge anywhere in the composed plan."""
+    plan = _plan(spark, sf_dir, "dedup_semdedup_survivors")
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
