@@ -78,6 +78,12 @@ _R7_NEW = [
     "text_blocklist_screen",   # C4/UT1-style term-density filter
     "dedup_semdedup_survivors",  # semantic dedup end-to-end: LSH ->
                                  # closure -> survivor delete-list
+    "sample_domain_cap",       # FineWeb-style per-domain doc cap,
+                               # hash-ordered survivors
+    "curate_boilerplate_strip",  # RefinedWeb-style cross-doc-frequency
+                                 # segment removal
+    "curate_ppl_buckets",      # CCNet head/middle/tail LM-score
+                               # terciles via distributed NTILE
 ]
 
 # Post-rewrite re-certs queued during r7 (plan changes with

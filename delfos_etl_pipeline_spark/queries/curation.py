@@ -494,3 +494,190 @@ def curate_decontaminate_spans(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 17 != 0)
     eval_df = docs.where(F.col("doc_id") % 17 == 0)
     return remove_spans_matching(corpus, eval_df, "doc_id", "text", k=5)
+
+
+@query(
+    "curate_boilerplate_strip",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, t.seg,
+             CAST(least(4, len(words) - t.i * 4) AS BIGINT) AS seg_len
+      FROM w, LATERAL (
+        SELECT i, array_to_string(
+                 list_slice(words, i * 4 + 1, i * 4 + 4), ' ') AS seg
+        FROM unnest(range(0, CAST((len(words) + 3) // 4 AS INT))) AS u(i)
+      ) AS t
+    ),
+    boiler AS (
+      SELECT seg FROM segs GROUP BY seg
+      HAVING count(DISTINCT doc_id) >= 3
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(count(*) FILTER (b.seg IS NOT NULL) AS BIGINT)
+             AS n_boiler_segs,
+           CAST(coalesce(sum(s.seg_len) FILTER (b.seg IS NULL), 0)
+                AS BIGINT) AS kept_tokens,
+           CAST(coalesce(sum(s.seg_len) FILTER (b.seg IS NOT NULL), 0)
+                AS BIGINT) AS removed_tokens
+    FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+    GROUP BY s.doc_id
+    """,
+)
+def curate_boilerplate_strip(spark, sf_dir):
+    """Frequency-based boilerplate removal (RefinedWeb/CCNet line-dedup
+    analogue): segment every document into non-overlapping 4-token
+    chunks, count each segment's distinct-document frequency across the
+    corpus, and strip segments appearing in >= 3 documents — the
+    cross-doc repetition threshold that separates boilerplate
+    (headers, navigation, license blurbs) from content. Differs from
+    dedup_exact_substring (any >=2 occurrences, including within one
+    doc) in both unit (fixed segmentation grid) and predicate
+    (distinct-DOC frequency >= k), which is exactly the RefinedWeb
+    recipe. Returns the per-doc audit: segment counts and kept/removed
+    token totals.
+
+    Scale posture: one explode to the segment grid (linear in corpus
+    tokens), one seg-keyed count-distinct (two-phase partial agg), one
+    seg-keyed join back (AQE broadcasts the boilerplate side when it
+    fits — it is frequency-thresholded, so it is the SMALL tail of the
+    segment distribution), one doc-keyed agg. No windows, no driver
+    state; the segs relation feeds both consumers through one persist
+    so the explode runs once."""
+    docs = _t(spark, sf_dir, "documents")
+    seg_struct = F.expr(
+        "transform(sequence(0, int((size(split(lower(text), '\\\\s+')) + 3) / 4) - 1),"
+        " i -> struct("
+        "   array_join(slice(split(lower(text), '\\\\s+'), i * 4 + 1, 4), ' ') AS seg,"
+        "   cast(least(4, size(split(lower(text), '\\\\s+')) - i * 4) AS bigint) AS seg_len))"
+    )
+    segs = (
+        docs.select("doc_id", F.explode(seg_struct).alias("s"))
+        .select("doc_id", F.col("s.seg").alias("seg"), F.col("s.seg_len").alias("seg_len"))
+        .persist()
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 3)
+        .select("seg", F.lit(True).alias("is_boiler"))
+    )
+    is_b = F.coalesce(F.col("is_boiler"), F.lit(False))
+    return (
+        segs.join(boiler, "seg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(is_b.cast("bigint")).cast("bigint").alias("n_boiler_segs"),
+            F.coalesce(F.sum(F.when(~is_b, F.col("seg_len"))), F.lit(0))
+            .cast("bigint").alias("kept_tokens"),
+            F.coalesce(F.sum(F.when(is_b, F.col("seg_len"))), F.lit(0))
+            .cast("bigint").alias("removed_tokens"),
+        )
+    )
+
+
+@query(
+    "curate_ppl_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text)), i -> substr(text, i, 2))
+               AS bgs
+      FROM documents WHERE length(text) >= 2
+    ), dbg AS (
+      SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(bgs) AS bg FROM b)
+      GROUP BY doc_id, bg
+    ), cb AS (
+      SELECT bg, CAST(sum(cnt) AS BIGINT) AS nb FROM dbg GROUP BY bg
+    ), cu AS (
+      SELECT substr(bg, 1, 1) AS ch, CAST(sum(nb) AS BIGINT) AS nu
+      FROM cb GROUP BY 1
+    ), term AS (
+      SELECT dbg.doc_id, dbg.cnt,
+             CAST(floor(ln(nb * 1.0 / nu) * 1000000000.0 + 0.5)
+                  / 1000000000.0 AS DECIMAL(18,9)) AS t
+      FROM dbg
+      JOIN cb USING (bg)
+      JOIN cu ON substr(dbg.bg, 1, 1) = cu.ch
+    ), sc AS (
+      SELECT doc_id,
+             CAST(floor((floor((CAST(sum(cnt * t) AS DOUBLE) / sum(cnt))
+                               * 1000000.0 + 0.5) / 1000000.0)
+                        * 1000000.0 + 0.5) AS BIGINT) AS score_ppm
+      FROM term GROUP BY doc_id
+    ), jj AS (
+      SELECT d.lang, d.doc_id, d.n_chars, sc.score_ppm
+      FROM sc JOIN documents d USING (doc_id)
+    ), nt AS (
+      SELECT lang, n_chars, score_ppm,
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY score_ppm, doc_id) AS bucket
+      FROM jj
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(score_ppm) AS BIGINT) AS min_ppm,
+           CAST(max(score_ppm) AS BIGINT) AS max_ppm
+    FROM nt GROUP BY lang, bucket
+    """,
+)
+def curate_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: score every document with the
+    self-trained char-bigram LM (text_lm_bigram_score, reused as-is),
+    then split each language into head/middle/tail terciles by score —
+    the partition CCNet uses to keep the fluent head, sample the
+    middle, and drop the gibberish tail of a web crawl. Returns the
+    per-(lang, bucket) audit: doc counts, char mass, and score range.
+
+    The tercile assignment is NTILE(3) computed WITHOUT a
+    single-task-per-language window: operators/rank.py::distributed_rank
+    range-partitions on (lang, score, doc_id) so parallelism stays at
+    partition-count even when one language dominates the corpus (the
+    real skew profile of a web crawl: >40% English), then the exact
+    NTILE arithmetic (first c%3 buckets take one extra row) is a
+    projection from the rank and the broadcast per-lang counts. Score
+    ties are pinned by doc_id, and the score itself is the 6-dp
+    half-up-rounded LM average re-pinned to an integer ppm, so the
+    ordering — hence every bucket boundary — is bit-identical
+    cross-engine."""
+    from delfos_etl_pipeline_spark.operators.rank import distributed_rank
+    from delfos_etl_pipeline_spark.queries.text_quality import (
+        text_lm_bigram_score,
+    )
+
+    scores = text_lm_bigram_score(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("avg_logprob") * 1000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("score_ppm"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    jj = scores.join(docs, "doc_id")
+    ranked = distributed_rank(
+        jj, order_cols=("score_ppm", "doc_id"), key_cols=("lang",)
+    )
+    cnt = ranked.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    bucket = F.expr(
+        "CAST(CASE WHEN rn <= (c % 3) * (c DIV 3 + 1)"
+        " THEN (rn - 1) DIV (c DIV 3 + 1) + 1"
+        " ELSE (c % 3) + (rn - (c % 3) * (c DIV 3 + 1) - 1) DIV (c DIV 3) + 1"
+        " END AS BIGINT)"
+    )
+    return (
+        ranked.join(F.broadcast(cnt), "lang")
+        .withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("score_ppm").cast("bigint").alias("min_ppm"),
+            F.max("score_ppm").cast("bigint").alias("max_ppm"),
+        )
+    )

@@ -282,3 +282,59 @@ def sample_systematic(spark, sf_dir):
     return ranked.where((F.col("rn") - 1) % 20 == 0).select(
         "event_id", "ts", "user_id", "event_type", "value", "rn"
     )
+
+
+@query(
+    "sample_domain_cap",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (rn <= 15) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (rn > 15) AS BIGINT) AS n_dropped,
+           CAST(coalesce(sum(n_chars) FILTER (rn <= 15), 0) AS BIGINT)
+             AS kept_chars
+    FROM r GROUP BY source
+    """,
+)
+def sample_domain_cap(spark, sf_dir):
+    """Per-domain document cap (FineWeb/C4-style): keep at most 15 docs
+    per source, chosen by md5(doc_id) hash order — a pure function of
+    the data, so the SAME docs survive on any engine, partitioning, or
+    cluster size, and re-running after an append keeps prior survivors
+    stable up to the cap. The cap is the standard anti-domination guard
+    a web-scale corpus applies before training: without it a handful of
+    template-heavy domains (forums, listings) dominate the token
+    budget.
+
+    Scale posture: the rank window partitions by source — at 100 TB the
+    domain key has ~1e7-1e8 cardinality, so per-key task skew is
+    bounded by the largest single domain, not by corpus size; a domain
+    so large it skews a task is exactly what the cap discards, and AQE
+    skew-split handles the scan side. One hash shuffle on source; no
+    global sort, no driver state."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    kept = F.col("rn") <= 15
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(kept.cast("bigint")).cast("bigint").alias("n_kept"),
+            F.sum((~kept).cast("bigint")).cast("bigint").alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_chars"))), F.lit(0)
+            ).cast("bigint").alias("kept_chars"),
+        )
+    )

@@ -128,3 +128,52 @@ def test_staged_pipeline_equals_end2end(spark, sf_dir, tmp_path):
         "04_mixed",
         "05_budget",
     ]
+
+
+def test_boilerplate_strip_conserves_tokens(spark, sf_dir):
+    """kept + removed tokens per doc must equal the doc's word count
+    exactly (the segmentation grid is a partition of the token stream),
+    every doc must appear, and boiler counts are bounded by segment
+    counts."""
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.queries import queries
+
+    out = queries()["curate_boilerplate_strip"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    j = out.join(docs, "doc_id").collect()
+    assert len(j) == docs.count()
+    for r in j:
+        assert r.kept_tokens + r.removed_tokens == r.n_tok, r
+        assert 0 <= r.n_boiler_segs <= r.n_segments, r
+
+
+def test_ppl_buckets_are_balanced_ordered_terciles(spark, sf_dir):
+    """Per language: exactly 3 buckets whose sizes differ by at most one
+    and sum to the language's doc count, with non-overlapping ordered
+    score ranges (bucket1 max <= bucket2 min <= ...)."""
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.queries import queries
+
+    rows = queries()["curate_ppl_buckets"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 2
+    )
+    lang_counts = {
+        r.lang: r["count"] for r in docs.groupBy("lang").count().collect()
+    }
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, brs in by_lang.items():
+        brs.sort(key=lambda r: r.bucket)
+        assert [r.bucket for r in brs] == [1, 2, 3]
+        sizes = [r.n_docs for r in brs]
+        assert sum(sizes) == lang_counts[lang]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        for lo, hi in zip(brs, brs[1:]):
+            assert lo.max_ppm <= hi.min_ppm, (lang, lo, hi)

@@ -631,3 +631,46 @@ def test_semdedup_no_allpairs_edge(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_semdedup_survivors")
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_domain_cap_metadata_scan_single_keyed_exchange(spark, sf_dir):
+    """sample_domain_cap: scan must be metadata-only (no text column),
+    with exactly one hash exchange (by source) feeding a KEYED window —
+    no global sort, no join."""
+    import re
+
+    plan = _plan(spark, sf_dir, "sample_domain_cap")
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "text" not in m.group(1), m.group(0) if m else plan
+    assert _count(plan, "Exchange") == 1, plan
+    assert _count(plan, "Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_boilerplate_strip_single_generate_no_window(spark, sf_dir):
+    """curate_boilerplate_strip: the segment explode runs ONCE behind the
+    persisted relation (both the frequency agg and the join read the
+    InMemory scan), the boiler side joins as a hash join, and there is
+    no window or all-pairs edge anywhere."""
+    plan = _plan(spark, sf_dir, "curate_boilerplate_strip")
+    assert _count(plan, "Generate") == 1, plan
+    assert _count(plan, "Scan parquet") == 1, plan
+    assert _count(plan, "Window") == 0
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_ppl_buckets_distributed_ntile(spark, sf_dir):
+    """curate_ppl_buckets: the tercile rank must come from the
+    distributed form — any Window node is partition-id-local (from
+    distributed_rank), never a bare per-lang partition; the per-lang
+    count and LM model tables join as broadcasts; no all-pairs edge."""
+    plan = _plan(spark, sf_dir, "curate_ppl_buckets")
+    import re
+
+    for mm in re.finditer(r"^\(\d+\) Window\n(?:.+\n)*?.*?partition.*$",
+                          plan, flags=re.M):
+        assert "_pid" in mm.group(0), mm.group(0)
+    assert _count(plan, "BroadcastHashJoin") >= 2, plan
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0

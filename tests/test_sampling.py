@@ -64,3 +64,26 @@ def test_hash_bucket_range(docs):
     stats = docs.select(hash_bucket(F.col("doc_id")).alias("b")).agg(
         F.min("b"), F.max("b")).collect()[0]
     assert 0 <= stats[0] and stats[1] < 1000
+
+
+def test_domain_cap_counts(spark, sf_dir):
+    """Per source: kept = min(n_docs, 15), kept + dropped = n_docs, and
+    kept_chars never exceeds the source's total chars."""
+    from delfos_etl_pipeline_spark.queries import queries
+
+    out = queries()["sample_domain_cap"](spark, sf_dir)
+    totals = {
+        r.source: (r["count"], r["chars"])
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("count"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    rows = out.collect()
+    assert {r.source for r in rows} == set(totals)
+    for r in rows:
+        n, chars = totals[r.source]
+        assert r.n_docs == n
+        assert r.n_kept == min(n, 15)
+        assert r.n_kept + r.n_dropped == n
+        assert 0 < r.kept_chars <= chars
