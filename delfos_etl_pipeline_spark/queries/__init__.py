@@ -84,6 +84,12 @@ _R7_NEW = [
                                  # segment removal
     "curate_ppl_buckets",      # CCNet head/middle/tail LM-score
                                # terciles via distributed NTILE
+    "text_fertility_by_lang",  # BPE tokens-per-word by language,
+                               # bit-exact 20-round trained oracle
+    "curate_contamination_report",  # per-EVAL-doc contamination view
+                                    # (dual of curate_decontaminate)
+    "sample_domain_temperature",  # n^0.5 temperature domain allocation,
+                                  # sqrt correctly-rounded cross-engine
 ]
 
 # Post-rewrite re-certs queued during r7 (plan changes with

@@ -681,3 +681,104 @@ def curate_ppl_buckets(spark, sf_dir):
             F.max("score_ppm").cast("bigint").alias("max_ppm"),
         )
     )
+
+
+@query(
+    "curate_contamination_report",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + 4), ' ')))
+               AS shingles
+      FROM w
+    ),
+    evs AS (
+      SELECT doc_id AS eval_doc_id, unnest(shingles) AS s
+      FROM sh WHERE doc_id % 17 = 0
+    ),
+    evtot AS (
+      SELECT eval_doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM evs GROUP BY 1
+    ),
+    cs AS (
+      SELECT doc_id, unnest(shingles) AS s
+      FROM sh WHERE doc_id % 17 <> 0
+    ),
+    hits AS (
+      SELECT e.eval_doc_id,
+             CAST(count(DISTINCT e.s) AS BIGINT) AS n_hit_shingles,
+             CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_docs
+      FROM evs e JOIN cs c ON c.s = e.s
+      GROUP BY 1
+    )
+    SELECT t.eval_doc_id, t.n_shingles,
+           CAST(coalesce(h.n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
+           CAST(coalesce(h.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+           CAST(floor(coalesce(h.n_hit_shingles, 0) * 1000000.0
+                      / t.n_shingles + 0.5) AS BIGINT) AS contamination_ppm
+    FROM evtot t LEFT JOIN hits h USING (eval_doc_id)
+    """,
+)
+def curate_contamination_report(spark, sf_dir):
+    """Per-EVAL-document contamination report — the view the evals team
+    reads (which benchmark items are compromised, and how badly), dual
+    to curate_decontaminate's corpus-side flags: for every eval doc
+    (stand-in eval set: doc_id % 17 == 0), its distinct 5-gram count,
+    how many of those shingles occur anywhere in the training corpus,
+    how many distinct corpus docs hit it, and the contaminated-shingle
+    share in integer ppm. An eval item with high contamination_ppm
+    can't be trusted post-training even after the corpus side drops its
+    matches (near-verbatim paraphrases keep leaking signal).
+
+    Scale posture: the eval side is benchmark-sized — its exploded
+    shingle relation broadcasts (persisted once, feeding both the
+    totals agg and the join); the corpus side streams through ONE
+    shingle explode against the broadcast, then a small eval-keyed agg.
+    No corpus-side shuffle beyond the doc-keyed aggregate of hits."""
+    from delfos_etl_pipeline_spark.dedup.ngram import shingle_arrays
+
+    docs = _t(spark, sf_dir, "documents")
+    ev_sh = (
+        shingle_arrays(docs.where(F.col("doc_id") % 17 == 0),
+                       "doc_id", "text", 5)
+        .select(F.col("doc_id").alias("eval_doc_id"),
+                F.explode_outer("shingles").alias("s"))
+        .where(F.col("s").isNotNull())
+        .persist()
+    )
+    ev_tot = ev_sh.groupBy("eval_doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    corp_sh = (
+        shingle_arrays(docs.where(F.col("doc_id") % 17 != 0),
+                       "doc_id", "text", 5)
+        .select("doc_id", F.explode_outer("shingles").alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+    hits = (
+        corp_sh.join(F.broadcast(ev_sh), "s")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.countDistinct("s").cast("bigint").alias("n_hit_shingles"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_corpus_docs"),
+        )
+    )
+    nh = F.coalesce(F.col("n_hit_shingles"), F.lit(0)).cast("bigint")
+    return (
+        ev_tot.join(F.broadcast(hits), "eval_doc_id", "left")
+        .select(
+            "eval_doc_id",
+            "n_shingles",
+            nh.alias("n_hit_shingles"),
+            F.coalesce(F.col("n_corpus_docs"), F.lit(0))
+            .cast("bigint").alias("n_corpus_docs"),
+            F.floor(nh * F.lit(1000000.0) / F.col("n_shingles") + F.lit(0.5))
+            .cast("bigint").alias("contamination_ppm"),
+        )
+    )

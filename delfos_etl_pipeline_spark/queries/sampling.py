@@ -338,3 +338,70 @@ def sample_domain_cap(spark, sf_dir):
             ).cast("bigint").alias("kept_chars"),
         )
     )
+
+
+@query(
+    "sample_domain_temperature",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(n_docs) * 1000000.0 + 0.5) AS BIGINT) AS weight
+      FROM c
+    ),
+    t AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w)
+    SELECT source, n_docs, weight,
+           CAST((1000 * weight) // wsum AS BIGINT) AS target_docs,
+           CAST(least((1000 * weight) // wsum, n_docs) AS BIGINT)
+             AS target_kept,
+           CAST(floor(least((1000 * weight) // wsum, n_docs) * 1000000.0
+                      / n_docs + 0.5) AS BIGINT) AS keep_rate_ppm
+    FROM w, t
+    """,
+)
+def sample_domain_temperature(spark, sf_dir):
+    """Temperature-scaled domain allocation (alpha = 0.5, the
+    mBERT/XLM-R multilingual sampling rule applied to sources): target
+    doc counts proportional to n_i^alpha, flattening the head so small
+    domains are not drowned — the companion to sample_domain_cap's hard
+    ceiling. Weights are pinned to integer micro-units via
+    floor(sqrt(n)*1e6+0.5): IEEE-754 sqrt is CORRECTLY ROUNDED (unlike
+    ln/exp), so the weight — hence every allocation — is bit-identical
+    cross-engine with no driver-side libm pinning needed. Allocation is
+    integer arithmetic throughout (budget*w DIV sum, capped at n_i),
+    and the effective keep rate ships in exact ppm.
+
+    Scale posture: ONE metadata-only count pass (no text read), the
+    per-domain table persisted once for its two consumers (weight sum +
+    allocation projection), the 1-row total broadcast back. At 1e8
+    domains the only shuffle is the count's hash exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn(
+            "weight",
+            F.floor(F.sqrt(F.col("n_docs")) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint"),
+        )
+        .persist()
+    )
+    tot = w.agg(F.sum("weight").cast("bigint").alias("wsum"))
+    target = F.expr("(1000 * weight) DIV wsum")
+    kept = F.least(target, F.col("n_docs"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            target.cast("bigint").alias("target_docs"),
+            kept.cast("bigint").alias("target_kept"),
+            F.floor(kept * F.lit(1000000.0) / F.col("n_docs") + F.lit(0.5))
+            .cast("bigint")
+            .alias("keep_rate_ppm"),
+        )
+    )

@@ -1041,3 +1041,120 @@ def text_blocklist_screen(spark, sf_dir):
         )
         .cast("bigint"),
     )
+
+
+def _bpe_fertility_oracle(k: int = 20) -> str:
+    """The same bit-exact 20-round training chain as _bpe_encode_oracle,
+    finished per LANGUAGE instead of per document: fertility = model
+    tokens per whitespace word, the multilingual-tokenizer health metric
+    (a lang whose fertility is 2x another's pays 2x the context budget
+    for the same text)."""
+    sql = """
+    WITH w AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    h0 AS MATERIALIZED (
+      SELECT word, cnt,
+             ' ' || array_to_string(string_split(word, ''), ' ') AS s
+      FROM w
+    )"""
+    for t in range(1, k + 1):
+        sql += f""",
+    p{t} AS (
+      SELECT x, y, CAST(sum(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, toks[i] AS x, toks[i + 1] AS y
+            FROM (SELECT cnt, string_split(trim(s), ' ') AS toks FROM h{t - 1}),
+                 unnest(range(1, len(toks))) AS u(i))
+      GROUP BY x, y
+    ),
+    b{t} AS MATERIALIZED (SELECT x, y, c FROM p{t} ORDER BY c DESC, x, y LIMIT 1),
+    h{t} AS MATERIALIZED (
+      SELECT word, cnt, replace(s, ' ' || x || ' ' || y, ' ' || x || y) AS s
+      FROM h{t - 1}, b{t}
+    )"""
+    return sql + f""",
+    enc AS (
+      SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_toks
+      FROM h{k}
+    ),
+    inst AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+      FROM documents
+    ),
+    per_lang AS (
+      SELECT d.lang,
+             CAST(count(DISTINCT i.doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(e.n_toks) AS BIGINT) AS n_bpe_tokens
+      FROM inst i
+      JOIN enc e ON e.word = i.word
+      JOIN documents d ON d.doc_id = i.doc_id
+      WHERE i.word <> ''
+      GROUP BY d.lang
+    )
+    SELECT lang, n_docs, n_words, n_bpe_tokens,
+           CAST(floor(n_bpe_tokens * 1000000.0 / n_words + 0.5) AS BIGINT)
+             AS fertility_ppm
+    FROM per_lang
+    """
+
+
+@query("text_fertility_by_lang", oracle=_bpe_fertility_oracle(20))
+def text_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility per language under the self-trained BPE:
+    model tokens per whitespace word, aggregated by lang — THE metric a
+    multilingual corpus team reads before fixing a tokenizer (high
+    fertility = that language pays more context window per sentence;
+    the standard argument for vocabulary rebalancing). Same machinery
+    as text_bpe_encode_corpus (one histogram pass, driver-sized merge
+    table, broadcast encode lookup); the only new edge is carrying lang
+    through the instance explode, so the plan cost is unchanged modulo
+    the lang column. Oracle re-trains bit-exactly through all 20 rounds
+    and aggregates per lang, so training, encoding, and the rollup are
+    all certified."""
+    from delfos_etl_pipeline_spark.text.bpe import (
+        bpe_encode_words,
+        train_bpe_auto,
+        word_histogram,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = word_histogram(docs).persist()
+    merges = train_bpe_auto(hist, num_merges=20)
+    enc = bpe_encode_words(hist, merges).select(
+        "word", F.size("tokens").cast("bigint").alias("n_toks")
+    )
+    inst = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode_outer(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("word"),
+        )
+        .where((F.col("word").isNotNull()) & (F.col("word") != ""))
+    )
+    return (
+        inst.join(F.broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            F.floor(
+                F.col("n_bpe_tokens") * F.lit(1000000.0) / F.col("n_words")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("fertility_ppm"),
+        )
+    )

@@ -177,3 +177,27 @@ def test_ppl_buckets_are_balanced_ordered_terciles(spark, sf_dir):
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
         for lo, hi in zip(brs, brs[1:]):
             assert lo.max_ppm <= hi.min_ppm, (lang, lo, hi)
+
+
+def test_contamination_report_consistent_with_corpus_flags(spark, sf_dir):
+    """The eval-side report and the corpus-side decontaminate flags must
+    agree on the TOTAL contamination edge set: an eval doc with
+    n_corpus_docs > 0 implies those corpus docs are flagged, and every
+    report row keeps 0 <= n_hit_shingles <= n_shingles."""
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.queries import queries
+
+    rows = queries()["curate_contamination_report"](spark, sf_dir).collect()
+    assert rows
+    n_hit_evals = 0
+    for r in rows:
+        assert r.eval_doc_id % 17 == 0
+        assert 0 <= r.n_hit_shingles <= r.n_shingles, r
+        assert (r.n_hit_shingles == 0) == (r.n_corpus_docs == 0), r
+        if r.n_corpus_docs:
+            n_hit_evals += 1
+    # the corpus-side view flags a doc iff SOME eval doc shares a shingle,
+    # so both directions must be non-empty together
+    corpus_flagged = queries()["curate_decontaminate"](spark, sf_dir).count()
+    assert (corpus_flagged > 0) == (n_hit_evals > 0)

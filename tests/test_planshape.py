@@ -674,3 +674,38 @@ def test_ppl_buckets_distributed_ntile(spark, sf_dir):
     assert _count(plan, "BroadcastHashJoin") >= 2, plan
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_fertility_broadcasts_encode_lookup(spark, sf_dir):
+    """text_fertility_by_lang: the encode join must broadcast the
+    model-sized lookup (same contract as text_bpe_encode_corpus); no
+    window, no all-pairs edge."""
+    plan = _plan(spark, sf_dir, "text_fertility_by_lang")
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan
+    assert _count(plan, "SortMergeJoin") == 0
+    assert _count(plan, "Window") == 0
+    assert _count(plan, "CartesianProduct") == 0
+
+
+def test_contamination_report_broadcasts_eval_side(spark, sf_dir):
+    """curate_contamination_report: the corpus-vs-eval shingle join and
+    the final report join must both be broadcast hash joins (the eval
+    side is benchmark-sized); the corpus shingle stream never sorts."""
+    plan = _plan(spark, sf_dir, "curate_contamination_report")
+    assert _count(plan, "BroadcastHashJoin") >= 2, plan
+    assert _count(plan, "SortMergeJoin") == 0, plan
+    assert _count(plan, "CartesianProduct") == 0
+
+
+def test_domain_temperature_metadata_scan(spark, sf_dir):
+    """sample_domain_temperature: ONE metadata-only scan (source column
+    only — never text), the 1-row weight total as the only nested-loop
+    (broadcast-scalar crossJoin pattern), no window."""
+    import re
+
+    plan = _plan(spark, sf_dir, "sample_domain_temperature")
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and m.group(1) == "struct<source:string>", plan
+    assert _count(plan, "Scan parquet") == 1
+    assert _count(plan, "BroadcastNestedLoopJoin") <= 1
+    assert _count(plan, "Window") == 0

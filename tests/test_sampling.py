@@ -87,3 +87,20 @@ def test_domain_cap_counts(spark, sf_dir):
         assert r.n_kept == min(n, 15)
         assert r.n_kept + r.n_dropped == n
         assert 0 < r.kept_chars <= chars
+
+
+def test_domain_temperature_allocation_properties(spark, sf_dir):
+    """Temperature allocation: targets sum to <= budget, each target is
+    capped by the domain size, and flattening holds — a domain with 4x
+    the docs of another gets at most ~2x its target (alpha = 0.5)."""
+    from delfos_etl_pipeline_spark.queries import queries
+
+    rows = queries()["sample_domain_temperature"](spark, sf_dir).collect()
+    assert sum(r.target_docs for r in rows) <= 1000
+    for r in rows:
+        assert r.target_kept == min(r.target_docs, r.n_docs)
+        assert 0 <= r.keep_rate_ppm <= 1000000
+    big = max(rows, key=lambda r: r.n_docs)
+    small = min(rows, key=lambda r: r.n_docs)
+    if big.n_docs >= 4 * small.n_docs and small.target_docs > 0:
+        assert big.target_docs <= 2 * small.target_docs + 1
