@@ -90,6 +90,8 @@ _R7_NEW = [
                                     # (dual of curate_decontaminate)
     "sample_domain_temperature",  # n^0.5 temperature domain allocation,
                                   # sqrt correctly-rounded cross-engine
+    "dedup_rate_by_source",    # per-domain dup participation/removal
+                               # rates on an injected mirror source
 ]
 
 # Post-rewrite re-certs queued during r7 (plan changes with

@@ -1660,3 +1660,77 @@ def dedup_semdedup_survivors(spark, sf_dir):
         "kept_vec_id",
         "n_dropped",
     )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, 'mirror' AS source, text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    k AS (SELECT doc_id, source, md5(text) AS key FROM aug),
+    g AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS c, min(doc_id) AS keeper
+      FROM k GROUP BY key
+    )
+    SELECT k.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (g.c >= 2) AS BIGINT) AS n_dup_docs,
+           CAST(count(*) FILTER (g.c >= 2 AND k.doc_id <> g.keeper)
+                AS BIGINT) AS n_removable,
+           CAST(floor(count(*) FILTER (g.c >= 2) * 1000000.0 / count(*)
+                      + 0.5) AS BIGINT) AS dup_rate_ppm
+    FROM k JOIN g USING (key)
+    GROUP BY k.source
+    """,
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Per-domain duplication diagnostics — the table that decides crawl
+    policy (a source whose dup_rate is ~1e6 ppm is a mirror/template
+    farm: stop crawling it, don't keep paying to dedup it). Exercised
+    on a deterministically-injected mirror source (every doc_id % 7 == 0
+    re-hosted under 'mirror' with a shifted id — both engines construct
+    the same augmented corpus, the text_pii_redact injection pattern),
+    so originals always win the min-id keep policy and the mirror shows
+    up as ~100% removable. Reports, per source: docs, docs participating
+    in any exact-dup group, docs the keep-min policy would remove, and
+    the dup participation rate in exact ppm.
+
+    Scale posture: documents shuffle as 16-byte md5 keys, never as
+    bodies (the dedup_exact_rows contract); one key-keyed agg, one
+    key-keyed join back (both partial-aggregated map-side), one
+    source-keyed rollup. Linear at 100 TB with no text movement past
+    the first projection."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "source", "text").unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + F.lit(10000000)).alias("doc_id"),
+            F.lit("mirror").alias("source"),
+            "text",
+        )
+    )
+    k = aug.select(
+        "doc_id", "source", F.md5(F.col("text")).alias("key")
+    ).persist()
+    g = k.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.min("doc_id").alias("keeper"),
+    )
+    dup = F.col("c") >= 2
+    rem = dup & (F.col("doc_id") != F.col("keeper"))
+    return (
+        k.join(g, "key")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(dup.cast("bigint")).cast("bigint").alias("n_dup_docs"),
+            F.sum(rem.cast("bigint")).cast("bigint").alias("n_removable"),
+            F.floor(
+                F.sum(dup.cast("bigint")) * F.lit(1000000.0)
+                / F.count(F.lit(1)) + F.lit(0.5)
+            ).cast("bigint").alias("dup_rate_ppm"),
+        )
+    )

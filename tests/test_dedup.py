@@ -543,3 +543,19 @@ def test_remove_spans_matching_cuts_only_reference_overlap(spark):
     assert out[1]["n_removed"] == 5 and out[1]["n_spans"] == 1
     assert out[2]["n_removed"] == 0
     assert out[2]["cleaned_text"] == "p q r s t p q r s t"
+
+
+def test_dedup_rate_by_source_mirror_is_fully_removable(spark, sf_dir):
+    """The injected mirror source must be 100% dup-participating and
+    100% removable (originals always win min-id); original sources'
+    removable counts stay zero (their copies hold the min id) while
+    their dup participation matches the mirror's size."""
+    from delfos_etl_pipeline_spark.queries import queries
+
+    rows = {r.source: r for r in
+            queries()["dedup_rate_by_source"](spark, sf_dir).collect()}
+    m = rows.pop("mirror")
+    assert m.n_dup_docs == m.n_docs == m.n_removable
+    assert m.dup_rate_ppm == 1000000
+    assert sum(r.n_dup_docs for r in rows.values()) == m.n_docs
+    assert all(r.n_removable == 0 for r in rows.values())

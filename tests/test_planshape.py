@@ -709,3 +709,15 @@ def test_domain_temperature_metadata_scan(spark, sf_dir):
     assert _count(plan, "Scan parquet") == 1
     assert _count(plan, "BroadcastNestedLoopJoin") <= 1
     assert _count(plan, "Window") == 0
+
+
+def test_dedup_rate_by_source_hash_key_shuffles(spark, sf_dir):
+    """dedup_rate_by_source: the augmented corpus shuffles as md5 keys
+    (the keyed projection is persisted once for its two consumers); no
+    window, no all-pairs edge, and text never survives past the keyed
+    projection (group/join columns are key/doc_id/source only)."""
+    plan = _plan(spark, sf_dir, "dedup_rate_by_source")
+    assert _count(plan, "Window") == 0
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
+    assert _count(plan, "InMemoryTableScan") >= 2, plan
