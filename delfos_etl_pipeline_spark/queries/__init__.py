@@ -55,12 +55,64 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # REAL regression gate is tools/check_oracle.py, which runs EVERY
 # registered query against its oracle and is executed locally before each
 # commit — if the driver ever samples differently, nothing ships unchecked.
-# Round 7 window (VERDICT r6 items 1-3, 6): genuinely-NEW registrations
+# Round 8 window (VERDICT r7 items 1-7): genuinely-NEW registrations
 # and oracle upgrades land here AS THEY SHIP — a name goes on this list
 # in the same commit that registers it, never before
 # (tests/test_registry.py asserts every window name resolves in
 # QUERIES, so a claimed-but-unshipped entry fails CI instead of being
 # silently dropped by the `if n in QUERIES` filter).
+_R8_NEW: list[str] = []
+
+# Plan changes with locally re-certified bit-identical outputs (the
+# semdedup BLAS-verify/union-find rewrite and the md5-keyed document
+# dedup in the substr pipeline — VERDICT r7 items 1 and 3); their newest
+# driver rows predate the rewrite, so they take window slots right after
+# the new registrations.
+_R8_RECERT: list[str] = []
+
+# Evidence-freshness backlog (VERDICT r7 item 2 / missing item 1): the
+# 77 queries whose newest driver row is from r1 or r2 — before the r3
+# dtype-audited oracle hardening. Zero code changes; tools/check_oracle
+# re-certifies all of them locally each round. Ordered oldest-evidence
+# first (the 33 r1-newest names, then the 44 r2-newest names); whatever
+# misses the ~50-slot r8 window leads r9.
+_R8_STALE_REFRESH = [
+    # newest evidence = r1
+    "a_distinct_count", "a_percentiles", "agg_cube", "agg_grouping_sets",
+    "agg_salted_skew", "hypertable_rollup", "j2_anti_join",
+    "j3_fact_dim_join", "j4_left_join_stats", "j5_outer_window_align",
+    "o2_topk", "r1_unpivot", "r4_pivot", "range_join_intervals",
+    "streaming_stateful_totals", "streaming_stream_join",
+    "tpch_q10_returned_items", "tpch_q13_cust_order_dist",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_suppliers",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "w1_latest_per_key", "w2_lag_delta", "w3_running_sum",
+    # newest evidence = r2
+    "a1_pipeline_long", "a1_tumbling_window_agg", "a5_group_multi_agg",
+    "a_approx_distinct", "asof_join_events", "dedup_clusters",
+    "dedup_exact", "dedup_exact_rows", "dedup_fuzzy_levenshtein",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "f_array_ops", "f_array_unnest_stats", "f_json_extract",
+    "f_scalar_suite", "j1_broadcast_dim_join", "j_null_safe_join",
+    "mm_binary_meta", "s1_scan_project_filter", "sample_bernoulli",
+    "sample_stratified", "sample_train_test_split",
+    "set_ops_user_segments", "sim_knn_allpairs", "sql_facade_text_query",
+    "streaming_window_agg", "text_fingerprint", "text_langid",
+    "text_stats", "text_token_count", "tpcds_q27_rollup_avgs",
+    "tpcds_q36_margin_rank", "tpcds_q3_brand_by_year",
+    "tpcds_q67_topk_rollup", "tpch_q11_important_stock",
+    "tpch_q12_priority_by_status", "tpch_q16_supplier_part_count",
+    "tpch_q1_pricing_summary", "tpch_q20_promotable_suppliers",
+    "tpch_q22_dormant_customers", "tpch_q2_min_cost_supplier",
+    "ts_gap_fill", "w4_trailing_range_frame",
+]
+
+# --- provenance: the r7 window (all entries below carry hash-green r7
+# driver rows; kept for the rotation tail order). ---
 _R7_NEW = [
     "dedup_exact_substring",   # repeated >=5-token span REMOVAL (item 1)
     "mm_image_dhash_dedup",    # perceptual dHash near-dup pairs (item 2)
@@ -426,21 +478,25 @@ _RECERTIFIED_R3 = {
 def _driver_order() -> list[str]:
     """Order queries() so the driver's ~50-query rotating correctness
     window always covers (a) everything new or behavior-changed this
-    round (the _R7_* lists), then (b) the queries whose driver evidence
-    is oldest, then (c) one flagship per operator family, then the
-    rest. As of r6 every registration has a hash-green driver row, so
-    the tail order only controls evidence freshness."""
-    r7_front = _R7_NEW + _R7_RECERT
-    missing = [n for n in r7_front if n not in QUERIES]
+    round (the _R8_* lists), then (b) the queries whose driver evidence
+    is oldest (_R8_STALE_REFRESH — the r1/r2 cohort), then (c) one
+    flagship per operator family, then the rest. As of r6 every
+    registration has a hash-green driver row, so the tail order only
+    controls evidence freshness."""
+    r8_front = _R8_NEW + _R8_RECERT + _R8_STALE_REFRESH
+    missing = [n for n in r8_front if n not in QUERIES]
     assert not missing, (
-        f"window names not registered: {missing} — a _R7_* entry must "
+        f"window names not registered: {missing} — a _R8_* entry must "
         "land in the same commit as its @query registration"
     )
+    r7_front = _R7_NEW + _R7_RECERT
     r6_front = _R6_NEVER_CHECKED + _R6_RECERT
     r5_front = (
         _R5_FIXED_RED + _R5_NEVER_CHECKED + _R5_NEW + _R5_RECERT
     )
-    front = list(dict.fromkeys(r7_front))
+    front = list(dict.fromkeys(r8_front))
+    placed = set(front)
+    front += [n for n in r7_front if n in QUERIES and n not in placed]
     placed = set(front)
     front += [n for n in r6_front if n in QUERIES and n not in placed]
     placed = set(front)

@@ -41,10 +41,20 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_round_window_names_all_registered():
-    """Every _R7_* window entry must resolve in QUERIES — a
+    """Every _R8_* window entry must resolve in QUERIES — a
     claimed-but-unshipped name fails here instead of being silently
     dropped (ADVICE r6). _driver_order() also asserts this at runtime."""
     from delfos_etl_pipeline_spark import queries as qpkg
 
-    for n in qpkg._R7_NEW + qpkg._R7_RECERT:
+    for n in (
+        qpkg._R8_NEW + qpkg._R8_RECERT + qpkg._R8_STALE_REFRESH
+        + qpkg._R7_NEW + qpkg._R7_RECERT
+    ):
         assert n in qpkg.QUERIES, n
+
+
+def test_stale_refresh_no_duplicates():
+    from delfos_etl_pipeline_spark import queries as qpkg
+
+    names = qpkg._R8_STALE_REFRESH
+    assert len(names) == len(set(names))
