@@ -189,6 +189,64 @@ def _band_buckets(
     )
 
 
+def _verify_pairs_blas(
+    cands: DataFrame,
+    vecs: DataFrame,
+    threshold: float,
+    round_decimals: int | None,
+) -> DataFrame:
+    """Verify explicit (id_a, id_b) candidate pairs with an Arrow-batched
+    numpy cosine — the vectorized sibling of :func:`_pairs_mapper` for
+    pairs that arrive as rows (post-LSH candidates) rather than as a
+    query-stream × broadcast-reference product. Two keyed joins attach the
+    raw vectors; per Arrow batch the cosine is one fused einsum pass
+    (dot(a,b) / (‖a‖·‖b‖) on the RAW vectors — the same IEEE expression
+    the oracle's list_dot_product/nrm form evaluates). The expression-level
+    ``cosine_similarity_col`` alternative pays b·r·dim interpreted
+    multiply-adds per pair (measured ~4× slower than Arrow+BLAS at every
+    scale tested — see _band_buckets); at 10⁵–10⁶ candidates that was the
+    single worst number in BENCH_r07 (dedup_semdedup_survivors, 21.9 s).
+    """
+    import numpy as np
+
+    joined = cands.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("_va")),
+        "id_a",
+    ).join(
+        vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb")),
+        "id_b",
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["_vb"].to_numpy()).astype(np.float64)
+            sim = np.einsum("ij,ij->i", a, b) / (
+                np.sqrt(np.einsum("ij,ij->i", a, a))
+                * np.sqrt(np.einsum("ij,ij->i", b, b))
+            )
+            if round_decimals is not None:
+                # floor(x·10^k + 0.5)/10^k — HALF-UP, matching F.round
+                # and DuckDB round on the positive sims that survive the
+                # threshold (numpy .round is half-even).
+                scale = 10.0 ** round_decimals
+                sim = np.floor(sim * scale + 0.5) / scale
+            keep = sim >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine_sim": sim[keep],
+                }
+            )
+
+    return joined.mapInPandas(
+        verify, "id_a long, id_b long, cosine_sim double"
+    )
+
+
 def embedding_near_dup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -198,11 +256,20 @@ def embedding_near_dup_pairs_lsh(
     planes_per_band: int = 8,
     round_decimals: int | None = 6,
     max_bucket: int | None = 1000,
+    verify: str = "blas",
 ) -> DataFrame:
     """Approximate near-dup pairs via banded hyperplane LSH: candidates
     share all ``planes_per_band`` signs of at least one of ``n_bands``
-    bands; candidates are then verified with an exact expression-level
-    cosine. Same output contract as the exact form.
+    bands; candidates are then verified with an exact cosine. Same output
+    contract as the exact form.
+
+    ``verify``: ``blas`` (default — Arrow-batched numpy over the joined
+    candidate vectors, :func:`_verify_pairs_blas`) or ``expr`` (the
+    pre-r8 expression-level ``cosine_similarity_col`` form, kept for
+    plan-shape comparison). Both compute dot(a,b)/(‖a‖·‖b‖) on the raw
+    double vectors rounded to ``round_decimals`` and filter on the
+    ROUNDED value, so they share one oracle; outputs are bit-identical
+    on the test corpora (re-certified at sf0.01 and sf0.1).
 
     ``max_bucket`` bounds skew: a (band, bucket) group with m > max_bucket
     rows is split into ceil(m/max_bucket) deterministic salt groups
@@ -240,6 +307,8 @@ def embedding_near_dup_pairs_lsh(
         .distinct()
     )
     vecs = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+    if verify == "blas":
+        return _verify_pairs_blas(cands, vecs, threshold, round_decimals)
     sim = cosine_similarity_col(F.col("vec_a"), F.col("vec_b"))
     if round_decimals is not None:
         sim = F.round(sim, round_decimals)

@@ -68,7 +68,13 @@ _R8_NEW: list[str] = []
 # dedup in the substr pipeline — VERDICT r7 items 1 and 3); their newest
 # driver rows predate the rewrite, so they take window slots right after
 # the new registrations.
-_R8_RECERT: list[str] = []
+_R8_RECERT: list[str] = [
+    "dedup_semdedup_survivors",  # Arrow-batched BLAS verify + auto
+                                 # union-find closure (VERDICT r7 item 1;
+                                 # 21.9 s -> ~1.8 s warm at sf0.1)
+    "dedup_embedding_lsh",       # same verify-path change (shared
+                                 # embedding_near_dup_pairs_lsh)
+]
 
 # Evidence-freshness backlog (VERDICT r7 item 2 / missing item 1): the
 # 77 queries whose newest driver row is from r1 or r2 — before the r3

@@ -1638,8 +1638,13 @@ def dedup_semdedup_survivors(spark, sf_dir):
     the corpus writer. Composes three oracle-certified tiers into one
     driver-checked result; the closure oracle is the recursive-CTE
     _ER_ORACLE pattern over the LSH pair oracle. Scale: banded+capped
-    candidates (never all-pairs), O(diameter) label-prop rounds on
-    clique-ish dup graphs, one cluster-keyed agg for the policy."""
+    candidates (never all-pairs) verified by one Arrow-batched einsum
+    pass (VERDICT r7: the expression-cosine verify paid ~4× on 10⁵–10⁶
+    candidates — 21.9 s at sf0.1); closure via algorithm="auto" — the
+    guarded driver union-find (post-LSH edge lists are a vanishing
+    fraction of the corpus; one collect instead of per-round actions),
+    star fallback beyond the 2M-edge guard; one cluster-keyed agg for
+    the policy."""
     from delfos_etl_pipeline_spark.dedup.clusters import duplicate_clusters
     from delfos_etl_pipeline_spark.dedup.embedding import (
         embedding_near_dup_pairs_lsh,
@@ -1649,7 +1654,7 @@ def dedup_semdedup_survivors(spark, sf_dir):
     pairs = embedding_near_dup_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.4
     )
-    cc = duplicate_clusters(pairs, src="id_a", dst="id_b")
+    cc = duplicate_clusters(pairs, src="id_a", dst="id_b", algorithm="auto")
     return cc.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.min("doc_id").cast("bigint").alias("kept_vec_id"),
