@@ -74,6 +74,10 @@ _R8_RECERT: list[str] = [
                                  # 21.9 s -> ~1.8 s warm at sf0.1)
     "dedup_embedding_lsh",       # same verify-path change (shared
                                  # embedding_near_dup_pairs_lsh)
+    "curate_pipeline_substr",    # document dedup now groups on
+                                 # md5(text) (argmin struct) instead of
+                                 # Window.partitionBy(text) — no
+                                 # full-body shuffle keys (item 3)
 ]
 
 # Evidence-freshness backlog (VERDICT r7 item 2 / missing item 1): the

@@ -322,7 +322,7 @@ def curate_pipeline_staged(spark, sf_dir):
     ),
     deduped AS (
       SELECT * FROM quality
-      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
     ),
     grams AS (
       SELECT doc_id, i AS start, array_to_string(w[i:i+4], ' ') AS g
@@ -371,7 +371,12 @@ def curate_pipeline_substr(spark, sf_dir):
     with literal string grams on top of the flagship's quality/dedup
     CTEs. Plan: the flagship's narrow stages + substring removal's
     linear gram pipeline (dedup/substring.py) + one small per-lang agg;
-    no new shuffle class beyond dedup_exact_substring itself."""
+    no new shuffle class beyond dedup_exact_substring itself. The
+    document dedup stage groups on md5(text) with a partial-aggregable
+    min(struct) argmin — the dedup_exact contract ("documents shuffle
+    as 16-byte md5 keys, never as bodies"): at 100 TB a
+    Window.partitionBy(text) would hash, sort, and skew-detect on full
+    document bodies (VERDICT r7 item 3)."""
     from delfos_etl_pipeline_spark.dedup.substring import (
         remove_duplicate_spans,
     )
@@ -387,11 +392,9 @@ def curate_pipeline_substr(spark, sf_dir):
         .drop("_w")
     )
     deduped = (
-        quality.withColumn(
-            "_m", F.min("doc_id").over(Window.partitionBy("text"))
-        )
-        .where(F.col("doc_id") == F.col("_m"))
-        .drop("_m")
+        quality.groupBy(F.md5(F.col("text")).alias("_k"))
+        .agg(F.min(F.struct("doc_id", "lang", "text")).alias("_r"))
+        .select("_r.doc_id", "_r.lang", "_r.text")
     )
     cleaned = remove_duplicate_spans(deduped, "doc_id", "text", k=5)
     stats = cleaned.join(deduped.select("doc_id", "lang"), "doc_id")

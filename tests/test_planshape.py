@@ -721,3 +721,16 @@ def test_dedup_rate_by_source_hash_key_shuffles(spark, sf_dir):
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, "BroadcastNestedLoopJoin") == 0
     assert _count(plan, "InMemoryTableScan") >= 2, plan
+
+def test_pipeline_substr_no_fulltext_shuffle_key(spark, sf_dir):
+    """curate_pipeline_substr: the document-dedup stage must shuffle on
+    the 16-byte md5 key, never on full document bodies — no
+    hashpartitioning or Window keyed on raw text anywhere in the plan
+    (VERDICT r7 item 3)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "curate_pipeline_substr")
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert not re.search(r"\btext\b(?!\w)", keys.split(",")[0]), m.group(0)
+    assert _count(plan, "Window") == 0, plan
