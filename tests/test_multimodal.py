@@ -424,3 +424,91 @@ def test_dhash_perturbed_real_ppm_pair(spark):
     # every md5 patch fingerprint that overlaps the noise CHANGED — the
     # exact-fingerprint tier misses this pair by construction
     assert sigs[1] != sigs[2] or (base != noisy).any()
+
+
+def test_dhash_wide_perturbed_real_ppm_pair(spark):
+    """The 256-bit grid-16 dHash keeps the perceptual property at the
+    wide width: a lightly-perturbed REAL PPM stays within the banding
+    threshold of the original while an unrelated image stays far."""
+    import numpy as np
+
+    from delfos_etl_pipeline_spark.multimodal.binary import dhash_batch
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    noisy = base.astype(np.int16)
+    noisy[::7, ::5, 1] += 1
+    noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+    def ppm(img):
+        return bytearray(b"P6\n32 32\n255\n" + img.tobytes())
+
+    df = spark.createDataFrame(
+        [(1, ppm(base)), (2, ppm(noisy)), (3, ppm(other))],
+        "doc_id long, payload binary",
+    )
+    sigs = {
+        r["doc_id"]: r["dhash_sig"]
+        for r in dhash_batch(df, grid=16, patch=2).collect()
+    }
+    assert len(sigs) == 3 and all(len(s) == 256 for s in sigs.values())
+    ham12 = sum(a != b for a, b in zip(sigs[1], sigs[2]))
+    ham13 = sum(a != b for a, b in zip(sigs[1], sigs[3]))
+    assert ham12 <= 7, f"perturbed pair drifted: hamming={ham12}"
+    assert ham13 > 7, f"unrelated images collided: hamming={ham13}"
+
+
+def test_dhash_wide_banding_pigeonhole_lossless():
+    """Pigeonhole at the 32-bit band width: ANY pair of 256-bit
+    signatures within Hamming distance 7 shares at least one of the 8
+    disjoint 32-bit bands exactly, so the banded join loses nothing at
+    threshold <= 7 — and 8 flips CAN evade every band (tightness)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    for trial in range(200):
+        sig = rng.integers(0, 2, size=256)
+        n_flips = int(rng.integers(0, 8))  # 0..7 inclusive
+        flips = rng.choice(256, size=n_flips, replace=False)
+        twin = sig.copy()
+        twin[flips] ^= 1
+        band_match = any(
+            (sig[b * 32 : (b + 1) * 32] == twin[b * 32 : (b + 1) * 32]).all()
+            for b in range(8)
+        )
+        assert band_match, f"trial {trial}: {n_flips} flips evaded all bands"
+    # tightness: one flip in EACH band defeats every band match
+    sig = rng.integers(0, 2, size=256)
+    twin = sig.copy()
+    for b in range(8):
+        twin[b * 32] ^= 1
+    assert not any(
+        (sig[b * 32 : (b + 1) * 32] == twin[b * 32 : (b + 1) * 32]).all()
+        for b in range(8)
+    )
+
+
+def test_dhash_image_smaller_than_grid(spark):
+    """A real decoded image smaller than the grid (4x4 BMP at grid=8)
+    must hash via mod-index upscaling instead of crashing the task on a
+    zero-size reshape (ADVICE r7)."""
+    import numpy as np
+
+    from delfos_etl_pipeline_spark.multimodal.binary import dhash_batch
+
+    rng = np.random.default_rng(3)
+    tiny = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+
+    def ppm(img, h, w):
+        return bytearray(
+            b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+        )
+
+    df = spark.createDataFrame(
+        [(1, ppm(tiny, 4, 4))], "doc_id long, payload binary"
+    )
+    rows = dhash_batch(df, grid=8, patch=4).collect()
+    assert len(rows) == 1 and len(rows[0]["dhash_sig"]) == 64
+    wide = dhash_batch(df, grid=16, patch=2).collect()
+    assert len(wide) == 1 and len(wide[0]["dhash_sig"]) == 256

@@ -734,3 +734,10 @@ def test_pipeline_substr_no_fulltext_shuffle_key(spark, sf_dir):
         keys = m.group(1)
         assert not re.search(r"\btext\b(?!\w)", keys.split(",")[0]), m.group(0)
     assert _count(plan, "Window") == 0, plan
+
+def test_image_dhash_wide_banded_no_allpairs(spark, sf_dir):
+    """mm_image_dhash_wide: banded join only — no cartesian/nested-loop
+    edge; the pair side never compares raw signatures all-pairs."""
+    plan = _plan(spark, sf_dir, "mm_image_dhash_wide")
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
