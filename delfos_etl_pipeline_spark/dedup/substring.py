@@ -217,9 +217,72 @@ def remove_spans_matching(
         ref_df, ref_id_col or id_col, ref_text_col or text_col, k, hashed
     )
     ref_grams = ref_g.select("gram").distinct()
+    return _probe_and_cut(withg, g, ref_grams, k)
+
+
+def _probe_and_cut(
+    withg: DataFrame, g: DataFrame, ref_grams: DataFrame, k: int
+) -> DataFrame:
+    """Shared probe stage: semi-join the positional gram instances
+    against a distinct reference gram set, collect duplicated starts per
+    doc, reconstruct. ``ref_grams`` may be freshly built
+    (:func:`remove_spans_matching`) or read back from a persisted gram
+    index (:func:`remove_spans_matching_indexed`)."""
     starts = (
-        g.join(ref_grams, "gram", "left_semi")
+        g.join(ref_grams.select("gram"), "gram", "left_semi")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list("start")).alias("_ds"))
     )
     return _reconstruct(withg, starts, k)
+
+
+def write_gram_index(
+    ref_df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    hashed: bool = True,
+    n_files: int | None = None,
+) -> None:
+    """Materialize the reference corpus's DISTINCT gram relation to
+    parquet ONCE per corpus version — the persisted index
+    :func:`remove_spans_matching`'s docstring promises. Every subsequent
+    ingest batch pays only its own gram build plus the keyed probe
+    (:func:`remove_spans_matching_indexed`); the standing corpus is
+    never re-tokenized.
+
+    The relation is repartitioned on ``gram`` before the write so files
+    are gram-clustered (a probe's shuffle reads co-located keys; a
+    bucketed ``saveAsTable`` upgrade would make the probe side
+    exchange-free, at the cost of a metastore). One column — 8-byte
+    xxhash64 grams when ``hashed`` (the production keying), literal
+    strings otherwise (the oracle-reproducible keying)."""
+    _, ref_g = _doc_grams(ref_df, id_col, text_col, k, hashed)
+    out = ref_g.select("gram").distinct()
+    if n_files:
+        out = out.repartition(n_files, "gram")
+    else:
+        out = out.repartition("gram")
+    out.write.mode("overwrite").parquet(path)
+
+
+def remove_spans_matching_indexed(
+    df: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    hashed: bool = True,
+) -> DataFrame:
+    """Incremental-ingest form of :func:`remove_spans_matching`: cut
+    every span of ``df`` whose k-gram appears in the PERSISTED gram
+    index at ``index_path`` (:func:`write_gram_index`). Bit-identical
+    to the from-scratch run against the same reference corpus (pytest
+    pins this; the `dedup_substring_incremental` query certifies it
+    against the from-scratch DuckDB oracle), while the nightly cost
+    drops from O(corpus + batch) to O(batch + index probe)."""
+    spark = df.sparkSession
+    ref_grams = spark.read.parquet(index_path)
+    withg, g = _doc_grams(df, id_col, text_col, k, hashed)
+    return _probe_and_cut(withg, g, ref_grams, k)

@@ -65,6 +65,8 @@ _R8_NEW: list[str] = [
     "mm_image_dhash_wide",  # 256-bit grid-16 dHash, 8 lossless 32-bit
                             # bands, salted occupancy cap, perturbed
                             # mirror injection (VERDICT r7 item 4)
+    "dedup_substring_incremental",  # persisted-gram-index nightly
+                                    # probe == from-scratch (item 6)
 ]
 
 # Plan changes with locally re-certified bit-identical outputs (the

@@ -559,3 +559,62 @@ def test_dedup_rate_by_source_mirror_is_fully_removable(spark, sf_dir):
     assert m.dup_rate_ppm == 1000000
     assert sum(r.n_dup_docs for r in rows.values()) == m.n_docs
     assert all(r.n_removable == 0 for r in rows.values())
+
+
+def test_gram_index_roundtrip_equals_from_scratch(spark, tmp_path):
+    """write_gram_index -> remove_spans_matching_indexed must be
+    bit-identical to the from-scratch remove_spans_matching against the
+    same reference corpus, including after a simulated restart (a fresh
+    read of the persisted index with no lineage back to the builder),
+    and for both gram keyings."""
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        remove_spans_matching,
+        remove_spans_matching_indexed,
+        write_gram_index,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "an entirely different reference document body here now"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "intro words then the quick brown fox jumps over the lazy dog today and a tail"),
+            (11, "no overlap with anything in the standing corpus at all"),
+            (12, "an entirely different reference document body here now verbatim copy"),
+        ],
+        "doc_id long, text string",
+    )
+    for hashed in (False, True):
+        scratch = sorted(
+            remove_spans_matching(
+                batch, ref, "doc_id", "text", k=5, hashed=hashed
+            ).collect()
+        )
+        path = str(tmp_path / f"grams_{hashed}")
+        write_gram_index(ref, path, "doc_id", "text", k=5, hashed=hashed)
+        indexed = sorted(
+            remove_spans_matching_indexed(
+                batch, path, "doc_id", "text", k=5, hashed=hashed
+            ).collect()
+        )
+        assert indexed == scratch
+        # simulated restart: a brand-new reader of the on-disk index —
+        # no lineage to the session that built it — must agree too.
+        restarted = spark.read.parquet(path)
+        from delfos_etl_pipeline_spark.dedup.substring import (
+            _doc_grams,
+            _probe_and_cut,
+        )
+
+        withg, g = _doc_grams(batch, "doc_id", "text", 5, hashed)
+        again = sorted(_probe_and_cut(withg, g, restarted, 5).collect())
+        assert again == scratch
+    # the overlapping spans actually got cut (sanity on the fixture)
+    by_id = {r.doc_id: r for r in scratch}
+    assert by_id[10].n_removed == 10 and by_id[10].n_spans == 1
+    assert by_id[11].n_removed == 0
+    assert by_id[12].n_removed >= 8
