@@ -67,6 +67,9 @@ _R8_NEW: list[str] = [
                             # mirror injection (VERDICT r7 item 4)
     "dedup_substring_incremental",  # persisted-gram-index nightly
                                     # probe == from-scratch (item 6)
+    "text_quality_classifier",  # broadcast linear quality model over
+                                # Gopher weak labels, integer micro-unit
+                                # weights (item 7)
 ]
 
 # Plan changes with locally re-certified bit-identical outputs (the

@@ -1158,3 +1158,137 @@ def text_fertility_by_lang(spark, sf_dir):
             .alias("fertility_ppm"),
         )
     )
+
+
+@query(
+    "text_quality_classifier",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_symbols,
+             regexp_split_to_array(lower(text), '\\s+') AS wa
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, n_chars, n_symbols,
+             CAST(len(wa) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(wa)) AS BIGINT) AS n_distinct_words
+      FROM base
+    ),
+    wc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(wa) AS w FROM base) GROUP BY 1, 2
+    ),
+    wtop AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_cnt
+             FROM wc GROUP BY 1),
+    bc AS (
+      SELECT doc_id, b, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(wa)),
+                          i -> wa[i] || ' ' || wa[i+1])) AS b
+            FROM base) GROUP BY 1, 2
+    ),
+    btop AS (SELECT doc_id, CAST(max(c * (length(b) - 1)) AS BIGINT)
+               AS top_bigram_chars
+             FROM bc GROUP BY 1),
+    lab AS (
+      SELECT s.doc_id,
+             CAST(round(coalesce(w.top_word_cnt, 0) / s.n_words, 6) <= 0.20
+                  AND round(coalesce(b.top_bigram_chars, 0) / s.n_chars, 6)
+                      <= 0.18
+                  AND round(1 - s.n_distinct_words / s.n_words, 6) <= 0.60
+                  AND round(s.n_symbols / s.n_words, 6) <= 0.10
+                  AND round((s.n_chars - (s.n_words - 1)) / s.n_words, 6)
+                      >= 3.0
+                  AND round((s.n_chars - (s.n_words - 1)) / s.n_words, 6)
+                      <= 10.0 AS INT) AS y
+      FROM stats s
+      LEFT JOIN wtop w USING (doc_id)
+      LEFT JOIN btop b USING (doc_id)
+    ),
+    tok AS (SELECT doc_id, unnest(wa) AS w FROM base),
+    model AS (
+      SELECT w,
+             CAST(floor((sum(y) + 1) * 1000000.0 / (count(*) + 2) + 0.5)
+                  AS BIGINT) - 500000 AS w_micro
+      FROM tok JOIN lab USING (doc_id) GROUP BY w
+    ),
+    sc AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(m.w_micro) AS BIGINT) AS score_micro
+      FROM tok t JOIN model m USING (w) GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, score_micro,
+           CAST(floor(score_micro * 1.0 / n_tokens + 0.5) AS BIGINT)
+             AS score_per_token_micro,
+           CAST(floor(score_micro * 1.0 / n_tokens + 0.5) >= 0 AS INT)
+             AS keep
+    FROM sc
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Model-based quality SCORING — the fastText-classifier tier every
+    modern pipeline runs between heuristic gates and perplexity buckets
+    (CCNet/LLaMA run fastText langid + a quality head; FineWeb-Edu a
+    learned classifier over weak labels). Shape, not a neural net:
+    weak labels come from the certified Gopher heuristic gate
+    (text/quality.py quality_signals — 'weights from the existing
+    signals'), the model is one centered smoothed-probability weight
+    per vocabulary word, w_micro = floor((pos+1)·1e6/(tot+2)+0.5) −
+    500000 — additive evidence voting, the degenerate-but-real linear
+    member of the naive-Bayes family, integer-exact with NO libm — and
+    scoring is one broadcast join of the token stream against the
+    model-sized weight table plus a doc-keyed sum. Outputs the raw
+    micro-unit score, the per-token normalized score, and the keep
+    decision at the zero threshold.
+
+    Scale: tokens persist once and feed train + inference; the
+    (vocab)-sized model broadcasts (the text_bpe_encode_corpus
+    contract — fastText vocabularies are 1-10M rows, model-sized at
+    any corpus size); both aggs partial-combine map-side. Exactness:
+    weights and scores are integer micro-units; the two divisions are
+    single correctly-rounded IEEE ops, identical cross-engine."""
+    from delfos_etl_pipeline_spark.text.quality import quality_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = quality_signals(docs, "doc_id", "text").select(
+        "doc_id", F.col("quality_pass").alias("y")
+    )
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).persist()
+    model = (
+        tokens.join(labels, "doc_id")
+        .groupBy("w")
+        .agg(
+            (
+                F.floor(
+                    (F.sum("y") + 1)
+                    * F.lit(1000000.0)
+                    / (F.count(F.lit(1)) + 2)
+                    + F.lit(0.5)
+                ).cast("long")
+                - 500000
+            ).alias("w_micro")
+        )
+    )
+    sc = (
+        tokens.join(F.broadcast(model), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    spt = F.floor(
+        F.col("score_micro") * F.lit(1.0) / F.col("n_tokens") + F.lit(0.5)
+    ).cast("long")
+    return sc.select(
+        "doc_id",
+        "n_tokens",
+        "score_micro",
+        spt.alias("score_per_token_micro"),
+        (spt >= 0).cast("int").alias("keep"),
+    )

@@ -741,3 +741,10 @@ def test_image_dhash_wide_banded_no_allpairs(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_image_dhash_wide")
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, "BroadcastNestedLoopJoin") == 0
+
+def test_quality_classifier_broadcasts_model(spark, sf_dir):
+    """text_quality_classifier: the inference join must broadcast the
+    model-sized weight table against the token stream — never shuffle
+    the tokens into a sort-merge join with it."""
+    plan = _plan(spark, sf_dir, "text_quality_classifier")
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan
