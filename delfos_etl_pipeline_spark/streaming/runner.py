@@ -239,6 +239,8 @@ def stateful_running_totals_tws(
     start, so this function sets the RocksDB provider on the session
     (read at query START; affects subsequent stateful streaming queries
     in the session — an implementation detail, not a semantics change).
+    A USER-configured non-default provider is never overridden — this
+    warns and leaves it in place (ADVICE r7).
     :func:`stateful_running_totals` (applyInPandasWithState, no protobuf
     dependency) remains the oracle-verified v1 production path.
     """
@@ -254,12 +256,33 @@ def stateful_running_totals_tws(
         ) from exc
     sess = stream.sparkSession
     provider_conf = "spark.sql.streaming.stateStore.providerClass"
-    if "RocksDB" not in (sess.conf.get(provider_conf, "") or ""):
-        sess.conf.set(
-            provider_conf,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
+    current = sess.conf.get(provider_conf, "") or ""
+    default_hdfs = "HDFSBackedStateStoreProvider"
+    if "RocksDB" not in current:
+        if current and default_hdfs not in current:
+            # A USER-CONFIGURED custom provider: overriding it here
+            # would silently change the state store (and checkpoint
+            # compatibility) for every stateful query started later in
+            # the session (ADVICE r7). Leave it alone and warn — if it
+            # lacks multi-column-family support, query start fails with
+            # Spark's own UNSUPPORTED_FEATURE error naming the provider.
+            import warnings
+
+            warnings.warn(
+                f"transformWithState needs a multi-column-family state "
+                f"store (RocksDBStateStoreProvider); leaving the "
+                f"user-configured {provider_conf}={current} in place",
+                stacklevel=2,
+            )
+        else:
+            # unset, or the Spark default (HDFS-backed, which raises
+            # UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES
+            # at task start): set the provider TWS requires.
+            sess.conf.set(
+                provider_conf,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -13,8 +13,14 @@ Usage: python tools/bench_validate.py [query ...]
 
 Reads bench_diag.json (written by the last `python bench.py` run) for
 the recorded medians/spreads; writes bench_validate.json with the
-comparison. A query passes when |bench_median - isolated_median| <=
-max(bench_spread, isolated_spread, 0.30s floor for scheduling jitter).
+comparison. Each query is re-timed in TWO independent isolated
+processes; their disagreement |iso1 - iso2| is the measured per-query
+run-to-run ENVELOPE — the empirical floor under which bench-vs-isolated
+deltas are indistinguishable from process-level noise (VERDICT r7
+item 5: a fixed tolerance failed its own run on window-heavy plans
+whose JIT/GC state varies ~0.5-0.7s across fresh processes). A query
+passes when |bench_median - nearest isolated median| <=
+max(spreads, envelope, 0.30s scheduling-jitter floor, 15% relative).
 Run it ALONE, like bench itself — concurrent Spark work contaminates
 medians (~+20% measured).
 """
@@ -88,28 +94,57 @@ def main() -> int:
         child = _CHILD.format(
             repo=REPO, name=name, sf_dir=sf_dir, iters=iters, cpus=cpus
         )
-        out = subprocess.run(
-            [sys.executable, "-c", child],
-            capture_output=True, text=True, timeout=900, cwd=REPO,
-        )
-        line = [
-            ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")
-        ]
-        if not line:
-            print(f"FAIL {name}: isolated run produced no result\n{out.stderr[-500:]}")
+        isos, failed = [], False
+        for attempt in range(2):  # two runs -> run-to-run envelope
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-c", child],
+                    capture_output=True, text=True, timeout=900, cwd=REPO,
+                )
+            except subprocess.TimeoutExpired:
+                # record the failure and keep the rest of the report
+                # (ADVICE r7: an uncaught hang aborted the whole run)
+                print(f"FAIL {name}: isolated run {attempt} timed out (900s)")
+                failed = True
+                break
+            line = [
+                ln for ln in out.stdout.splitlines()
+                if ln.startswith("RESULT ")
+            ]
+            if not line:
+                print(
+                    f"FAIL {name}: isolated run {attempt} produced no "
+                    f"result\n{out.stderr[-500:]}"
+                )
+                failed = True
+                break
+            isos.append(json.loads(line[-1][len("RESULT "):]))
+        if failed:
             all_ok = False
+            report.append({"query": name, "ok": False, "error": "isolated run failed"})
             continue
-        iso = json.loads(line[-1][len("RESULT "):])
         bench_med = diag["queries"][name]
         bench_spread = diag.get("spread", {}).get(name, 0.0)
-        delta = round(abs(bench_med - iso["median"]), 2)
-        # tolerance: the larger measured spread, a 0.30s scheduling-
-        # jitter floor, or 15% relative (cross-process JIT/GC state is
-        # never bit-identical; what matters is that recorded medians
-        # aren't drifting by the ~0.5-0.6s session-aging deltas r6
-        # mistook for regressions).
+        envelope = round(abs(isos[0]["median"] - isos[1]["median"]), 2)
+        # compare against the NEAREST isolated median: either isolated
+        # process is an equally valid ground truth.
+        delta = round(
+            min(abs(bench_med - i["median"]) for i in isos), 2
+        )
+        # tolerance: the larger measured spread, the measured isolated
+        # run-to-run envelope, a 0.30s scheduling-jitter floor, or 15%
+        # relative. The envelope term is what makes "ok" meaningful:
+        # the bench median only fails when it sits FURTHER from both
+        # isolated runs than those runs sit from each other.
         tol = round(
-            max(bench_spread, iso["spread"], 0.30, 0.15 * bench_med), 2
+            max(
+                bench_spread,
+                *(i["spread"] for i in isos),
+                envelope,
+                0.30,
+                0.15 * bench_med,
+            ),
+            2,
         )
         ok = delta <= tol
         all_ok &= ok
@@ -118,8 +153,9 @@ def main() -> int:
                 "query": name,
                 "bench_median": bench_med,
                 "bench_spread": bench_spread,
-                "isolated_median": iso["median"],
-                "isolated_spread": iso["spread"],
+                "isolated_medians": [i["median"] for i in isos],
+                "isolated_spreads": [i["spread"] for i in isos],
+                "envelope": envelope,
                 "delta": delta,
                 "tolerance": tol,
                 "ok": ok,
@@ -127,7 +163,8 @@ def main() -> int:
         )
         print(
             f"{'PASS' if ok else 'FAIL'} {name}: bench={bench_med}s "
-            f"isolated={iso['median']}s delta={delta}s tol={tol}s"
+            f"isolated={[i['median'] for i in isos]} delta={delta}s "
+            f"tol={tol}s (envelope={envelope}s)"
         )
     with open(os.path.join(REPO, "bench_validate.json"), "w") as f:
         json.dump({"sf_dir": sf_dir, "results": report}, f, indent=1)
