@@ -208,6 +208,10 @@ HEADLINE = [
     "text_bpe_encode_corpus",
     "text_blocklist_screen",
     "dedup_semdedup_survivors",
+    # round 8
+    "mm_image_dhash_wide",
+    "dedup_substring_incremental",
+    "text_quality_classifier",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,
