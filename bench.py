@@ -212,6 +212,8 @@ HEADLINE = [
     "mm_image_dhash_wide",
     "dedup_substring_incremental",
     "text_quality_classifier",
+    "dedup_top_duplicate_spans",
+    "emb_mutual_knn_clusters",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

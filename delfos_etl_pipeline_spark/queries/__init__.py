@@ -70,6 +70,10 @@ _R8_NEW: list[str] = [
     "text_quality_classifier",  # broadcast linear quality model over
                                 # Gopher weak labels, integer micro-unit
                                 # weights (item 7)
+    "dedup_top_duplicate_spans",  # Lee et al. §5 most-repeated-span
+                                  # diagnostic: gram agg + top-k, no sort
+    "emb_mutual_knn_clusters",  # mutual-kNN semantic grouping: BLAS kNN
+                                # -> mutual filter -> union-find closure
 ]
 
 # Plan changes with locally re-certified bit-identical outputs (the

@@ -1850,3 +1850,155 @@ def dedup_substring_incremental(spark, sf_dir):
     return remove_spans_matching_indexed(
         batch, index_path, "doc_id", "text", k=5, hashed=False
     )
+
+
+@query(
+    "dedup_top_duplicate_spans",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+      FROM d, unnest(generate_series(1, greatest(len(w)-4, 0))) AS t(i)
+    ),
+    agg AS (
+      SELECT g AS gram,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM grams GROUP BY g HAVING count(*) >= 2
+    )
+    SELECT gram, n_occurrences, n_docs
+    FROM agg
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 20
+    """,
+)
+def dedup_top_duplicate_spans(spark, sf_dir):
+    """TOP DUPLICATED SPANS report — the diagnostic a substring-dedup
+    rollout starts from (Lee et al. ACL'22 §5 inspect the most-repeated
+    sequences before choosing k and min_freq: boilerplate headers,
+    license blocks, and template sentences show up here first). The 20
+    most frequent duplicated 5-grams with their occurrence and
+    document-frequency counts, total-ordered (count DESC, gram) so the
+    top-k set is deterministic. Same positional gram build as the
+    removal operator (dedup/substring.py::_doc_grams — literal grams so
+    the oracle reproduces them; production flips to xxhash64 keys and
+    joins back for display), one gram-keyed agg with map-side combine
+    absorbing ubiquitous-gram skew, TakeOrderedAndProject top-k — no
+    global sort. Linear in corpus tokens at any scale."""
+    from delfos_etl_pipeline_spark.dedup.substring import _doc_grams
+
+    docs = _t(spark, sf_dir, "documents")
+    _, g = _doc_grams(docs, "doc_id", "text", k=5, hashed=False)
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+        .orderBy(F.col("n_occurrences").desc(), "gram")
+        .limit(20)
+    )
+
+
+def _mutual_knn_oracle_sql(k: int = 5, threshold: float = 0.4) -> str:
+    """Exact kNN (the certified sim_knn_allpairs tie rule: sim DESC,
+    id ASC) thresholded at rounded cosine >= ``threshold``, mutual-edge
+    filter, recursive-CTE closure (_ER_ORACLE pattern), min-id
+    representative."""
+    return f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    knn AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)
+                 AS sim,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                          DESC, b.vec_id
+               ) AS rank
+        FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        QUALIFY rank <= {k}
+      ) WHERE sim >= {threshold}
+    ),
+    mut AS (
+      SELECT x.id_a, x.id_b
+      FROM knn x JOIN knn y ON y.id_a = x.id_b AND y.id_b = x.id_a
+      WHERE x.id_a < x.id_b
+    ),
+    -- MATERIALIZED: the recursive reach references edges every
+    -- iteration; inlined, DuckDB re-evaluates the whole N-squared knn
+    -- chain per round (measured 578 s at sf0.1 vs ~20 s materialized).
+    edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM mut
+              UNION SELECT id_b, id_a FROM mut),
+    reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS rep_vec_id
+    FROM comp GROUP BY cluster_id
+    """
+
+
+@query("emb_mutual_knn_clusters", oracle=_mutual_knn_oracle_sql())
+def emb_mutual_knn_clusters(spark, sf_dir):
+    """MUTUAL-kNN semantic clustering — the neighbor-graph dual of
+    SemDeDup's threshold clustering (dedup_semdedup_survivors) and the
+    standard density-free grouping for embedding spaces (mutual-kNN is
+    the classic spectral/agglomerative pre-graph; NN-descent papers and
+    dataset-cartography dedup both build it): an edge exists iff a is
+    in b's exact k-NN AND b is in a's (k=5, the certified
+    sim_knn_allpairs tie rule — sim DESC, id ASC) AND the rounded
+    cosine clears 0.4 (the family threshold) — mutuality prunes
+    hub-to-periphery links a pure threshold keeps, while the threshold
+    keeps far-apart mutual neighbors (inevitable in sparse regions)
+    from chaining the corpus into one giant component; connected
+    components over the surviving edges give the semantic groups.
+    Composes three
+    certified tiers: all_pairs_topk_blas (broadcast reference + one
+    BLAS matmul per Arrow batch — the declared truth baseline; at
+    corpus scale the kNN stage swaps for the sharded loop or IVF probe,
+    the graph/closure stages unchanged), a self-join mutual filter on
+    (id, id) pairs, and the guarded driver union-find closure
+    (algorithm='auto', star fallback). Output: one row per cluster with
+    size and min-id representative."""
+    from delfos_etl_pipeline_spark.dedup.clusters import duplicate_clusters
+    from delfos_etl_pipeline_spark.similarity.knn import all_pairs_topk_blas
+
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = (
+        all_pairs_topk_blas(emb, "vec_id", "embedding", k=5)
+        .where(F.col("cosine_sim") >= 0.4)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    mut = (
+        knn.join(
+            knn.select(
+                F.col("id_a").alias("id_b"), F.col("id_b").alias("id_a")
+            ),
+            ["id_a", "id_b"],
+            "left_semi",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    cc = duplicate_clusters(mut, src="id_a", dst="id_b", algorithm="auto")
+    return cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("doc_id").cast("bigint").alias("rep_vec_id"),
+    ).select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "n_members",
+        "rep_vec_id",
+    )
