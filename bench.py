@@ -214,6 +214,7 @@ HEADLINE = [
     "text_quality_classifier",
     "dedup_top_duplicate_spans",
     "emb_mutual_knn_clusters",
+    "curate_dsir_resample",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

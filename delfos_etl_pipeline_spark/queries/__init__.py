@@ -74,6 +74,8 @@ _R8_NEW: list[str] = [
                                   # diagnostic: gram agg + top-k, no sort
     "emb_mutual_knn_clusters",  # mutual-kNN semantic grouping: BLAS kNN
                                 # -> mutual filter -> union-find closure
+    "curate_dsir_resample",  # DSIR hashed-ngram importance resampling
+                             # (Xie et al. '23), micro-unit λ weights
 ]
 
 # Plan changes with locally re-certified bit-identical outputs (the

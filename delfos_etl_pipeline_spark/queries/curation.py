@@ -785,3 +785,142 @@ def curate_contamination_report(spark, sf_dir):
             .cast("bigint").alias("contamination_ppm"),
         )
     )
+
+
+@query(
+    "curate_dsir_resample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, lang, unnest(w) AS g FROM d),
+    bi AS (
+      SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS g
+      FROM d, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+    ),
+    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 1024 AS f,
+             CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    rcs AS (SELECT f, CAST(sum(c) AS BIGINT) AS rc FROM feat GROUP BY f),
+    tcs AS (SELECT f, CAST(sum(c) AS BIGINT) AS tc FROM feat
+            WHERE lang = 'en' GROUP BY f),
+    tot AS (SELECT (SELECT sum(rc) FROM rcs) AS R,
+                   (SELECT coalesce(sum(tc), 0) FROM tcs) AS T),
+    lam AS (
+      SELECT rcs.f,
+             CAST(floor((ln((coalesce(tcs.tc, 0) + 1.0) / (T + 1024.0))
+                       - ln((rcs.rc + 1.0) / (R + 1024.0)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lam_u
+      FROM rcs LEFT JOIN tcs USING (f), tot
+    )
+    SELECT feat.doc_id, feat.lang,
+           CAST(sum(feat.c) AS BIGINT) AS n_grams,
+           CAST(sum(feat.c * lam.lam_u) AS BIGINT) AS weight_u
+    FROM feat JOIN lam USING (f)
+    GROUP BY feat.doc_id, feat.lang
+    ORDER BY weight_u DESC, doc_id
+    LIMIT 100
+    """,
+)
+def curate_dsir_resample(spark, sf_dir):
+    """DSIR-style importance resampling (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every raw document by its log importance weight under two hashed
+    bag-of-ngrams multinomials — a TARGET model fit on the in-domain
+    slice (lang='en', the Wikipedia/books stand-in) and a RAW model fit
+    on the whole corpus — then keep the top-100 most target-like docs.
+    Features are word uni+bigrams hashed into 1024 buckets (md5 head,
+    the certified cross-engine bucket key), so BOTH models are
+    fixed-size count tables independent of vocabulary: at 100 TB they
+    are still 1024 rows each, collected once and re-broadcast as a
+    ≤1024-row λ lookup — the corpus-side plan is one linear gram pass,
+    a (doc_id, bucket) map-side-combined agg, one broadcast join, and a
+    doc-keyed integer sum (zero large-side shuffles beyond the doc-key
+    agg; top-k is TakeOrderedAndProject, no global sort). Cross-engine
+    exactness: the λ terms — floor((ln((tc+1)/(T+1024)) -
+    ln((rc+1)/(R+1024)))·1e6 + 0.5) — are evaluated ONCE in driver-side
+    Python over exact integer counts (host libm == DuckDB's ln, the
+    text_lm_bigram_score contract) and pinned to BIGINT micro-units, so
+    per-doc weights are exact integer sums, order-free under any
+    partitioning."""
+    import math
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), r"\s+")
+    bound = docs.select("doc_id", "lang", w.alias("_w"))
+    wc = F.col("_w")
+    # Guarded sequence: Spark sequence(1, n-1) with n < 2 auto-steps DOWN
+    # instead of returning empty (exactness-contract pitfall) — gate the
+    # bigram build on size >= 2.
+    bigrams = F.when(
+        F.size(wc) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wc) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(wc, i), F.element_at(wc, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = bound.select(
+        "doc_id", "lang", F.explode(F.concat(wc, bigrams)).alias("g")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("bigint")
+        % 1024
+    )
+    # Compact to (doc, bucket) multiplicities BEFORE any wide op: all
+    # downstream joins/aggs carry <=1024 ints per doc, never gram strings.
+    feat = (
+        grams.select("doc_id", "lang", bucket.alias("f"))
+        .groupBy("doc_id", "lang", "f")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # feeds the raw model, the target model, and the scoring join —
+        # persist or the gram explode re-executes per consumer.
+        .persist()
+    )
+    rcs = {
+        r["f"]: r["rc"]
+        for r in feat.groupBy("f")
+        .agg(F.sum("c").cast("bigint").alias("rc"))
+        .collect()
+    }
+    tcs = {
+        r["f"]: r["tc"]
+        for r in feat.where(F.col("lang") == "en")
+        .groupBy("f")
+        .agg(F.sum("c").cast("bigint").alias("tc"))
+        .collect()
+    }
+    R, T = sum(rcs.values()), sum(tcs.values())
+    lam = [
+        (
+            f,
+            int(
+                math.floor(
+                    (
+                        math.log((tcs.get(f, 0) + 1.0) / (T + 1024.0))
+                        - math.log((rc + 1.0) / (R + 1024.0))
+                    )
+                    * 1000000.0
+                    + 0.5
+                )
+            ),
+        )
+        for f, rc in rcs.items()
+    ]
+    lamdf = spark.createDataFrame(lam, "f bigint, lam_u bigint")
+    return (
+        feat.join(F.broadcast(lamdf), "f")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lam_u")).cast("bigint").alias("weight_u"),
+        )
+        .orderBy(F.col("weight_u").desc(), "doc_id")
+        .limit(100)
+    )
