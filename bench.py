@@ -215,6 +215,7 @@ HEADLINE = [
     "dedup_top_duplicate_spans",
     "emb_mutual_knn_clusters",
     "curate_dsir_resample",
+    "mm_audio_vad",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -597,6 +597,81 @@ def spectrogram_features_batch(
     )
 
 
+def vad_segments_batch(
+    binary_df: DataFrame,
+    frame: int = 256,
+    hop: int = 128,
+    threshold: int = 2000,
+    decoder=None,
+) -> DataFrame:
+    """Energy-based voice-activity detection over WAV payloads — the
+    first pass a speech-data pipeline runs to cut silence and bound
+    utterances before the expensive ASR/embedding stage (the classic
+    frame-energy gate underlying WebRTC VAD's energy tier and every
+    kaldi-style segmenter). Each decoded PCM stream is framed
+    (``frame`` samples, ``hop`` stride, rectangular — the
+    spectrogram_features_batch geometry), a frame is ACTIVE iff its
+    energy Σx² exceeds ``frame · threshold`` (mean-square gate), and
+    consecutive active frames merge into segments (gaps-and-islands).
+    Output per doc: frame count, active-frame count, segment count,
+    and the longest segment in frames — the scalars a curation filter
+    gates on (min speech fraction, max unbroken utterance).
+
+    Exactness: samples are centered integers, so frame energies are
+    EXACT int64 sums — no float anywhere — and the whole operator has
+    a pure ANSI-SQL twin (mm_audio_vad), unlike the FFT path. At
+    100 TB: narrow Arrow-batched mapInPandas, zero exchanges, payload
+    bytes never shuffle; the per-frame energy loop is one strided
+    numpy reduction per payload."""
+    import numpy as np
+
+    gate = frame * threshold
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, data = (decoder or decode_wav)(bytes(payload))
+                x = data[:, 0].astype(np.int64)
+                nf = 1 + (len(x) - frame) // hop if len(x) >= frame else 0
+                if nf > 0:
+                    # strided frame matrix (view, no copy) -> one
+                    # vectorized energy reduction for all frames
+                    fr = np.lib.stride_tricks.as_strided(
+                        x,
+                        shape=(nf, frame),
+                        strides=(x.strides[0] * hop, x.strides[0]),
+                    )
+                    act = (fr * fr).sum(axis=1) > gate
+                    idx = np.flatnonzero(act)
+                else:
+                    idx = np.empty(0, dtype=np.int64)
+                if idx.size:
+                    brk = np.flatnonzero(np.diff(idx) > 1)
+                    runs = np.diff(
+                        np.concatenate(([0], brk + 1, [idx.size]))
+                    )
+                    n_seg, max_run = int(runs.size), int(runs.max())
+                else:
+                    n_seg, max_run = 0, 0
+                out.append(
+                    (int(doc_id), int(nf), int(idx.size), n_seg, max_run)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_frames", "n_active", "n_segments",
+                    "max_run",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        compute,
+        "doc_id long, n_frames long, n_active long, n_segments long,"
+        " max_run long",
+    )
+
+
 #: Arrow batch schema for dhash_batch — one 64-bit perceptual hash per
 #: payload, carried as a '0'/'1' bit string (integer-exact end to end;
 #: a 64-bit int would overflow signed at bit 63 in SQL twins).

@@ -76,6 +76,8 @@ _R8_NEW: list[str] = [
                                 # -> mutual filter -> union-find closure
     "curate_dsir_resample",  # DSIR hashed-ngram importance resampling
                              # (Xie et al. '23), micro-unit λ weights
+    "mm_audio_vad",  # integer energy-gate VAD segments over real WAV
+                     # decode; pure ANSI-SQL islands oracle
 ]
 
 # Plan changes with locally re-certified bit-identical outputs (the

@@ -846,3 +846,97 @@ def mm_video_scene_cuts(spark, sf_dir):
         diff_ppm.cast("bigint").alias("diff_ppm"),
         (diff_ppm >= 500000).cast("bigint").alias("is_cut"),
     )
+
+
+@query(
+    "mm_audio_vad",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, length(text) AS n,
+             list_transform(range(1, length(text) + 1),
+               i -> CAST(unicode(substr(text, CAST(i AS BIGINT), 1)) - 128
+                         AS BIGINT)) AS xs,
+             CASE WHEN length(text) >= 256
+                  THEN 1 + (length(text) - 256) // 128 ELSE 0 END AS nf
+      FROM documents WHERE n_chars > 0
+    ),
+    fr AS (
+      SELECT doc_id, CAST(t.f AS BIGINT) AS fidx,
+             list_sum(list_transform(range(0, 256),
+               i -> xs[CAST(t.f * 128 + i + 1 AS BIGINT)]
+                    * xs[CAST(t.f * 128 + i + 1 AS BIGINT)])) AS energy
+      FROM d, unnest(range(0, nf)) AS t(f)
+    ),
+    act AS (SELECT doc_id, fidx FROM fr WHERE energy > 512000),
+    isl AS (
+      SELECT doc_id, fidx,
+             fidx - row_number() OVER (PARTITION BY doc_id ORDER BY fidx)
+               AS grp
+      FROM act
+    ),
+    seg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS seg_len
+      FROM isl GROUP BY doc_id, grp
+    ),
+    agg AS (
+      SELECT doc_id, sum(seg_len) AS n_active,
+             count(*) AS n_segments, max(seg_len) AS max_run
+      FROM seg GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.nf AS BIGINT) AS n_frames,
+           CAST(coalesce(a.n_active, 0) AS BIGINT) AS n_active,
+           CAST(coalesce(a.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(a.max_run, 0) AS BIGINT) AS max_run
+    FROM d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm_audio_vad(spark, sf_dir):
+    """Energy-gate voice-activity detection end-to-end over REAL WAV
+    payloads: documents synthesize to 8-bit PCM (encode_wav_pcm, the
+    mm_audio_features/spectrogram corpus), decode through the
+    chunk-walking WAV parser, and each 256-sample frame (hop 128) is
+    gated on its EXACT int64 energy Σx² > 256·2000, with consecutive
+    active frames merged into segments
+    (multimodal/binary.py::vad_segments_batch). Unlike the FFT path
+    this gate is all-integer, so the oracle is a pure ANSI-SQL twin on
+    the text-codepoint identity (byte − 128, the mm_audio_features
+    contract): frame energies from a codepoint array, islands via the
+    fidx − row_number gaps-and-islands rewrite. Certifies the decode →
+    frame → gate → segment-merge chain bit-for-bit; the WAV round
+    trip, Arrow batching, and strided frame view are engine-side only.
+    At 100 TB: one narrow zero-exchange pass, payloads never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        encode_wav_pcm,
+        vad_segments_batch,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav_pcm(
+                            np.frombuffer(
+                                t.encode("ascii"), dtype=np.uint8
+                            ).astype(np.int32)
+                            - 128,
+                            16000,
+                            bits=8,
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    wav = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return vad_segments_batch(wav, frame=256, hop=128, threshold=2000)

@@ -512,3 +512,59 @@ def test_dhash_image_smaller_than_grid(spark):
     assert len(rows) == 1 and len(rows[0]["dhash_sig"]) == 64
     wide = dhash_batch(df, grid=16, patch=2).collect()
     assert len(wide) == 1 and len(wide[0]["dhash_sig"]) == 256
+
+
+def test_vad_segments_known_pattern(spark):
+    """A constructed loud/quiet/loud PCM stream must segment exactly:
+    frame geometry (256/128) makes each 256-sample half-overlapping
+    frame's mean-square unambiguous, so the island structure is known
+    in advance — 2 segments split by the quiet middle, plus the exact
+    active count, and an all-quiet stream yields zeros."""
+    import numpy as np
+
+    from delfos_etl_pipeline_spark.multimodal.binary import (
+        encode_wav_pcm,
+        vad_segments_batch,
+    )
+
+    frame, hop = 256, 128
+    loud = np.full(frame * 4, 90, dtype=np.int32)  # ms 8100 > 2000
+    loud[::2] *= -1  # zero-mean square wave, same energy
+    quiet = np.full(frame * 4, 10, dtype=np.int32)  # ms 100 < 2000
+    quiet[::2] *= -1
+    x = np.concatenate([loud, quiet, loud])
+    # frames fully inside loud spans are active; frames straddling a
+    # boundary mix 8100/100 — compute expected actives directly
+    nf = 1 + (len(x) - frame) // hop
+    xe = x.astype(np.int64)
+    acts = [
+        (xe[f * hop : f * hop + frame] ** 2).sum() > frame * 2000
+        for f in range(nf)
+    ]
+    n_seg_expected = sum(
+        1 for f in range(nf) if acts[f] and (f == 0 or not acts[f - 1])
+    )
+    assert n_seg_expected == 2  # the quiet middle splits the actives
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_pcm(x, 16000, bits=8))),
+            (2, bytearray(encode_wav_pcm(quiet, 16000, bits=8))),
+            (3, bytearray(encode_wav_pcm(x[: frame - 1], 16000, bits=8))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in vad_segments_batch(
+            df, frame=frame, hop=hop, threshold=2000
+        ).collect()
+    }
+    assert rows[1].n_frames == nf
+    assert rows[1].n_active == sum(acts)
+    assert rows[1].n_segments == 2
+    assert rows[1].max_run == max(
+        len(list(g)) for k, g in __import__("itertools").groupby(acts) if k
+    )
+    assert (rows[2].n_active, rows[2].n_segments, rows[2].max_run) == (0, 0, 0)
+    assert rows[3].n_frames == 0 and rows[3].n_segments == 0
