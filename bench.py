@@ -216,6 +216,7 @@ HEADLINE = [
     "emb_mutual_knn_clusters",
     "curate_dsir_resample",
     "mm_audio_vad",
+    "emb_kmeans_train",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -78,6 +78,8 @@ _R8_NEW: list[str] = [
                              # (Xie et al. '23), micro-unit λ weights
     "mm_audio_vad",  # integer energy-gate VAD segments over real WAV
                      # decode; pure ANSI-SQL islands oracle
+    "emb_kmeans_train",  # full 3-iteration Lloyd loop, broadcast
+                         # centroids, inductively exact pinned means
 ]
 
 # Plan changes with locally re-certified bit-identical outputs (the

@@ -1403,3 +1403,152 @@ def sim_matryoshka_recall_eval(spark, sf_dir):
             "recall_at_10"
         ),
     )
+
+
+def _kmeans_train_oracle_sql(k: int = 8, n_iters: int = 3) -> str:
+    """Unrolled Lloyd loop for emb_kmeans_train — one (assign, pin,
+    mean, carry) CTE block per iteration, each the certified
+    emb_kmeans_step shape. cent{t+1} coalesces to cent{t} so an empty
+    cluster keeps its previous centroid (standard Lloyd), exactly as
+    the Spark driver loop does."""
+    blocks = [
+        f"""
+    cent0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for t in range(n_iters):
+        blocks.append(f"""
+    assign{t} AS (
+      SELECT v.vec_id, v.e, c.cid AS cluster
+      FROM v JOIN cent{t} c ON true
+      QUALIFY row_number() OVER (
+        PARTITION BY v.vec_id
+        ORDER BY list_dot_product(v.e, c.ce) /
+                 (sqrt(list_dot_product(v.e, v.e)) *
+                  sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid) = 1
+    ),
+    r{t} AS (
+      SELECT cluster, generate_subscripts(e, 1) - 1 AS dim_idx,
+             CAST(floor(CAST(unnest(e) AS DOUBLE) * 1000000.0 + 0.5)
+                  / 1000000.0 AS DECIMAL(18,6)) AS x
+      FROM assign{t}
+    ),
+    m{t} AS (
+      SELECT cluster, dim_idx, count(*) AS n,
+             floor((CAST(sum(x) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+               / 1000000.0 AS c
+      FROM r{t} GROUP BY cluster, dim_idx
+    ),
+    cent{t + 1} AS (
+      SELECT p.cid, coalesce(nl.ce, p.ce) AS ce
+      FROM cent{t} p LEFT JOIN (
+        SELECT cluster AS cid, list(c ORDER BY dim_idx) AS ce
+        FROM m{t} GROUP BY cluster
+      ) nl USING (cid)
+    )""")
+    last = n_iters - 1
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e"
+        " FROM embeddings),"
+        + ",".join(blocks)
+        + f"""
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(dim_idx AS BIGINT) AS dim_idx,
+           CAST(n AS BIGINT) AS n,
+           c AS centroid
+    FROM m{last}
+    """
+    )
+
+
+@query("emb_kmeans_train", oracle=_kmeans_train_oracle_sql())
+def emb_kmeans_train(spark, sf_dir):
+    """FULL Lloyd training loop — three exact k-means iterations over
+    the embedding corpus (k=8, cosine assignment, lowest-id seeds),
+    the loop emb_kmeans_step certifies one body of, run to depth the
+    way a production IVF coarse quantizer or PQ codebook actually
+    trains. Per iteration: centroids ride as 8 broadcast literal
+    vectors into ONE narrow corpus pass (argmax over an in-row struct
+    array — no join, no shuffle for assignment), the update is one
+    8-key aggregation of 64 pinned-decimal sums, and only the 8×65
+    scalar result crosses to the driver to become the next round's
+    literals — the canonical distributed-iterative shape (driver-side
+    model, executor-side data; lineage stays 3 projections deep, no
+    checkpoint needed). Empty clusters keep their previous centroid.
+    Cross-engine exactness is inductive: iteration t's means are
+    floor-pinned to 6 dp (the emb_kmeans_step contract — elements
+    rounded half-up into DECIMAL(18,6) before the order-free exact
+    sum, one IEEE division per mean), so iteration t+1's assignment
+    compares identical doubles in both engines; the oracle unrolls the
+    same three blocks as chained CTEs. Output: the iteration-3
+    per-cluster per-dimension means with member counts."""
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        assign_fixed_centroids,
+    )
+
+    dims, k, n_iters = 64, 8, 3
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # 3 assignment passes + the final consumption: cache the (small
+    # relative to its re-scan cost) corpus once.
+    emb = emb.persist()
+    ids = [
+        r[0]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(k).collect()
+    ]
+    rows = emb.where(F.col("vec_id").isin(ids)).collect()
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(rows, key=lambda r: r["vec_id"])
+    ]
+
+    def _sums(assigned):
+        return assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            *[
+                F.sum(
+                    (
+                        F.floor(
+                            F.element_at("embedding", i + 1).cast("double")
+                            * 1000000.0
+                            + 0.5
+                        )
+                        / 1000000.0
+                    ).cast("decimal(18,6)")
+                ).alias(f"s{i}")
+                for i in range(dims)
+            ],
+        )
+
+    for t in range(n_iters):
+        sums = _sums(assign_fixed_centroids(emb, cents))
+        if t == n_iters - 1:
+            break
+        got = {
+            r["cluster"]: [r[f"m{i}"] for i in range(dims)]
+            for r in sums.select(
+                "cluster",
+                *[
+                    round_half_up(
+                        F.col(f"s{i}").cast("double") / F.col("n"), 6
+                    ).alias(f"m{i}")
+                    for i in range(dims)
+                ],
+            ).collect()
+        }
+        cents = [got.get(cid, cents[cid]) for cid in range(k)]
+    return sums.select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n",
+        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(dims)])).alias(
+            "dim_idx", "s"
+        ),
+    ).select(
+        "cluster",
+        F.col("dim_idx").cast("bigint").alias("dim_idx"),
+        "n",
+        round_half_up(F.col("s").cast("double") / F.col("n"), 6).alias(
+            "centroid"
+        ),
+    )

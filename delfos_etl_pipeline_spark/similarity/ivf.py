@@ -70,25 +70,31 @@ def build_ivf_index_fixed(
     ids = [r[0] for r in df.select(id_col).orderBy(id_col).limit(n_clusters).collect()]
     rows = df.where(F.col(id_col).isin(ids)).select(id_col, vec_col).collect()
     cents = [[float(x) for x in r[1]] for r in sorted(rows, key=lambda r: r[0])]
+    return assign_fixed_centroids(df, cents, vec_col), cents
+
+
+def assign_fixed_centroids(
+    df: DataFrame, cents: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment against DRIVER-SIDE centroid literals:
+    one argmax-cosine projection per row, zero joins, zero shuffles —
+    the Lloyd-iteration body (emb_kmeans_train) and the fixed-IVF build
+    share it. Argmax over (sim, -cid) structs: array_max is
+    lexicographic, so ties on sim resolve to the LOWEST centroid id —
+    mirrors the oracle's ORDER BY sim DESC, cid ASC."""
     v = _as_double(vec_col)
-    # argmax over (sim, -cid) structs: array_max is lexicographic, so ties
-    # on sim resolve to the LOWEST centroid id — mirrors the oracle's
-    # ORDER BY sim DESC, cid ASC.
     scored = F.array(
         *[
             F.struct(
-                cosine_similarity_col(
-                    v, _lit_vec(c)
-                ).alias("sim"),
+                cosine_similarity_col(v, _lit_vec(c)).alias("sim"),
                 F.lit(-i).alias("negcid"),
             )
             for i, c in enumerate(cents)
         ]
     )
-    assigned = df.withColumn(
+    return df.withColumn(
         "cluster", (-F.array_max(scored)["negcid"]).cast("int")
     )
-    return assigned, cents
 
 
 def write_ivf_index(assigned: DataFrame, path: str) -> None:
