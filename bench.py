@@ -217,6 +217,7 @@ HEADLINE = [
     "curate_dsir_resample",
     "mm_audio_vad",
     "emb_kmeans_train",
+    "curate_semantic_decontaminate",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

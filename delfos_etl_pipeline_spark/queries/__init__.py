@@ -80,6 +80,9 @@ _R8_NEW: list[str] = [
                      # decode; pure ANSI-SQL islands oracle
     "emb_kmeans_train",  # full 3-iteration Lloyd loop, broadcast
                          # centroids, inductively exact pinned means
+    "curate_semantic_decontaminate",  # embedding-tier eval leakage
+                                      # screen: broadcast eval set,
+                                      # corpus-streaming BLAS top-1
 ]
 
 # Plan changes with locally re-certified bit-identical outputs (the

@@ -924,3 +924,58 @@ def curate_dsir_resample(spark, sf_dir):
         .orderBy(F.col("weight_u").desc(), "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "curate_semantic_decontaminate",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    ev AS (SELECT * FROM n WHERE vec_id % 17 = 0),
+    c AS (SELECT * FROM n WHERE vec_id % 17 <> 0),
+    top AS (
+      SELECT c.vec_id, ev.vec_id AS eval_vec_id,
+             round(list_dot_product(c.e, ev.e) / (c.nrm * ev.nrm), 6)
+               AS max_sim,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY list_dot_product(c.e, ev.e) / (c.nrm * ev.nrm)
+                        DESC, ev.vec_id) AS rk
+      FROM c, ev
+    )
+    SELECT vec_id, eval_vec_id, max_sim,
+           CAST(max_sim >= 0.4 AS BIGINT) AS contaminated
+    FROM top WHERE rk = 1
+    """,
+)
+def curate_semantic_decontaminate(spark, sf_dir):
+    """SEMANTIC decontamination — the third tier after the lexical doc-
+    (curate_decontaminate) and span- (curate_decontaminate_spans)
+    checks: flag every corpus embedding whose nearest EVAL-set
+    neighbor clears a cosine floor, catching paraphrased or translated
+    benchmark leakage that shares no n-grams with the eval text (the
+    embedding-similarity contamination screen frontier-lab data cards
+    describe alongside n-gram overlap). Eval set = vec_id % 17 == 0
+    (the curate_decontaminate residue convention); every corpus vector
+    reports its top-1 eval neighbor, the 6-dp cosine, and the ≥ 0.4
+    verdict. Built on cross_topk_blas: the eval side is collected under
+    the reference guard and broadcast ONCE, the corpus side streams
+    through one Arrow-batched BLAS matmul per batch — at 100 TB the
+    corpus is never collected or shuffled (eval sets are ~1e3–1e5
+    vectors, the textbook broadcast side), and a banded-LSH prefilter
+    (embedding_near_dup_pairs_lsh) is the documented fallback if the
+    eval set ever outgrows one broadcast. Oracle: the certified
+    sim_knn_allpairs cross-join QUALIFY shape restricted to the
+    eval×corpus rectangle."""
+    from delfos_etl_pipeline_spark.similarity.knn import cross_topk_blas
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 17 == 0)
+    corpus = emb.where(F.col("vec_id") % 17 != 0)
+    top1 = cross_topk_blas(corpus, ev, "vec_id", "embedding", k=1)
+    return top1.select(
+        F.col("id_a").alias("vec_id"),
+        F.col("id_b").alias("eval_vec_id"),
+        F.col("cosine_sim").alias("max_sim"),
+        (F.col("cosine_sim") >= 0.4).cast("bigint").alias("contaminated"),
+    )

@@ -325,6 +325,36 @@ def all_pairs_topk_blas_sharded(
     return out.select("id_a", "id_b", sim.alias("cosine_sim"), "rank")
 
 
+def cross_topk_blas(
+    query_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 1,
+    round_decimals: int | None = 6,
+    max_ref_rows: int | None = 500_000,
+) -> DataFrame:
+    """Exact top-k neighbors of every QUERY vector within a separate
+    REFERENCE set — the cross-set sibling of :func:`all_pairs_topk_blas`
+    (same broadcast + Arrow-batched matmul mapper, same (sim desc, id
+    asc) rank rule). The canonical asymmetric shape: the reference side
+    (an eval set, a seed/dimension set) is small and broadcast once; the
+    query side is the corpus and streams through — at 100 TB the corpus
+    is never collected, never shuffled, and each executor does one BLAS
+    call per Arrow batch. The collect guard applies to the REFERENCE
+    side only; a corpus-sized reference belongs in
+    :func:`all_pairs_topk_blas_sharded`'s loop instead. Id sets are
+    expected disjoint (the mapper's self-id exclusion is a no-op
+    then)."""
+    spark = query_df.sparkSession
+    ref = collect_reference(ref_df, id_col, vec_col, max_ref_rows)
+    b_ids, b_mat = _broadcast_reference(spark, ref, id_col, vec_col)
+    return query_df.select(id_col, vec_col).mapInPandas(
+        _blas_topk_mapper(b_ids, b_mat, id_col, vec_col, k, round_decimals),
+        "id_a long, id_b long, cosine_sim double, rank integer",
+    )
+
+
 def _hyperplane(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 pseudo-random hyperplanes from a splitmix-style
     integer mix — stable across runs/machines without Math.random."""
