@@ -226,69 +226,15 @@ HEADLINE = [
 # steady-state micro-batch rows/sec from the progress feed instead.
 
 
-def _bench_extras():
-    """Bench-only phase splits of the registered sim_ivf_topk_prod query.
-
-    Every other headline name is a REGISTERED query, so its correctness
-    row certifies the exact code the bench times (the *_prod names are the
-    production xxhash64/k-means keyings, registered rows-only). IVF alone
-    is split into its two production phases — at 100 TB the index is built
-    once and probed millions of times, so build latency and probe latency
-    are different numbers that a combined timing conflates:
-
-    - sim_ivf_build: seeded-k-means quantizer fit + full-corpus cell
-      assignment (the amortized cost).
-    - sim_ivf_probe: top-k against a PREBUILT index persisted
-      partitionBy(cluster) — a partition-pruned scan of n_probe cells,
-      the steady-state serving number.
-    """
-    import shutil
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from delfos_etl_pipeline_spark.similarity.ivf import (
-        build_ivf_index,
-        ivf_topk,
-        write_ivf_index,
-    )
-    from delfos_etl_pipeline_spark.sources.parquet import load_table
-
-    state: dict = {}
-
-    def ivf_build(spark, sf_dir):
-        emb = load_table(spark, sf_dir, "embeddings")
-        assigned, _ = build_ivf_index(
-            emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
-        )
-        return assigned
-
-    def ivf_probe(spark, sf_dir):
-        if "path" not in state:
-            emb = load_table(spark, sf_dir, "embeddings")
-            state["qvec"] = [
-                float(x)
-                for x in emb.where(F.col("vec_id") == 0)
-                .select("embedding")
-                .first()[0]
-            ]
-            assigned, cents = build_ivf_index(
-                emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
-            )
-            path = tempfile.mkdtemp(prefix="ivf_bench_") + "/index"
-            write_ivf_index(assigned, path)
-            state["path"], state["cents"] = path, cents
-            import atexit
-
-            atexit.register(
-                shutil.rmtree, path, ignore_errors=True
-            )
-        idx = spark.read.parquet(state["path"])
-        return ivf_topk(
-            idx, state["cents"], state["qvec"], "vec_id", "embedding", k=10, n_probe=2
-        )
-
-    return {"sim_ivf_build": ivf_build, "sim_ivf_probe": ivf_probe}
+# sim_ivf_build / sim_ivf_probe became REGISTERED queries in round 9
+# (VERDICT r8 item 4): build = the deterministic fixed-quantizer full-corpus
+# cell assignment (inlined codegen cosine form), probe = top-k against the
+# PERSISTED partitionBy(cluster) index (built once per process; repeat
+# iterations time only the partition-pruned probe). Both now carry exact
+# DuckDB oracles, so bench_validate can re-time them by name. The seeded
+# k-means FIT cost these names used to include is measured by
+# emb_kmeans_train (a full 3-iteration Lloyd loop) — r8 and earlier
+# sim_ivf_build numbers are not comparable to r9+.
 
 
 def _quiet_stderr() -> None:
@@ -362,7 +308,6 @@ def main() -> None:
     from delfos_etl_pipeline_spark.sources.parquet import load_table
 
     qs = dict(queries())
-    qs.update(_bench_extras())
 
     # SESSION AGING FIX (VERDICT r5 item 2 / r6 item 2): one long-lived
     # session accumulates state (cache-manager entries, shuffle/broadcast

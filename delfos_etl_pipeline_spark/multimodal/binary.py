@@ -52,7 +52,9 @@ def attach_binary_payload(
         F.col(id_col).alias("doc_id"),
         payload.alias("payload"),
         F.struct(
-            F.octet_length(F.col(text_col)).alias("n_bytes"),
+            # BIGINT, not INT: DuckDB octet_length is BIGINT and the
+            # driver's canonicalizer compares dtype width.
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
             F.lit(mime).alias("mime"),
         ).alias("meta"),
     )

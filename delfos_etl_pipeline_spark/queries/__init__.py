@@ -61,6 +61,71 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # (tests/test_registry.py asserts every window name resolves in
 # QUERIES, so a claimed-but-unshipped entry fails CI instead of being
 # silently dropped by the `if n in QUERIES` filter).
+# Round 9 window (VERDICT r8 items 1, 3-6): finish the stale-evidence
+# refresh with the dtype-width casts first, certify the newly registered
+# bench phase splits, and give the six rows-only structural twins fresh
+# rows. Same contract as every round: a name lands here in the SAME
+# commit that registers/changes it (_driver_order() and
+# tests/test_registry.py hard-fail on unknown names).
+_R9_NEW: list[str] = [
+    "sim_ivf_build",   # registered bench phase split: deterministic
+                       # fixed-quantizer full-corpus assignment, exact
+                       # oracle (VERDICT r8 item 4)
+    "sim_ivf_probe",   # probe against the PERSISTED partitionBy(cluster)
+                       # index; shares sim_ivf_topk's exact oracle —
+                       # certifies materialize->restore->probe ==
+                       # from-scratch (item 4)
+]
+
+# Code/oracle changed this round — dtype-width BIGINT casts (the
+# text_langid/mm_binary_meta class, VERDICT r8 "what's wrong" 1, closed
+# registry-wide by tests/test_registry.py::test_integer_width_matches_
+# oracle) and the one-shot-inline centroid assignment (item 3). All
+# locally re-verified exact at sf0.01+sf0.1 before commit.
+_R9_RECERT: list[str] = [
+    "text_langid",          # hits_* INT -> BIGINT
+    "mm_binary_meta",       # meta.n_bytes INT -> BIGINT
+    "text_stats",           # n_chars/n_words/n_distinct/alpha INT -> BIGINT
+    "text_token_count",     # all three counts INT -> BIGINT
+    "f_array_ops",          # dim INT -> BIGINT
+    "f_array_unnest_stats", # dim_idx (posexplode pos) INT -> BIGINT
+    "sim_knn_allpairs",     # rank INT -> BIGINT
+    "dedup_fuzzy_levenshtein",  # edit_distance INT -> BIGINT
+    "a1_pipeline_long",     # oracle-side: signal_id VALUES dim cast BIGINT
+    "sim_ivf_topk",         # build_ivf_index_fixed now uses the inlined
+                            # codegen assignment form (bit-identical)
+    "dedup_substring_incremental",  # gram index now written once per
+                                    # (process, corpus) — ADVICE r8
+]
+
+# The rest of the r1/r2-evidence cohort (39 names minus the 8 moved into
+# _R9_RECERT by the width casts): zero code changes, fresh driver rows
+# retire the backlog — after this window no registered query's newest
+# evidence predates the r3 oracle hardening.
+_R9_STALE_REFRESH: list[str] = [
+    "dedup_clusters", "dedup_exact", "dedup_exact_rows",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "f_json_extract", "f_scalar_suite", "j1_broadcast_dim_join",
+    "j_null_safe_join", "s1_scan_project_filter", "sample_bernoulli",
+    "sample_stratified", "sample_train_test_split",
+    "set_ops_user_segments", "sql_facade_text_query",
+    "streaming_window_agg", "text_fingerprint",
+    "tpcds_q27_rollup_avgs", "tpcds_q36_margin_rank",
+    "tpcds_q3_brand_by_year", "tpcds_q67_topk_rollup",
+    "tpch_q11_important_stock", "tpch_q12_priority_by_status",
+    "tpch_q16_supplier_part_count", "tpch_q1_pricing_summary",
+    "tpch_q20_promotable_suppliers", "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier", "ts_gap_fill", "w4_trailing_range_frame",
+]
+
+# The six rows-only structural twins (VERDICT r8 item 5): fresh r9 rows
+# so the rows-only six stay auditable; each docstring points at its
+# exact-oracled twin.
+_R9_TWIN_RECERT: list[str] = [
+    "dedup_minhash_lsh_prod", "dedup_simhash_prod", "sim_ivf_topk_prod",
+    "shard_train_split_prod", "a_distinct_rollup_hll", "emb_project_pca",
+]
+
 _R8_NEW: list[str] = [
     "mm_image_dhash_wide",  # 256-bit grid-16 dHash, 8 lossless 32-bit
                             # bands, salted occupancy cap, perturbed
@@ -510,24 +575,30 @@ _RECERTIFIED_R3 = {
 def _driver_order() -> list[str]:
     """Order queries() so the driver's ~50-query rotating correctness
     window always covers (a) everything new or behavior-changed this
-    round (the _R8_* lists), then (b) the queries whose driver evidence
-    is oldest (_R8_STALE_REFRESH — the r1/r2 cohort), then (c) one
-    flagship per operator family, then the rest. As of r6 every
-    registration has a hash-green driver row, so the tail order only
-    controls evidence freshness."""
-    r8_front = _R8_NEW + _R8_RECERT + _R8_STALE_REFRESH
-    missing = [n for n in r8_front if n not in QUERIES]
+    round (the _R9_* lists), then (b) the queries whose driver evidence
+    is oldest (_R9_STALE_REFRESH — the rest of the r1/r2 cohort — and
+    the six rows-only twins, VERDICT r8 item 5), then (c) one flagship
+    per operator family, then the rest. As of r6 every registration has
+    a hash-green driver row, so the tail order only controls evidence
+    freshness."""
+    r9_front = (
+        _R9_NEW + _R9_RECERT + _R9_STALE_REFRESH + _R9_TWIN_RECERT
+    )
+    missing = [n for n in r9_front if n not in QUERIES]
     assert not missing, (
-        f"window names not registered: {missing} — a _R8_* entry must "
+        f"window names not registered: {missing} — a _R9_* entry must "
         "land in the same commit as its @query registration"
     )
+    r8_front = _R8_NEW + _R8_RECERT + _R8_STALE_REFRESH
+    front = list(dict.fromkeys(r9_front))
+    placed = set(front)
+    front += [n for n in r8_front if n in QUERIES and n not in placed]
+    placed = set(front)
     r7_front = _R7_NEW + _R7_RECERT
     r6_front = _R6_NEVER_CHECKED + _R6_RECERT
     r5_front = (
         _R5_FIXED_RED + _R5_NEVER_CHECKED + _R5_NEW + _R5_RECERT
     )
-    front = list(dict.fromkeys(r8_front))
-    placed = set(front)
     front += [n for n in r7_front if n in QUERIES and n not in placed]
     placed = set(front)
     front += [n for n in r6_front if n in QUERIES and n not in placed]

@@ -64,7 +64,10 @@ def f_array_unnest_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     e = F.col("embedding").cast("array<double>")
     return (
+        # posexplode pos is INT; the oracle's generate_subscripts is
+        # BIGINT — cast before the group so the key column width matches.
         emb.select(F.posexplode(e).alias("dim_idx", "x"))
+        .withColumn("dim_idx", F.col("dim_idx").cast("long"))
         .groupBy("dim_idx")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -101,7 +104,8 @@ def f_array_ops(spark, sf_dir):
     )
     return emb.select(
         "vec_id",
-        F.size(e).alias("dim"),
+        # size() is INT, DuckDB len() is BIGINT — width-match the oracle.
+        F.size(e).cast("long").alias("dim"),
         F.round(F.sqrt(dot), 6).alias("l2_norm"),
         F.round(F.array_max(e), 6).alias("max_elem"),
     )

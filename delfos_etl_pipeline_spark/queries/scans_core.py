@@ -96,7 +96,8 @@ def a1_tumbling_window_agg(spark, sf_dir):
     ), dim(id, name) AS (
       VALUES (1, 'value_mean'), (2, 'value_min'), (3, 'value_max'), (4, 'value_std')
     )
-    SELECT l.window_start AS timestamp, d.id AS signal_id, l.value AS value
+    SELECT l.window_start AS timestamp, CAST(d.id AS BIGINT) AS signal_id,
+           l.value AS value
     FROM long l JOIN dim d ON l.signal_name = d.name
     WHERE l.value IS NOT NULL
     """,

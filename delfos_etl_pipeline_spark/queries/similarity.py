@@ -69,7 +69,10 @@ def sim_knn_allpairs(spark, sf_dir):
     from delfos_etl_pipeline_spark.similarity.knn import all_pairs_topk_blas
 
     emb = _t(spark, sf_dir, "embeddings")
-    return all_pairs_topk_blas(emb, "vec_id", "embedding", k=5)
+    out = all_pairs_topk_blas(emb, "vec_id", "embedding", k=5)
+    # BIGINT rank: the Arrow batch emits int32, the oracle's row_number()
+    # is BIGINT, and the driver compares dtype width.
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def _lsh_oracle_sql(n_planes: int = 4, dim: int = 64) -> str:
@@ -119,9 +122,11 @@ def sim_lsh_bucketed(spark, sf_dir):
     )
 
 
-@query(
-    "sim_ivf_topk",
-    oracle="""
+# Shared by sim_ivf_topk (in-memory assignment) and sim_ivf_probe
+# (persisted partitionBy(cluster) index): the probe result over a restored
+# index is bit-identical to probing the freshly-assigned corpus, so both
+# certify against the same from-scratch SQL replay.
+_IVF_TOPK_ORACLE = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
     cent AS (
@@ -156,8 +161,10 @@ def sim_lsh_bucketed(spark, sf_dir):
     WHERE a.cluster IN (SELECT cid FROM probe)
     ORDER BY cosine_sim DESC, a.vec_id
     LIMIT 10
-    """,
-)
+    """
+
+
+@query("sim_ivf_topk", oracle=_IVF_TOPK_ORACLE)
 def sim_ivf_topk(spark, sf_dir):
     """IVF ANN top-10 for the vec_id=0 query: coarse quantizer (8 cells),
     probe the 2 nearest cells, exact cosine inside them (similarity/
@@ -191,7 +198,8 @@ def sim_ivf_topk_prod(spark, sf_dir):
     registered so the benched path has its own correctness row. K-means
     cell boundaries aren't reproducible in SQL, so rows-only; the probe
     plan (partition-pruned cells + exact cosine + top-k) is identical to
-    the exact-oracled sim_ivf_topk."""
+    the exact-oracled sim_ivf_topk. Twin's newest exact driver row: r9
+    (sim_ivf_topk is in the same _R9 window as this re-cert)."""
     from delfos_etl_pipeline_spark.similarity.ivf import build_ivf_index, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -203,6 +211,110 @@ def sim_ivf_topk_prod(spark, sf_dir):
         emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
     )
     return ivf_topk(assigned, centroids, qvec, "vec_id", "embedding", k=10, n_probe=2)
+
+
+@query(
+    "sim_ivf_build",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v
+      WHERE vec_id <> 0 ORDER BY vec_id LIMIT 8
+    ),
+    m AS (
+      SELECT cid, CAST(row_number() OVER (ORDER BY cid) - 1 AS BIGINT)
+               AS cluster
+      FROM cent
+    ),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             list_dot_product(v.e, c.ce) /
+               (sqrt(list_dot_product(v.e, v.e)) *
+                sqrt(list_dot_product(c.ce, c.ce))) AS sim
+      FROM v JOIN cent c ON true
+      WHERE v.vec_id <> 0
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+    )
+    SELECT a.vec_id, m.cluster
+    FROM assign a JOIN m ON m.cid = a.cid
+    """,
+)
+def sim_ivf_build(spark, sf_dir):
+    """IVF index BUILD phase as its own certified query (VERDICT r8
+    item 4 — this name is benched, so it needs a correctness row the
+    validator can re-time): the deterministic fixed quantizer's
+    full-corpus cell assignment, one argmax-cosine projection per row
+    with the INLINED codegen-visible cosine copies (one-shot plan
+    construction, fastest execution — similarity/ivf.py
+    assign_fixed_centroids inline=True). Output is the complete
+    (vec_id, cluster) assignment — exactly the relation
+    write_ivf_index persists partitionBy(cluster). The k-means-fit
+    training cost is measured separately by emb_kmeans_train; the
+    seeded-k-means assignment path keeps its own row via
+    sim_ivf_topk_prod. At 100 TB this is the amortized build-once
+    pass: linear, zero shuffles, centroids broadcast as literals."""
+    from delfos_etl_pipeline_spark.similarity.ivf import build_ivf_index_fixed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = build_ivf_index_fixed(
+        emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
+    )
+    return assigned.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+#: sim_ivf_probe's persisted index, one per (process, sf_dir) — the
+#: build-once/search-many contract: repeat invocations (bench iterations)
+#: time ONLY the partition-pruned probe.
+_IVF_FIXED_INDEX: dict = {}
+
+
+@query("sim_ivf_probe", oracle=_IVF_TOPK_ORACLE)
+def sim_ivf_probe(spark, sf_dir):
+    """IVF PROBE phase against a PERSISTED index (VERDICT r8 item 4):
+    the fixed-quantizer corpus is written partitionBy(cluster) ONCE per
+    (process, corpus) via write_ivf_index, and every invocation reads it
+    back and runs top-k inside the 2 nearest cells — a partition-pruned
+    scan of n_probe/n_clusters of the data, the steady-state serving
+    number at 100 TB. Shares sim_ivf_topk's exact oracle: the hash match
+    certifies that materialize -> restore -> probe is bit-identical to
+    probing the freshly-assigned corpus (the dedup_substring_incremental
+    persisted-index pattern)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        build_ivf_index_fixed,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    state = _IVF_FIXED_INDEX.get(sf_dir)
+    if state is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        qvec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        ]
+        assigned, cents = build_ivf_index_fixed(
+            emb.where(F.col("vec_id") != 0), "vec_id", "embedding", n_clusters=8
+        )
+        workdir = tempfile.mkdtemp(prefix="ivf_index_")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+        path = os.path.join(workdir, "index")
+        write_ivf_index(assigned, path)
+        state = (path, cents, qvec)
+        _IVF_FIXED_INDEX[sf_dir] = state
+    path, cents, qvec = state
+    idx = spark.read.parquet(path)
+    return ivf_topk(idx, cents, qvec, "vec_id", "embedding", k=10, n_probe=2)
 
 
 @query(
@@ -687,7 +799,9 @@ def emb_project_pca(spark, sf_dir):
     internals aren't SQL-reproducible; eigenvector sign is convention);
     tests/test_similarity.py certifies orthonormal components,
     monotonically decreasing explained variance, and that PCA-16
-    reconstructs the corpus better than the data-independent baseline."""
+    reconstructs the corpus better than the data-independent baseline.
+    Exact-twin pointer: emb_project_jl (same output contract, exact
+    oracle; newest driver row r4)."""
     from delfos_etl_pipeline_spark.similarity.pca import pca_fit_project
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -248,7 +248,9 @@ def shard_train_split(spark, sf_dir):
 def shard_train_split_prod(spark, sf_dir):
     """Production keying of shard_train_split (xxhash64 — 8-byte JVM hash,
     no hex string materialization; rows-only check, the md5 twin above
-    carries the exact oracle for the identical plan shape)."""
+    carries the exact oracle for the identical plan shape). Twin's
+    newest exact driver row: r3 (shard_train_split, certified after the
+    r3 oracle hardening)."""
     from delfos_etl_pipeline_spark.operators.sharding import shard_assignment
 
     return shard_assignment(

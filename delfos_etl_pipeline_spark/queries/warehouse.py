@@ -1808,7 +1808,9 @@ def a_distinct_rollup_hll(spark, sf_dir):
     re-scan raw data. Rows-only registration (DataSketches internals
     aren't SQL-reproducible); tests/test_sketches.py certifies every
     weekly estimate within the published HLL bound of the exact twin
-    a_distinct_weekly, and that merged sketches equal the flat sketch."""
+    a_distinct_weekly, and that merged sketches equal the flat sketch.
+    Twin's newest exact driver row: r4 (a_distinct_weekly, certified
+    after the r3 oracle hardening)."""
     from delfos_etl_pipeline_spark.operators.sketches import sketch_rollup
 
     ev = _t(spark, sf_dir, "events")

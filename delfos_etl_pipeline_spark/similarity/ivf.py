@@ -70,35 +70,56 @@ def build_ivf_index_fixed(
     ids = [r[0] for r in df.select(id_col).orderBy(id_col).limit(n_clusters).collect()]
     rows = df.where(F.col(id_col).isin(ids)).select(id_col, vec_col).collect()
     cents = [[float(x) for x in r[1]] for r in sorted(rows, key=lambda r: r[0])]
-    return assign_fixed_centroids(df, cents, vec_col), cents
+    return assign_fixed_centroids(df, cents, vec_col, inline=True), cents
 
 
 def assign_fixed_centroids(
-    df: DataFrame, cents: list[list[float]], vec_col: str = "embedding"
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    inline: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment against DRIVER-SIDE centroid literals:
     one argmax-cosine projection per row, zero joins, zero shuffles —
     the Lloyd-iteration body (emb_kmeans_train) and the fixed-IVF build
     share it. Argmax over (sim, -cid) structs: array_max is
     lexicographic, so ties on sim resolve to the LOWEST centroid id —
-    mirrors the oracle's ORDER BY sim DESC, cid ASC."""
-    v = _as_double(vec_col)
-    # ONE lambda body over a literal centroid matrix instead of k
-    # inlined cosine copies: runtime folds are identical (same
-    # aggregate/zip_with expression evaluated per centroid, same
-    # doubles), but Catalyst analyzes the cosine tree once — measured
-    # ~8x less plan-construction time at k=8, which dominates when a
-    # training loop rebuilds this plan every iteration.
-    from delfos_etl_pipeline_spark.similarity.knn import _lit_mat
+    mirrors the oracle's ORDER BY sim DESC, cid ASC.
 
-    sims = F.transform(
-        _lit_mat(cents), lambda c: cosine_similarity_col(v, c)
-    )
-    scored = F.zip_with(
-        sims,
-        F.expr(f"sequence(0, {len(cents) - 1})"),
-        lambda s, i: F.struct(s.alias("sim"), (-i).alias("negcid")),
-    )
+    Two bit-identical physical forms (same folds, same doubles):
+
+    - ``inline=False`` (default): ONE transform() lambda over a literal
+      centroid matrix. Catalyst analyzes the cosine tree once —
+      measured ~8x less plan-construction time at k=8, which dominates
+      when a training loop rebuilds this plan every Lloyd iteration
+      (emb_kmeans_train). The lambda body evaluates INTERPRETED at
+      runtime, though — HOF lambdas are outside whole-stage codegen.
+    - ``inline=True``: k inlined, codegen-visible cosine copies. More
+      plan-construction work, fastest execution — right for one-shot
+      builds that construct the plan exactly once (sim_ivf_build
+      regressed 1.23s -> 2.15s at sf0.1 on the lambda form; VERDICT r8)."""
+    v = _as_double(vec_col)
+    if inline:
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine_similarity_col(v, _lit_vec(c)).alias("sim"),
+                    F.lit(-i).alias("negcid"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+    else:
+        from delfos_etl_pipeline_spark.similarity.knn import _lit_mat
+
+        sims = F.transform(
+            _lit_mat(cents), lambda c: cosine_similarity_col(v, c)
+        )
+        scored = F.zip_with(
+            sims,
+            F.expr(f"sequence(0, {len(cents) - 1})"),
+            lambda s, i: F.struct(s.alias("sim"), (-i).alias("negcid")),
+        )
     return df.withColumn(
         "cluster", (-F.array_max(scored)["negcid"]).cast("int")
     )

@@ -59,14 +59,19 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2,
         6,
     )
+    # Count columns cast to BIGINT: Spark length()/size()/regexp_count()
+    # are INT, DuckDB length()/len() are BIGINT, and the driver's
+    # canonicalizer compares dtype width. The float blends above consume
+    # the pre-cast INT columns — int32→double and int64→double are the
+    # same double, so the compared ratios are unchanged.
     return df.select(
         F.col(id_col),
-        F.length(t).alias("n_chars"),
-        n_words.alias("n_words"),
-        n_distinct.alias("n_distinct_words"),
+        F.length(t).cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        n_distinct.cast("long").alias("n_distinct_words"),
         avg_word_len.alias("avg_word_len"),
         stop_ratio.alias("stopword_ratio"),
-        F.regexp_count(t, F.lit("[a-zA-Z]+")).alias("alpha_token_count"),
+        F.regexp_count(t, F.lit("[a-zA-Z]+")).cast("long").alias("alpha_token_count"),
         diversity.alias("diversity"),
         quality.alias("quality_score"),
     )
@@ -88,11 +93,13 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     + individual punctuation marks) — the cheap proxy for LLM token budget
     accounting over a corpus. All regexp_count, zero UDFs."""
     t = F.col(text_col)
+    # BIGINT casts: DuckDB len()/regexp count twins are BIGINT and the
+    # driver compares dtype width.
     return df.select(
         F.col(id_col),
-        F.size(_words(t)).alias("n_ws_tokens"),
-        F.regexp_count(t, F.lit("[A-Za-z]+")).alias("n_word_tokens"),
-        F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).alias("n_bpe_ish_tokens"),
+        F.size(_words(t)).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit("[A-Za-z]+")).cast("long").alias("n_word_tokens"),
+        F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).cast("long").alias("n_bpe_ish_tokens"),
     )
 
 
@@ -110,7 +117,9 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             guess
         )
     cols = [F.col(id_col)] + [
-        hits[lang].alias(f"hits_{lang}") for lang, _ in LANG_MARKERS
+        # BIGINT, not INT: Spark size() is INT but DuckDB len() is
+        # BIGINT, and the driver's canonicalizer compares dtype width.
+        hits[lang].cast("long").alias(f"hits_{lang}") for lang, _ in LANG_MARKERS
     ]
     return df.select(*cols, guess.alias("lang_guess"))
 

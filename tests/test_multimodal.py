@@ -20,7 +20,7 @@ def bin_df(spark, sf_dir):
 def test_payload_schema(bin_df):
     s = dict((f.name, f.dataType.simpleString()) for f in bin_df.schema.fields)
     assert s["payload"] == "binary"
-    assert s["meta"] == "struct<n_bytes:int,mime:string>"
+    assert s["meta"] == "struct<n_bytes:bigint,mime:string>"
 
 
 def test_byte_histogram_contract(bin_df):

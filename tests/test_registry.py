@@ -34,6 +34,69 @@ def test_no_complex_typed_output_columns(spark, sf_dir):
     )
 
 
+_SPARK_INT_WIDTH = {
+    T.ByteType: 8,
+    T.ShortType: 16,
+    T.IntegerType: 32,
+    T.LongType: 64,
+}
+_DUCK_INT_WIDTH = {
+    "TINYINT": 8, "UTINYINT": 8,
+    "SMALLINT": 16, "USMALLINT": 16,
+    "INTEGER": 32, "UINTEGER": 32,
+    "BIGINT": 64, "UBIGINT": 64,
+    "HUGEINT": 128, "UHUGEINT": 128,
+}
+
+
+def test_integer_width_matches_oracle(spark, sf_dir):
+    """Cross-engine integer WIDTH audit (VERDICT r8 item 1). The driver's
+    canonicalizer compares dtype width, so a Spark INT column against a
+    DuckDB BIGINT oracle column (Spark size()/octet_length()/posexplode
+    pos are INT; DuckDB len()/octet_length() are BIGINT) fails the
+    schema gate even when every value matches — the text_langid /
+    mm_binary_meta class. Plan-construction + DuckDB DESCRIBE only,
+    nothing executed, so the whole registry is audited in seconds."""
+    import os
+
+    import duckdb
+
+    from delfos_etl_pipeline_spark.sources.parquet import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    qs, oracles = Q.queries(), Q.oracle_sql()
+    offenders = {}
+    for name, fn in qs.items():
+        if name not in oracles:
+            continue
+        spark_width = {
+            f.name: _SPARK_INT_WIDTH[type(f.dataType)]
+            for f in fn(spark, sf_dir).schema.fields
+            if type(f.dataType) in _SPARK_INT_WIDTH
+        }
+        if not spark_width:
+            continue
+        duck_types = dict(
+            con.execute(f"DESCRIBE {oracles[name]}")
+            .df()[["column_name", "column_type"]]
+            .itertuples(index=False, name=None)
+        )
+        for col, sw in spark_width.items():
+            dw = _DUCK_INT_WIDTH.get(duck_types.get(col, ""))
+            if dw is not None and dw != sw:
+                offenders[f"{name}.{col}"] = f"spark int{sw} vs oracle int{dw}"
+    assert not offenders, (
+        "integer width drift between Spark plan and DuckDB oracle "
+        f"(driver schema_match hazard): {offenders}"
+    )
+
+
 def test_oracle_keys_subset_of_queries():
     qs = Q.queries()
     missing = [n for n in Q.oracle_sql() if n not in qs]
@@ -41,13 +104,15 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_round_window_names_all_registered():
-    """Every _R8_* window entry must resolve in QUERIES — a
+    """Every _R9_*/_R8_* window entry must resolve in QUERIES — a
     claimed-but-unshipped name fails here instead of being silently
     dropped (ADVICE r6). _driver_order() also asserts this at runtime."""
     from delfos_etl_pipeline_spark import queries as qpkg
 
     for n in (
-        qpkg._R8_NEW + qpkg._R8_RECERT + qpkg._R8_STALE_REFRESH
+        qpkg._R9_NEW + qpkg._R9_RECERT + qpkg._R9_STALE_REFRESH
+        + qpkg._R9_TWIN_RECERT
+        + qpkg._R8_NEW + qpkg._R8_RECERT + qpkg._R8_STALE_REFRESH
         + qpkg._R7_NEW + qpkg._R7_RECERT
     ):
         assert n in qpkg.QUERIES, n
@@ -56,5 +121,8 @@ def test_round_window_names_all_registered():
 def test_stale_refresh_no_duplicates():
     from delfos_etl_pipeline_spark import queries as qpkg
 
-    names = qpkg._R8_STALE_REFRESH
+    names = (
+        qpkg._R9_NEW + qpkg._R9_RECERT + qpkg._R9_STALE_REFRESH
+        + qpkg._R9_TWIN_RECERT
+    )
     assert len(names) == len(set(names))

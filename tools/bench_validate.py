@@ -20,7 +20,20 @@ deltas are indistinguishable from process-level noise (VERDICT r7
 item 5: a fixed tolerance failed its own run on window-heavy plans
 whose JIT/GC state varies ~0.5-0.7s across fresh processes). A query
 passes when |bench_median - nearest isolated median| <=
-max(spreads, envelope, 0.30s scheduling-jitter floor, 15% relative).
+max(isolated spreads, capped envelope, 0.30s scheduling-jitter floor,
+15% relative).
+
+Round-9 tolerance redesign (VERDICT r8 "what's wrong" 2 + ADVICE r8):
+the bench's OWN spread is no longer a tolerance term — a tolerance that
+grows with the harness's noise can never fail on exactly the queries it
+mismeasures (r8: curate_pipeline_staged spread 7.12s > median 6.03s
+passed a 2.2x inflation). Instead, bench_spread > 0.5 x bench_median is
+its own FAILURE ("unreliable measurement"). The isolated run-to-run
+envelope stays a tolerance term but is (a) re-measured with a THIRD
+isolated run when the first two disagree by more than the jitter floor,
+and (b) capped at 0.25 x bench_median so two divergent isolated runs
+cannot launder an arbitrary bench median; passes where the envelope term
+decided the outcome are flagged "envelope_dominated" in the report.
 Run it ALONE, like bench itself — concurrent Spark work contaminates
 medians (~+20% measured).
 """
@@ -29,7 +42,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -77,6 +89,29 @@ print("RESULT " + json.dumps(
 """
 
 
+def run_isolated(name: str, child: str) -> dict | None:
+    """One fully-isolated re-time (fresh python subprocess -> fresh JVM).
+    Returns {"median": s, "spread": s} or None on timeout/no-result."""
+    import subprocess as sp
+
+    try:
+        out = sp.run(
+            [sys.executable, "-c", child],
+            capture_output=True, text=True, timeout=900, cwd=REPO,
+        )
+    except sp.TimeoutExpired:
+        print(f"FAIL {name}: isolated run timed out (900s)")
+        return None
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+    if not line:
+        print(
+            f"FAIL {name}: isolated run produced no result\n"
+            f"{out.stderr[-500:]}"
+        )
+        return None
+    return json.loads(line[-1][len("RESULT "):])
+
+
 def main() -> int:
     names = sys.argv[1:] or DEFAULT_SAMPLE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,58 +129,67 @@ def main() -> int:
         child = _CHILD.format(
             repo=REPO, name=name, sf_dir=sf_dir, iters=iters, cpus=cpus
         )
-        isos, failed = [], False
-        for attempt in range(2):  # two runs -> run-to-run envelope
-            try:
-                out = subprocess.run(
-                    [sys.executable, "-c", child],
-                    capture_output=True, text=True, timeout=900, cwd=REPO,
-                )
-            except subprocess.TimeoutExpired:
+        isos = []
+        for _ in range(2):  # two runs -> run-to-run envelope
+            r = run_isolated(name, child)
+            if r is None:
                 # record the failure and keep the rest of the report
                 # (ADVICE r7: an uncaught hang aborted the whole run)
-                print(f"FAIL {name}: isolated run {attempt} timed out (900s)")
-                failed = True
                 break
-            line = [
-                ln for ln in out.stdout.splitlines()
-                if ln.startswith("RESULT ")
-            ]
-            if not line:
-                print(
-                    f"FAIL {name}: isolated run {attempt} produced no "
-                    f"result\n{out.stderr[-500:]}"
-                )
-                failed = True
-                break
-            isos.append(json.loads(line[-1][len("RESULT "):]))
-        if failed:
+            isos.append(r)
+        if len(isos) < 2:
             all_ok = False
             report.append({"query": name, "ok": False, "error": "isolated run failed"})
             continue
         bench_med = diag["queries"][name]
         bench_spread = diag.get("spread", {}).get(name, 0.0)
+        # An unreliable bench measurement is its own failure: when the
+        # bench's own spread exceeds half its median, the recorded number
+        # is noise and must be re-measured, not tolerated (VERDICT r8 —
+        # curate_pipeline_staged spread 7.12s > median 6.03s).
+        if bench_spread > 0.5 * bench_med:
+            all_ok = False
+            report.append(
+                {
+                    "query": name,
+                    "bench_median": bench_med,
+                    "bench_spread": bench_spread,
+                    "isolated_medians": [i["median"] for i in isos],
+                    "ok": False,
+                    "error": "unreliable bench measurement "
+                    f"(spread {bench_spread}s > 0.5 x median {bench_med}s)",
+                }
+            )
+            print(
+                f"FAIL {name}: unreliable bench measurement — spread "
+                f"{bench_spread}s > 0.5 x median {bench_med}s "
+                f"(isolated={[i['median'] for i in isos]})"
+            )
+            continue
+        jitter_floor = max(0.30, 0.15 * bench_med)
         envelope = round(abs(isos[0]["median"] - isos[1]["median"]), 2)
-        # compare against the NEAREST isolated median: either isolated
+        if envelope > jitter_floor:
+            # Two divergent isolated runs: arbitrate with a third instead
+            # of letting the disagreement widen the tolerance (ADVICE r8).
+            extra = run_isolated(name, child)
+            if extra is not None:
+                isos.append(extra)
+                meds = sorted(i["median"] for i in isos)
+                envelope = round(meds[-1] - meds[0], 2)
+        envelope_capped = round(min(envelope, 0.25 * bench_med), 2)
+        # compare against the NEAREST isolated median: any isolated
         # process is an equally valid ground truth.
         delta = round(
             min(abs(bench_med - i["median"]) for i in isos), 2
         )
-        # tolerance: the larger measured spread, the measured isolated
-        # run-to-run envelope, a 0.30s scheduling-jitter floor, or 15%
-        # relative. The envelope term is what makes "ok" meaningful:
-        # the bench median only fails when it sits FURTHER from both
-        # isolated runs than those runs sit from each other.
-        tol = round(
-            max(
-                bench_spread,
-                *(i["spread"] for i in isos),
-                envelope,
-                0.30,
-                0.15 * bench_med,
-            ),
-            2,
+        # tolerance: the isolated within-process spreads, the CAPPED
+        # isolated run-to-run envelope, a 0.30s scheduling-jitter floor,
+        # or 15% relative. The bench's own spread is deliberately NOT a
+        # term — see module docstring.
+        tol_wo_envelope = round(
+            max(*(i["spread"] for i in isos), 0.30, 0.15 * bench_med), 2
         )
+        tol = max(tol_wo_envelope, envelope_capped)
         ok = delta <= tol
         all_ok &= ok
         report.append(
@@ -156,15 +200,18 @@ def main() -> int:
                 "isolated_medians": [i["median"] for i in isos],
                 "isolated_spreads": [i["spread"] for i in isos],
                 "envelope": envelope,
+                "envelope_capped": envelope_capped,
                 "delta": delta,
                 "tolerance": tol,
+                "envelope_dominated": bool(ok and delta > tol_wo_envelope),
                 "ok": ok,
             }
         )
+        flag = " [envelope-dominated]" if ok and delta > tol_wo_envelope else ""
         print(
             f"{'PASS' if ok else 'FAIL'} {name}: bench={bench_med}s "
             f"isolated={[i['median'] for i in isos]} delta={delta}s "
-            f"tol={tol}s (envelope={envelope}s)"
+            f"tol={tol}s (envelope={envelope}s){flag}"
         )
     with open(os.path.join(REPO, "bench_validate.json"), "w") as f:
         json.dump({"sf_dir": sf_dir, "results": report}, f, indent=1)
