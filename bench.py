@@ -323,10 +323,25 @@ def main() -> None:
     warm_iters = int(os.environ.get("SPARK_GRAFT_WARM_ITERS", "1"))
     timed_iters = int(os.environ.get("SPARK_GRAFT_TIMED_ITERS", "3"))
     chunk_size = max(1, int(os.environ.get("SPARK_GRAFT_SESSION_QUERIES", "24")))
+    # IO-ISOLATION FIX (VERDICT r8 "what's wrong" 2): queries whose timed
+    # body writes or reads scratch parquet every invocation thrash the
+    # page cache and executor GC for whatever shares their session —
+    # curate_pipeline_staged (5 stage writes x 4 passes) sat in the same
+    # chunk as dedup_clusters, and BOTH recorded ~2x their isolated truth
+    # in r8 on unchanged code. Each IO-heavy name now gets its OWN fresh
+    # session; the remaining names keep normal chunking, in order.
+    io_heavy = {
+        "curate_pipeline_staged",       # writes 5 staged parquet boundaries
+        "dedup_substring_incremental",  # probes the persisted gram index
+        "sim_ivf_probe",                # probes the persisted IVF index
+    }
+    flow = [n for n in HEADLINE if n not in io_heavy]
+    chunks = [
+        flow[lo : lo + chunk_size] for lo in range(0, len(flow), chunk_size)
+    ] + [[n] for n in HEADLINE if n in io_heavy]
     per_query: dict[str, float] = {}
     spread: dict[str, float] = {}
-    for lo in range(0, len(HEADLINE), chunk_size):
-        chunk = HEADLINE[lo : lo + chunk_size]
+    for chunk in chunks:
         spark = _new_session(cpus)
         # Warmup, not counted: a trivial scan, then one pass of the
         # chunk's queries — janino whole-stage-codegen compilation and

@@ -209,6 +209,19 @@ def _verify_pairs_blas(
     """
     import numpy as np
 
+    # The half-up rounding below (floor(x·10^k + 0.5)) rounds toward
+    # +infinity, which diverges from F.round/DuckDB's half-away-from-zero
+    # on NEGATIVE sims. It is exact here only because a positive
+    # threshold discards every negative sim before the caller compares —
+    # guard the precondition instead of silently mis-rounding if a
+    # future caller passes threshold <= 0 (ADVICE r8).
+    if round_decimals is not None and threshold <= 0:
+        raise ValueError(
+            "_verify_pairs_blas: round_decimals requires threshold > 0 "
+            "(half-up rounding only matches half-away-from-zero on "
+            "positive sims)"
+        )
+
     joined = cands.join(
         vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("_va")),
         "id_a",

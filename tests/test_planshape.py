@@ -732,7 +732,11 @@ def test_pipeline_substr_no_fulltext_shuffle_key(spark, sf_dir):
     plan = _plan(spark, sf_dir, "curate_pipeline_substr")
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         keys = m.group(1)
-        assert not re.search(r"\btext\b(?!\w)", keys.split(",")[0]), m.group(0)
+        # search the WHOLE key list, not just the first element — a plan
+        # shuffling on (md5(text), text) must fail too (ADVICE r8)
+        # a BARE text# key at any position fails; text# inside an
+        # expression (md5(text#12)) is exactly the allowed form
+        assert not re.search(r"(^|, )text#", keys), m.group(0)
     assert _count(plan, "Window") == 0, plan
 
 def test_image_dhash_wide_banded_no_allpairs(spark, sf_dir):

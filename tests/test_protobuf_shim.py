@@ -205,6 +205,59 @@ def test_shim_defers_to_real_protobuf_on_sys_path(tmp_path):
     assert "minimal-shim" in out2.stdout
 
 
+def test_shim_duplicate_copy_does_not_recurse(tmp_path):
+    """A SECOND copy of the shim itself on sys.path (duplicate checkout,
+    inherited PYTHONPATH) must not be mistaken for a real distribution —
+    exec'ing another shim copy rescans sys.path from the exec'd module's
+    __file__ and recurses to RecursionError (ADVICE r8). The marker is
+    the shim-only sibling _runtime.py; with only shim copies visible the
+    import must settle on the minimal shim body."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    shim_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "delfos_etl_pipeline_spark",
+        "_vendor",
+        "protobuf_shim",
+    )
+    copy_dir = tmp_path / "shim_copy"
+    shutil.copytree(shim_dir, copy_dir)
+    env = {**os.environ, "PYTHONPATH": shim_dir + os.pathsep + str(copy_dir)}
+    out = subprocess.run(
+        [sys.executable, "-c", "import google.protobuf as p; print(p.__version__)"],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "minimal-shim" in out.stdout
+    # and with a REAL distribution behind both shim copies, defer to it
+    # — and expose the real package's __file__, not the shim shell's.
+    real = tmp_path / "site" / "google" / "protobuf"
+    real.mkdir(parents=True)
+    (tmp_path / "site" / "google" / "__init__.py").write_text(
+        "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
+    )
+    (real / "__init__.py").write_text("__version__ = '9.9.9-real'\n")
+    env["PYTHONPATH"] = (
+        shim_dir + os.pathsep + str(copy_dir) + os.pathsep + str(tmp_path / "site")
+    )
+    out2 = subprocess.run(
+        [sys.executable, "-c",
+         "import google.protobuf as p; print(p.__version__, p.__file__)"],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    assert out2.returncode == 0, out2.stderr[-800:]
+    ver, file = out2.stdout.split()
+    assert ver == "9.9.9-real"
+    assert file.startswith(str(real))
+
+
 def test_packed_repeated_fixed_width_accepted():
     """Packed wire-type-2 runs of fixed64/fixed32 scalars must decode as
     8/4-byte elements, not crash a whole-run struct.unpack (ADVICE r7)."""
