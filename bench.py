@@ -218,6 +218,8 @@ HEADLINE = [
     "mm_audio_vad",
     "emb_kmeans_train",
     "curate_semantic_decontaminate",
+    # round 9
+    "dedup_minhash_incremental_indexed",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,
@@ -334,6 +336,8 @@ def main() -> None:
         "curate_pipeline_staged",       # writes 5 staged parquet boundaries
         "dedup_substring_incremental",  # probes the persisted gram index
         "sim_ivf_probe",                # probes the persisted IVF index
+        "dedup_minhash_incremental_indexed",  # probes the persisted
+                                              # MinHash band-bucket index
     }
     flow = [n for n in HEADLINE if n not in io_heavy]
     chunks = [

@@ -276,3 +276,105 @@ def minhash_lsh_dedup(
     pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def write_minhash_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Persist the corpus-side LSH index ONCE per corpus version — the
+    materialization minhash_lsh_pairs_incremental's docstring promises
+    (VERDICT r8 item 6), parallel to substring.write_gram_index.
+
+    Two relations, both pure functions of the corpus:
+
+    - ``<path>/buckets``: (doc_id, band, bucket) — the banded signature
+      rows the nightly probe joins against. Written clustered by band
+      (sorted by bucket within) so band-bucket row groups compress and
+      min/max-skip well; the probe join shuffles on (band, bucket)
+      either way, so clustering is a storage win, not a shuffle win.
+    - ``<path>/shingles``: (doc_id, shingles) — the exact-verify side.
+      Persisting it keeps the nightly path corpus-scan-free: verify
+      reads only the candidate documents' rows (join pruning).
+
+    At 100 TB the nightly cost drops from O(corpus + batch) to
+    O(batch + candidate probes): the standing corpus is never
+    re-tokenized, re-hashed, or re-banded."""
+    hashed = hash_fn != "md5"
+    arrs = shingle_arrays(corpus, id_col, text_col, n, hashed=hashed).persist()
+    try:
+        sigs = minhash_signatures(arrs, num_hashes, hash_fn)
+        buckets = _band_bucket_rows(sigs, num_hashes, bands, hash_fn)
+        (
+            buckets.repartition(F.col("band"))
+            .sortWithinPartitions("band", "bucket")
+            .write.mode("overwrite")
+            .parquet(f"{path}/buckets")
+        )
+        arrs.write.mode("overwrite").parquet(f"{path}/shingles")
+    finally:
+        arrs.unpersist()
+
+
+def minhash_lsh_pairs_indexed(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """minhash_lsh_pairs_incremental with the corpus side RESTORED from a
+    write_minhash_index materialization: (doc_new, doc_old, jaccard >=
+    threshold) for batch documents near-duplicating the standing corpus.
+    Bit-identical to the from-scratch incremental form — band buckets and
+    shingle arrays are deterministic functions of the corpus, so
+    persist/restore cannot change a single candidate or Jaccard value
+    (tests/test_dedup.py pins the equality, including across a simulated
+    restart; the registered query certifies it against the from-scratch
+    SQL oracle). Only the batch is tokenized/hashed at probe time."""
+    spark = batch.sparkSession
+    buckets_old = spark.read.parquet(f"{index_path}/buckets")
+    sh_old = spark.read.parquet(f"{index_path}/shingles")
+    hashed = hash_fn != "md5"
+    arrs_b = shingle_arrays(batch, id_col, text_col, n, hashed=hashed).persist()
+    bb_new = _band_bucket_rows(
+        minhash_signatures(arrs_b, num_hashes, hash_fn),
+        num_hashes,
+        bands,
+        hash_fn,
+    ).select(F.col("doc_id").alias("doc_new"), "band", "bucket")
+    cands = (
+        bb_new.join(
+            buckets_old.select(
+                F.col("doc_id").alias("doc_old"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    sh_new = arrs_b.select(
+        F.col("doc_id").alias("doc_new"), F.col("shingles").alias("_sa")
+    )
+    sh_restored = sh_old.select(
+        F.col("doc_id").alias("doc_old"), F.col("shingles").alias("_sb")
+    )
+    shared = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union_sz = F.size("_sa") + F.size("_sb") - shared
+    jac = F.round(shared / union_sz, 6)
+    return (
+        cands.join(sh_new, "doc_new")
+        .join(sh_restored, "doc_old")
+        .select("doc_new", "doc_old", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -75,6 +75,11 @@ _R9_NEW: list[str] = [
                        # index; shares sim_ivf_topk's exact oracle —
                        # certifies materialize->restore->probe ==
                        # from-scratch (item 4)
+    "dedup_minhash_incremental_indexed",  # persisted corpus-side MinHash
+                       # band-bucket + shingle index (write_minhash_index)
+                       # probed by the nightly batch; shares
+                       # dedup_incremental_batch's from-scratch oracle
+                       # (item 6)
 ]
 
 # Code/oracle changed this round — dtype-width BIGINT casts (the

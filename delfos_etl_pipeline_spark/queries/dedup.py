@@ -307,9 +307,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_incremental_batch",
-    oracle="""
+# From-scratch SQL replay of the md5-keyed incremental MinHash dedup —
+# shared by dedup_incremental_batch (in-memory corpus subtree) and
+# dedup_minhash_incremental_indexed (corpus side RESTORED from the
+# persisted write_minhash_index materialization): band buckets and
+# shingle arrays are deterministic corpus functions, so both forms must
+# hash identically against the same replay.
+_INCR_MINHASH_ORACLE = """
     WITH d AS (
       SELECT doc_id, doc_id % 3 = 0 AS is_new,
              regexp_split_to_array(lower(text), '\\s+') AS words
@@ -353,8 +357,10 @@ def dedup_minhash_lsh(spark, sf_dir):
            round(shared * 1.0 / (sa + sb - shared), 6) AS jaccard
     FROM j
     WHERE round(shared * 1.0 / (sa + sb - shared), 6) >= 0.6
-    """,
-)
+    """
+
+
+@query("dedup_incremental_batch", oracle=_INCR_MINHASH_ORACLE)
 def dedup_incremental_batch(spark, sf_dir):
     """Incremental near-dedup — the nightly-ingest shape: flag NEW batch
     documents (doc_id % 3 == 0 as the stand-in arrival batch) that are
@@ -374,6 +380,58 @@ def dedup_incremental_batch(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 3 != 0)
     return minhash_lsh_pairs_incremental(
         batch, corpus, "doc_id", "text", n=3, threshold=0.6, hash_fn="md5"
+    )
+
+
+#: dedup_minhash_incremental_indexed's persisted LSH index, one per
+#: (process, sf_dir) — build-once/probe-many, like _GRAM_INDEX_WORKDIRS.
+_MINHASH_INDEX_WORKDIRS: dict[str, str] = {}
+
+
+@query("dedup_minhash_incremental_indexed", oracle=_INCR_MINHASH_ORACLE)
+def dedup_minhash_incremental_indexed(spark, sf_dir):
+    """Incremental MinHash near-dedup against a PERSISTED corpus index —
+    the materialization dedup_incremental_batch's docstring promises
+    ("buckets persisted once per corpus version in production",
+    VERDICT r8 item 6), exercised end to end: the standing corpus's band
+    buckets AND shingle arrays are written to parquet ONCE per
+    (process, corpus) via write_minhash_index, and the arriving batch
+    (doc_id % 3 == 0, the same stand-in split) probes the RESTORED
+    relations — the standing corpus is never re-tokenized, re-hashed, or
+    re-banded on the nightly path. Shares dedup_incremental_batch's
+    from-scratch SQL oracle, so the hash match certifies that
+    materialize -> restore -> probe is bit-identical to rebuilding
+    (tests/test_dedup.py pins the same equality across a simulated
+    restart). md5 keying here for the oracle; production flips to
+    xxhash64 (8-byte fixed-width index, same plan). Scale: the index is
+    corpus-linear, band-clustered at write; each nightly batch pays its
+    own shingle/signature build + one bucket-keyed join + a
+    candidate-bounded verify."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        minhash_lsh_pairs_indexed,
+        write_minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    workdir = _MINHASH_INDEX_WORKDIRS.get(sf_dir)
+    if workdir is None:
+        workdir = tempfile.mkdtemp(prefix="minhash_index_")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+        write_minhash_index(
+            corpus, os.path.join(workdir, "lsh"), "doc_id", "text",
+            n=3, hash_fn="md5",
+        )
+        _MINHASH_INDEX_WORKDIRS[sf_dir] = workdir
+    return minhash_lsh_pairs_indexed(
+        batch, os.path.join(workdir, "lsh"), "doc_id", "text",
+        n=3, threshold=0.6, hash_fn="md5",
     )
 
 

@@ -618,3 +618,69 @@ def test_gram_index_roundtrip_equals_from_scratch(spark, tmp_path):
     assert by_id[10].n_removed == 10 and by_id[10].n_spans == 1
     assert by_id[11].n_removed == 0
     assert by_id[12].n_removed >= 8
+
+
+def test_minhash_index_roundtrip_equals_from_scratch(spark, tmp_path):
+    """write_minhash_index -> minhash_lsh_pairs_indexed must be
+    bit-identical to the from-scratch minhash_lsh_pairs_incremental
+    against the same standing corpus — band buckets and shingle arrays
+    are deterministic corpus functions, so persist/restore cannot change
+    a candidate or a Jaccard value — for both signature keyings and
+    across a simulated restart (a fresh read of the on-disk index with
+    no lineage back to the builder)."""
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        minhash_lsh_pairs_incremental,
+        minhash_lsh_pairs_indexed,
+        write_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "an entirely different standing corpus document body here"),
+            (3, "completely unrelated third document with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again tonight"),
+            (11, "no overlap with anything in the standing corpus at all"),
+            (12, "an entirely different standing corpus document body here"),
+        ],
+        "doc_id long, text string",
+    )
+    for hash_fn in ("md5", "xxhash64"):
+        scratch = sorted(
+            minhash_lsh_pairs_incremental(
+                batch, corpus, "doc_id", "text", n=3,
+                threshold=0.5, hash_fn=hash_fn,
+            ).collect()
+        )
+        path = str(tmp_path / f"lsh_{hash_fn}")
+        write_minhash_index(
+            corpus, path, "doc_id", "text", n=3, hash_fn=hash_fn
+        )
+        indexed = sorted(
+            minhash_lsh_pairs_indexed(
+                batch, path, "doc_id", "text", n=3,
+                threshold=0.5, hash_fn=hash_fn,
+            ).collect()
+        )
+        assert indexed == scratch
+        # simulated restart: probe once more in this process — the reader
+        # path re-reads parquet with no lineage to the builder plan, so a
+        # second probe is exactly what a new nightly process would run.
+        again = sorted(
+            minhash_lsh_pairs_indexed(
+                batch, path, "doc_id", "text", n=3,
+                threshold=0.5, hash_fn=hash_fn,
+            ).collect()
+        )
+        assert again == scratch
+        # fixture sanity: the verbatim copy and the near-dup both found,
+        # the unrelated doc silent
+        pairs = {(r.doc_new, r.doc_old) for r in scratch}
+        assert (12, 2) in pairs
+        assert (10, 1) in pairs
+        assert all(dn != 11 for dn, _ in pairs)
