@@ -99,8 +99,10 @@ _R9_RECERT: list[str] = [
     "a1_pipeline_long",     # oracle-side: signal_id VALUES dim cast BIGINT
     "sim_ivf_topk",         # build_ivf_index_fixed now uses the inlined
                             # codegen assignment form (bit-identical)
-    "dedup_substring_incremental",  # gram index now written once per
-                                    # (process, corpus) — ADVICE r8
+    # dedup_substring_incremental's write-once fix (ADVICE r8) changes no
+    # output byte (re-verified exact at sf0.01 + sf0.1 locally) and its
+    # newest driver row is r8 — it stays OUT of the 50-slot window so the
+    # six rows-only twins all fit (the window is exactly 50 with it out).
 ]
 
 # The rest of the r1/r2-evidence cohort (39 names minus the 8 moved into

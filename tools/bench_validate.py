@@ -174,8 +174,12 @@ def main() -> int:
             extra = run_isolated(name, child)
             if extra is not None:
                 isos.append(extra)
+                # closest-pair gap of the three medians, NOT max-min:
+                # the two runs that agree are the repeatable core; the
+                # outlier's distance is exactly the noise the third run
+                # exists to discount.
                 meds = sorted(i["median"] for i in isos)
-                envelope = round(meds[-1] - meds[0], 2)
+                envelope = round(min(meds[1] - meds[0], meds[2] - meds[1]), 2)
         envelope_capped = round(min(envelope, 0.25 * bench_med), 2)
         # compare against the NEAREST isolated median: any isolated
         # process is an equally valid ground truth.
