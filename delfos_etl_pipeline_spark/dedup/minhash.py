@@ -322,6 +322,15 @@ def write_minhash_index(
         arrs.unpersist()
 
 
+#: Last persisted batch-shingle relation per (session, index_path):
+#: the returned plan is lazy, so the persist must outlive this call —
+#: but repeat invocations in one session (bench warmup + timed iters)
+#: must not ACCUMULATE cached copies (ADVICE r9). Each call unpersists
+#: the previous call's handle for the same key, bounding the cache at
+#: one batch-sized relation; session stop frees the last one.
+_BATCH_ARRS_LIVE: dict = {}
+
+
 def minhash_lsh_pairs_indexed(
     batch: DataFrame,
     index_path: str,
@@ -347,6 +356,11 @@ def minhash_lsh_pairs_indexed(
     sh_old = spark.read.parquet(f"{index_path}/shingles")
     hashed = hash_fn != "md5"
     arrs_b = shingle_arrays(batch, id_col, text_col, n, hashed=hashed).persist()
+    key = (id(spark), index_path)
+    prev = _BATCH_ARRS_LIVE.pop(key, None)
+    if prev is not None:
+        prev.unpersist()
+    _BATCH_ARRS_LIVE[key] = arrs_b
     bb_new = _band_bucket_rows(
         minhash_signatures(arrs_b, num_hashes, hash_fn),
         num_hashes,

@@ -55,8 +55,16 @@ def test_integer_width_matches_oracle(spark, sf_dir):
     DuckDB BIGINT oracle column (Spark size()/octet_length()/posexplode
     pos are INT; DuckDB len()/octet_length() are BIGINT) fails the
     schema gate even when every value matches — the text_langid /
-    mm_binary_meta class. Plan-construction + DuckDB DESCRIBE only,
-    nothing executed, so the whole registry is audited in seconds."""
+    mm_binary_meta class. Mostly plan-construction + DuckDB DESCRIBE,
+    so the registry audits in seconds — EXCEPT the persisted-index
+    queries (sim_ivf_probe, sim_pq_probe, dedup_minhash_incremental_
+    indexed, ...): constructing their plans builds and writes the index
+    on first call (real Spark jobs) and seeds the process-global
+    per-(process, sf_dir) index caches. That cost and side effect are
+    accepted deliberately (ADVICE r9): exempting them would drop the
+    width audit for exactly the queries whose restored-parquet schemas
+    are most at risk of width drift, and the caches they seed are the
+    same build-once state any in-process consumer shares."""
     import os
 
     import duckdb

@@ -35,6 +35,14 @@ and (b) capped at 0.25 x bench_median so two divergent isolated runs
 cannot launder an arbitrary bench median; passes where the envelope term
 decided the outcome are flagged "envelope_dominated" in the report.
 
+Round-10 hardening (ADVICE r9): when third-run arbitration fires, the
+outlier isolated run is dropped from the DELTA comparison too (not just
+the envelope) — a bench median that matches the noisy outlier no longer
+passes against it; and a bimodal bench recording (max-min range > the
+median itself, 1s floor) must pass the STRICT gate (within
+tol-without-envelope of a core isolated median, no window-drift rescue)
+or it fails as "bimodal bench measurement".
+
 Window drift: the host runs +/-20% faster or slower between 35-minute
 windows on identical code (measured across five full r9 bench runs), so
 a bench median recorded in one window can honestly disagree with
@@ -189,32 +197,87 @@ def main() -> int:
             continue
         jitter_floor = max(0.30, 0.15 * bench_med)
         envelope = round(abs(isos[0]["median"] - isos[1]["median"]), 2)
+        core = list(isos)  # the isolated runs delta is judged against
         if envelope > jitter_floor:
             # Two divergent isolated runs: arbitrate with a third instead
             # of letting the disagreement widen the tolerance (ADVICE r8).
             extra = run_isolated(name, child)
             if extra is not None:
                 isos.append(extra)
-                # closest-pair gap of the three medians, NOT max-min:
-                # the two runs that agree are the repeatable core; the
-                # outlier's distance is exactly the noise the third run
-                # exists to discount.
-                meds = sorted(i["median"] for i in isos)
-                envelope = round(min(meds[1] - meds[0], meds[2] - meds[1]), 2)
+                # closest-pair CORE of the three runs, NOT max-min: the
+                # two runs that agree are the repeatable truth; the
+                # outlier is exactly the noise the third run exists to
+                # discount — so it is dropped from BOTH the envelope and
+                # the delta comparison (ADVICE r9: a bench median that
+                # matched the outlier, e.g. isolated [1.0, 1.05, 3.0]
+                # with bench 3.1, used to pass against all three).
+                srt = sorted(isos, key=lambda i: i["median"])
+                meds = [i["median"] for i in srt]
+                if meds[1] - meds[0] <= meds[2] - meds[1]:
+                    core = srt[:2]
+                else:
+                    core = srt[1:]
+                envelope = round(core[1]["median"] - core[0]["median"], 2)
         envelope_capped = round(min(envelope, 0.25 * bench_med), 2)
-        # compare against the NEAREST isolated median: any isolated
-        # process is an equally valid ground truth.
+        # compare against the NEAREST core isolated median: any
+        # repeatable isolated process is an equally valid ground truth,
+        # but an arbitration-identified outlier is not.
         delta = round(
-            min(abs(bench_med - i["median"]) for i in isos), 2
+            min(abs(bench_med - i["median"]) for i in core), 2
         )
-        # tolerance: the isolated within-process spreads, the CAPPED
+        # tolerance: the core isolated within-process spreads, the CAPPED
         # isolated run-to-run envelope, a 0.30s scheduling-jitter floor,
         # or 15% relative. The bench's own spread is deliberately NOT a
         # term — see module docstring.
         tol_wo_envelope = round(
-            max(*(i["spread"] for i in isos), 0.30, 0.15 * bench_med), 2
+            max(*(i["spread"] for i in core), 0.30, 0.15 * bench_med), 2
         )
         tol = max(tol_wo_envelope, envelope_capped)
+        # Bimodal bench recording (ADVICE r9): "spread" is the median's
+        # nearest-neighbor gap, so a 3-sample like [3.5, 6.03, 10.6]
+        # passes the unreliable-spread gate while no two samples agree.
+        # When the outlier-owned max-min RANGE exceeds the median itself
+        # (and a 1s absolute floor — N=3 sub-second queries routinely
+        # carry one GC outlier), the recorded median only passes the
+        # STRICT gate: within tol_wo_envelope of a core isolated median,
+        # no envelope help and no window-drift rescue — anything else is
+        # re-benched, not tolerated.
+        bench_range = diag.get("range", {}).get(name, 0.0)
+        range_unreliable = bench_range > max(bench_med, 1.0)
+        if range_unreliable:
+            ok = delta <= tol_wo_envelope
+            all_ok &= ok
+            report.append(
+                {
+                    "query": name,
+                    "bench_median": bench_med,
+                    "bench_spread": bench_spread,
+                    "bench_range": bench_range,
+                    "isolated_medians": [i["median"] for i in isos],
+                    "isolated_spreads": [i["spread"] for i in isos],
+                    "delta": delta,
+                    "tolerance": tol_wo_envelope,
+                    "range_unreliable": True,
+                    "ok": ok,
+                }
+                | (
+                    {}
+                    if ok
+                    else {
+                        "error": "bimodal bench measurement (range "
+                        f"{bench_range}s > max(median, 1s)) and median "
+                        "outside strict isolated tolerance"
+                    }
+                )
+            )
+            print(
+                f"{'PASS' if ok else 'FAIL'} {name}: bimodal bench "
+                f"samples (range {bench_range}s > max(median "
+                f"{bench_med}s, 1s)) — strict gate delta={delta}s vs "
+                f"tol={tol_wo_envelope}s, "
+                f"isolated={[i['median'] for i in isos]}"
+            )
+            continue
         ok = delta <= tol
         remeasured = None
         if not ok:
@@ -237,7 +300,7 @@ def main() -> int:
             if rm is not None:
                 remeasured = rm["median"]
                 rm_delta = round(
-                    min(abs(remeasured - i["median"]) for i in isos), 2
+                    min(abs(remeasured - i["median"]) for i in core), 2
                 )
                 if rm_delta <= tol:
                     ok = True
@@ -253,13 +316,23 @@ def main() -> int:
                 "envelope_capped": envelope_capped,
                 "delta": delta,
                 "tolerance": tol,
-                "envelope_dominated": bool(ok and delta > tol_wo_envelope),
+                # the two pass reasons are mutually exclusive (ADVICE r9):
+                # envelope_dominated = passed the direct gate only via the
+                # envelope term; window_drift = failed the direct gate and
+                # was rescued by the re-measure.
+                "envelope_dominated": bool(
+                    ok and delta <= tol and delta > tol_wo_envelope
+                ),
                 "remeasured_median": remeasured,
                 "window_drift": bool(ok and delta > tol),
                 "ok": ok,
             }
         )
-        flag = " [envelope-dominated]" if ok and delta > tol_wo_envelope else ""
+        flag = (
+            " [envelope-dominated]"
+            if ok and delta <= tol and delta > tol_wo_envelope
+            else ""
+        )
         if ok and delta > tol:
             flag = (
                 f" [window-drift: re-measured {remeasured}s matches isolated]"
