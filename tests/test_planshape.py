@@ -752,3 +752,41 @@ def test_quality_classifier_broadcasts_model(spark, sf_dir):
     the tokens into a sort-merge join with it."""
     plan = _plan(spark, sf_dir, "text_quality_classifier")
     assert _count(plan, "BroadcastHashJoin") >= 1, plan
+
+
+def test_nightly_ingest_probes_indexes_not_corpus(spark, sf_dir):
+    """curate_nightly_ingest: the composed nightly path must READ the
+    three persisted indexes, never rebuild any corpus-side relation —
+    the only documents.parquet scans are the two batch-side probes
+    (substring grams + MinHash signatures), the only embeddings.parquet
+    scan is the batch-side cell choice, and the gram / band-bucket /
+    shingle / IVF-cell relations all come from restored index parquet
+    (VERDICT r9 item 6: 'planshape pins zero corpus-side rebuild')."""
+    import re
+
+    plan = _plan(spark, sf_dir, "curate_nightly_ingest")
+    locs = re.findall(r"Location: InMemoryFileIndex.*", plan)
+    doc = [ln for ln in locs if "documents.parquet" in ln]
+    emb = [ln for ln in locs if "embeddings.parquet" in ln]
+    idx = [
+        ln
+        for ln in locs
+        if "gram_index_" in ln or "minhash_index_" in ln or "nightly_ivf_" in ln
+    ]
+    # batch-side scans only: substring probe reads the batch twice
+    # (token reconstruction + gram explode), MinHash probe once,
+    # embeddings cell-choice once + once more inside the dynamic-
+    # partition-pruning subquery on the IVF index scan — a from-scratch
+    # form would add a corpus-side scan per stage
+    assert len(doc) <= 3, doc
+    assert len(emb) <= 2, emb
+    assert len(idx) >= 4, locs
+    # the IVF cell join actually partition-prunes the persisted index:
+    # Spark plants a DPP subquery (batch cells -> cluster IN ...) on the
+    # partitionBy(cluster) scan
+    assert "dynamicpruning" in plan, plan
+    # and NO scan carries the corpus-side filter: every doc_id/vec_id
+    # modulo predicate in the plan must be the batch's (= 0), never the
+    # standing corpus's (NOT (= 0))
+    assert not re.search(r"NOT \(\((?:doc_id|vec_id)#\d+L? % 3\) = 0\)", plan)
+    assert re.search(r"\(doc_id#\d+L? % 3\) = 0", plan)

@@ -269,3 +269,67 @@ def test_pca_projection_properties(spark, sf_dir):
     pca_energy = ((centered @ pc) ** 2).sum()
     axis_energy = np.sort((centered ** 2).sum(0))[-16:].sum()
     assert pca_energy >= axis_energy - 1e-6
+
+
+def test_pq_index_roundtrip_equals_from_scratch(spark, sf_dir, tmp_path):
+    """write_pq_index -> read_pq_index -> ADC must be bit-identical to
+    fit+encode+probe in one plan: codes are deterministic per-row
+    functions of (corpus, codebooks) and parquet round-trips ints and
+    doubles bit-exactly, so persist/restore cannot change a code, a LUT
+    term, or the top-k. Also pins the restored codebook sidecar equal to
+    the written codebooks and, for the partitionBy(cluster) composed
+    form, that the cell filter reaches the scan as a partition filter."""
+    from delfos_etl_pipeline_spark.similarity.ivf import build_ivf_index_fixed
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        fit_pq_codebooks_fixed,
+        pq_adc_topk,
+        pq_encode,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.where(F.col("vec_id") != 0)
+    books = fit_pq_codebooks_fixed(corpus, m=8, k=16)
+    scratch = pq_adc_topk(
+        pq_encode(corpus, books), books, qvec, "vec_id", k=10
+    ).collect()
+
+    # flat PQ index
+    path = str(tmp_path / "pq")
+    write_pq_index(pq_encode(corpus, books), books, path)
+    codes_r, books_r = read_pq_index(spark, path)
+    assert books_r == books  # sidecar round-trips bit-exactly
+    restored = pq_adc_topk(codes_r, books_r, qvec, "vec_id", k=10).collect()
+    assert restored == scratch
+    # simulated restart: a second reader with no lineage to the builder
+    codes_r2, books_r2 = read_pq_index(spark, path)
+    again = pq_adc_topk(codes_r2, books_r2, qvec, "vec_id", k=10).collect()
+    assert again == scratch
+
+    # composed IVF-PQ index: partitionBy(cluster) write, pruned probe
+    assigned, cents = build_ivf_index_fixed(corpus, n_clusters=8)
+    codes_c = pq_encode(assigned, books).join(
+        assigned.select("vec_id", "cluster"), "vec_id"
+    )
+    cpath = str(tmp_path / "ivfpq")
+    write_pq_index(codes_c, books, cpath, partition_col="cluster")
+    codes_cr, books_cr = read_pq_index(spark, cpath)
+    pruned = codes_cr.where(F.col("cluster").isin([0, 3])).drop("cluster")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cluster" in seg, f"cluster filter not pushed to partitions: {seg}"
+    # pruned probe == encode-only-those-cells probe (same rows, same codes)
+    want = pq_adc_topk(
+        pq_encode(
+            assigned.where(F.col("cluster").isin([0, 3])), books
+        ),
+        books,
+        qvec,
+        "vec_id",
+        k=10,
+    ).collect()
+    got = pq_adc_topk(pruned, books_cr, qvec, "vec_id", k=10).collect()
+    assert got == want
