@@ -76,6 +76,9 @@ DEFAULT_SAMPLE = [
     "curate_pipeline_staged",
     "dedup_clusters",
     "sim_ivf_build",
+    # the r9 residual-drift victims (VERDICT r9 item 1)
+    "text_quality_classifier",
+    "emb_standardize",
 ]
 
 _CHILD = r"""
