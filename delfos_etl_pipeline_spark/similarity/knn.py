@@ -52,6 +52,15 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# NOTE (measured, r10): an unrolled element_at chain as a "codegen-
+# visible" substitute for the _dot HOF fold on column-column pairs is
+# SLOWER (nightly semantic probe 5.2s -> 7.7s at sf0.1): 64 separate
+# element_at calls re-access the array value per term, while the HOF
+# fold reads it once; the inline win in assign_fixed_centroids comes
+# from LITERAL centroid operands (constant-folded element access), not
+# from unrolling itself. Keep _dot for column-column dots.
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
