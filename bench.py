@@ -392,6 +392,29 @@ def main() -> None:
     per_query: dict[str, float] = {}
     spread: dict[str, float] = {}
     rng: dict[str, float] = {}
+
+    # Streaming throughput (VERDICT r3 item 6): steady-state micro-batch
+    # rows/sec for the stateful streaming flagships, measured from the
+    # progress feed with warmup batches excluded (streaming/bench.py), in
+    # their own fresh session. Measured FIRST, before the ~40 batch
+    # sessions: r10 found the end-of-run placement depressed all three
+    # rates 10-27% below a standalone measurement on unchanged code
+    # (JVM-lifetime accumulation — code-cache/fragmentation — survives
+    # the py4j-reused session restarts), while the front placement
+    # reproduces standalone truth. Disable with SPARK_GRAFT_STREAM_BENCH=0.
+    streaming: dict[str, float | str] = {}
+    if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
+        from delfos_etl_pipeline_spark.streaming.bench import measure_stream_rate
+
+        spark = _new_session(cpus)
+        for topo in ("windowed_agg", "dedup", "stream_join"):
+            try:
+                streaming[f"{topo}_rows_per_sec"] = measure_stream_rate(
+                    spark, topo
+                )["rows_per_sec"]
+            except Exception as exc:  # a broken harness must be visible,
+                streaming[f"{topo}_error"] = str(exc)[:80]  # not a silent 0.0
+        spark.stop()
     for chunk in chunks:
         spark = _new_session(cpus)
         # Warmup, not counted: a trivial scan, then one pass of the
@@ -496,25 +519,6 @@ def main() -> None:
                 gaps.append(times[mid + 1] - times[mid])
             spread[name] = round(min(gaps) if gaps else 0.0, 2)
             rng[name] = round(times[-1] - times[0], 2)
-
-    # Streaming throughput (VERDICT r3 item 6): steady-state micro-batch
-    # rows/sec for the stateful streaming flagships, measured from the
-    # progress feed with warmup batches excluded (streaming/bench.py), in
-    # their own fresh session like every batch chunk. Disable with
-    # SPARK_GRAFT_STREAM_BENCH=0.
-    streaming: dict[str, float | str] = {}
-    if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
-        from delfos_etl_pipeline_spark.streaming.bench import measure_stream_rate
-
-        spark = _new_session(cpus)
-        for topo in ("windowed_agg", "dedup", "stream_join"):
-            try:
-                streaming[f"{topo}_rows_per_sec"] = measure_stream_rate(
-                    spark, topo
-                )["rows_per_sec"]
-            except Exception as exc:  # a broken harness must be visible,
-                streaming[f"{topo}_error"] = str(exc)[:80]  # not a silent 0.0
-        spark.stop()
 
     total = round(sum(per_query.values()), 2)
     # The driver captures only the tail of stdout, so the official record is
