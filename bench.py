@@ -434,8 +434,17 @@ def main() -> None:
         # file-index caches are per-plan-shape one-time costs (~5s for
         # the wide dedup plans alone); the timed iterations then measure
         # steady-state engine throughput, not first-compile latency.
+        # Single-query isolate sessions warm THREE times (matching the
+        # validator's fresh-process recipe): they run first, so their
+        # plan shapes have never been C2-compiled in this JVM, and one
+        # warmup left their medians ~10-30% above isolated truth in r10
+        # run 3 (emb_standardize 2.14s bench vs 1.6s isolated). Pooled
+        # chunks keep warm_iters — 3 warmups across 8 queries costs real
+        # wall time and their shapes accumulate JIT warmth chunk over
+        # chunk anyway.
+        chunk_warm = max(warm_iters, 3) if len(chunk) == 1 else warm_iters
         load_table(spark, sf_dir, "lineitem").count()
-        for _ in range(warm_iters):
+        for _ in range(chunk_warm):
             for name in chunk:
                 try:
                     qs[name](spark, sf_dir).write.format("noop").mode(
