@@ -348,6 +348,8 @@ def main() -> None:
         "sim_ivf_probe",                # probes the persisted IVF index
         "dedup_minhash_incremental_indexed",  # probes the persisted
                                               # MinHash band-bucket index
+        # round 10 persisted-index probes — same IO class as the three
+        # above (each reads its materialized index from scratch parquet)
         "sim_pq_probe",     # probes the persisted PQ codes index
         "sim_ivfpq_probe",  # probes the persisted IVF-PQ composed index
         "curate_nightly_ingest",  # probes all three persisted indexes
@@ -358,10 +360,6 @@ def main() -> None:
         # entirely on its one task. Its distributed halo-block twin
         # (w6_rolling_median_prod) is chunk-stable and stays pooled.
         "w6_rolling_median",
-        # round 10 persisted-index probes — same IO class as above
-        "sim_pq_probe",
-        "sim_ivfpq_probe",
-        "curate_nightly_ingest",
     }
     # DRIFT-ISOLATION (VERDICT r9 item 4): even at 8-query sessions, a
     # rotating handful of pooled queries recorded ~1.2-1.35x their
@@ -404,6 +402,13 @@ def main() -> None:
     per_query: dict[str, float] = {}
     spread: dict[str, float] = {}
     rng: dict[str, float] = {}
+    # Per-query recipe provenance (ADVICE r10): isolate singles warm 3x,
+    # pooled chunks warm warm_iters, second-opinion re-times warm 1x —
+    # which recipe produced each headline number was previously only
+    # implied by isolate-set membership. Recorded in bench_diag.json so
+    # cross-round comparisons of a query that moves in/out of the isolate
+    # set are visibly cross-recipe.
+    warmups: dict[str, int] = {}
 
     # Streaming throughput (VERDICT r3 item 6): steady-state micro-batch
     # rows/sec for the stateful streaming flagships, measured from the
@@ -469,6 +474,7 @@ def main() -> None:
         # r9 measured: range > 0.5 x median for ~60 honest sub-second
         # queries whose two fastest samples agreed within 0.1s.
         for name in chunk:
+            warmups[name] = chunk_warm
             fn = qs[name]
             times = []
             for _ in range(timed_iters):
@@ -500,12 +506,15 @@ def main() -> None:
     # re-times every still-pooled query whose median is large enough for
     # ~1.3x drift to exceed the validator's jitter floor (>= 1.2s) with
     # EXACTLY the validator's re-measure recipe — fresh session, 1
-    # warmup, timed_iters runs — and keeps whichever median is SMALLER
-    # (noise is strictly additive: each median is a legitimate
-    # steady-state measurement in some clean session, and the inflated
-    # one is the one carrying co-resident GC/allocator pressure). Never
-    # silent: both numbers land in bench_diag.json under
-    # "second_opinion", so the substitution is auditable.
+    # warmup, timed_iters runs — and ALWAYS substitutes the fresh
+    # single-session median (ADVICE r10: min-of-two-noisy-medians is a
+    # downward-biased estimator — a lucky fresh session exists too —
+    # and selecting whichever is smaller fits the record to the very
+    # instrument meant to independently check it; the fresh single-query
+    # session is the declared canonical recipe, so its number is the
+    # record regardless of direction). Never silent: both numbers land
+    # in bench_diag.json under "second_opinion", so the substitution is
+    # auditable.
     second_opinion: dict[str, dict[str, float]] = {}
     recheck = [
         n for n in per_query
@@ -531,15 +540,15 @@ def main() -> None:
         mid = len(times) // 2
         fresh = round(times[mid], 2)
         second_opinion[name] = {"pooled": per_query[name], "fresh": fresh}
-        if fresh < per_query[name]:
-            per_query[name] = fresh
-            gaps = []
-            if mid > 0:
-                gaps.append(times[mid] - times[mid - 1])
-            if mid + 1 < len(times):
-                gaps.append(times[mid + 1] - times[mid])
-            spread[name] = round(min(gaps) if gaps else 0.0, 2)
-            rng[name] = round(times[-1] - times[0], 2)
+        per_query[name] = fresh
+        warmups[name] = 1
+        gaps = []
+        if mid > 0:
+            gaps.append(times[mid] - times[mid - 1])
+        if mid + 1 < len(times):
+            gaps.append(times[mid + 1] - times[mid])
+        spread[name] = round(min(gaps) if gaps else 0.0, 2)
+        rng[name] = round(times[-1] - times[0], 2)
 
     total = round(sum(per_query.values()), 2)
     # The driver captures only the tail of stdout, so the official record is
@@ -570,6 +579,7 @@ def main() -> None:
                         "queries": per_query,
                         "spread": spread,
                         "range": rng,
+                        "warmups": warmups,
                         "iters": timed_iters,
                         "sf": sf,
                         "streaming": streaming,

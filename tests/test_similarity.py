@@ -333,3 +333,68 @@ def test_pq_index_roundtrip_equals_from_scratch(spark, sf_dir, tmp_path):
     ).collect()
     got = pq_adc_topk(pruned, books_cr, qvec, "vec_id", k=10).collect()
     assert got == want
+
+
+def test_pq_trained_fit_single_scan_and_identical(spark, sf_dir):
+    """VERDICT r10 item 4: fit_pq_codebooks_kmeans must read the corpus
+    ONCE (all m slice projections materialized in one persisted pass),
+    and the single-scan form must produce BIT-IDENTICAL codebooks to the
+    per-slice-scan form (same seeds, same data, same partitioning)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from delfos_etl_pipeline_spark.similarity.pq import fit_pq_codebooks_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = emb.mapInPandas(count_rows, schema=emb.schema)
+    books = fit_pq_codebooks_kmeans(counted, m=8, k=16)
+
+    # one corpus scan: every row passed the counting boundary exactly once
+    # (the persisted slice projection served all 8 subspace fits)
+    assert acc.value == n, f"corpus scanned {acc.value / n:.1f}x, want 1x"
+
+    # bit-identical to the old m-scan form
+    sub = 64 // 8
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    for j in range(8):
+        feat = emb.select(
+            array_to_vector(F.slice(e, j * sub + 1, sub)).alias("_fv")
+        )
+        model = KMeans(k=16, seed=7 + j, featuresCol="_fv").fit(feat)
+        old = [[float(x) for x in c] for c in model.clusterCenters()]
+        assert books[j] == old, f"subspace {j} codebook drifted"
+
+
+def test_pq_corrupt_sidecar_fails_loudly(spark, sf_dir, tmp_path):
+    """ADVICE r10: a truncated codebook sidecar must raise at restore
+    time, not surface as a None centroid inside the ADC builder."""
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        fit_pq_codebooks_fixed,
+        pq_encode,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks_fixed(emb, m=8, k=16)
+    path = str(tmp_path / "pq_corrupt")
+    write_pq_index(pq_encode(emb, books), books, path)
+
+    side = spark.read.parquet(f"{path}/codebooks")
+    truncated = side.orderBy("j", "cid").limit(100).collect()
+    (
+        spark.createDataFrame(truncated, side.schema)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/codebooks")
+    )
+    with pytest.raises(ValueError, match="corrupt PQ codebook sidecar"):
+        read_pq_index(spark, path)
