@@ -224,6 +224,8 @@ HEADLINE = [
     "sim_pq_probe",
     "sim_ivfpq_probe",
     "curate_nightly_ingest",
+    # round 11
+    "curate_nightly_ingest_day2",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,
@@ -353,6 +355,8 @@ def main() -> None:
         "sim_pq_probe",     # probes the persisted PQ codes index
         "sim_ivfpq_probe",  # probes the persisted IVF-PQ composed index
         "curate_nightly_ingest",  # probes all three persisted indexes
+        "curate_nightly_ingest_day2",  # probes the MERGED three-index
+                                       # state (r11 maintenance capstone)
         # session-sensitive, not IO: the deliberately sequential 5-key
         # single-task window — measured 3.84s in-chunk vs 3.2s in ANY
         # fresh session (bench-style warmup+iters, reproduced across all

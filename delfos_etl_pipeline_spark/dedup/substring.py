@@ -286,3 +286,59 @@ def remove_spans_matching_indexed(
     ref_grams = spark.read.parquet(index_path)
     withg, g = _doc_grams(df, id_col, text_col, k, hashed)
     return _probe_and_cut(withg, g, ref_grams, k)
+
+
+def merge_into_gram_index(
+    batch_df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    hashed: bool = True,
+) -> None:
+    """Index MAINTENANCE (VERDICT r10 item 1): append an ACCEPTED ingest
+    batch's distinct k-grams to an existing :func:`write_gram_index`
+    materialization, so day N+1 dedups against corpus ∪ day-N keeps
+    without rebuilding the standing index.
+
+    Append-only-log design: the merge writes the batch's (internally
+    distinct) grams as NEW parquet files under the same path — pure
+    O(batch) work, no read, rewrite, or anti-join of the standing
+    relation (at 100 TB the standing gram set is the thing we must not
+    touch nightly). A gram present in both generations appears twice in
+    the stored relation; the probe is a ``left_semi`` join against the
+    gram SET, so duplicates cannot change a single cut span (pytest pins
+    merged-probe ≡ rebuilt-from-scratch-probe). Periodic offline
+    compaction (a distinct rewrite) is a storage optimization, never a
+    correctness requirement."""
+    _, g = _doc_grams(batch_df, id_col, text_col, k, hashed)
+    g.select("gram").distinct().repartition("gram").write.mode(
+        "append"
+    ).parquet(path)
+
+
+def compact_gram_index(spark, path: str) -> None:
+    """Offline COMPACTION for an append-only gram index: rewrite the
+    relation as distinct, gram-clustered files. Generations of
+    :func:`merge_into_gram_index` appends can re-store a gram that
+    already exists (correctness-neutral — the probe is a semi-join
+    against the gram SET) and accumulate small files; compaction
+    reclaims the storage and restores one-row-per-gram. Runs out of
+    band (a weekend job at 100 TB), never on the nightly path; pytest
+    pins probe-for-probe equality across a compaction."""
+    compacted = (
+        spark.read.parquet(path).distinct().repartition("gram")
+    )
+    # parquet cannot be overwritten in place while it is the scan source:
+    # stage the compacted relation, then swap directories atomically-ish
+    # (rename) — at 100 TB this is the table-format-commit step (Iceberg/
+    # Delta snapshot swap); plain-directory rename keeps the same contract
+    import os
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="gram_compact_", dir=os.path.dirname(path))
+    compacted.write.mode("overwrite").parquet(os.path.join(staging, "grams"))
+    shutil.rmtree(path)
+    os.rename(os.path.join(staging, "grams"), path)
+    shutil.rmtree(staging, ignore_errors=True)

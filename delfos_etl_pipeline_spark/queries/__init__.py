@@ -76,6 +76,64 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # first). Exactly 50. Same contract as every round: a name lands here
 # in the SAME commit that registers/changes it (_driver_order() and
 # tests/test_registry.py hard-fail on unknown names).
+# Round 11 window (VERDICT r10 items 1-2): lead with the recerts —
+# curate_nightly_ingest (body factored into the shared
+# _disposition_plan and its oracle regenerated from the parameterized
+# template; DuckDB-verified bit-identical to the r10 literal before
+# commit) and dedup_minhash_incremental_indexed (write_minhash_index
+# factored into _write_minhash_relations for the append-mode merge;
+# derivation unchanged), plus the two PQ probes (read_pq_index gained
+# the corrupt-sidecar guard, ADVICE r10) — then the new maintenance
+# registration, then the FULL 40-name r4-evidence cohort, then 5 r5
+# names to fill exactly 50 (the evidence floor moves to r5). Same
+# contract as every round: a name lands here in the SAME commit that
+# registers/changes it (_driver_order() and tests/test_registry.py
+# hard-fail on unknown names).
+_R11_RECERT: list[str] = [
+    "curate_nightly_ingest",              # refactor + templated oracle
+    "dedup_minhash_incremental_indexed",  # shared-writer refactor
+    "sim_pq_probe",                       # restore-time sidecar guard
+    "sim_ivfpq_probe",                    # restore-time sidecar guard
+]
+
+_R11_NEW: list[str] = [
+    "curate_nightly_ingest_day2",  # certified index MAINTENANCE
+        # (VERDICT r10 item 1): day-1 keeps merged into the persisted
+        # gram/MinHash/IVF indexes via the append-only merge_into_*
+        # functions; day-2 batch probes the MERGED state; oracle = the
+        # from-scratch replay over corpus ∪ day-1 keeps (the nightly
+        # template instantiated twice in one flat WITH list)
+]
+
+# The full r4-evidence cohort (40 names, registry order): zero code
+# changes, fresh driver rows continue the oldest-first freshness
+# rotation — after this window the evidence floor moves from r4 to r5
+# (VERDICT r10 item 2).
+_R11_STALE_REFRESH: list[str] = [
+    "j_bloom_semi_join", "a_string_agg", "a_percentiles_approx",
+    "w6_rolling_median", "w7_running_distinct", "w8_ewma",
+    "layout_zorder_key", "skyline_orders", "dedup_jaccard_prefix",
+    "dedup_clusters_bigstar", "graph_triangles", "graph_pagerank",
+    "dedup_dupngram_fraction", "er_canonical_records",
+    "emb_centroid_by_label", "emb_project_jl", "text_tfidf_top_terms",
+    "text_bm25_search", "curate_pipeline_staged", "mm_audio_features",
+    "text_bpe_train", "dq_expectations", "percentiles_daily_approx",
+    "sample_weighted_ares", "hist_equidepth", "dau_wau_rolling",
+    "profile_corr_matrix", "profile_spearman_corr", "scd2_point_in_time",
+    "orders_open_concurrency", "basket_association_rules",
+    "a_distinct_weekly", "anomaly_seasonal_zscore", "chi2_independence",
+    "mutual_information", "weighted_percentiles",
+    "order_lifecycle_snapshot", "ks_two_sample", "cusum_changepoint",
+    "heavy_hitters",
+]
+
+# 5 oldest r5-evidence names (registry order) to fill the window to
+# exactly 50.
+_R11_R5_FILL: list[str] = [
+    "json_props_extract", "f_datetime_suite", "w6_rolling_median_prod",
+    "w10_rolling_corr", "w11_range_interval",
+]
+
 _R10_RECERT: list[str] = [
     "dedup_substring_incremental",  # r8 row predates the write-once fix
                                     # (VERDICT r9 item 2); also refactored
@@ -646,25 +704,30 @@ _RECERTIFIED_R3 = {
 def _driver_order() -> list[str]:
     """Order queries() so the driver's ~50-query rotating correctness
     window always covers (a) everything new or behavior-changed this
-    round (the _R10_* lists — recerts lead per VERDICT r9 item 2), then
-    (b) the queries whose driver evidence is oldest (_R10_STALE_REFRESH
-    = the full r3 cohort + 6 r4 names), then (c) one flagship per
+    round (the _R11_* lists — recerts lead per VERDICT r9 item 2), then
+    (b) the queries whose driver evidence is oldest (_R11_STALE_REFRESH
+    = the full r4 cohort + 5 r5 names), then (c) one flagship per
     operator family, then the rest. As of r6 every registration has a
     hash-green driver row, so the tail order only controls evidence
     freshness."""
+    r11_front = (
+        _R11_RECERT + _R11_NEW + _R11_STALE_REFRESH + _R11_R5_FILL
+    )
+    missing = [n for n in r11_front if n not in QUERIES]
+    assert not missing, (
+        f"window names not registered: {missing} — a _R11_* entry must "
+        "land in the same commit as its @query registration"
+    )
     r10_front = (
         _R10_RECERT + _R10_NEW + _R10_STALE_REFRESH + _R10_R4_REFRESH
-    )
-    missing = [n for n in r10_front if n not in QUERIES]
-    assert not missing, (
-        f"window names not registered: {missing} — a _R10_* entry must "
-        "land in the same commit as its @query registration"
     )
     r9_front = (
         _R9_NEW + _R9_RECERT + _R9_STALE_REFRESH + _R9_TWIN_RECERT
     )
     r8_front = _R8_NEW + _R8_RECERT + _R8_STALE_REFRESH
-    front = list(dict.fromkeys(r10_front))
+    front = list(dict.fromkeys(r11_front))
+    placed = set(front)
+    front += [n for n in r10_front if n in QUERIES and n not in placed]
     placed = set(front)
     front += [n for n in r9_front if n in QUERIES and n not in placed]
     placed = set(front)

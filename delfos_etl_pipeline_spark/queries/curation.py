@@ -986,11 +986,30 @@ def curate_semantic_decontaminate(spark, sf_dir):
 _NIGHTLY_IVF_STATE: dict = {}
 
 
+#: Target IVF cell size for the nightly semantic stage (VERDICT r10
+#: item 5): n_clusters scales with the corpus at CONSTANT cell size —
+#: production IVF serving semantics, where per-probe work is
+#: n_probe × cell_size regardless of corpus growth. 42 is calibrated so
+#: the sf0.001/sf0.01 corpora (333 vectors) land exactly on the r10
+#: fixed k=8 quantizer (ceil(333/42) = 8 — the certified behavior at the
+#: driver SF is bit-unchanged), while sf0.1 (1,333) scales to k=32.
+_NIGHTLY_TARGET_CELL_ROWS = 42
+
+
+def _scaled_n_clusters(n_corpus: int) -> int:
+    """max(8, ceil(corpus / target_cell_rows)) — the oracle computes the
+    same expression in SQL (greatest(8, ceil(count(*) / 42.0))), so the
+    quantizer size is a deterministic corpus function on both engines."""
+    return max(8, -(-n_corpus // _NIGHTLY_TARGET_CELL_ROWS))
+
+
 def _ensure_nightly_ivf_index(spark, sf_dir):
     """(path, centroids) for the nightly semantic check: the corpus-side
     embeddings (vec_id % 3 != 0 — vec_id is the doc_id stand-in key)
-    assigned to 8 fixed cells and persisted partitionBy(cluster) ONCE
-    per (process, corpus), like ensure_gram_index / ensure_minhash_index."""
+    assigned to max(8, ceil(|corpus|/42)) fixed cells (constant cell
+    size as the corpus grows — see _NIGHTLY_TARGET_CELL_ROWS) and
+    persisted partitionBy(cluster) ONCE per (process, corpus), like
+    ensure_gram_index / ensure_minhash_index."""
     import atexit
     import os
     import shutil
@@ -1008,7 +1027,8 @@ def _ensure_nightly_ivf_index(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         corpus = emb.where(F.col("vec_id") % 3 != 0)
         assigned, cents = build_ivf_index_fixed(
-            corpus, "vec_id", "embedding", n_clusters=8
+            corpus, "vec_id", "embedding",
+            n_clusters=_scaled_n_clusters(corpus.count()),
         )
         workdir = tempfile.mkdtemp(prefix="nightly_ivf_")
         atexit.register(shutil.rmtree, workdir, ignore_errors=True)
@@ -1032,115 +1052,148 @@ def _ensure_nightly_ivf_index(spark, sf_dir):
     return state
 
 
-_NIGHTLY_ORACLE = """
-    WITH batch AS (
+def _nightly_ctes(
+    p: str,
+    batch_pred: str,
+    ref_pred: str,
+    emb_batch_pred: str,
+    emb_ref_pred: str,
+    cent_pred: str,
+) -> str:
+    """CTE chain of the nightly-ingest FROM-SCRATCH replay, parameterized
+    on the batch/reference split predicates (VERDICT r10 item 1). The
+    single-day oracle (_NIGHTLY_ORACLE) instantiates it once with the
+    doc_id % 3 split; the day-2 maintenance oracle (_DAY2_ORACLE)
+    instantiates it TWICE in one flat WITH list — a ``d1_``-prefixed
+    replay whose accepted documents feed the ``d2_`` chain's reference
+    predicates — so the day-2 hash match certifies the MERGED indexes
+    equal a from-scratch rebuild over corpus ∪ day-1 keeps.
+
+    ``cent_pred`` selects the quantizer training set and stays the DAY-0
+    corpus in BOTH chains: IVF serving freezes the quantizer at build
+    time — ingest grows cells, it never re-trains centroids
+    (similarity/ivf.py::merge_into_ivf_index)."""
+    return f"""
+    {p}batch AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
-      FROM documents WHERE doc_id % 3 = 0
+      FROM documents WHERE {batch_pred}
     ),
-    ref AS (
+    {p}ref AS (
       SELECT regexp_split_to_array(lower(text), '\\s+') AS w
-      FROM documents WHERE doc_id % 3 <> 0
+      FROM documents WHERE {ref_pred}
     ),
-    eg AS (
+    {p}eg AS (
       SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS g
-      FROM ref, unnest(generate_series(1, greatest(len(w)-4, 0))) AS t(i)
+      FROM {p}ref, unnest(generate_series(1, greatest(len(w)-4, 0))) AS t(i)
     ),
-    cg AS (
+    {p}cg AS (
       SELECT doc_id, i AS start, array_to_string(w[i:i+4], ' ') AS g
-      FROM batch, unnest(generate_series(1, greatest(len(w)-4, 0))) AS t(i)
+      FROM {p}batch, unnest(generate_series(1, greatest(len(w)-4, 0))) AS t(i)
     ),
-    dstart AS (
-      SELECT doc_id, start FROM cg WHERE g IN (SELECT g FROM eg)
+    {p}dstart AS (
+      SELECT doc_id, start FROM {p}cg WHERE g IN (SELECT g FROM {p}eg)
     ),
-    covered AS (
+    {p}covered AS (
       SELECT DISTINCT doc_id, start + j AS pos
-      FROM dstart, unnest(generate_series(0, 4)) AS t(j)
+      FROM {p}dstart, unnest(generate_series(0, 4)) AS t(j)
     ),
-    cov_ct AS (SELECT doc_id, count(*) AS n_rm FROM covered GROUP BY doc_id),
-    sub AS (
+    {p}cov_ct AS (
+      SELECT doc_id, count(*) AS n_rm FROM {p}covered GROUP BY doc_id
+    ),
+    {p}sub AS (
       SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS n_tokens,
              CAST(coalesce(c.n_rm, 0) AS BIGINT) AS n_removed,
              floor(coalesce(c.n_rm, 0) * 1.0 / len(b.w) * 1000000.0 + 0.5)
                / 1000000.0 AS removed_fraction
-      FROM batch b LEFT JOIN cov_ct c USING (doc_id)
+      FROM {p}batch b LEFT JOIN {p}cov_ct c USING (doc_id)
     ),
-    d AS (
-      SELECT doc_id, doc_id % 3 = 0 AS is_new,
+    {p}d AS (
+      SELECT doc_id, ({batch_pred}) AS is_new, ({ref_pred}) AS is_ref,
              regexp_split_to_array(lower(text), '\\s+') AS words
       FROM documents
     ),
-    sh AS (
-      SELECT doc_id, is_new,
+    {p}sh AS (
+      SELECT doc_id, is_new, is_ref,
              list_distinct(list_transform(
                range(1, greatest(len(words) - 2, 0) + 1),
                i -> array_to_string(list_slice(words, i, i + 2), ' ')
              )) AS shingles
-      FROM d
+      FROM {p}d WHERE is_new OR is_ref
     ),
-    sig AS (
-      SELECT doc_id, is_new,
+    {p}sig AS (
+      SELECT doc_id, is_new, is_ref,
              list_transform(range(0, 64), i ->
                list_min(list_transform(shingles,
                  s -> md5(i::VARCHAR || '|' || s)))) AS sg
-      FROM sh WHERE len(shingles) > 0
+      FROM {p}sh WHERE len(shingles) > 0
     ),
-    bands AS (
-      SELECT doc_id, is_new, band,
+    {p}bands AS (
+      SELECT doc_id, is_new, is_ref, band,
              md5(array_to_string(
                list_slice(sg, band * 4 + 1, band * 4 + 4), '|')) AS bucket
-      FROM sig, unnest(range(0, 16)) AS t(band)
+      FROM {p}sig, unnest(range(0, 16)) AS t(band)
     ),
-    cand AS (
+    {p}cand AS (
       SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-      WHERE a.is_new AND NOT b.is_new
+      FROM {p}bands a JOIN {p}bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.is_new AND b.is_ref
     ),
-    j AS (
+    {p}j AS (
       SELECT c.doc_new, c.doc_old,
              len(list_intersect(x.shingles, y.shingles)) AS shared,
              len(x.shingles) AS sa, len(y.shingles) AS sb
-      FROM cand c
-      JOIN sh x ON x.doc_id = c.doc_new
-      JOIN sh y ON y.doc_id = c.doc_old
+      FROM {p}cand c
+      JOIN {p}sh x ON x.doc_id = c.doc_new
+      JOIN {p}sh y ON y.doc_id = c.doc_old
     ),
-    mh AS (
+    {p}mh AS (
       SELECT doc_new AS doc_id,
              max(round(shared * 1.0 / (sa + sb - shared), 6)) AS top_jaccard
-      FROM j
+      FROM {p}j
       WHERE round(shared * 1.0 / (sa + sb - shared), 6) >= 0.6
       GROUP BY doc_new
     ),
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    corp AS (SELECT vec_id, e FROM v WHERE vec_id % 3 <> 0),
-    bvec AS (SELECT vec_id, e FROM v WHERE vec_id % 3 = 0),
-    cent AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
-      FROM (SELECT vec_id, e FROM corp ORDER BY vec_id LIMIT 8)
+    {p}v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    {p}corp AS (SELECT vec_id, e FROM {p}v WHERE {emb_ref_pred}),
+    {p}bvec AS (SELECT vec_id, e FROM {p}v WHERE {emb_batch_pred}),
+    {p}cent AS (
+      SELECT rn - 1 AS cid, e AS ce
+      FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, e
+            FROM {p}v WHERE {cent_pred})
+      WHERE rn <= (SELECT greatest(8, CAST(ceil(count(*) / 42.0) AS BIGINT))
+                   FROM {p}v WHERE {cent_pred})
     ),
-    assign AS (
-      SELECT c.vec_id, c.e, t.cid AS cluster FROM corp c JOIN cent t ON true
+    {p}assign AS (
+      SELECT c.vec_id, c.e, t.cid AS cluster
+      FROM {p}corp c JOIN {p}cent t ON true
       QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
         list_dot_product(c.e, t.ce) /
           (sqrt(list_dot_product(c.e, c.e)) *
            sqrt(list_dot_product(t.ce, t.ce))) DESC, t.cid) = 1
     ),
-    probe AS (
-      SELECT b.vec_id AS bq_id, t.cid FROM bvec b JOIN cent t ON true
+    {p}probe AS (
+      SELECT b.vec_id AS bq_id, t.cid FROM {p}bvec b JOIN {p}cent t ON true
       QUALIFY row_number() OVER (PARTITION BY b.vec_id ORDER BY
         list_dot_product(b.e, t.ce) /
           (sqrt(list_dot_product(b.e, b.e)) *
            sqrt(list_dot_product(t.ce, t.ce))) DESC, t.cid) <= 2
     ),
-    sem AS (
+    {p}sem AS (
       SELECT p.bq_id,
              max(round(list_dot_product(b.e, a.e) /
                  (sqrt(list_dot_product(b.e, b.e)) *
                   sqrt(list_dot_product(a.e, a.e))), 6)) AS sem_top1_sim
-      FROM probe p
-      JOIN assign a ON a.cluster = p.cid
-      JOIN bvec b ON b.vec_id = p.bq_id
+      FROM {p}probe p
+      JOIN {p}assign a ON a.cluster = p.cid
+      JOIN {p}bvec b ON b.vec_id = p.bq_id
       GROUP BY p.bq_id
-    )
+    )"""
+
+
+def _nightly_select(p: str) -> str:
+    """Final disposition projection over a :func:`_nightly_ctes` chain."""
+    return f"""
     SELECT s.doc_id, s.n_tokens, s.n_removed, s.removed_fraction,
            coalesce(m.top_jaccard, 0.0) AS top_jaccard,
            CAST(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
@@ -1151,50 +1204,42 @@ _NIGHTLY_ORACLE = """
                 WHEN s.removed_fraction >= 0.5 THEN 'drop_substring_heavy'
                 WHEN s.n_removed > 0 THEN 'keep_cleaned'
                 ELSE 'keep' END AS disposition
-    FROM sub s
-    LEFT JOIN mh m ON m.doc_id = s.doc_id
-    LEFT JOIN sem se ON se.bq_id = s.doc_id
-    """
+    FROM {p}sub s
+    LEFT JOIN {p}mh m ON m.doc_id = s.doc_id
+    LEFT JOIN {p}sem se ON se.bq_id = s.doc_id"""
 
 
-@query("curate_nightly_ingest", oracle=_NIGHTLY_ORACLE)
-def curate_nightly_ingest(spark, sf_dir):
-    """The COMPOSED incremental nightly flagship (VERDICT r9 item 6):
-    the arriving batch (doc_id % 3 == 0) runs through ALL THREE
-    persisted standing-corpus indexes in one plan and emits a
-    per-document disposition —
+_NIGHTLY_ORACLE = (
+    "WITH"
+    + _nightly_ctes(
+        "",
+        "doc_id % 3 = 0",
+        "doc_id % 3 <> 0",
+        "vec_id % 3 = 0",
+        "vec_id % 3 <> 0",
+        "vec_id % 3 <> 0",
+    )
+    + _nightly_select("")
+)
 
-    1. gram substring cut: probe the persisted 5-gram index
-       (ensure_gram_index — the dedup_substring_incremental relation)
-       for corpus-duplicated span removal (n_removed/removed_fraction);
-    2. MinHash near-dup flag: probe the persisted band-bucket + shingle
-       index (ensure_minhash_index — the
-       dedup_minhash_incremental_indexed relations) for jaccard >= 0.6
-       corpus near-duplicates (top_jaccard/near_dup);
-    3. IVF semantic neighbor check: each batch embedding (vec_id is the
-       doc_id stand-in key) probes its 2 nearest cells of the persisted
-       partitionBy(cluster) corpus index for its max corpus cosine
-       (sem_top1_sim; 0.4 is the drop gate calibrated to this synthetic
-       corpus — real embeddings would gate ~0.95).
 
-    The oracle chains the three certified FROM-SCRATCH replays
-    (dedup_substring_incremental's span cut, _INCR_MINHASH_ORACLE's
-    banding, the sim_ivf fixed-quantizer assignment/probe), so the hash
-    match certifies the three materializations COMPOSE — each index was
-    previously certified alone. Each query/bench invocation pays only
-    batch-side work: O(batch grams + gram probe) + O(batch signatures +
-    bucket probe) + O(batch × probed cells); the standing corpus is
-    never re-tokenized, re-hashed, re-banded, or re-assigned. At 100 TB
-    this is the whole nightly ingest path as ONE number."""
+def _disposition_plan(
+    spark, sf_dir, doc_pred, vec_pred, gram_path, mh_path, ivf_path, cents
+):
+    """The composed nightly-ingest PROBE plan, shared verbatim by the
+    single-day flagship (curate_nightly_ingest) and the day-2
+    maintenance query (curate_nightly_ingest_day2): the batch selected
+    by ``doc_pred``/``vec_pred`` runs through the three PERSISTED
+    standing-corpus indexes at ``gram_path``/``mh_path``/``ivf_path``
+    (quantizer ``cents`` frozen at build time) and emits one disposition
+    row per batch document. All corpus-side work lives in the index
+    materializations; this plan pays only O(batch grams + gram probe) +
+    O(batch signatures + bucket probe) + O(batch × probed cells)."""
     from delfos_etl_pipeline_spark.dedup.minhash import (
         minhash_lsh_pairs_indexed,
     )
     from delfos_etl_pipeline_spark.dedup.substring import (
         remove_spans_matching_indexed,
-    )
-    from delfos_etl_pipeline_spark.queries.dedup import (
-        ensure_gram_index,
-        ensure_minhash_index,
     )
     from delfos_etl_pipeline_spark.similarity.knn import (
         _as_double,
@@ -1204,25 +1249,24 @@ def curate_nightly_ingest(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    batch = docs.where(F.col("doc_id") % 3 == 0)
+    batch = docs.where(doc_pred)
     sub = remove_spans_matching_indexed(
-        batch, ensure_gram_index(spark, sf_dir), "doc_id", "text",
-        k=5, hashed=False,
+        batch, gram_path, "doc_id", "text", k=5, hashed=False,
     )
     mh = (
         minhash_lsh_pairs_indexed(
-            batch, ensure_minhash_index(spark, sf_dir), "doc_id", "text",
+            batch, mh_path, "doc_id", "text",
             n=3, threshold=0.6, hash_fn="md5",
         )
         .groupBy("doc_new")
         .agg(F.max("jaccard").alias("top_jaccard"))
     )
-    path, cents = _ensure_nightly_ivf_index(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     v = _as_double("embedding")
-    # per-batch-vector probe-cell choice: argtop-2 cosine over the 8
-    # centroid literals, ties to the LOWEST cid (sort_array DESC on
-    # (sim, -cid) structs == the oracle's ORDER BY sim DESC, cid ASC)
+    # per-batch-vector probe-cell choice: argtop-2 cosine over the k
+    # centroid literals (k scale-aware — _scaled_n_clusters), ties to
+    # the LOWEST cid (sort_array DESC on (sim, -cid) structs == the
+    # oracle's ORDER BY sim DESC, cid ASC)
     scored = F.array(
         *[
             F.struct(
@@ -1243,13 +1287,13 @@ def curate_nightly_ingest(spark, sf_dir):
     # pays ONE 64-element dot fold instead of three (measured 5.2s ->
     # ~1.8s at sf0.1). Same doubles, same association as the oracle's
     # dot(b,a) / (sqrt(dot(b,b)) * sqrt(dot(a,a))).
-    bq = emb.where(F.col("vec_id") % 3 == 0).select(
+    bq = emb.where(vec_pred).select(
         F.col("vec_id").alias("bq_id"),
         v.alias("bq_e"),
         F.sqrt(_dot(v, v)).alias("bq_n"),
         F.explode(cells).alias("cell"),
     )
-    idx = spark.read.parquet(path).select(
+    idx = spark.read.parquet(ivf_path).select(
         _as_double("embedding").alias("cv_e"), "cv_n", "cluster"
     )
     sem = (
@@ -1285,4 +1329,227 @@ def curate_nightly_ingest(spark, sf_dir):
             .otherwise("keep")
             .alias("disposition"),
         )
+    )
+
+
+@query("curate_nightly_ingest", oracle=_NIGHTLY_ORACLE)
+def curate_nightly_ingest(spark, sf_dir):
+    """The COMPOSED incremental nightly flagship (VERDICT r9 item 6):
+    the arriving batch (doc_id % 3 == 0) runs through ALL THREE
+    persisted standing-corpus indexes in one plan and emits a
+    per-document disposition —
+
+    1. gram substring cut: probe the persisted 5-gram index
+       (ensure_gram_index — the dedup_substring_incremental relation)
+       for corpus-duplicated span removal (n_removed/removed_fraction);
+    2. MinHash near-dup flag: probe the persisted band-bucket + shingle
+       index (ensure_minhash_index — the
+       dedup_minhash_incremental_indexed relations) for jaccard >= 0.6
+       corpus near-duplicates (top_jaccard/near_dup);
+    3. IVF semantic neighbor check: each batch embedding (vec_id is the
+       doc_id stand-in key) probes its 2 nearest cells of the persisted
+       partitionBy(cluster) corpus index for its max corpus cosine
+       (sem_top1_sim; 0.4 is the drop gate calibrated to this synthetic
+       corpus — real embeddings would gate ~0.95).
+
+    The oracle chains the three certified FROM-SCRATCH replays
+    (dedup_substring_incremental's span cut, _INCR_MINHASH_ORACLE's
+    banding, the sim_ivf fixed-quantizer assignment/probe), so the hash
+    match certifies the three materializations COMPOSE — each index was
+    previously certified alone. Each query/bench invocation pays only
+    batch-side work: O(batch grams + gram probe) + O(batch signatures +
+    bucket probe) + O(batch × probed cells); the standing corpus is
+    never re-tokenized, re-hashed, re-banded, or re-assigned. At 100 TB
+    this is the whole nightly ingest path as ONE number."""
+    from delfos_etl_pipeline_spark.queries.dedup import (
+        ensure_gram_index,
+        ensure_minhash_index,
+    )
+
+    ivf_path, cents = _ensure_nightly_ivf_index(spark, sf_dir)
+    return _disposition_plan(
+        spark,
+        sf_dir,
+        F.col("doc_id") % 3 == 0,
+        F.col("vec_id") % 3 == 0,
+        ensure_gram_index(spark, sf_dir),
+        ensure_minhash_index(spark, sf_dir),
+        ivf_path,
+        cents,
+    )
+
+
+#: curate_nightly_ingest_day2's merged-index state, one per
+#: (process, sf_dir) — see _ensure_day2_indexes.
+_DAY2_STATE: dict = {}
+
+
+def _ensure_day2_indexes(spark, sf_dir):
+    """Day-2 maintenance state (VERDICT r10 item 1), built ONCE per
+    (process, corpus): PRIVATE day-0 indexes over the standing corpus
+    (doc_id % 3 != 0 — the same split the single-day flagship probes,
+    but separate directories because maintenance MUTATES them), the
+    day-1 batch (doc_id % 6 == 0) ingested through them, its disposition
+    table materialized (the nightly run's output relation), and the
+    ACCEPTED documents (disposition keep/keep_cleaned — original text;
+    their embeddings assigned to the FROZEN day-0 quantizer) merged into
+    all three indexes via the append-only maintenance functions
+    (merge_into_gram_index / merge_into_minhash_index /
+    merge_into_ivf_index). Returns (gram_path, mh_path, ivf_path, cents)
+    — the merged state the day-2 query probes.
+
+    At 100 TB each nightly close is O(day's keeps): append the keeps'
+    grams, band+shingle rows, and assigned+encoded vectors as new files/
+    partitions; the standing index rows are never read, rewritten, or
+    re-derived. Day N+1 then dedups against corpus ∪ all prior keeps
+    without a rebuild — the gap VERDICT r10 named ('day N+1 either
+    rebuilds from scratch or silently dedups against a stale corpus')."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        merge_into_minhash_index,
+        write_minhash_index,
+    )
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        merge_into_gram_index,
+        write_gram_index,
+    )
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        assign_fixed_centroids,
+        build_ivf_index_fixed,
+        merge_into_ivf_index,
+        write_ivf_index,
+    )
+    from delfos_etl_pipeline_spark.similarity.knn import _as_double, _dot
+
+    state = _DAY2_STATE.get(sf_dir)
+    if state is None:
+        workdir = tempfile.mkdtemp(prefix="nightly_day2_")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+        gram = os.path.join(workdir, "grams")
+        mh = os.path.join(workdir, "lsh")
+        ivf = os.path.join(workdir, "ivf")
+        docs = _t(spark, sf_dir, "documents")
+        emb = _t(spark, sf_dir, "embeddings")
+
+        # day 0: build the three standing-corpus indexes (same params as
+        # the certified single-stage queries: literal 5-grams, md5
+        # 3-shingle MinHash, scale-aware fixed-cell IVF + precomputed
+        # L2 norms)
+        corpus0 = docs.where(F.col("doc_id") % 3 != 0)
+        write_gram_index(corpus0, gram, "doc_id", "text", k=5, hashed=False)
+        write_minhash_index(corpus0, mh, "doc_id", "text", n=3, hash_fn="md5")
+        corp0 = emb.where(F.col("vec_id") % 3 != 0)
+        assigned, cents = build_ivf_index_fixed(
+            corp0, "vec_id", "embedding",
+            n_clusters=_scaled_n_clusters(corp0.count()),
+        )
+        e = _as_double("embedding")
+        write_ivf_index(
+            assigned.select(
+                "vec_id", "embedding",
+                F.sqrt(_dot(e, e)).alias("cv_n"), "cluster",
+            ),
+            ivf,
+        )
+
+        # day 1: ingest the batch, MATERIALIZE its dispositions (the
+        # nightly run's output table in production — also breaks lineage,
+        # so the merges below never re-read the index paths they append
+        # to inside their own write jobs)
+        disp1 = os.path.join(workdir, "disp_day1")
+        _disposition_plan(
+            spark, sf_dir,
+            F.col("doc_id") % 6 == 0, F.col("vec_id") % 6 == 0,
+            gram, mh, ivf, cents,
+        ).write.parquet(disp1)
+        keeps = (
+            spark.read.parquet(disp1)
+            .where(F.col("disposition").isin("keep", "keep_cleaned"))
+            .select("doc_id")
+        )
+
+        # close of day 1: merge the accepted batch into the standing
+        # indexes — pure O(keeps) appends, frozen quantizer
+        keep_docs = docs.join(keeps, "doc_id", "left_semi")
+        merge_into_gram_index(keep_docs, gram, "doc_id", "text",
+                              k=5, hashed=False)
+        merge_into_minhash_index(keep_docs, mh, "doc_id", "text",
+                                 n=3, hash_fn="md5")
+        keep_emb = emb.join(
+            keeps.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi"
+        )
+        merge_into_ivf_index(
+            assign_fixed_centroids(keep_emb, cents, inline=True).select(
+                "vec_id", "embedding",
+                F.sqrt(_dot(e, e)).alias("cv_n"), "cluster",
+            ),
+            ivf,
+        )
+        state = (gram, mh, ivf, cents)
+        _DAY2_STATE[sf_dir] = state
+    return state
+
+
+_DAY2_ORACLE = (
+    "WITH"
+    + _nightly_ctes(
+        "d1_",
+        "doc_id % 6 = 0",
+        "doc_id % 3 <> 0",
+        "vec_id % 6 = 0",
+        "vec_id % 3 <> 0",
+        "vec_id % 3 <> 0",
+    )
+    + ",\n    k1 AS (\n      SELECT doc_id FROM ("
+    + _nightly_select("d1_")
+    + "\n      ) WHERE disposition IN ('keep', 'keep_cleaned')\n    ),"
+    + _nightly_ctes(
+        "d2_",
+        "doc_id % 6 = 3",
+        "doc_id % 3 <> 0 OR doc_id IN (SELECT doc_id FROM k1)",
+        "vec_id % 6 = 3",
+        "vec_id % 3 <> 0 OR vec_id IN (SELECT doc_id FROM k1)",
+        "vec_id % 3 <> 0",
+    )
+    + _nightly_select("d2_")
+)
+
+
+@query("curate_nightly_ingest_day2", oracle=_DAY2_ORACLE)
+def curate_nightly_ingest_day2(spark, sf_dir):
+    """Certified index MAINTENANCE (VERDICT r10 item 1): day 2 of the
+    nightly pipeline probes indexes that were MERGED, not rebuilt. The
+    one-time state (_ensure_day2_indexes) builds the day-0 indexes over
+    the standing corpus (doc_id % 3 != 0), ingests the day-1 batch
+    (doc_id % 6 == 0), and appends its accepted documents' grams,
+    band-bucket + shingle rows, and frozen-quantizer-assigned embeddings
+    into the three indexes; this query then runs the day-2 batch
+    (doc_id % 6 == 3) through the MERGED state — the same
+    _disposition_plan the single-day flagship executes, byte for byte.
+
+    The oracle is the from-scratch replay over corpus ∪ day-1 keeps: a
+    d1_-prefixed replay of the whole nightly chain derives the keeps in
+    SQL, and the d2_ chain rebuilds every reference relation (gram set,
+    bands, shingles, cell assignment — frozen day-0 centroids) from that
+    union. The hash match therefore certifies BOTH layers at once: the
+    day-1 dispositions the merge ingested, and that append-only
+    maintenance (merge_into_gram_index / merge_into_minhash_index /
+    merge_into_ivf_index) is bit-identical to rebuilding each index from
+    the union. At 100 TB: nightly close appends O(keeps) rows; day N+1
+    probes pay the same O(batch) the single-day flagship pays — the
+    standing corpus is never re-touched on ANY day."""
+    gram, mh, ivf, cents = _ensure_day2_indexes(spark, sf_dir)
+    return _disposition_plan(
+        spark,
+        sf_dir,
+        F.col("doc_id") % 6 == 3,
+        F.col("vec_id") % 6 == 3,
+        gram,
+        mh,
+        ivf,
+        cents,
     )

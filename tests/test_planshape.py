@@ -790,3 +790,32 @@ def test_nightly_ingest_probes_indexes_not_corpus(spark, sf_dir):
     # standing corpus's (NOT (= 0))
     assert not re.search(r"NOT \(\((?:doc_id|vec_id)#\d+L? % 3\) = 0\)", plan)
     assert re.search(r"\(doc_id#\d+L? % 3\) = 0", plan)
+
+
+def test_nightly_day2_probes_merged_indexes_not_corpus(spark, sf_dir):
+    """curate_nightly_ingest_day2: the day-2 probe must read the MERGED
+    persisted indexes (nightly_day2_* directories — day-0 build plus the
+    day-1 keeps appended by merge_into_*), never rebuild any corpus-side
+    relation and never re-derive the day-1 batch: the only documents/
+    embeddings scans are the day-2 batch side (doc_id % 6 = 3 /
+    vec_id % 6 = 3), with the same scan budget as the single-day
+    flagship (VERDICT r10 item 1: 'planshape pins zero corpus-side
+    rebuild including the merged partitions')."""
+    import re
+
+    plan = _plan(spark, sf_dir, "curate_nightly_ingest_day2")
+    locs = re.findall(r"Location: InMemoryFileIndex.*", plan)
+    doc = [ln for ln in locs if "documents.parquet" in ln]
+    emb = [ln for ln in locs if "embeddings.parquet" in ln]
+    idx = [ln for ln in locs if "nightly_day2_" in ln]
+    assert len(doc) <= 3, doc
+    assert len(emb) <= 2, emb
+    assert len(idx) >= 4, locs
+    # the IVF cell join still partition-prunes the merged index
+    assert "dynamicpruning" in plan, plan
+    # batch-side filters only: every modulo predicate must be the day-2
+    # batch's (% 6 = 3) — never the standing corpus's (% 3 <> 0) and
+    # never the day-1 batch's (% 6 = 0)
+    assert re.search(r"\((?:doc_id|vec_id)#\d+L? % 6\) = 3", plan)
+    assert not re.search(r"NOT \(\((?:doc_id|vec_id)#\d+L? % 3\) = 0\)", plan)
+    assert not re.search(r"\((?:doc_id|vec_id)#\d+L? % 6\) = 0", plan)

@@ -398,3 +398,123 @@ def test_pq_corrupt_sidecar_fails_loudly(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="corrupt PQ codebook sidecar"):
         read_pq_index(spark, path)
+
+
+def test_ivf_index_merge_equals_rebuild(spark, sf_dir, tmp_path):
+    """merge_into_ivf_index: appending a batch assigned to the FROZEN
+    day-0 quantizer must be probe-for-probe identical to rebuilding the
+    index from corpus ∪ batch with the same frozen centroids (IVF
+    serving semantics — ingest grows cells, never re-trains). Also pins
+    that the appended rows landed inside the existing cluster=<cid>
+    partition layout (partition pruning survives the merge)."""
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        assign_fixed_centroids,
+        build_ivf_index_fixed,
+        ivf_topk,
+        merge_into_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus0 = emb.where(F.col("vec_id") % 3 != 0)
+    day1 = emb.where(F.col("vec_id") % 6 == 0)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+
+    assigned0, cents = build_ivf_index_fixed(corpus0, n_clusters=8)
+    merged = str(tmp_path / "ivf_merged")
+    write_ivf_index(assigned0.select("vec_id", "embedding", "cluster"), merged)
+    merge_into_ivf_index(
+        assign_fixed_centroids(day1, cents, inline=True).select(
+            "vec_id", "embedding", "cluster"
+        ),
+        merged,
+    )
+    rebuilt = str(tmp_path / "ivf_rebuilt")
+    write_ivf_index(
+        assign_fixed_centroids(corpus0.union(day1), cents, inline=True).select(
+            "vec_id", "embedding", "cluster"
+        ),
+        rebuilt,
+    )
+    got = ivf_topk(
+        spark.read.parquet(merged), cents, qvec, k=10, n_probe=8
+    ).collect()
+    want = ivf_topk(
+        spark.read.parquet(rebuilt), cents, qvec, k=10, n_probe=8
+    ).collect()
+    assert got == want
+    # a day-1 vector is actually servable from the merged index
+    day1_ids = {r.vec_id for r in day1.select("vec_id").collect()}
+    assert day1_ids & {
+        r.vec_id for r in spark.read.parquet(merged).collect()
+    } == day1_ids
+    # the probe still partition-prunes the merged index
+    pruned = spark.read.parquet(merged).where(F.col("cluster").isin([0, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_pq_index_merge_equals_rebuild(spark, sf_dir, tmp_path):
+    """merge_into_pq_index: appending a batch encoded with the FROZEN
+    codebooks must be probe-for-probe identical to re-encoding
+    corpus ∪ batch from scratch with the same codebooks — for both the
+    flat and the partitionBy(cluster) IVF-PQ layouts."""
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        assign_fixed_centroids,
+        build_ivf_index_fixed,
+    )
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        fit_pq_codebooks_fixed,
+        merge_into_pq_index,
+        pq_adc_topk,
+        pq_encode,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus0 = emb.where(F.col("vec_id") % 3 != 0)
+    day1 = emb.where(F.col("vec_id") % 6 == 0)
+    union = corpus0.union(day1)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    books = fit_pq_codebooks_fixed(corpus0, m=8, k=16)
+
+    # flat layout
+    path = str(tmp_path / "pq_m")
+    write_pq_index(pq_encode(corpus0, books), books, path)
+    merge_into_pq_index(pq_encode(day1, books), path)
+    codes_r, books_r = read_pq_index(spark, path)
+    assert books_r == books
+    got = pq_adc_topk(codes_r, books_r, qvec, "vec_id", k=10).collect()
+    want = pq_adc_topk(pq_encode(union, books), books, qvec, "vec_id", k=10).collect()
+    assert got == want
+
+    # IVF-PQ layout: frozen day-0 centroids, appended rows partition-pruned
+    assigned0, cents = build_ivf_index_fixed(corpus0, n_clusters=8)
+    cpath = str(tmp_path / "ivfpq_m")
+    write_pq_index(
+        pq_encode(assigned0, books).join(
+            assigned0.select("vec_id", "cluster"), "vec_id"
+        ),
+        books,
+        cpath,
+        partition_col="cluster",
+    )
+    a1 = assign_fixed_centroids(day1, cents, inline=True)
+    merge_into_pq_index(
+        pq_encode(a1, books).join(a1.select("vec_id", "cluster"), "vec_id"),
+        cpath,
+        partition_col="cluster",
+    )
+    codes_c, books_c = read_pq_index(spark, cpath)
+    au = assign_fixed_centroids(union, cents, inline=True)
+    pruned = codes_c.where(F.col("cluster").isin([0, 3])).drop("cluster")
+    want_c = pq_adc_topk(
+        pq_encode(au.where(F.col("cluster").isin([0, 3])), books),
+        books, qvec, "vec_id", k=10,
+    ).collect()
+    got_c = pq_adc_topk(pruned, books_c, qvec, "vec_id", k=10).collect()
+    assert got_c == want_c
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
