@@ -1244,6 +1244,7 @@ def _disposition_plan(
     from delfos_etl_pipeline_spark.similarity.knn import (
         _as_double,
         _dot,
+        _lit_mat,
         _lit_vec,
         cosine_similarity_col,
     )
@@ -1266,16 +1267,34 @@ def _disposition_plan(
     # per-batch-vector probe-cell choice: argtop-2 cosine over the k
     # centroid literals (k scale-aware — _scaled_n_clusters), ties to
     # the LOWEST cid (sort_array DESC on (sim, -cid) structs == the
-    # oracle's ORDER BY sim DESC, cid ASC)
-    scored = F.array(
-        *[
-            F.struct(
-                cosine_similarity_col(v, _lit_vec(c)).alias("sim"),
-                F.lit(-i).alias("negcid"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
+    # oracle's ORDER BY sim DESC, cid ASC). Two bit-identical physical
+    # forms, the assign_fixed_centroids tradeoff exactly: k inlined
+    # codegen cosine copies for small quantizers, ONE transform() lambda
+    # over the literal centroid matrix beyond — at k=32 the inlined form
+    # put 32 64-dim-literal cosine trees into a plan that is BUILT per
+    # invocation (and twice: once on the batch side, once inside the DPP
+    # subquery), and plan construction/analysis dominated the probe
+    # (measured 5.2s vs 4.2s at sf0.1 on identical execution work; the
+    # lambda form restored it — same folds, same doubles, same oracle).
+    if len(cents) <= 8:
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine_similarity_col(v, _lit_vec(c)).alias("sim"),
+                    F.lit(-i).alias("negcid"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+    else:
+        sims = F.transform(
+            _lit_mat(cents), lambda c: cosine_similarity_col(v, c)
+        )
+        scored = F.zip_with(
+            sims,
+            F.expr(f"sequence(0, {len(cents) - 1})"),
+            lambda s, i: F.struct(s.alias("sim"), (-i).alias("negcid")),
+        )
     cells = F.transform(
         F.slice(F.sort_array(scored, asc=False), 1, 2),
         lambda s: -s["negcid"],
