@@ -226,6 +226,9 @@ HEADLINE = [
     "curate_nightly_ingest",
     # round 11
     "curate_nightly_ingest_day2",
+    # round 12
+    "curate_nightly_ingest_day3",
+    "sim_pq_probe_deleted",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,
@@ -364,10 +367,16 @@ def _run_isolated(name: str, sf_dir: str, cpus: str, warm: int, iters: int):
     )
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_TEST_SF_DIR", sf_dir)
-    proc = subprocess.run(
-        [sys.executable, "-c", child],
-        capture_output=True, text=True, timeout=1800, env=env,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", child],
+            capture_output=True, text=True, timeout=1800, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        # a hung isolate child must not abort the whole run and lose every
+        # already-measured median (ADVICE r11) — record it like any other
+        # child failure; main() marks the headline total partial.
+        return {"error": "isolate child timed out after 1800s"}
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -427,6 +436,9 @@ def main() -> None:
         "curate_nightly_ingest",  # probes all three persisted indexes
         "curate_nightly_ingest_day2",  # probes the MERGED three-index
                                        # state (r11 maintenance capstone)
+        "curate_nightly_ingest_day3",  # probes the post-TAKEDOWN state
+                                       # (r12 deletion capstone)
+        "sim_pq_probe_deleted",  # probes the tombstoned PQ codes clone
         # session-sensitive, not IO: the deliberately sequential 5-key
         # single-task window — measured 3.84s in-chunk vs 3.2s in ANY
         # fresh session (bench-style warmup+iters, reproduced across all
@@ -459,6 +471,11 @@ def main() -> None:
         # r10 validator fails/marginals: pooled + late-run second-opinion
         # numbers for these tracked the aged JVM, not isolated truth
         "emb_centroid_by_label", "emb_anova_f_topdims",
+        # r11 driver-window >1.4x drifters on untouched code (VERDICT r11
+        # item 4): carry their fresh-process truth in the record
+        # regardless of host window (dedup_jaccard_prefix and
+        # emb_anova_f_topdims, the other two drifters, are already above)
+        "sim_ivf_recall_eval", "tpch_q21_waiting_suppliers",
     }
     flow = [n for n in HEADLINE if n not in isolate]
     # The isolate tier no longer shares this process at all — each name
@@ -651,7 +668,12 @@ def main() -> None:
     if streaming:
         record["streaming"] = streaming
     if isolate_errors:
+        # a failed isolate query is missing from per_query, so the
+        # headline sum covers FEWER queries and would read as an
+        # improvement (ADVICE r11) — flag the total as partial so no
+        # cross-round comparison treats it as a full-coverage number.
         record["isolate_errors"] = len(isolate_errors)
+        record["partial"] = True
     if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1":
         record["spread"] = spread
         record["iters"] = timed_iters

@@ -322,24 +322,35 @@ def _write_minhash_relations(
     bands: int,
     hash_fn: str,
     mode: str,
+    batch_id: str | None = None,
 ) -> None:
     """Shared writer for :func:`write_minhash_index` (mode="overwrite",
     the once-per-corpus-version build) and
     :func:`merge_into_minhash_index` (mode="append", the nightly
     maintenance step). Band/shingle derivation is identical either way —
-    only the parquet write mode differs."""
+    only the write protocol differs: overwrite is plain, append routes
+    through sinks.committed_append so a ``batch_id``-tagged merge is
+    idempotent under crash/retry (ADVICE r11 — a double-appended merge
+    would duplicate band AND shingle rows; duplicate shingle rows
+    duplicate verify output rows in minhash_lsh_pairs_indexed, so
+    retry-safety here is correctness, not hygiene)."""
+    from delfos_etl_pipeline_spark.sources.sinks import committed_append
+
     hashed = hash_fn != "md5"
     arrs = shingle_arrays(corpus, id_col, text_col, n, hashed=hashed).persist()
     try:
         sigs = minhash_signatures(arrs, num_hashes, hash_fn)
-        buckets = _band_bucket_rows(sigs, num_hashes, bands, hash_fn)
-        (
-            buckets.repartition(F.col("band"))
+        buckets = (
+            _band_bucket_rows(sigs, num_hashes, bands, hash_fn)
+            .repartition(F.col("band"))
             .sortWithinPartitions("band", "bucket")
-            .write.mode(mode)
-            .parquet(f"{path}/buckets")
         )
-        arrs.write.mode(mode).parquet(f"{path}/shingles")
+        if mode == "append":
+            committed_append(buckets, f"{path}/buckets", batch_id=batch_id)
+            committed_append(arrs, f"{path}/shingles", batch_id=batch_id)
+        else:
+            buckets.write.mode(mode).parquet(f"{path}/buckets")
+            arrs.write.mode(mode).parquet(f"{path}/shingles")
     finally:
         arrs.unpersist()
 
@@ -353,6 +364,7 @@ def merge_into_minhash_index(
     num_hashes: int = 64,
     bands: int = 16,
     hash_fn: str = "xxhash64",
+    batch_id: str | None = None,
 ) -> None:
     """Index MAINTENANCE (VERDICT r10 item 1): append an ACCEPTED ingest
     batch's band-bucket rows and shingle arrays to an existing
@@ -366,11 +378,82 @@ def merge_into_minhash_index(
     can duplicate; pytest pins merged-probe ≡ rebuilt-probe). The
     banded probe join shuffles on (band, bucket) regardless of file
     count, so append-generation fragmentation is a storage/compaction
-    concern, never correctness."""
+    concern (:func:`compact_minhash_index`), never correctness.
+
+    Pass a ``batch_id`` to make the two appends idempotent under
+    crash/retry (the committed_append marker protocol, one marker per
+    relation); without one, the caller owns exactly-once."""
     _write_minhash_relations(
         batch, path, id_col, text_col, n, num_hashes, bands, hash_fn,
-        mode="append",
+        mode="append", batch_id=batch_id,
     )
+
+
+def remove_from_minhash_index(doc_ids: DataFrame, path: str) -> None:
+    """Index DELETION (VERDICT r11 item 1): tombstone a set of document
+    ids out of a persisted MinHash index. ``doc_ids`` (single column,
+    any name — renamed to ``doc_id``) is APPENDED to
+    ``<path>/tombstones``; the probe anti-joins it against both stored
+    relations, so tombstoned documents stop appearing as candidates or
+    verify partners immediately, at O(probe × |tombstones|-broadcast)
+    cost, while the standing band/shingle files are never touched.
+    Physical removal is deferred to :func:`compact_minhash_index` —
+    the same probe-time-logical / compaction-time-physical split as
+    remove_from_gram_index. Removing an id that was never indexed is a
+    harmless no-op (anti-join semantics), unlike the gram index's
+    refcount subtraction."""
+    ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def _minhash_tombstones(spark, path: str) -> DataFrame | None:
+    """The tombstone relation of a MinHash index, or None if the index
+    has never absorbed a removal. Existence-checked with os.path (the
+    engine's index stores are directory-shaped local/DFS paths; an
+    object-store deployment would pass an explicit catalog flag
+    instead)."""
+    import os
+
+    if not os.path.isdir(f"{path}/tombstones"):
+        return None
+    return spark.read.parquet(f"{path}/tombstones")
+
+
+def compact_minhash_index(spark, path: str) -> None:
+    """Offline COMPACTION for a maintained MinHash index: rewrite both
+    stored relations with tombstoned documents physically dropped and
+    append fragmentation collapsed (buckets re-clustered by band,
+    shingles rewritten densely), then retire the tombstone relation —
+    deleted LAST, so a crash anywhere leaves either the old state or a
+    compacted-but-still-tombstoned state, both of which probe
+    identically (anti-joining an already-removed id is a no-op; pytest
+    pins probe equality across compaction + crash leftovers). Each
+    relation swap is sinks.staged_swap's audited rename-aside protocol.
+    Runs out of band, never on the nightly path."""
+    import os
+    import shutil
+
+    from delfos_etl_pipeline_spark.sources.sinks import staged_swap
+
+    tomb = _minhash_tombstones(spark, path)
+
+    def _rewrite(rel_path: str, clustered: bool):
+        def _write(tmp: str) -> None:
+            rel = spark.read.parquet(rel_path)
+            if tomb is not None:
+                rel = rel.join(F.broadcast(tomb), "doc_id", "left_anti")
+            if clustered:
+                rel = rel.repartition(F.col("band")).sortWithinPartitions(
+                    "band", "bucket"
+                )
+            rel.write.mode("overwrite").parquet(tmp)
+
+        staged_swap(rel_path, _write)
+
+    _rewrite(f"{path}/buckets", clustered=True)
+    _rewrite(f"{path}/shingles", clustered=False)
+    if tomb is not None:
+        shutil.rmtree(os.path.join(path, "tombstones"))
 
 
 def minhash_lsh_pairs_indexed(
@@ -392,10 +475,22 @@ def minhash_lsh_pairs_indexed(
     persist/restore cannot change a single candidate or Jaccard value
     (tests/test_dedup.py pins the equality, including across a simulated
     restart; the registered query certifies it against the from-scratch
-    SQL oracle). Only the batch is tokenized/hashed at probe time."""
+    SQL oracle). Only the batch is tokenized/hashed at probe time.
+
+    If the index has absorbed :func:`remove_from_minhash_index`
+    takedowns, the tombstoned ids are anti-joined out of BOTH stored
+    relations here (broadcast anti-join — tombstone sets are
+    takedown-manifest-sized), so removed documents can neither surface
+    as candidates nor as verify partners; bit-identical to probing an
+    index rebuilt over corpus ∖ removed (pytest + the
+    curate_nightly_ingest_day3 oracle pin it)."""
     spark = batch.sparkSession
     buckets_old = spark.read.parquet(f"{index_path}/buckets")
     sh_old = spark.read.parquet(f"{index_path}/shingles")
+    tomb = _minhash_tombstones(spark, index_path)
+    if tomb is not None:
+        buckets_old = buckets_old.join(F.broadcast(tomb), "doc_id", "left_anti")
+        sh_old = sh_old.join(F.broadcast(tomb), "doc_id", "left_anti")
     hashed = hash_fn != "md5"
     # The persist serves the two in-plan consumers (banding + verify) and
     # deliberately has NO paired unpersist: repeat invocations build the

@@ -236,6 +236,30 @@ def _probe_and_cut(
     return _reconstruct(withg, starts, k)
 
 
+def _gram_relation(
+    df: DataFrame, id_col: str, text_col: str, k: int, hashed: bool,
+    counted: bool,
+) -> DataFrame:
+    """The storable gram relation of a document set: distinct ``(gram)``
+    rows, or — ``counted=True`` — ``(gram, cnt)`` where ``cnt`` is the
+    number of DISTINCT documents containing the gram. The doc-level
+    refcount is the deletion currency: generations hold disjoint doc
+    sets, so net cnt across base + merges − removals is exactly the
+    number of still-present documents referencing the gram, and
+    ``net > 0`` reproduces the distinct-gram set of the effective corpus
+    bit-for-bit (the set a from-scratch rebuild over corpus ∪ keeps ∖
+    removed would materialize)."""
+    _, g = _doc_grams(df, id_col, text_col, k, hashed)
+    if not counted:
+        return g.select("gram").distinct()
+    return (
+        g.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
 def write_gram_index(
     ref_df: DataFrame,
     path: str,
@@ -244,6 +268,7 @@ def write_gram_index(
     k: int = 5,
     hashed: bool = True,
     n_files: int | None = None,
+    counted: bool = False,
 ) -> None:
     """Materialize the reference corpus's DISTINCT gram relation to
     parquet ONCE per corpus version — the persisted index
@@ -255,11 +280,17 @@ def write_gram_index(
     The relation is repartitioned on ``gram`` before the write so files
     are gram-clustered (a probe's shuffle reads co-located keys; a
     bucketed ``saveAsTable`` upgrade would make the probe side
-    exchange-free, at the cost of a metastore). One column — 8-byte
-    xxhash64 grams when ``hashed`` (the production keying), literal
-    strings otherwise (the oracle-reproducible keying)."""
-    _, ref_g = _doc_grams(ref_df, id_col, text_col, k, hashed)
-    out = ref_g.select("gram").distinct()
+    exchange-free, at the cost of a metastore). 8-byte xxhash64 grams
+    when ``hashed`` (the production keying), literal strings otherwise
+    (the oracle-reproducible keying).
+
+    ``counted=True`` stores ``(gram, cnt)`` doc-refcount rows instead of
+    the bare gram set (VERDICT r11 item 1: the deletable index form) —
+    +8 bytes/gram buys :func:`remove_from_gram_index` takedown support.
+    Membership probes are unchanged (they project ``gram`` and semi-join
+    the SET); only post-removal probes must net the counts
+    (``net_counts=True`` on :func:`remove_spans_matching_indexed`)."""
+    out = _gram_relation(ref_df, id_col, text_col, k, hashed, counted)
     if n_files:
         out = out.repartition(n_files, "gram")
     else:
@@ -274,6 +305,7 @@ def remove_spans_matching_indexed(
     text_col: str,
     k: int = 5,
     hashed: bool = True,
+    net_counts: bool = False,
 ) -> DataFrame:
     """Incremental-ingest form of :func:`remove_spans_matching`: cut
     every span of ``df`` whose k-gram appears in the PERSISTED gram
@@ -281,11 +313,36 @@ def remove_spans_matching_indexed(
     to the from-scratch run against the same reference corpus (pytest
     pins this; the `dedup_substring_incremental` query certifies it
     against the from-scratch DuckDB oracle), while the nightly cost
-    drops from O(corpus + batch) to O(batch + index probe)."""
+    drops from O(corpus + batch) to O(batch + index probe).
+
+    ``net_counts=False`` (default) treats the stored rows as a gram SET
+    — correct for any index whose generations are all additive (base
+    build + :func:`merge_into_gram_index` appends), counted or not,
+    since duplicate or counted rows cannot change a semi-join.
+    ``net_counts=True`` is the post-takedown probe over a COUNTED index
+    that has absorbed :func:`remove_from_gram_index` generations: a
+    gram is in the effective reference set iff its doc-refcounts sum
+    positive. The netting aggregates only the rows that match a batch
+    gram (index-side scan → keyed join against the batch's distinct
+    grams → sum per matched gram), so the probe stays O(batch grams +
+    matches), never an O(index) pre-aggregation — the same single pass
+    over the index files the set-probe's semi join pays."""
     spark = df.sparkSession
-    ref_grams = spark.read.parquet(index_path)
+    ref = spark.read.parquet(index_path)
     withg, g = _doc_grams(df, id_col, text_col, k, hashed)
-    return _probe_and_cut(withg, g, ref_grams, k)
+    if not net_counts:
+        return _probe_and_cut(withg, g, ref, k)
+    # g feeds both the matched-gram netting and the positional semi-join
+    # (the remove_duplicate_spans persist rationale)
+    g = g.persist()
+    eff = (
+        ref.join(g.select("gram").distinct(), "gram")
+        .groupBy("gram")
+        .agg(F.sum("cnt").alias("_net"))
+        .where(F.col("_net") > 0)
+        .select("gram")
+    )
+    return _probe_and_cut(withg, g, eff, k)
 
 
 def merge_into_gram_index(
@@ -295,50 +352,104 @@ def merge_into_gram_index(
     text_col: str,
     k: int = 5,
     hashed: bool = True,
+    counted: bool = False,
+    batch_id: str | None = None,
 ) -> None:
     """Index MAINTENANCE (VERDICT r10 item 1): append an ACCEPTED ingest
     batch's distinct k-grams to an existing :func:`write_gram_index`
     materialization, so day N+1 dedups against corpus ∪ day-N keeps
     without rebuilding the standing index.
 
-    Append-only-log design: the merge writes the batch's (internally
-    distinct) grams as NEW parquet files under the same path — pure
-    O(batch) work, no read, rewrite, or anti-join of the standing
-    relation (at 100 TB the standing gram set is the thing we must not
-    touch nightly). A gram present in both generations appears twice in
-    the stored relation; the probe is a ``left_semi`` join against the
-    gram SET, so duplicates cannot change a single cut span (pytest pins
-    merged-probe ≡ rebuilt-from-scratch-probe). Periodic offline
-    compaction (a distinct rewrite) is a storage optimization, never a
+    Append-only-log design: the merge writes the batch's gram relation
+    as NEW parquet files under the same path — pure O(batch) work, no
+    read, rewrite, or anti-join of the standing relation (at 100 TB the
+    standing gram set is the thing we must not touch nightly). A gram
+    present in both generations appears twice in the stored relation;
+    the set-probe is a ``left_semi`` join, so duplicates cannot change a
+    single cut span, and the counted probe SUMS generations, which is
+    exactly the refcount contract (pytest pins merged-probe ≡
+    rebuilt-from-scratch-probe). ``counted`` must match the index's
+    build (mixed schemas across generations would corrupt the scan).
+    Pass a ``batch_id`` to make the append idempotent under crash/retry
+    (sinks.committed_append's marker protocol, ADVICE r11); without
+    one, the caller owns exactly-once. Periodic offline compaction
+    (:func:`compact_gram_index`) is a storage optimization, never a
     correctness requirement."""
-    _, g = _doc_grams(batch_df, id_col, text_col, k, hashed)
-    g.select("gram").distinct().repartition("gram").write.mode(
-        "append"
-    ).parquet(path)
+    from delfos_etl_pipeline_spark.sources.sinks import committed_append
+
+    out = _gram_relation(
+        batch_df, id_col, text_col, k, hashed, counted
+    ).repartition("gram")
+    committed_append(out, path, batch_id=batch_id)
 
 
-def compact_gram_index(spark, path: str) -> None:
-    """Offline COMPACTION for an append-only gram index: rewrite the
-    relation as distinct, gram-clustered files. Generations of
-    :func:`merge_into_gram_index` appends can re-store a gram that
-    already exists (correctness-neutral — the probe is a semi-join
-    against the gram SET) and accumulate small files; compaction
-    reclaims the storage and restores one-row-per-gram. Runs out of
-    band (a weekend job at 100 TB), never on the nightly path; pytest
-    pins probe-for-probe equality across a compaction."""
-    compacted = (
-        spark.read.parquet(path).distinct().repartition("gram")
+def remove_from_gram_index(
+    removed_df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    hashed: bool = True,
+    batch_id: str | None = None,
+) -> None:
+    """Index DELETION (VERDICT r11 item 1 — takedowns, licensing
+    removals, right-to-be-forgotten): subtract a set of currently-
+    indexed documents from a COUNTED gram index
+    (``write_gram_index(..., counted=True)``) by appending their
+    per-gram doc-refcounts NEGATED — O(removed docs), standing files
+    untouched, same append-only-log discipline as the merge path. The
+    post-removal probe nets the counts per gram
+    (``remove_spans_matching_indexed(..., net_counts=True)``): a gram
+    shared with surviving documents stays positive and keeps cutting; a
+    gram only the removed documents carried nets to zero and stops —
+    bit-identical to rebuilding the index over corpus ∖ removed (the
+    curate_nightly_ingest_day3 oracle certifies exactly this replay).
+    Physical removal is deferred to :func:`compact_gram_index`.
+
+    ``removed_df`` must be the removed documents EXACTLY AS INDEXED
+    (same text, each currently present exactly once across the index's
+    generations) — subtracting a non-indexed document would corrupt
+    shared grams' counts. A takedown pipeline reads them back from the
+    corpus store by id, which is also where the text comes from."""
+    from delfos_etl_pipeline_spark.sources.sinks import committed_append
+
+    neg = (
+        _gram_relation(removed_df, id_col, text_col, k, hashed, True)
+        .select("gram", (-F.col("cnt")).cast("bigint").alias("cnt"))
+        .repartition("gram")
     )
-    # parquet cannot be overwritten in place while it is the scan source:
-    # stage the compacted relation, then swap directories atomically-ish
-    # (rename) — at 100 TB this is the table-format-commit step (Iceberg/
-    # Delta snapshot swap); plain-directory rename keeps the same contract
-    import os
-    import shutil
-    import tempfile
+    committed_append(neg, path, batch_id=batch_id)
 
-    staging = tempfile.mkdtemp(prefix="gram_compact_", dir=os.path.dirname(path))
-    compacted.write.mode("overwrite").parquet(os.path.join(staging, "grams"))
-    shutil.rmtree(path)
-    os.rename(os.path.join(staging, "grams"), path)
-    shutil.rmtree(staging, ignore_errors=True)
+
+def compact_gram_index(spark, path: str, counted: bool = False) -> None:
+    """Offline COMPACTION for an append-only gram index: rewrite the
+    accumulated generations as one gram-clustered relation — distinct
+    rows for a set index, netted refcounts with zero/negative grams
+    physically dropped for a counted index (``net > 0``, the same
+    predicate the post-removal probe applies, so a probe sees the
+    identical gram set before and after; pytest pins probe-for-probe
+    equality across a compaction). Reclaims append fragmentation and
+    the tombstone debt of :func:`remove_from_gram_index`. Runs out of
+    band (a weekend job at 100 TB), never on the nightly path.
+
+    The swap is sinks.staged_swap's audited rename-aside protocol
+    (write staging → rename live aside → rename staging in → delete old
+    last), replacing the r11 rmtree-then-rename whose crash window
+    could lose the live index (VERDICT r11 item 2 / ADVICE r11) — at
+    100 TB this is the table-format-commit step (Iceberg/Delta snapshot
+    swap); plain-directory renames keep the same contract locally."""
+    from delfos_etl_pipeline_spark.sources.sinks import staged_swap
+
+    def _write(tmp: str) -> None:
+        rel = spark.read.parquet(path)
+        if counted:
+            out = (
+                rel.groupBy("gram")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+                .where(F.col("cnt") > 0)
+            )
+        else:
+            out = rel.distinct()
+        out.repartition("gram").write.mode("overwrite").parquet(tmp)
+
+    staged_swap(path, _write)

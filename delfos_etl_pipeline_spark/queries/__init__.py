@@ -89,6 +89,72 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # contract as every round: a name lands here in the SAME commit that
 # registers/changes it (_driver_order() and tests/test_registry.py
 # hard-fail on unknown names).
+# Round 12 window (VERDICT r11 items 1-3, 5): lead with the recerts —
+# every query whose code path the deletion/unification work touched:
+# curate_nightly_ingest_day2 (day-0 indexes now COPIED from the shared
+# ensure_* materializations instead of privately rebuilt — VERDICT r11
+# item 5 — and its merges are counted + retry-safe), curate_nightly_ingest
+# + dedup_substring_incremental (ensure_gram_index now writes the COUNTED
+# deletable index form; probed gram set bit-identical, locally
+# re-verified), dedup_minhash_incremental_indexed (probe reads are
+# tombstone-aware), sim_pq_probe + sim_ivfpq_probe (read_pq_index gained
+# the before-population sidecar bounds check, ADVICE r11, plus the
+# tombstone anti-join; the index build factored into _ensure_pq_index) —
+# then the two NEW deletion registrations, then the full 38-name
+# r5-evidence cohort and 4 r6 names to fill exactly 50 (the remaining 11
+# r6 names lead r13; correctness-first recerts outrank finishing the
+# cohort in one round). Same contract as every round: a name lands here
+# in the SAME commit that registers/changes it (_driver_order() and
+# tests/test_registry.py hard-fail on unknown names).
+_R12_RECERT: list[str] = [
+    "curate_nightly_ingest_day2",
+    "curate_nightly_ingest",
+    "dedup_substring_incremental",
+    "dedup_minhash_incremental_indexed",
+    "sim_pq_probe",
+    "sim_ivfpq_probe",
+]
+
+_R12_NEW: list[str] = [
+    "curate_nightly_ingest_day3",  # certified index DELETION (VERDICT
+        # r11 item 1): takedown manifest removed from the merged
+        # gram/MinHash/IVF state (negative refcounts + tombstones), the
+        # removed documents re-ingested against the post-takedown
+        # indexes; oracle = three-generation from-scratch replay over
+        # (corpus ∪ k1 ∪ k2) ∖ manifest
+    "sim_pq_probe_deleted",  # the fourth family's deletion: tombstoned
+        # PQ codes clone, ADC top-k ≡ re-encode over corpus ∖ manifest
+]
+
+# The full r5-evidence cohort (38 names, registry order): zero code
+# changes, fresh driver rows continue the oldest-first freshness
+# rotation (VERDICT r11 item 3).
+_R12_STALE_REFRESH: list[str] = [
+    "o5_keyset_pagination", "sample_neyman_allocation",
+    "sample_class_balance", "er_fuzzy_blocked", "dedup_containment",
+    "dedup_lsh_recall_eval", "emb_silhouette_centroid",
+    "sim_ivf_recall_eval", "text_langid_confusion", "mm_chunk_sample",
+    "text_simpson_diversity", "dq_benford_digits",
+    "orders_rfm_segmentation", "cohort_ltv_curve",
+    "attribution_last_touch", "markov_event_transitions", "ohlc_daily",
+    "survival_kaplan_meier", "forecast_seasonal_backtest",
+    "trend_theil_sen", "forecast_holt_linear",
+    "attribution_position_based", "dq_referential_orphans",
+    "abc_pareto_parts", "growth_accounting_weekly", "recsys_item_cosine",
+    "seqpat_followed_by", "ols_elasticity_by_type",
+    "ts_interarrival_stats", "session_depth_stats",
+    "market_concentration_hhi", "returns_rate_by_brand",
+    "audience_overlap_jaccard", "revenue_new_vs_repeat", "ts_acf_daily",
+    "ts_seasonal_decompose", "orders_backlog_aging", "dq_psi_drift",
+]
+
+# 4 oldest r6-evidence names (registry order) to fill the window to
+# exactly 50.
+_R12_R6_FILL: list[str] = [
+    "ts_gapfill_locf", "w9_percent_rank_cume", "w12_streak_reset_count",
+    "dedup_embedding_cosine",
+]
+
 _R11_RECERT: list[str] = [
     "curate_nightly_ingest",              # refactor + templated oracle
     "dedup_minhash_incremental_indexed",  # shared-writer refactor
@@ -704,19 +770,22 @@ _RECERTIFIED_R3 = {
 def _driver_order() -> list[str]:
     """Order queries() so the driver's ~50-query rotating correctness
     window always covers (a) everything new or behavior-changed this
-    round (the _R11_* lists — recerts lead per VERDICT r9 item 2), then
-    (b) the queries whose driver evidence is oldest (_R11_STALE_REFRESH
-    = the full r4 cohort + 5 r5 names), then (c) one flagship per
+    round (the _R12_* lists — recerts lead per VERDICT r9 item 2), then
+    (b) the queries whose driver evidence is oldest (_R12_STALE_REFRESH
+    = the full r5 cohort + 4 r6 names), then (c) one flagship per
     operator family, then the rest. As of r6 every registration has a
     hash-green driver row, so the tail order only controls evidence
     freshness."""
+    r12_front = (
+        _R12_RECERT + _R12_NEW + _R12_STALE_REFRESH + _R12_R6_FILL
+    )
+    missing = [n for n in r12_front if n not in QUERIES]
+    assert not missing, (
+        f"window names not registered: {missing} — a _R12_* entry must "
+        "land in the same commit as its @query registration"
+    )
     r11_front = (
         _R11_RECERT + _R11_NEW + _R11_STALE_REFRESH + _R11_R5_FILL
-    )
-    missing = [n for n in r11_front if n not in QUERIES]
-    assert not missing, (
-        f"window names not registered: {missing} — a _R11_* entry must "
-        "land in the same commit as its @query registration"
     )
     r10_front = (
         _R10_RECERT + _R10_NEW + _R10_STALE_REFRESH + _R10_R4_REFRESH
@@ -725,7 +794,9 @@ def _driver_order() -> list[str]:
         _R9_NEW + _R9_RECERT + _R9_STALE_REFRESH + _R9_TWIN_RECERT
     )
     r8_front = _R8_NEW + _R8_RECERT + _R8_STALE_REFRESH
-    front = list(dict.fromkeys(r11_front))
+    front = list(dict.fromkeys(r12_front))
+    placed = set(front)
+    front += [n for n in r11_front if n in QUERIES and n not in placed]
     placed = set(front)
     front += [n for n in r10_front if n in QUERIES and n not in placed]
     placed = set(front)

@@ -1224,17 +1224,27 @@ _NIGHTLY_ORACLE = (
 
 
 def _disposition_plan(
-    spark, sf_dir, doc_pred, vec_pred, gram_path, mh_path, ivf_path, cents
+    spark, sf_dir, doc_pred, vec_pred, gram_path, mh_path, ivf_path, cents,
+    gram_net_counts=False,
 ):
     """The composed nightly-ingest PROBE plan, shared verbatim by the
-    single-day flagship (curate_nightly_ingest) and the day-2
-    maintenance query (curate_nightly_ingest_day2): the batch selected
-    by ``doc_pred``/``vec_pred`` runs through the three PERSISTED
-    standing-corpus indexes at ``gram_path``/``mh_path``/``ivf_path``
-    (quantizer ``cents`` frozen at build time) and emits one disposition
-    row per batch document. All corpus-side work lives in the index
-    materializations; this plan pays only O(batch grams + gram probe) +
-    O(batch signatures + bucket probe) + O(batch × probed cells)."""
+    single-day flagship (curate_nightly_ingest) and the day-2/day-3
+    maintenance queries (curate_nightly_ingest_day2/_day3): the batch
+    selected by ``doc_pred``/``vec_pred`` runs through the three
+    PERSISTED standing-corpus indexes at
+    ``gram_path``/``mh_path``/``ivf_path`` (quantizer ``cents`` frozen
+    at build time) and emits one disposition row per batch document.
+    All corpus-side work lives in the index materializations; this plan
+    pays only O(batch grams + gram probe) + O(batch signatures + bucket
+    probe) + O(batch × probed cells).
+
+    Deletion-awareness (VERDICT r11 item 1) costs nothing until used:
+    the MinHash probe and the IVF read anti-join tombstone relations
+    only when the index has absorbed a takedown (day-3 state), and
+    ``gram_net_counts=True`` switches the gram probe to the
+    refcount-netting form a post-removal counted index requires —
+    day-1/day-2 states keep the plain set semi-join (all generations
+    additive), so their certified plans are byte-unchanged."""
     from delfos_etl_pipeline_spark.dedup.minhash import (
         minhash_lsh_pairs_indexed,
     )
@@ -1253,6 +1263,7 @@ def _disposition_plan(
     batch = docs.where(doc_pred)
     sub = remove_spans_matching_indexed(
         batch, gram_path, "doc_id", "text", k=5, hashed=False,
+        net_counts=gram_net_counts,
     )
     mh = (
         minhash_lsh_pairs_indexed(
@@ -1312,7 +1323,9 @@ def _disposition_plan(
         F.sqrt(_dot(v, v)).alias("bq_n"),
         F.explode(cells).alias("cell"),
     )
-    idx = spark.read.parquet(ivf_path).select(
+    from delfos_etl_pipeline_spark.similarity.ivf import read_ivf_index
+
+    idx = read_ivf_index(spark, ivf_path, "vec_id").select(
         _as_double("embedding").alias("cv_e"), "cv_n", "cluster"
     )
     sem = (
@@ -1403,22 +1416,70 @@ def curate_nightly_ingest(spark, sf_dir):
 _DAY2_STATE: dict = {}
 
 
+def _merge_keeps_into(
+    spark, sf_dir, keeps, gram, mh, ivf, cents, batch_id
+):
+    """One nightly CLOSE: merge the accepted documents (``keeps`` —
+    doc_id rows; original text; embeddings assigned to the FROZEN
+    quantizer ``cents``) into the three index materializations via the
+    append-only maintenance functions — pure O(keeps) appends, each
+    idempotent under crash/retry via ``batch_id``
+    (sinks.committed_append, ADVICE r11). Shared by the day-1 close
+    (_ensure_day2_indexes) and the day-2 close (_ensure_day3_state)."""
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        merge_into_minhash_index,
+    )
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        merge_into_gram_index,
+    )
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        assign_fixed_centroids,
+        merge_into_ivf_index,
+    )
+    from delfos_etl_pipeline_spark.similarity.knn import _as_double, _dot
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    keep_docs = docs.join(keeps, "doc_id", "left_semi")
+    merge_into_gram_index(keep_docs, gram, "doc_id", "text",
+                          k=5, hashed=False, counted=True,
+                          batch_id=batch_id)
+    merge_into_minhash_index(keep_docs, mh, "doc_id", "text",
+                             n=3, hash_fn="md5", batch_id=batch_id)
+    keep_emb = emb.join(
+        keeps.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi"
+    )
+    merge_into_ivf_index(
+        assign_fixed_centroids(keep_emb, cents, inline=True).select(
+            "vec_id", "embedding",
+            F.sqrt(_dot(e, e)).alias("cv_n"), "cluster",
+        ),
+        ivf,
+        batch_id=batch_id,
+    )
+
+
 def _ensure_day2_indexes(spark, sf_dir):
     """Day-2 maintenance state (VERDICT r10 item 1), built ONCE per
-    (process, corpus): PRIVATE day-0 indexes over the standing corpus
-    (doc_id % 3 != 0 — the same split the single-day flagship probes,
-    but separate directories because maintenance MUTATES them), the
-    day-1 batch (doc_id % 6 == 0) ingested through them, its disposition
+    (process, corpus): private COPIES of the three shared standing-
+    corpus materializations (VERDICT r11 item 5 — the corpus is
+    tokenized/hashed/assigned exactly once per process by the
+    ensure_gram_index / ensure_minhash_index / _ensure_nightly_ivf_index
+    accessors; maintenance MUTATES its indexes, so it clones the
+    directories instead of rebuilding them — at 100 TB the clone is a
+    metadata-level snapshot/shallow-copy, here a copytree), the day-1
+    batch (doc_id % 6 == 0) ingested through them, its disposition
     table materialized (the nightly run's output relation), and the
-    ACCEPTED documents (disposition keep/keep_cleaned — original text;
-    their embeddings assigned to the FROZEN day-0 quantizer) merged into
-    all three indexes via the append-only maintenance functions
-    (merge_into_gram_index / merge_into_minhash_index /
-    merge_into_ivf_index). Returns (gram_path, mh_path, ivf_path, cents)
-    — the merged state the day-2 query probes.
+    ACCEPTED documents (disposition keep/keep_cleaned) merged into all
+    three indexes via the append-only maintenance functions with a
+    retry-safe batch id. Returns (gram_path, mh_path, ivf_path, cents,
+    disp1_path) — the merged state the day-2 query probes, plus the
+    materialized day-1 dispositions the day-3 state derives its keeps
+    from.
 
     At 100 TB each nightly close is O(day's keeps): append the keeps'
-    grams, band+shingle rows, and assigned+encoded vectors as new files/
+    grams, band+shingle rows, and assigned vectors as new files/
     partitions; the standing index rows are never read, rewritten, or
     re-derived. Day N+1 then dedups against corpus ∪ all prior keeps
     without a rebuild — the gap VERDICT r10 named ('day N+1 either
@@ -1428,21 +1489,10 @@ def _ensure_day2_indexes(spark, sf_dir):
     import shutil
     import tempfile
 
-    from delfos_etl_pipeline_spark.dedup.minhash import (
-        merge_into_minhash_index,
-        write_minhash_index,
+    from delfos_etl_pipeline_spark.queries.dedup import (
+        ensure_gram_index,
+        ensure_minhash_index,
     )
-    from delfos_etl_pipeline_spark.dedup.substring import (
-        merge_into_gram_index,
-        write_gram_index,
-    )
-    from delfos_etl_pipeline_spark.similarity.ivf import (
-        assign_fixed_centroids,
-        build_ivf_index_fixed,
-        merge_into_ivf_index,
-        write_ivf_index,
-    )
-    from delfos_etl_pipeline_spark.similarity.knn import _as_double, _dot
 
     state = _DAY2_STATE.get(sf_dir)
     if state is None:
@@ -1451,29 +1501,15 @@ def _ensure_day2_indexes(spark, sf_dir):
         gram = os.path.join(workdir, "grams")
         mh = os.path.join(workdir, "lsh")
         ivf = os.path.join(workdir, "ivf")
-        docs = _t(spark, sf_dir, "documents")
-        emb = _t(spark, sf_dir, "embeddings")
 
-        # day 0: build the three standing-corpus indexes (same params as
-        # the certified single-stage queries: literal 5-grams, md5
-        # 3-shingle MinHash, scale-aware fixed-cell IVF + precomputed
-        # L2 norms)
-        corpus0 = docs.where(F.col("doc_id") % 3 != 0)
-        write_gram_index(corpus0, gram, "doc_id", "text", k=5, hashed=False)
-        write_minhash_index(corpus0, mh, "doc_id", "text", n=3, hash_fn="md5")
-        corp0 = emb.where(F.col("vec_id") % 3 != 0)
-        assigned, cents = build_ivf_index_fixed(
-            corp0, "vec_id", "embedding",
-            n_clusters=_scaled_n_clusters(corp0.count()),
-        )
-        e = _as_double("embedding")
-        write_ivf_index(
-            assigned.select(
-                "vec_id", "embedding",
-                F.sqrt(_dot(e, e)).alias("cv_n"), "cluster",
-            ),
-            ivf,
-        )
+        # day 0: clone the shared standing-corpus materializations (same
+        # params as the certified single-stage queries: counted literal
+        # 5-grams, md5 3-shingle MinHash, scale-aware fixed-cell IVF +
+        # precomputed L2 norms) — one corpus-side build per process
+        shutil.copytree(ensure_gram_index(spark, sf_dir), gram)
+        shutil.copytree(ensure_minhash_index(spark, sf_dir), mh)
+        ivf_src, cents = _ensure_nightly_ivf_index(spark, sf_dir)
+        shutil.copytree(ivf_src, ivf)
 
         # day 1: ingest the batch, MATERIALIZE its dispositions (the
         # nightly run's output table in production — also breaks lineage,
@@ -1492,23 +1528,11 @@ def _ensure_day2_indexes(spark, sf_dir):
         )
 
         # close of day 1: merge the accepted batch into the standing
-        # indexes — pure O(keeps) appends, frozen quantizer
-        keep_docs = docs.join(keeps, "doc_id", "left_semi")
-        merge_into_gram_index(keep_docs, gram, "doc_id", "text",
-                              k=5, hashed=False)
-        merge_into_minhash_index(keep_docs, mh, "doc_id", "text",
-                                 n=3, hash_fn="md5")
-        keep_emb = emb.join(
-            keeps.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi"
+        # indexes — pure O(keeps) appends, frozen quantizer, retry-safe
+        _merge_keeps_into(
+            spark, sf_dir, keeps, gram, mh, ivf, cents, batch_id="day1"
         )
-        merge_into_ivf_index(
-            assign_fixed_centroids(keep_emb, cents, inline=True).select(
-                "vec_id", "embedding",
-                F.sqrt(_dot(e, e)).alias("cv_n"), "cluster",
-            ),
-            ivf,
-        )
-        state = (gram, mh, ivf, cents)
+        state = (gram, mh, ivf, cents, disp1)
         _DAY2_STATE[sf_dir] = state
     return state
 
@@ -1561,7 +1585,7 @@ def curate_nightly_ingest_day2(spark, sf_dir):
     the union. At 100 TB: nightly close appends O(keeps) rows; day N+1
     probes pay the same O(batch) the single-day flagship pays — the
     standing corpus is never re-touched on ANY day."""
-    gram, mh, ivf, cents = _ensure_day2_indexes(spark, sf_dir)
+    gram, mh, ivf, cents, _disp1 = _ensure_day2_indexes(spark, sf_dir)
     return _disposition_plan(
         spark,
         sf_dir,
@@ -1571,4 +1595,224 @@ def curate_nightly_ingest_day2(spark, sf_dir):
         mh,
         ivf,
         cents,
+    )
+
+
+#: curate_nightly_ingest_day3's post-takedown state, one per
+#: (process, sf_dir) — see _ensure_day3_state.
+_DAY3_STATE: dict = {}
+
+
+def _ensure_day3_state(spark, sf_dir):
+    """Day-3 DELETION state (VERDICT r11 item 1), built ONCE per
+    (process, corpus), extending the day-2 maintenance story to the full
+    index lifecycle — build → probe → merge → REMOVE:
+
+    1. clone the day-2 MERGED state (corpus ∪ day-1 keeps; private
+       copies again, because this chapter mutates further);
+    2. run the day-2 batch (doc_id % 6 == 3) through it and materialize
+       the dispositions (the same probe curate_nightly_ingest_day2
+       certifies — here it becomes day 2's nightly output table);
+    3. close day 2: merge the day-2 keeps (k2) via the append-only
+       maintenance functions, retry-safe batch id "day2";
+    4. TAKEDOWN: every indexed document with doc_id % 5 == 1 (across
+       all three generations — base corpus, day-1 keeps, day-2 keeps;
+       the stand-in for a licensing/right-to-be-forgotten manifest) is
+       removed from all three indexes — negative doc-refcounts appended
+       to the counted gram index, tombstone relations appended beside
+       the MinHash and IVF stores. O(|manifest|); standing files never
+       read or rewritten; physical reclamation deferred to the
+       compact_* family.
+
+    Returns (gram, mh, ivf, cents, k1_ids, k2_ids): the post-takedown
+    index paths, the frozen day-0 quantizer, and the keep manifests the
+    day-3 query needs to reconstruct the takedown predicate."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        remove_from_minhash_index,
+    )
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        remove_from_gram_index,
+    )
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        remove_from_ivf_index,
+    )
+
+    state = _DAY3_STATE.get(sf_dir)
+    if state is None:
+        gram2, mh2, ivf2, cents, disp1 = _ensure_day2_indexes(spark, sf_dir)
+        workdir = tempfile.mkdtemp(prefix="nightly_day3_")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+        gram = os.path.join(workdir, "grams")
+        mh = os.path.join(workdir, "lsh")
+        ivf = os.path.join(workdir, "ivf")
+        shutil.copytree(gram2, gram)
+        shutil.copytree(mh2, mh)
+        shutil.copytree(ivf2, ivf)
+
+        # day 2: probe + materialize (the nightly output table), then
+        # close the day by merging the keeps
+        disp2 = os.path.join(workdir, "disp_day2")
+        _disposition_plan(
+            spark, sf_dir,
+            F.col("doc_id") % 6 == 3, F.col("vec_id") % 6 == 3,
+            gram, mh, ivf, cents,
+        ).write.parquet(disp2)
+
+        def _keep_ids(path):
+            return sorted(
+                r[0]
+                for r in spark.read.parquet(path)
+                .where(F.col("disposition").isin("keep", "keep_cleaned"))
+                .select("doc_id")
+                .collect()
+            )
+
+        k1_ids = _keep_ids(disp1)
+        k2_ids = _keep_ids(disp2)
+        _merge_keeps_into(
+            spark, sf_dir,
+            spark.createDataFrame([(i,) for i in k2_ids], "doc_id bigint"),
+            gram, mh, ivf, cents, batch_id="day2",
+        )
+
+        # the takedown: indexed members (base ∪ k1 ∪ k2) with
+        # doc_id % 5 == 1. The gram subtraction needs the removed
+        # documents EXACTLY AS INDEXED (their text); the MinHash/IVF
+        # tombstones need only the ids. Doc- and vec-side manifests are
+        # computed from each table's own membership predicate, so no
+        # assumption that the two tables share an id universe leaks in.
+        docs = _t(spark, sf_dir, "documents")
+        emb = _t(spark, sf_dir, "embeddings")
+        member_d = (
+            (F.col("doc_id") % 3 != 0)
+            | F.col("doc_id").isin(k1_ids)
+            | F.col("doc_id").isin(k2_ids)
+        )
+        member_v = (
+            (F.col("vec_id") % 3 != 0)
+            | F.col("vec_id").isin(k1_ids)
+            | F.col("vec_id").isin(k2_ids)
+        )
+        removed_docs = docs.where(member_d & (F.col("doc_id") % 5 == 1))
+        remove_from_gram_index(
+            removed_docs, gram, "doc_id", "text", k=5, hashed=False,
+            batch_id="takedown",
+        )
+        remove_from_minhash_index(removed_docs.select("doc_id"), mh)
+        remove_from_ivf_index(
+            emb.where(member_v & (F.col("vec_id") % 5 == 1)).select("vec_id"),
+            ivf,
+            "vec_id",
+        )
+        state = (gram, mh, ivf, cents, k1_ids, k2_ids)
+        _DAY3_STATE[sf_dir] = state
+    return state
+
+
+_D3_MEMBER_DOC = (
+    "(doc_id % 3 <> 0 OR doc_id IN (SELECT doc_id FROM k1) "
+    "OR doc_id IN (SELECT doc_id FROM k2))"
+)
+_D3_MEMBER_VEC = (
+    "(vec_id % 3 <> 0 OR vec_id IN (SELECT doc_id FROM k1) "
+    "OR vec_id IN (SELECT doc_id FROM k2))"
+)
+
+# k1/k2 are AS MATERIALIZED: the d3 chain's membership predicate
+# references them ~8 times (batch/ref/d/corp/bvec), and DuckDB's default
+# CTE inlining would re-run the ENTIRE prior-day replay per reference —
+# measured 56s vs ~2s at sf0.01. Materialization changes no value: the
+# keep sets are tiny id lists computed once either way.
+_DAY3_ORACLE = (
+    "WITH"
+    + _nightly_ctes(
+        "d1_",
+        "doc_id % 6 = 0",
+        "doc_id % 3 <> 0",
+        "vec_id % 6 = 0",
+        "vec_id % 3 <> 0",
+        "vec_id % 3 <> 0",
+    )
+    + ",\n    k1 AS MATERIALIZED (\n      SELECT doc_id FROM ("
+    + _nightly_select("d1_")
+    + "\n      ) WHERE disposition IN ('keep', 'keep_cleaned')\n    ),"
+    + _nightly_ctes(
+        "d2_",
+        "doc_id % 6 = 3",
+        "doc_id % 3 <> 0 OR doc_id IN (SELECT doc_id FROM k1)",
+        "vec_id % 6 = 3",
+        "vec_id % 3 <> 0 OR vec_id IN (SELECT doc_id FROM k1)",
+        "vec_id % 3 <> 0",
+    )
+    + ",\n    k2 AS MATERIALIZED (\n      SELECT doc_id FROM ("
+    + _nightly_select("d2_")
+    + "\n      ) WHERE disposition IN ('keep', 'keep_cleaned')\n    ),"
+    + _nightly_ctes(
+        "d3_",
+        f"{_D3_MEMBER_DOC} AND doc_id % 5 = 1",
+        f"{_D3_MEMBER_DOC} AND doc_id % 5 <> 1",
+        f"{_D3_MEMBER_VEC} AND vec_id % 5 = 1",
+        f"{_D3_MEMBER_VEC} AND vec_id % 5 <> 1",
+        "vec_id % 3 <> 0",
+    )
+    + _nightly_select("d3_")
+)
+
+
+@query("curate_nightly_ingest_day3", oracle=_DAY3_ORACLE)
+def curate_nightly_ingest_day3(spark, sf_dir):
+    """Certified index DELETION (VERDICT r11 item 1 — the one operation
+    a real 100 TB corpus pipeline needed that the engine could not do):
+    the takedown manifest (every indexed document with doc_id % 5 == 1,
+    across base corpus, day-1 keeps, and day-2 keeps) is REMOVED from
+    the three maintained indexes — negative doc-refcounts for the
+    counted gram index, tombstone anti-joins for MinHash and IVF — and
+    this query then re-ingests exactly those documents (the
+    resubmitted-recrawl shape: a taken-down document coming back
+    through the pipeline) against the post-takedown state via the same
+    _disposition_plan every nightly query runs, with the gram probe in
+    refcount-netting mode.
+
+    The probe batch BEING the removed set makes the hash maximally
+    deletion-sensitive: any removal bug leaves a document's own grams/
+    bands/vectors in the index, and it would near-dup itself at
+    jaccard 1.0 (disposition drop_near_dup) instead of matching only
+    through surviving documents. The oracle replays the whole
+    three-generation lifecycle from scratch — d1 chain derives the
+    day-1 keeps, d2 chain (over corpus ∪ k1) derives the day-2 keeps,
+    d3 chain rebuilds every reference relation from
+    (corpus ∪ k1 ∪ k2) ∖ manifest with the frozen day-0 quantizer — so
+    one hash certifies merge-of-merge AND that probe-time deletion
+    (refcount netting + tombstones) is bit-identical to rebuilding the
+    indexes over the post-takedown corpus. At 100 TB: the takedown is
+    O(manifest) appends, the probe pays O(batch) + a broadcast
+    anti-join per index, the standing files are untouched, and
+    compact_gram_index/compact_minhash_index/compact_ivf_index reclaim
+    the bytes out of band."""
+    gram, mh, ivf, cents, k1_ids, k2_ids = _ensure_day3_state(spark, sf_dir)
+    member_d = (
+        (F.col("doc_id") % 3 != 0)
+        | F.col("doc_id").isin(k1_ids)
+        | F.col("doc_id").isin(k2_ids)
+    )
+    member_v = (
+        (F.col("vec_id") % 3 != 0)
+        | F.col("vec_id").isin(k1_ids)
+        | F.col("vec_id").isin(k2_ids)
+    )
+    return _disposition_plan(
+        spark,
+        sf_dir,
+        member_d & (F.col("doc_id") % 5 == 1),
+        member_v & (F.col("vec_id") % 5 == 1),
+        gram,
+        mh,
+        ivf,
+        cents,
+        gram_net_counts=True,
     )

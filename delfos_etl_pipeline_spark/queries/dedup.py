@@ -1831,7 +1831,17 @@ def ensure_gram_index(spark, sf_dir: str) -> str:
     path, writing it ONCE per (process, corpus) — repeat invocations
     (bench iterations) time only the probe, as the incremental query's
     docstring promises (ADVICE r8). Shared by
-    dedup_substring_incremental and curate_nightly_ingest."""
+    dedup_substring_incremental, curate_nightly_ingest, and — via a
+    copy-on-entry clone, since maintenance MUTATES its copy — the
+    day-2/day-3 maintenance flagships (VERDICT r11 item 5: ONE
+    standing-corpus gram materialization per process).
+
+    Written COUNTED (``(gram, cnt)`` doc-refcount rows, r12): the
+    deletable index form remove_from_gram_index requires. Membership
+    probes are unchanged — they project ``gram`` and semi-join the SET,
+    and a counted build stores exactly one row per distinct gram, so
+    the probed gram set (and thus every certified output) is
+    bit-identical to the uncounted r11 index."""
     import atexit
     import os
     import shutil
@@ -1847,7 +1857,7 @@ def ensure_gram_index(spark, sf_dir: str) -> str:
         atexit.register(shutil.rmtree, workdir, ignore_errors=True)
         write_gram_index(
             corpus, os.path.join(workdir, "grams"), "doc_id", "text",
-            k=5, hashed=False,
+            k=5, hashed=False, counted=True,
         )
         _GRAM_INDEX_WORKDIRS[sf_dir] = workdir
     return os.path.join(workdir, "grams")

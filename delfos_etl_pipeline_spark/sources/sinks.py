@@ -109,6 +109,129 @@ def export_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 
 
+def staged_swap(path: str, write_to) -> None:
+    """Crash-safe directory replacement for locally-stored datasets: the
+    compaction-swap core of :func:`compact_partitions`, extracted (VERDICT
+    r11 item 2) so every index compaction (gram/MinHash/IVF/PQ) shares the
+    same audited protocol instead of re-inventing an rmtree-then-rename
+    with a destructive crash window.
+
+    ``write_to(tmp_path)`` must fully materialize the NEW contents at the
+    staging path. The swap is then two ``os.rename`` calls with the delete
+    LAST — at every instant at least one complete copy exists on disk, and
+    every intermediate state is recognizable from the three paths alone,
+    so this function self-heals on entry: a leftover ``*._compact_bak``
+    with the dataset missing (crash between the two renames) is rolled
+    back; a leftover bak with the dataset present (crash before the final
+    rmtree) is cleaned up; a stale ``*._compact_tmp`` (crash during the
+    write) is discarded. ``os.path.normpath`` first, so a trailing-slash
+    path cannot send the staging dir inside the dataset it replaces
+    (ADVICE r11). Local-filesystem contract; on an object store or HDFS,
+    swap via the catalog (table-location flip) or a table format with
+    transactional replace instead.
+    """
+    import shutil as _shutil
+
+    path = os.path.normpath(path)
+    tmp = path + "._compact_tmp"
+    bak = path + "._compact_bak"
+    # Recover from a previous interrupted swap before touching anything:
+    # each leftover combination identifies exactly where the crash hit.
+    if os.path.exists(bak):
+        if os.path.exists(path):
+            # crashed after rename(tmp, path), before rmtree(bak): the
+            # compacted data is already live — finish the cleanup.
+            _shutil.rmtree(bak)
+        else:
+            # crashed between the two renames: the original is intact
+            # under bak — roll it back.
+            os.rename(bak, path)
+    if os.path.exists(tmp):
+        # crashed mid-write: tmp is an incomplete copy — discard it.
+        _shutil.rmtree(tmp)
+
+    write_to(tmp)
+
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    _shutil.rmtree(bak)
+
+
+def committed_append(
+    df: DataFrame,
+    live_dir: str,
+    batch_id: str | None = None,
+    partition_by: str | None = None,
+) -> None:
+    """Append ``df``'s rows to a live parquet dataset as NEW files — the
+    write primitive of the four index ``merge_into_*`` maintenance
+    functions. With ``batch_id=None`` this is a plain ``mode("append")``
+    write: O(batch), but a crashed-and-retried caller double-appends
+    (the caller must guarantee exactly-once externally).
+
+    With a ``batch_id`` (ADVICE r11: merges must be retry-safe — a
+    re-run nightly close that double-appended MinHash shingle rows would
+    duplicate verify rows in minhash_lsh_pairs_indexed output), the
+    append is IDEMPOTENT under any crash/retry interleaving via a
+    staging-dir + done-marker protocol, all file-level and O(batch):
+
+    1. if ``<live>._merged_<batch_id>`` exists → the merge already
+       committed; return (the retry no-op).
+    2. stage the batch at ``<live>._merge_<batch_id>`` — rewritten from
+       scratch unless a COMPLETE staging (Spark's ``_SUCCESS`` marker)
+       is already there, so a retry never mixes two half-written stages
+       (Spark part-file names are unique per write attempt; re-staging
+       over a complete stage would otherwise double the rows when step 3
+       had already moved some files).
+    3. move each staged data file into the live dir by relative path
+       (atomic per-file renames; moved files leave the staging dir, so a
+       crash mid-loop resumes with exactly the remainder).
+    4. write the done marker, then drop the staging dir.
+
+    Crash between 3 and 4: the data is fully live, the retry finds a
+    complete ``_SUCCESS`` stage with no data files left, moves nothing,
+    and commits the marker. Duplicate rows are impossible at every
+    interleaving. Markers and staging dirs are SIBLINGS of the live dir
+    (suffix-named), so dataset scans never see them. Local-filesystem
+    contract, like :func:`staged_swap`; a table format's transactional
+    append replaces this on an object store."""
+    import re as _re
+    import shutil as _shutil
+
+    if batch_id is None:
+        w = df.write.mode("append")
+        if partition_by is not None:
+            w = w.partitionBy(partition_by)
+        w.parquet(live_dir)
+        return
+
+    if not _re.fullmatch(r"[A-Za-z0-9._-]+", batch_id):
+        raise ValueError(f"batch_id must be path-safe, got {batch_id!r}")
+    live_dir = os.path.normpath(live_dir)
+    done = live_dir + f"._merged_{batch_id}"
+    if os.path.exists(done):
+        return
+    staging = live_dir + f"._merge_{batch_id}"
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        if os.path.exists(staging):
+            _shutil.rmtree(staging)
+        w = df.write.mode("overwrite")
+        if partition_by is not None:
+            w = w.partitionBy(partition_by)
+        w.parquet(staging)
+    for root, _dirs, files in os.walk(staging):
+        rel = os.path.relpath(root, staging)
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            dest_dir = live_dir if rel == "." else os.path.join(live_dir, rel)
+            os.makedirs(dest_dir, exist_ok=True)
+            os.rename(os.path.join(root, fname), os.path.join(dest_dir, fname))
+    with open(done, "w") as f:
+        f.write("committed\n")
+    _shutil.rmtree(staging, ignore_errors=True)
+
+
 def compact_partitions(
     spark,
     path: str,
@@ -164,73 +287,65 @@ def compact_partitions(
     Returns {"files_before": ..., "files_after": ...}.
     """
     import glob as _glob
-    import shutil as _shutil
 
-    tmp = path.rstrip("/") + "._compact_tmp"
-    bak = path.rstrip("/") + "._compact_bak"
-    # Recover from a previous interrupted swap before touching anything:
-    # each leftover combination identifies exactly where the crash hit.
-    if os.path.exists(bak):
-        if os.path.exists(path):
-            # crashed after rename(tmp, path), before rmtree(bak): the
-            # compacted data is already live — finish the cleanup.
-            _shutil.rmtree(bak)
+    path = os.path.normpath(path)
+    stats: dict[str, int] = {}
+
+    def _write(tmp: str) -> None:
+        # runs AFTER staged_swap's self-heal, so the listing and the scan
+        # see a recovered dataset, never a half-swapped one
+        before = _glob.glob(os.path.join(path, "*", "*.parquet"))
+        stats["files_before"] = len(before)
+        total_bytes = sum(os.path.getsize(f) for f in before)
+
+        df = spark.read.parquet(path)
+        # Per-partition file budgets from the DATA, not from parsing
+        # directory names: a "col=value" dir name is URL-escaped
+        # (':' → '%3A') and NULL becomes __HIVE_DEFAULT_PARTITION__, so a
+        # string match back to column values can silently miss rows —
+        # fatal in a rewrite-and-swap. Row counts per partition value are
+        # exact; per-partition bytes are rows × measured average row
+        # width (uniform-width approximation).
+        counts = df.groupBy(F.col(partition_col).alias("_pv")).count().collect()
+        total_rows = sum(r["count"] for r in counts) or 1
+        bytes_per_row = total_bytes / total_rows
+        n_per_part = {
+            r["_pv"]: max(
+                1, -(-int(r["count"] * bytes_per_row) // target_file_bytes)
+            )  # ceil
+            for r in counts
+        }
+        total_files = sum(n_per_part.values())
+
+        if sort_within:
+            out = df.repartitionByRange(
+                int(total_files),
+                F.col(partition_col),
+                *[F.col(c) for c in sort_within],
+            ).sortWithinPartitions(*[F.col(c) for c in sort_within])
         else:
-            # crashed between the two renames: the original is intact
-            # under bak — roll it back.
-            os.rename(bak, path)
-    if os.path.exists(tmp):
-        # crashed mid-write: tmp is an incomplete copy — discard it.
-        _shutil.rmtree(tmp)
-
-    before = _glob.glob(os.path.join(path, "*", "*.parquet"))
-    total_bytes = sum(os.path.getsize(f) for f in before)
-
-    df = spark.read.parquet(path)
-    # Per-partition file budgets from the DATA, not from parsing directory
-    # names: a "col=value" dir name is URL-escaped (':' → '%3A') and NULL
-    # becomes __HIVE_DEFAULT_PARTITION__, so a string match back to column
-    # values can silently miss rows — fatal in a rewrite-and-swap. Row
-    # counts per partition value are exact; per-partition bytes are
-    # rows × measured average row width (uniform-width approximation).
-    counts = df.groupBy(F.col(partition_col).alias("_pv")).count().collect()
-    total_rows = sum(r["count"] for r in counts) or 1
-    bytes_per_row = total_bytes / total_rows
-    n_per_part = {
-        r["_pv"]: max(
-            1, -(-int(r["count"] * bytes_per_row) // target_file_bytes)
-        )  # ceil
-        for r in counts
-    }
-    total_files = sum(n_per_part.values())
-
-    if sort_within:
-        out = df.repartitionByRange(
-            int(total_files), F.col(partition_col), *[F.col(c) for c in sort_within]
-        ).sortWithinPartitions(*[F.col(c) for c in sort_within])
-    else:
-        n_map = spark.createDataFrame(
-            [(r["_pv"], n_per_part[r["_pv"]]) for r in counts],
-            df.select(F.col(partition_col).alias("_pv")).schema.add(
-                "_nf", "long"
-            ),
-        )
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]), F.col("_nf")
-        ).alias("_salt")
-        out = (
-            df.join(
-                F.broadcast(n_map),
-                F.col(partition_col).eqNullSafe(F.col("_pv")),
+            n_map = spark.createDataFrame(
+                [(r["_pv"], n_per_part[r["_pv"]]) for r in counts],
+                df.select(F.col(partition_col).alias("_pv")).schema.add(
+                    "_nf", "long"
+                ),
             )
-            .select(*df.columns, salt)
-            .repartition(int(total_files), F.col(partition_col), F.col("_salt"))
-            .drop("_salt")
-        )
-    out.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]), F.col("_nf")
+            ).alias("_salt")
+            out = (
+                df.join(
+                    F.broadcast(n_map),
+                    F.col(partition_col).eqNullSafe(F.col("_pv")),
+                )
+                .select(*df.columns, salt)
+                .repartition(
+                    int(total_files), F.col(partition_col), F.col("_salt")
+                )
+                .drop("_salt")
+            )
+        out.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
 
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    _shutil.rmtree(bak)
+    staged_swap(path, _write)
     after = _glob.glob(os.path.join(path, "*", "*.parquet"))
-    return {"files_before": len(before), "files_after": len(after)}
+    return {"files_before": stats["files_before"], "files_after": len(after)}

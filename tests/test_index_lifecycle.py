@@ -1,0 +1,438 @@
+"""Index lifecycle — DELETION + COMPACTION + retry-safe merges (r12).
+
+VERDICT r11 items 1-2 / ADVICE r11: the four persisted index families
+(counted grams, MinHash bands+shingles, IVF cells, PQ codes) gain
+takedown support (probe-time refcount netting / tombstone anti-joins,
+physical removal deferred to compaction), every compaction swaps via the
+audited staged_swap protocol (no destructive crash window), and every
+merge append is idempotent under crash/retry when tagged with a
+batch_id. Each family's contract: probe-for-probe equality with a
+FROM-SCRATCH rebuild over the effective corpus, before AND after
+compaction, plus restart probes.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from delfos_etl_pipeline_spark.sources.parquet import load_table
+
+
+# ---------------------------------------------------------------- fs layer
+
+
+def test_staged_swap_self_heals(tmp_path):
+    """Every crash interleaving of the swap leaves a recoverable state:
+    bak-without-live rolls back, bak-with-live finishes cleanup, stale
+    tmp is discarded — and a trailing-slash path must not relocate the
+    staging dirs (the ADVICE r11 compact_gram_index bug class)."""
+    from delfos_etl_pipeline_spark.sources.sinks import staged_swap
+
+    def _mkdir(p, marker):
+        os.makedirs(p)
+        with open(os.path.join(p, "data.txt"), "w") as f:
+            f.write(marker)
+
+    def _marker(p):
+        with open(os.path.join(p, "data.txt")) as f:
+            return f.read()
+
+    def _writer(content):
+        def _w(tmp):
+            _mkdir(tmp, content)
+
+        return _w
+
+    # normal swap (with a trailing slash): new content lands, old gone
+    live = str(tmp_path / "ds")
+    _mkdir(live, "v1")
+    staged_swap(live + "/", _writer("v2"))
+    assert _marker(live) == "v2"
+    assert not os.path.exists(live + "._compact_tmp")
+    assert not os.path.exists(live + "._compact_bak")
+
+    # crash between the two renames: live missing, bak holds the original
+    os.rename(live, live + "._compact_bak")
+    staged_swap(live, _writer("v3"))
+    assert _marker(live) == "v3"
+
+    # crash after the second rename, before the bak delete
+    _mkdir(live + "._compact_bak", "stale-old")
+    staged_swap(live, _writer("v4"))
+    assert _marker(live) == "v4"
+    assert not os.path.exists(live + "._compact_bak")
+
+    # crash mid-write: a stale tmp must be discarded, not swapped in
+    _mkdir(live + "._compact_tmp", "half-written")
+    staged_swap(live, _writer("v5"))
+    assert _marker(live) == "v5"
+
+
+def test_committed_append_idempotent(spark, tmp_path):
+    """committed_append with a batch_id is exactly-once under retries:
+    a plain retry no-ops on the done marker, and a crash between the
+    file moves and the marker (staging left with _SUCCESS and no data
+    files) commits without re-appending a single row."""
+    from delfos_etl_pipeline_spark.sources.sinks import committed_append
+
+    live = str(tmp_path / "rel")
+    base = spark.range(10).select(F.col("id").alias("v"))
+    base.write.parquet(live)
+    batch = spark.range(100, 105).select(F.col("id").alias("v"))
+
+    committed_append(batch, live, batch_id="b1")
+    assert spark.read.parquet(live).count() == 15
+    # retry after success: marker short-circuits
+    committed_append(batch, live, batch_id="b1")
+    assert spark.read.parquet(live).count() == 15
+    # crash-sim: marker lost, staging present with _SUCCESS but every
+    # data file already moved — the retry must move nothing and commit
+    done = live + "._merged_b1"
+    staging = live + "._merge_b1"
+    os.remove(done)
+    os.makedirs(staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    committed_append(batch, live, batch_id="b1")
+    assert spark.read.parquet(live).count() == 15
+    assert os.path.exists(done)
+    assert not os.path.exists(staging)
+    # a second batch id still appends
+    committed_append(batch, live, batch_id="b2")
+    assert spark.read.parquet(live).count() == 20
+    with pytest.raises(ValueError, match="path-safe"):
+        committed_append(batch, live, batch_id="../evil")
+
+
+# ---------------------------------------------------------------- grams
+
+
+def _gram_fixture(spark):
+    corpus0 = spark.createDataFrame(
+        [
+            # docs 1 and 2 SHARE their grams: removing doc 2 must keep
+            # every shared gram alive via doc 1's refcount
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "the quick brown fox jumps over the lazy dog again today"),
+            (3, "an entirely different standing corpus document body here"),
+        ],
+        "doc_id long, text string",
+    )
+    keeps = spark.createDataFrame(
+        [
+            (10, "fresh accepted document with shared lazy dog again today"),
+            (11, "unique nightly accepted text that nothing else repeats"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (20, "prefix words the quick brown fox jumps over the lazy dog"),
+            (21, "unique nightly accepted text that nothing else repeats"),
+            (22, "fresh accepted document with shared lazy dog again today"),
+            (23, "no gram here overlaps any standing corpus document text"),
+        ],
+        "doc_id long, text string",
+    )
+    return corpus0, keeps, batch
+
+
+def test_gram_counted_remove_equals_rebuild(spark, tmp_path):
+    """Counted gram index: build → merge → REMOVE must probe identically
+    to a from-scratch index over (corpus ∪ keeps) ∖ removed — including
+    the shared-gram case where a removed document's gram survives via a
+    surviving document's refcount."""
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        merge_into_gram_index,
+        remove_from_gram_index,
+        remove_spans_matching_indexed,
+        write_gram_index,
+    )
+
+    corpus0, keeps, batch = _gram_fixture(spark)
+    # remove doc 2 (its grams shared with doc 1 must stay) and doc 11
+    # (its grams die with it — doc 21's matches must disappear)
+    removed = corpus0.where(F.col("doc_id") == 2).union(
+        keeps.where(F.col("doc_id") == 11)
+    )
+    effective = corpus0.union(keeps).join(
+        removed.select("doc_id"), "doc_id", "left_anti"
+    )
+    for hashed in (False, True):
+        live = str(tmp_path / f"grams_{hashed}")
+        write_gram_index(
+            corpus0, live, "doc_id", "text", k=5, hashed=hashed, counted=True
+        )
+        merge_into_gram_index(
+            keeps, live, "doc_id", "text", k=5, hashed=hashed, counted=True,
+            batch_id="day1",
+        )
+        remove_from_gram_index(
+            removed, live, "doc_id", "text", k=5, hashed=hashed,
+            batch_id="takedown",
+        )
+        rebuilt = str(tmp_path / f"grams_rebuilt_{hashed}")
+        write_gram_index(
+            effective, rebuilt, "doc_id", "text", k=5, hashed=hashed
+        )
+        got = sorted(
+            remove_spans_matching_indexed(
+                batch, live, "doc_id", "text", k=5, hashed=hashed,
+                net_counts=True,
+            ).collect()
+        )
+        want = sorted(
+            remove_spans_matching_indexed(
+                batch, rebuilt, "doc_id", "text", k=5, hashed=hashed
+            ).collect()
+        )
+        assert got == want
+        # retrying the removal is idempotent (marker protocol)
+        remove_from_gram_index(
+            removed, live, "doc_id", "text", k=5, hashed=hashed,
+            batch_id="takedown",
+        )
+        again = sorted(
+            remove_spans_matching_indexed(
+                batch, live, "doc_id", "text", k=5, hashed=hashed,
+                net_counts=True,
+            ).collect()
+        )
+        assert again == want
+    by_id = {r.doc_id: r for r in want}
+    assert by_id[20].n_removed > 0   # shared grams survive doc 2's removal
+    assert by_id[21].n_removed == 0  # doc 11's unique grams are gone
+    assert by_id[22].n_removed > 0   # untouched keep still cuts
+    assert by_id[23].n_removed == 0
+
+
+def test_gram_counted_compaction(spark, tmp_path):
+    """compact_gram_index(counted=True) nets the refcount generations,
+    physically drops dead grams, and is probe-for-probe invisible."""
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        compact_gram_index,
+        merge_into_gram_index,
+        remove_from_gram_index,
+        remove_spans_matching_indexed,
+        write_gram_index,
+    )
+
+    corpus0, keeps, batch = _gram_fixture(spark)
+    removed = corpus0.where(F.col("doc_id") == 2).union(
+        keeps.where(F.col("doc_id") == 11)
+    )
+    live = str(tmp_path / "grams")
+    write_gram_index(
+        corpus0, live, "doc_id", "text", k=5, hashed=False, counted=True
+    )
+    merge_into_gram_index(
+        keeps, live, "doc_id", "text", k=5, hashed=False, counted=True
+    )
+    remove_from_gram_index(removed, live, "doc_id", "text", k=5, hashed=False)
+
+    def _probe():
+        return sorted(
+            remove_spans_matching_indexed(
+                batch, live, "doc_id", "text", k=5, hashed=False,
+                net_counts=True,
+            ).collect()
+        )
+
+    before = _probe()
+    compact_gram_index(spark, live, counted=True)
+    after = _probe()
+    assert after == before
+    rel = spark.read.parquet(live)
+    # one row per surviving gram, every count positive, dead grams gone
+    assert rel.count() == rel.select("gram").distinct().count()
+    assert rel.where(F.col("cnt") <= 0).count() == 0
+    # doc 11's unique grams are physically absent: re-adding doc 11
+    # restores cuts (count algebra starts clean, not from a stale -1)
+    merge_into_gram_index(
+        keeps.where(F.col("doc_id") == 11), live, "doc_id", "text",
+        k=5, hashed=False, counted=True,
+    )
+    by_id = {r.doc_id: r for r in _probe()}
+    assert by_id[21].n_removed > 0
+
+
+# ---------------------------------------------------------------- MinHash
+
+
+def test_minhash_remove_and_compact_equals_rebuild(spark, tmp_path):
+    """MinHash tombstones: removed docs stop surfacing as candidates or
+    verify partners, probe ≡ rebuild over the effective corpus, and
+    compaction physically retires them without changing one probe row."""
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        compact_minhash_index,
+        merge_into_minhash_index,
+        minhash_lsh_pairs_indexed,
+        remove_from_minhash_index,
+        write_minhash_index,
+    )
+
+    corpus0 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "an entirely different standing corpus document body here"),
+        ],
+        "doc_id long, text string",
+    )
+    keeps = spark.createDataFrame(
+        [(10, "a freshly accepted nightly document body with novel words")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (20, "the quick brown fox jumps over the lazy dog again tonight"),
+            (21, "a freshly accepted nightly document body with novel terms"),
+        ],
+        "doc_id long, text string",
+    )
+    # remove doc 1 (a base-generation doc) and doc 10 (a merged keep)
+    removed = spark.createDataFrame([(1,), (10,)], "doc_id long")
+    effective = corpus0.union(keeps).join(removed, "doc_id", "left_anti")
+    live = str(tmp_path / "lsh")
+    write_minhash_index(corpus0, live, "doc_id", "text", n=3, hash_fn="md5")
+    merge_into_minhash_index(
+        keeps, live, "doc_id", "text", n=3, hash_fn="md5", batch_id="day1"
+    )
+
+    def _probe(path):
+        return sorted(
+            minhash_lsh_pairs_indexed(
+                batch, path, "doc_id", "text", n=3,
+                threshold=0.5, hash_fn="md5",
+            ).collect()
+        )
+
+    pre = _probe(live)
+    assert any(r.doc_old == 1 for r in pre) and any(
+        r.doc_old == 10 for r in pre
+    )
+    remove_from_minhash_index(removed, live)
+    rebuilt = str(tmp_path / "lsh_rebuilt")
+    write_minhash_index(effective, rebuilt, "doc_id", "text", n=3, hash_fn="md5")
+    got = _probe(live)
+    want = _probe(rebuilt)
+    assert got == want
+    assert not any(r.doc_old in (1, 10) for r in got)
+    compact_minhash_index(spark, live)
+    assert not os.path.isdir(os.path.join(live, "tombstones"))
+    assert _probe(live) == want
+    stored = {
+        r.doc_id
+        for r in spark.read.parquet(f"{live}/shingles").select("doc_id").collect()
+    }
+    assert stored == {2}
+
+
+# ---------------------------------------------------------------- IVF
+
+
+def test_ivf_remove_and_compact_equals_rebuild(spark, sf_dir, tmp_path):
+    """IVF tombstones: read_ivf_index anti-joins removed ids (probe ≡
+    rebuild over the effective set with the FROZEN quantizer), partition
+    pruning survives, and compaction physically drops the rows."""
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        assign_fixed_centroids,
+        build_ivf_index_fixed,
+        compact_ivf_index,
+        ivf_topk,
+        merge_into_ivf_index,
+        read_ivf_index,
+        remove_from_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus0 = emb.where(F.col("vec_id") % 3 != 0)
+    day1 = emb.where(F.col("vec_id") % 6 == 0)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+
+    assigned0, cents = build_ivf_index_fixed(corpus0, n_clusters=8)
+    live = str(tmp_path / "ivf")
+    write_ivf_index(assigned0.select("vec_id", "embedding", "cluster"), live)
+    merge_into_ivf_index(
+        assign_fixed_centroids(day1, cents, inline=True).select(
+            "vec_id", "embedding", "cluster"
+        ),
+        live,
+        batch_id="day1",
+    )
+    union = corpus0.union(day1)
+    removed = union.where(F.col("vec_id") % 5 == 1).select("vec_id")
+    remove_from_ivf_index(removed, live, "vec_id")
+    effective = union.join(removed, "vec_id", "left_anti")
+    want = ivf_topk(
+        assign_fixed_centroids(effective, cents, inline=True),
+        cents, qvec, k=10, n_probe=8,
+    ).collect()
+    got = ivf_topk(read_ivf_index(spark, live), cents, qvec, k=10, n_probe=8).collect()
+    assert got == want
+    # pruning survives the tombstone anti-join
+    pruned = read_ivf_index(spark, live).where(F.col("cluster").isin([0, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    compact_ivf_index(spark, live, "vec_id")
+    assert not os.path.isdir(live + ".tombstones")
+    got2 = ivf_topk(
+        read_ivf_index(spark, live), cents, qvec, k=10, n_probe=8
+    ).collect()
+    assert got2 == want
+    removed_ids = {r.vec_id for r in removed.collect()}
+    stored_ids = {r.vec_id for r in spark.read.parquet(live).select("vec_id").collect()}
+    assert not (stored_ids & removed_ids)
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def test_pq_remove_and_compact_equals_rebuild(spark, sf_dir, tmp_path):
+    """PQ tombstones: read_pq_index anti-joins removed ids out of the
+    codes relation (ADC ≡ re-encode over the effective corpus with the
+    FROZEN codebooks); compaction physically drops them and leaves the
+    sidecar untouched."""
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        compact_pq_index,
+        fit_pq_codebooks_fixed,
+        merge_into_pq_index,
+        pq_adc_topk,
+        pq_encode,
+        read_pq_index,
+        remove_from_pq_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus0 = emb.where(F.col("vec_id") % 3 != 0)
+    day1 = emb.where(F.col("vec_id") % 6 == 0)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    books = fit_pq_codebooks_fixed(corpus0, m=8, k=16)
+
+    live = str(tmp_path / "pq")
+    write_pq_index(pq_encode(corpus0, books), books, live)
+    merge_into_pq_index(pq_encode(day1, books), live, batch_id="day1")
+    union = corpus0.union(day1)
+    removed = union.where(F.col("vec_id") % 5 == 1).select("vec_id")
+    remove_from_pq_index(removed, live, "vec_id")
+    effective = union.join(removed, "vec_id", "left_anti")
+    want = pq_adc_topk(
+        pq_encode(effective, books), books, qvec, "vec_id", k=10
+    ).collect()
+    codes_r, books_r = read_pq_index(spark, live)
+    assert books_r == books
+    got = pq_adc_topk(codes_r, books_r, qvec, "vec_id", k=10).collect()
+    assert got == want
+    compact_pq_index(spark, live)
+    assert not os.path.isdir(os.path.join(live, "tombstones"))
+    codes_c, books_c = read_pq_index(spark, live)
+    assert books_c == books
+    assert pq_adc_topk(codes_c, books_c, qvec, "vec_id", k=10).collect() == want
+    removed_ids = {r.vec_id for r in removed.collect()}
+    stored_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{live}/codes").select("vec_id").collect()
+    }
+    assert not (stored_ids & removed_ids)

@@ -112,14 +112,16 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_round_window_names_all_registered():
-    """Every _R11_*/_R10_*/_R9_*/_R8_* window entry must resolve in
-    QUERIES — a claimed-but-unshipped name fails here instead of being
-    silently dropped (ADVICE r6). _driver_order() also asserts this at
-    runtime."""
+    """Every _R12_*/_R11_*/_R10_*/_R9_*/_R8_* window entry must resolve
+    in QUERIES — a claimed-but-unshipped name fails here instead of
+    being silently dropped (ADVICE r6). _driver_order() also asserts
+    this at runtime."""
     from delfos_etl_pipeline_spark import queries as qpkg
 
     for n in (
-        qpkg._R11_RECERT + qpkg._R11_NEW + qpkg._R11_STALE_REFRESH
+        qpkg._R12_RECERT + qpkg._R12_NEW + qpkg._R12_STALE_REFRESH
+        + qpkg._R12_R6_FILL
+        + qpkg._R11_RECERT + qpkg._R11_NEW + qpkg._R11_STALE_REFRESH
         + qpkg._R11_R5_FILL
         + qpkg._R10_RECERT + qpkg._R10_NEW + qpkg._R10_STALE_REFRESH
         + qpkg._R10_R4_REFRESH
@@ -132,13 +134,13 @@ def test_round_window_names_all_registered():
 
 
 def test_stale_refresh_no_duplicates():
-    """The r11 window is EXACTLY the driver's ~50-slot capacity — a
+    """The r12 window is EXACTLY the driver's ~50-slot capacity — a
     duplicate or an overflow silently pushes a claimed re-cert out."""
     from delfos_etl_pipeline_spark import queries as qpkg
 
     names = (
-        qpkg._R11_RECERT + qpkg._R11_NEW + qpkg._R11_STALE_REFRESH
-        + qpkg._R11_R5_FILL
+        qpkg._R12_RECERT + qpkg._R12_NEW + qpkg._R12_STALE_REFRESH
+        + qpkg._R12_R6_FILL
     )
     assert len(names) == len(set(names))
     assert len(names) == 50, len(names)
