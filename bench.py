@@ -383,11 +383,50 @@ def _run_isolated(name: str, sf_dir: str, cpus: str, warm: int, iters: int):
     return {"error": (proc.stderr or proc.stdout)[-300:]}
 
 
+def _md5_chain(_=None) -> float:
+    """One fixed CPU workload unit for the host-speed anchor. Module
+    level, because multiprocessing.Pool pickles the mapped callable by
+    qualified name even under fork — a closure raises AttributeError
+    (and the probe's except would silently record -1)."""
+    import hashlib
+
+    h = b"x" * 4096
+    t0 = time.time()
+    for _ in range(200000):
+        h = hashlib.md5(h).digest() + h[:4080]
+    return time.time() - t0
+
+
+def _host_speed_probe() -> dict[str, float]:
+    """Deterministic CPU anchor for cross-round bench comparisons (r12).
+
+    Three rounds of drift postmortems (r9-r11 window-drift rulings, the
+    r11 verdict's 1.11x common-40 regression on untouched code) keep
+    hitting the same wall: a round-over-round delta can't be split into
+    host-speed change vs code change because nothing in the record
+    measures the HOST. This fixed workload does — a single-core md5
+    chain (pure CPU, no IO, no JVM) and a 16-way parallel run of the
+    same chain (exposes noisy-neighbor steal). Both land in the record
+    line and bench_diag.json: divide a round's per-query medians by the
+    probe ratio before calling anything a regression."""
+    import multiprocessing as mp
+
+    single = _md5_chain()
+    try:
+        with mp.Pool(16) as pool:
+            times = sorted(pool.map(_md5_chain, range(16)))
+        par16 = times[8]
+    except Exception:
+        par16 = -1.0
+    return {"md5_single_s": round(single, 3), "md5_par16_med_s": round(par16, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    host_probe = _host_speed_probe()
 
     _quiet_stderr()
 
@@ -667,6 +706,9 @@ def main() -> None:
     }
     if streaming:
         record["streaming"] = streaming
+    # ~55 chars: the host-speed anchor travels WITH the record, so the
+    # round's official numbers carry their own window calibration
+    record["host_probe"] = host_probe
     if isolate_errors:
         # a failed isolate query is missing from per_query, so the
         # headline sum covers FEWER queries and would read as an
@@ -694,6 +736,7 @@ def main() -> None:
                         "sf": sf,
                         "streaming": streaming,
                         "second_opinion": second_opinion,
+                        "host_probe": host_probe,
                     },
                     f,
                 )
