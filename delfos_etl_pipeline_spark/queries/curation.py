@@ -6,7 +6,7 @@ unchanged — importing this module registers its queries.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from delfos_etl_pipeline_spark.queries._registry import _t, query
@@ -1244,7 +1244,13 @@ def _disposition_plan(
     ``gram_net_counts=True`` switches the gram probe to the
     refcount-netting form a post-removal counted index requires —
     day-1/day-2 states keep the plain set semi-join (all generations
-    additive), so their certified plans are byte-unchanged."""
+    additive), so their certified plans are byte-unchanged.
+
+    ``doc_pred``/``vec_pred`` may each be a Column predicate (the
+    modulo-split batches) or a single-id-column DataFrame (a manifest —
+    the day-3 re-ingest batch IS the takedown manifest), applied as a
+    broadcast semi-join: at 100 TB a manifest is a relation, never a
+    thousand-literal isin folded into every scan."""
     from delfos_etl_pipeline_spark.dedup.minhash import (
         minhash_lsh_pairs_indexed,
     )
@@ -1260,7 +1266,14 @@ def _disposition_plan(
     )
 
     docs = _t(spark, sf_dir, "documents")
-    batch = docs.where(doc_pred)
+    if isinstance(doc_pred, DataFrame):
+        batch = docs.join(
+            F.broadcast(doc_pred.select(F.col(doc_pred.columns[0]).alias("doc_id"))),
+            "doc_id",
+            "left_semi",
+        )
+    else:
+        batch = docs.where(doc_pred)
     sub = remove_spans_matching_indexed(
         batch, gram_path, "doc_id", "text", k=5, hashed=False,
         net_counts=gram_net_counts,
@@ -1317,7 +1330,15 @@ def _disposition_plan(
     # pays ONE 64-element dot fold instead of three (measured 5.2s ->
     # ~1.8s at sf0.1). Same doubles, same association as the oracle's
     # dot(b,a) / (sqrt(dot(b,b)) * sqrt(dot(a,a))).
-    bq = emb.where(vec_pred).select(
+    if isinstance(vec_pred, DataFrame):
+        emb_batch = emb.join(
+            F.broadcast(vec_pred.select(F.col(vec_pred.columns[0]).alias("vec_id"))),
+            "vec_id",
+            "left_semi",
+        )
+    else:
+        emb_batch = emb.where(vec_pred)
+    bq = emb_batch.select(
         F.col("vec_id").alias("bq_id"),
         v.alias("bq_e"),
         F.sqrt(_dot(v, v)).alias("bq_n"),
@@ -1704,12 +1725,16 @@ def _ensure_day3_state(spark, sf_dir):
             batch_id="takedown",
         )
         remove_from_minhash_index(removed_docs.select("doc_id"), mh)
-        remove_from_ivf_index(
-            emb.where(member_v & (F.col("vec_id") % 5 == 1)).select("vec_id"),
-            ivf,
-            "vec_id",
+        removed_vecs = emb.where(member_v & (F.col("vec_id") % 5 == 1)).select(
+            "vec_id"
         )
-        state = (gram, mh, ivf, cents, k1_ids, k2_ids)
+        remove_from_ivf_index(removed_vecs, ivf, "vec_id")
+        # the manifests double as the day-3 re-ingest batch: collect the
+        # (takedown-sized) id lists once so the query can apply them as
+        # broadcast semi-joins instead of thousand-literal isin filters
+        doc_manifest = sorted(r[0] for r in removed_docs.select("doc_id").collect())
+        vec_manifest = sorted(r[0] for r in removed_vecs.collect())
+        state = (gram, mh, ivf, cents, doc_manifest, vec_manifest)
         _DAY3_STATE[sf_dir] = state
     return state
 
@@ -1793,23 +1818,18 @@ def curate_nightly_ingest_day3(spark, sf_dir):
     O(manifest) appends, the probe pays O(batch) + a broadcast
     anti-join per index, the standing files are untouched, and
     compact_gram_index/compact_minhash_index/compact_ivf_index reclaim
-    the bytes out of band."""
-    gram, mh, ivf, cents, k1_ids, k2_ids = _ensure_day3_state(spark, sf_dir)
-    member_d = (
-        (F.col("doc_id") % 3 != 0)
-        | F.col("doc_id").isin(k1_ids)
-        | F.col("doc_id").isin(k2_ids)
-    )
-    member_v = (
-        (F.col("vec_id") % 3 != 0)
-        | F.col("vec_id").isin(k1_ids)
-        | F.col("vec_id").isin(k2_ids)
+    the bytes out of band. The re-ingest batch is selected by broadcast
+    semi-join against the manifest relation — the production shape (a
+    takedown manifest is a table, never a literal id list folded into
+    every scan's predicate)."""
+    gram, mh, ivf, cents, doc_manifest, vec_manifest = _ensure_day3_state(
+        spark, sf_dir
     )
     return _disposition_plan(
         spark,
         sf_dir,
-        member_d & (F.col("doc_id") % 5 == 1),
-        member_v & (F.col("vec_id") % 5 == 1),
+        spark.createDataFrame([(i,) for i in doc_manifest], "doc_id bigint"),
+        spark.createDataFrame([(i,) for i in vec_manifest], "vec_id bigint"),
         gram,
         mh,
         ivf,

@@ -827,10 +827,10 @@ def test_nightly_day3_probes_post_takedown_indexes(spark, sf_dir):
     plus the negative-refcount gram append and the MinHash/IVF tombstone
     relations), never rebuild any corpus-side relation: the documents/
     embeddings scans stay within the same batch-side budget as the other
-    two flagships (the batch predicate here is the takedown manifest —
-    membership ∧ doc_id % 5 = 1 — so a % 3 term legitimately appears
-    INSIDE the batch filter; the scan-count budget is the corpus-rebuild
-    pin), and the gram netting plus the tombstone anti-joins add index-
+    two flagships (the scan-count budget is the corpus-rebuild pin), the
+    re-ingest batch is selected by BROADCAST semi-join against the
+    manifest relation (never a thousand-literal isin folded into every
+    scan), and the gram netting plus the tombstone anti-joins add index-
     side reads only (VERDICT r11 item 1: 'planshape pins zero corpus
     rebuild')."""
     import re
@@ -845,7 +845,11 @@ def test_nightly_day3_probes_post_takedown_indexes(spark, sf_dir):
     # gram index (netting probe), band buckets, shingles, IVF cells,
     # plus at least one tombstone relation
     assert len(idx) >= 5, locs
-    # the takedown manifest predicate reaches every batch-side scan
-    assert re.search(r"\((?:doc_id|vec_id)#\d+L? % 5\) = 1", plan)
+    # manifest selection and tombstone exclusion are broadcast joins
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+    # the manifest never degrades to literal isin lists in scan filters
+    assert not re.search(r"doc_id#\d+L? IN \(", plan)
     # no scan re-derives a prior day's batch
     assert not re.search(r"\((?:doc_id|vec_id)#\d+L? % 6\) = 0", plan)
