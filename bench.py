@@ -229,6 +229,7 @@ HEADLINE = [
     # round 12
     "curate_nightly_ingest_day3",
     "sim_pq_probe_deleted",
+    "sim_pq_probe_compacted",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,
@@ -478,6 +479,7 @@ def main() -> None:
         "curate_nightly_ingest_day3",  # probes the post-TAKEDOWN state
                                        # (r12 deletion capstone)
         "sim_pq_probe_deleted",  # probes the tombstoned PQ codes clone
+        "sim_pq_probe_compacted",  # probes the compacted rewrite
         # session-sensitive, not IO: the deliberately sequential 5-key
         # single-task window — measured 3.84s in-chunk vs 3.2s in ANY
         # fresh session (bench-style warmup+iters, reproduced across all

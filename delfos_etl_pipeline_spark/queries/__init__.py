@@ -124,6 +124,10 @@ _R12_NEW: list[str] = [
         # (corpus ∪ k1 ∪ k2) ∖ manifest
     "sim_pq_probe_deleted",  # the fourth family's deletion: tombstoned
         # PQ codes clone, ADC top-k ≡ re-encode over corpus ∖ manifest
+    "sim_pq_probe_compacted",  # certified COMPACTION: the tombstoned
+        # clone physically rewritten (compact_pq_index via staged_swap)
+        # probes bit-identically — shares the deleted oracle, so one
+        # hash pins compaction-invisibility under the driver gate
 ]
 
 # The full r5-evidence cohort (38 names, registry order): zero code
@@ -148,11 +152,11 @@ _R12_STALE_REFRESH: list[str] = [
     "ts_seasonal_decompose", "orders_backlog_aging", "dq_psi_drift",
 ]
 
-# 4 oldest r6-evidence names (registry order) to fill the window to
-# exactly 50.
+# 3 oldest r6-evidence names (registry order) to fill the window to
+# exactly 50 (a fourth fill slot went to the sim_pq_probe_compacted
+# registration; the remaining 12 r6 names lead r13).
 _R12_R6_FILL: list[str] = [
     "ts_gapfill_locf", "w9_percent_rank_cume", "w12_streak_reset_count",
-    "dedup_embedding_cosine",
 ]
 
 _R11_RECERT: list[str] = [

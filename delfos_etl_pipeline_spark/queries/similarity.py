@@ -682,35 +682,19 @@ assert _PQ_ADC_DELETED_ORACLE != _PQ_ADC_ORACLE
 _PQ_DELETED_STATE: dict = {}
 
 
-@query("sim_pq_probe_deleted", oracle=_PQ_ADC_DELETED_ORACLE)
-def sim_pq_probe_deleted(spark, sf_dir):
-    """Certified PQ index DELETION (VERDICT r11 item 1 — the fourth
-    index family; grams/MinHash/IVF are certified together by
-    curate_nightly_ingest_day3): the persisted sim_pq_probe index is
-    cloned (copy-on-entry of the shared _ensure_pq_index
-    materialization — the corpus is fitted + encoded once per process),
-    a takedown manifest (vec_id % 7 == 2) is tombstoned out via
-    remove_from_pq_index — O(manifest) append beside the codes files,
-    codebook sidecar untouched (it IS the frozen quantizer) — and the
-    ADC top-10 runs over the post-removal restore: read_pq_index
-    anti-joins the tombstones (broadcast) before the LUT scan, so
-    removed vectors can never rank. The oracle replays encode + ADC
-    from scratch over corpus ∖ manifest with the FULL-corpus codebooks,
-    so the hash match certifies probe-time tombstoning ≡ rebuilding the
-    codes relation over the post-takedown corpus. At 100 TB: removal
-    appends a manifest-sized relation, the 8-byte/vector ADC scan and
-    its partition pruning are untouched, and compact_pq_index reclaims
-    the bytes out of band."""
+def _ensure_pq_deleted_index(spark, sf_dir) -> tuple[str, list[float]]:
+    """Build-once accessor for the TOMBSTONED PQ index clone:
+    (index_path, query_vector) — the shared _ensure_pq_index
+    materialization copied, then the vec_id % 7 == 2 takedown manifest
+    appended as tombstones. Shared by sim_pq_probe_deleted (probes the
+    tombstoned state) and — via one more clone — sim_pq_probe_compacted
+    (compacts its clone first, certifying the physical rewrite)."""
     import atexit
     import os
     import shutil
     import tempfile
 
-    from delfos_etl_pipeline_spark.similarity.pq import (
-        pq_adc_topk,
-        read_pq_index,
-        remove_from_pq_index,
-    )
+    from delfos_etl_pipeline_spark.similarity.pq import remove_from_pq_index
 
     state = _PQ_DELETED_STATE.get(sf_dir)
     if state is None:
@@ -729,6 +713,83 @@ def sim_pq_probe_deleted(spark, sf_dir):
         )
         state = (path, qvec)
         _PQ_DELETED_STATE[sf_dir] = state
+    return state
+
+
+@query("sim_pq_probe_deleted", oracle=_PQ_ADC_DELETED_ORACLE)
+def sim_pq_probe_deleted(spark, sf_dir):
+    """Certified PQ index DELETION (VERDICT r11 item 1 — the fourth
+    index family; grams/MinHash/IVF are certified together by
+    curate_nightly_ingest_day3): the persisted sim_pq_probe index is
+    cloned (copy-on-entry of the shared _ensure_pq_index
+    materialization — the corpus is fitted + encoded once per process),
+    a takedown manifest (vec_id % 7 == 2) is tombstoned out via
+    remove_from_pq_index — O(manifest) append beside the codes files,
+    codebook sidecar untouched (it IS the frozen quantizer) — and the
+    ADC top-10 runs over the post-removal restore: read_pq_index
+    anti-joins the tombstones (broadcast) before the LUT scan, so
+    removed vectors can never rank. The oracle replays encode + ADC
+    from scratch over corpus ∖ manifest with the FULL-corpus codebooks,
+    so the hash match certifies probe-time tombstoning ≡ rebuilding the
+    codes relation over the post-takedown corpus. At 100 TB: removal
+    appends a manifest-sized relation, the 8-byte/vector ADC scan and
+    its partition pruning are untouched, and compact_pq_index reclaims
+    the bytes out of band (certified by sim_pq_probe_compacted)."""
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        pq_adc_topk,
+        read_pq_index,
+    )
+
+    path, qvec = _ensure_pq_deleted_index(spark, sf_dir)
+    codes, books = read_pq_index(spark, path)
+    return pq_adc_topk(codes, books, qvec, "vec_id", k=10)
+
+
+#: sim_pq_probe_compacted's physically-compacted clone, one per
+#: (process, sf_dir).
+_PQ_COMPACTED_STATE: dict = {}
+
+
+@query("sim_pq_probe_compacted", oracle=_PQ_ADC_DELETED_ORACLE)
+def sim_pq_probe_compacted(spark, sf_dir):
+    """Certified index COMPACTION (closes the r12 lifecycle under the
+    driver's hash gate — build → probe → merge → remove were already
+    driver-certified; this certifies the physical-rewrite step): the
+    tombstoned sim_pq_probe_deleted index is cloned once more and
+    compact_pq_index rewrites it — tombstoned rows physically dropped,
+    append fragmentation collapsed, tombstone relation retired, the
+    whole swap through sinks.staged_swap's crash-safe rename-aside
+    protocol — and the ADC top-10 probes the compacted restore. Sharing
+    sim_pq_probe_deleted's exact oracle means the hash match certifies
+    that compaction is bit-INVISIBLE to probes: the physically-reduced
+    index ranks identically to the logically-tombstoned one, which
+    ranks identically to a from-scratch re-encode of corpus ∖ manifest
+    (pytest pins the same equality for the gram/MinHash/IVF compactors;
+    this puts one family's compaction under the driver gate too). At
+    100 TB compaction is the out-of-band weekend job that reclaims
+    takedown bytes and the small-file debt of nightly merges — this
+    query is the proof it can run without a correctness review."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        compact_pq_index,
+        pq_adc_topk,
+        read_pq_index,
+    )
+
+    state = _PQ_COMPACTED_STATE.get(sf_dir)
+    if state is None:
+        src, qvec = _ensure_pq_deleted_index(spark, sf_dir)
+        workdir = tempfile.mkdtemp(prefix="pq_compacted_")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+        path = os.path.join(workdir, "index")
+        shutil.copytree(src, path)
+        compact_pq_index(spark, path)
+        state = (path, qvec)
+        _PQ_COMPACTED_STATE[sf_dir] = state
     path, qvec = state
     codes, books = read_pq_index(spark, path)
     return pq_adc_topk(codes, books, qvec, "vec_id", k=10)
