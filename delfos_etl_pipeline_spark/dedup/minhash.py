@@ -401,7 +401,11 @@ def remove_from_minhash_index(doc_ids: DataFrame, path: str) -> None:
     the same probe-time-logical / compaction-time-physical split as
     remove_from_gram_index. Removing an id that was never indexed is a
     harmless no-op (anti-join semantics), unlike the gram index's
-    refcount subtraction."""
+    refcount subtraction — and for the same reason a crashed-and-
+    RETRIED removal is safe without any marker protocol: duplicate
+    tombstone rows anti-join identically (the committed_append
+    machinery exists for the merge/refcount paths, where duplicates
+    change results)."""
     ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
     ids.write.mode("append").parquet(f"{path}/tombstones")
 

@@ -162,7 +162,9 @@ def remove_from_ivf_index(
     would corrupt partition discovery); :func:`read_ivf_index`
     anti-joins them at probe time (broadcast — takedown-manifest-sized),
     standing cell files untouched, physical removal deferred to
-    :func:`compact_ivf_index`. Removing a never-indexed id is a no-op."""
+    :func:`compact_ivf_index`. Removing a never-indexed id is a no-op,
+    and a crashed-and-retried removal is safe without a marker —
+    duplicate tombstone rows anti-join identically."""
     import os
 
     out = ids.select(F.col(ids.columns[0]).alias(id_col))

@@ -278,9 +278,12 @@ def remove_from_pq_index(
     standing code files are never touched. The codebook sidecar is
     untouched — it IS the frozen quantizer, and removal never re-trains
     it. Physical removal defers to :func:`compact_pq_index`; removing a
-    never-indexed id is a no-op (the sim_pq_probe_deleted query
-    certifies the post-removal probe against a from-scratch replay over
-    corpus ∖ removed)."""
+    never-indexed id is a no-op, and a crashed-and-retried removal is
+    safe without a marker — duplicate tombstone rows anti-join
+    identically (the sim_pq_probe_deleted query certifies the
+    post-removal probe against a from-scratch replay over
+    corpus ∖ removed; sim_pq_probe_compacted certifies the physical
+    rewrite)."""
     out = ids.select(F.col(ids.columns[0]).alias(id_col))
     out.write.mode("append").parquet(f"{path}/tombstones")
 
