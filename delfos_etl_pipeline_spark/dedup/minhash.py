@@ -433,13 +433,27 @@ def compact_minhash_index(spark, path: str) -> None:
     identically (anti-joining an already-removed id is a no-op; pytest
     pins probe equality across compaction + crash leftovers). Each
     relation swap is sinks.staged_swap's audited rename-aside protocol.
-    Runs out of band, never on the nightly path."""
+    Runs out of band, never on the nightly path.
+
+    Tombstones are applied and retired by SNAPSHOT (ADVICE r12): the
+    relation's entries are listed once at start, the rewrites drop
+    exactly the snapshotted ids, and only the snapshotted files are
+    deleted at the end — a ``remove_from_minhash_index`` landing
+    mid-compaction appends new files that survive the retire and stay
+    pending, instead of being discarded without ever being applied."""
     import os
-    import shutil
 
-    from delfos_etl_pipeline_spark.sources.sinks import staged_swap
+    from delfos_etl_pipeline_spark.sources.sinks import (
+        retire_tombstones,
+        snapshot_parquet_files,
+        staged_swap,
+        tombstone_snapshot,
+    )
 
-    tomb = _minhash_tombstones(spark, path)
+    tpath = os.path.join(path, "tombstones")
+    snap = tombstone_snapshot(tpath)
+    snap_files = snapshot_parquet_files(tpath, snap) if snap else []
+    tomb = spark.read.parquet(*snap_files) if snap_files else None
 
     def _rewrite(rel_path: str, clustered: bool):
         def _write(tmp: str) -> None:
@@ -456,8 +470,8 @@ def compact_minhash_index(spark, path: str) -> None:
 
     _rewrite(f"{path}/buckets", clustered=True)
     _rewrite(f"{path}/shingles", clustered=False)
-    if tomb is not None:
-        shutil.rmtree(os.path.join(path, "tombstones"))
+    if snap is not None:
+        retire_tombstones(tpath, snap)
 
 
 def minhash_lsh_pairs_indexed(

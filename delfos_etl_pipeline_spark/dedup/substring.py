@@ -421,7 +421,7 @@ def remove_from_gram_index(
     committed_append(neg, path, batch_id=batch_id)
 
 
-def compact_gram_index(spark, path: str, counted: bool = False) -> None:
+def compact_gram_index(spark, path: str, counted: bool | None = None) -> None:
     """Offline COMPACTION for an append-only gram index: rewrite the
     accumulated generations as one gram-clustered relation — distinct
     rows for a set index, netted refcounts with zero/negative grams
@@ -437,8 +437,34 @@ def compact_gram_index(spark, path: str, counted: bool = False) -> None:
     last), replacing the r11 rmtree-then-rename whose crash window
     could lose the live index (VERDICT r11 item 2 / ADVICE r11) — at
     100 TB this is the table-format-commit step (Iceberg/Delta snapshot
-    swap); plain-directory renames keep the same contract locally."""
+    swap); plain-directory renames keep the same contract locally.
+
+    ``counted`` defaults to None = INFER from the stored schema (a
+    ``cnt`` column means refcounted). An explicit flag that contradicts
+    the schema raises instead of corrupting: ``distinct()`` over a
+    counted index would collapse identical (gram, cnt) rows from
+    different generations — e.g. a base cnt=2 plus a merge cnt=2 for
+    the same gram — silently breaking later net-count probes and
+    removals (ADVICE r12).
+
+    Compaction requires exclusive write access to the index (true of
+    every compact_* here): a ``merge_into_``/``remove_from_`` append
+    landing between this read and the swap's rename is lost with the
+    old files. The nightly pipeline runs compaction out of band for
+    exactly this reason; a table format's optimistic-commit conflict
+    detection replaces the assumption at 100 TB."""
     from delfos_etl_pipeline_spark.sources.sinks import staged_swap
+
+    schema_counted = "cnt" in spark.read.parquet(path).columns
+    if counted is None:
+        counted = schema_counted
+    elif counted != schema_counted:
+        raise ValueError(
+            f"compact_gram_index(counted={counted}) contradicts the "
+            f"stored schema at {path!r} (cnt column "
+            f"{'present' if schema_counted else 'absent'}); compacting "
+            "a counted index with distinct() would corrupt net refcounts"
+        )
 
     def _write(tmp: str) -> None:
         rel = spark.read.parquet(path)

@@ -101,7 +101,7 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # the before-population sidecar bounds check, ADVICE r11, plus the
 # tombstone anti-join; the index build factored into _ensure_pq_index) —
 # then the two NEW deletion registrations, then the full 38-name
-# r5-evidence cohort and 4 r6 names to fill exactly 50 (the remaining 11
+# r5-evidence cohort and 3 r6 names to fill exactly 50 (the remaining 12
 # r6 names lead r13; correctness-first recerts outrank finishing the
 # cohort in one round). Same contract as every round: a name lands here
 # in the SAME commit that registers/changes it (_driver_order() and

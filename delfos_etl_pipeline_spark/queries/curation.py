@@ -1514,6 +1514,7 @@ def _ensure_day2_indexes(spark, sf_dir):
         ensure_gram_index,
         ensure_minhash_index,
     )
+    from delfos_etl_pipeline_spark.sources.sinks import clone_index
 
     state = _DAY2_STATE.get(sf_dir)
     if state is None:
@@ -1527,10 +1528,10 @@ def _ensure_day2_indexes(spark, sf_dir):
         # params as the certified single-stage queries: counted literal
         # 5-grams, md5 3-shingle MinHash, scale-aware fixed-cell IVF +
         # precomputed L2 norms) — one corpus-side build per process
-        shutil.copytree(ensure_gram_index(spark, sf_dir), gram)
-        shutil.copytree(ensure_minhash_index(spark, sf_dir), mh)
+        clone_index(ensure_gram_index(spark, sf_dir), gram)
+        clone_index(ensure_minhash_index(spark, sf_dir), mh)
         ivf_src, cents = _ensure_nightly_ivf_index(spark, sf_dir)
-        shutil.copytree(ivf_src, ivf)
+        clone_index(ivf_src, ivf)
 
         # day 1: ingest the batch, MATERIALIZE its dispositions (the
         # nightly run's output table in production — also breaks lineage,
@@ -1659,6 +1660,7 @@ def _ensure_day3_state(spark, sf_dir):
     from delfos_etl_pipeline_spark.dedup.substring import (
         remove_from_gram_index,
     )
+    from delfos_etl_pipeline_spark.sources.sinks import clone_index
     from delfos_etl_pipeline_spark.similarity.ivf import (
         remove_from_ivf_index,
     )
@@ -1671,9 +1673,9 @@ def _ensure_day3_state(spark, sf_dir):
         gram = os.path.join(workdir, "grams")
         mh = os.path.join(workdir, "lsh")
         ivf = os.path.join(workdir, "ivf")
-        shutil.copytree(gram2, gram)
-        shutil.copytree(mh2, mh)
-        shutil.copytree(ivf2, ivf)
+        clone_index(gram2, gram)
+        clone_index(mh2, mh)
+        clone_index(ivf2, ivf)
 
         # day 2: probe + materialize (the nightly output table), then
         # close the day by merging the keeps

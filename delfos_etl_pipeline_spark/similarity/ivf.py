@@ -199,22 +199,40 @@ def compact_ivf_index(spark, path: str, id_col: str = "vec_id") -> None:
     compacted-but-still-tombstoned state; both probe identically, since
     anti-joining an already-removed id is a no-op). The swap is
     sinks.staged_swap's audited rename-aside protocol over the whole
-    partitioned root. Runs out of band, never on the probe path."""
-    import os
-    import shutil
+    partitioned root. Runs out of band, never on the probe path.
 
-    from delfos_etl_pipeline_spark.sources.sinks import staged_swap
+    Tombstones are applied and retired by SNAPSHOT (ADVICE r12): only
+    the sibling relation's files present at start are applied to the
+    rewrite and deleted at the end — a ``remove_from_ivf_index``
+    landing mid-compaction appends new files that survive the retire
+    and stay pending for the probe anti-join and the next compaction."""
+    import os
+
+    from delfos_etl_pipeline_spark.sources.sinks import (
+        retire_tombstones,
+        snapshot_parquet_files,
+        staged_swap,
+        tombstone_snapshot,
+    )
 
     tpath = f"{os.path.normpath(path)}.tombstones"
+    snap = tombstone_snapshot(tpath)
+    snap_files = snapshot_parquet_files(tpath, snap) if snap else []
 
     def _write(tmp: str) -> None:
-        read_ivf_index(spark, path, id_col).repartition(
-            F.col("cluster")
-        ).write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+        idx = spark.read.parquet(path)
+        if snap_files:
+            tomb = spark.read.parquet(*snap_files).select(
+                F.col(id_col).alias(id_col)
+            )
+            idx = idx.join(F.broadcast(tomb), id_col, "left_anti")
+        idx.repartition(F.col("cluster")).write.mode(
+            "overwrite"
+        ).partitionBy("cluster").parquet(tmp)
 
     staged_swap(path, _write)
-    if os.path.isdir(tpath):
-        shutil.rmtree(tpath)
+    if snap is not None:
+        retire_tombstones(tpath, snap)
 
 
 def probe_cells(query_vec: list[float], centroids: list[list[float]], n_probe: int) -> list[int]:

@@ -299,14 +299,26 @@ def compact_pq_index(
     state or a compacted-but-still-tombstoned state; both probe
     identically). The swap is sinks.staged_swap's audited rename-aside
     protocol; the codebook sidecar is never rewritten. Runs out of
-    band, never on the ADC path."""
-    import os
-    import shutil
+    band, never on the ADC path.
 
-    from delfos_etl_pipeline_spark.sources.sinks import staged_swap
+    Tombstones are applied and retired by SNAPSHOT (ADVICE r12): only
+    the files present at start are applied and deleted — a
+    ``remove_from_pq_index`` landing mid-compaction appends new files
+    that survive the retire and stay pending, never silently dropped."""
+    import os
+
+    from delfos_etl_pipeline_spark.sources.sinks import (
+        retire_tombstones,
+        snapshot_parquet_files,
+        staged_swap,
+        tombstone_snapshot,
+    )
 
     codes_path = f"{path}/codes"
-    tomb = _pq_tombstones(spark, path)
+    tpath = os.path.join(path, "tombstones")
+    snap = tombstone_snapshot(tpath)
+    snap_files = snapshot_parquet_files(tpath, snap) if snap else []
+    tomb = spark.read.parquet(*snap_files) if snap_files else None
 
     def _write(tmp: str) -> None:
         rel = spark.read.parquet(codes_path)
@@ -320,8 +332,8 @@ def compact_pq_index(
             w.write.mode("overwrite").parquet(tmp)
 
     staged_swap(codes_path, _write)
-    if tomb is not None:
-        shutil.rmtree(os.path.join(path, "tombstones"))
+    if snap is not None:
+        retire_tombstones(tpath, snap)
 
 
 def fit_pq_codebooks_kmeans(

@@ -109,6 +109,72 @@ def export_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 
 
+def clone_index(src: str, dst: str) -> None:
+    """Clone a persisted index directory INCLUDING any sibling tombstone
+    relation. The IVF store keeps its tombstones at ``<root>.tombstones``
+    (a sibling, because the index root is a partitioned parquet root and
+    a foreign subdir would corrupt partition discovery), so a bare
+    ``copytree`` of the root silently drops pending removals and the
+    clone resurrects tombstoned vectors (ADVICE r12). Every lifecycle
+    clone (the nightly day-N states, tests) goes through this helper so
+    that failure mode cannot recur. At 100 TB the clone is a
+    metadata-level snapshot (table-format SNAPSHOT/shallow-clone); a
+    copytree keeps the same contract locally."""
+    import shutil as _shutil
+
+    src = os.path.normpath(src)
+    dst = os.path.normpath(dst)
+    _shutil.copytree(src, dst)
+    tsrc = src + ".tombstones"
+    if os.path.isdir(tsrc):
+        _shutil.copytree(tsrc, dst + ".tombstones")
+
+
+def tombstone_snapshot(tomb_dir: str) -> list[str] | None:
+    """Snapshot an append-only tombstone relation's CURRENT entries for
+    a compaction run. Returns the directory's entry names at call time
+    (or None if the relation does not exist). The compaction applies
+    exactly the snapshotted data files and, at the end, retires exactly
+    the snapshotted entries via :func:`retire_tombstones` — a
+    ``remove_from_*`` call landing mid-compaction appends NEW files,
+    which survive the retire and stay pending for the probe anti-join
+    and the next compaction, instead of being silently discarded with
+    the removal never applied (ADVICE r12)."""
+    if not os.path.isdir(tomb_dir):
+        return None
+    return sorted(os.listdir(tomb_dir))
+
+
+def snapshot_parquet_files(tomb_dir: str, snapshot: list[str]) -> list[str]:
+    """The data-file paths of a :func:`tombstone_snapshot` (parquet part
+    files only — markers like ``_SUCCESS`` carry no rows)."""
+    return [
+        os.path.join(tomb_dir, name)
+        for name in snapshot
+        if name.endswith(".parquet")
+    ]
+
+
+def retire_tombstones(tomb_dir: str, snapshot: list[str]) -> None:
+    """Delete exactly the snapshotted tombstone entries after a
+    compaction has physically applied them; files appended since the
+    snapshot survive. Drops the directory itself only when nothing
+    arrived mid-compaction. Deleting an already-applied tombstone twice
+    (crashed-and-retried compaction) is safe — missing entries are
+    skipped, and a tombstone that outlives a crash merely anti-joins an
+    already-removed id, a no-op."""
+    import shutil as _shutil
+
+    for name in snapshot:
+        p = os.path.join(tomb_dir, name)
+        if os.path.isdir(p):
+            _shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
+    if os.path.isdir(tomb_dir) and not os.listdir(tomb_dir):
+        os.rmdir(tomb_dir)
+
+
 def staged_swap(path: str, write_to) -> None:
     """Crash-safe directory replacement for locally-stored datasets: the
     compaction-swap core of :func:`compact_partitions`, extracted (VERDICT

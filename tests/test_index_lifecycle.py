@@ -436,3 +436,183 @@ def test_pq_remove_and_compact_equals_rebuild(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{live}/codes").select("vec_id").collect()
     }
     assert not (stored_ids & removed_ids)
+
+
+# ------------------------------------------------- r13 hardening (ADVICE r12)
+
+
+def test_compact_gram_index_infers_counted_mode(spark, tmp_path):
+    """ADVICE r12: every gram index the repo writes is counted, but
+    compact_gram_index defaulted to counted=False — distinct() over a
+    counted index collapses identical (gram, cnt) rows from different
+    generations and corrupts net refcounts. The mode is now INFERRED
+    from the stored schema, and an explicit flag that contradicts it
+    raises instead of corrupting."""
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        compact_gram_index,
+        merge_into_gram_index,
+        write_gram_index,
+    )
+
+    corpus0, keeps, _batch = _gram_fixture(spark)
+    live = str(tmp_path / "grams")
+    write_gram_index(
+        corpus0, live, "doc_id", "text", k=5, hashed=False, counted=True
+    )
+    # a second generation with OVERLAPPING grams at the SAME count —
+    # the distinct() failure mode collapses these pairs of rows
+    merge_into_gram_index(
+        corpus0, live, "doc_id", "text", k=5, hashed=False, counted=True
+    )
+    doubled = {
+        r.gram: r.cnt
+        for r in spark.read.parquet(live)
+        .groupBy("gram")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    with pytest.raises(ValueError, match="contradicts the stored schema"):
+        compact_gram_index(spark, live, counted=False)
+    compact_gram_index(spark, live)  # infer: counted
+    after = {r.gram: r.cnt for r in spark.read.parquet(live).collect()}
+    assert after == doubled  # refcounts preserved, not collapsed
+
+    # uncounted (set) index: inference picks the distinct() path
+    live_set = str(tmp_path / "grams_set")
+    write_gram_index(
+        corpus0, live_set, "doc_id", "text", k=5, hashed=False, counted=False
+    )
+    merge_into_gram_index(
+        corpus0, live_set, "doc_id", "text", k=5, hashed=False, counted=False
+    )
+    with pytest.raises(ValueError, match="contradicts the stored schema"):
+        compact_gram_index(spark, live_set, counted=True)
+    compact_gram_index(spark, live_set)
+    rel = spark.read.parquet(live_set)
+    assert rel.count() == rel.distinct().count()
+
+
+def test_compaction_spares_mid_run_tombstones(spark, tmp_path, monkeypatch):
+    """ADVICE r12: a remove_from_* landing while a compaction is running
+    must survive — the compaction applies and retires ONLY the
+    tombstones snapshotted at its start; later appends stay pending for
+    the probe anti-join and the next compaction, never silently
+    discarded. Simulated by injecting a removal into the first
+    staged_swap of compact_minhash_index."""
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        compact_minhash_index,
+        minhash_lsh_pairs_indexed,
+        remove_from_minhash_index,
+        write_minhash_index,
+    )
+    from delfos_etl_pipeline_spark.sources import sinks
+
+    corpus0 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "an entirely different standing corpus document body here"),
+            (3, "a third standing corpus document with its own novel words"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (20, "the quick brown fox jumps over the lazy dog again tonight"),
+            (21, "an entirely different standing corpus document body there"),
+            (22, "a third standing corpus document with its own novel terms"),
+        ],
+        "doc_id long, text string",
+    )
+    live = str(tmp_path / "lsh")
+    write_minhash_index(corpus0, live, "doc_id", "text", n=3, hash_fn="md5")
+    remove_from_minhash_index(
+        spark.createDataFrame([(1,)], "doc_id long"), live
+    )
+
+    real_swap = sinks.staged_swap
+    fired = {"done": False}
+
+    def _swap_with_concurrent_removal(path, write_to):
+        if not fired["done"]:
+            fired["done"] = True
+            remove_from_minhash_index(
+                spark.createDataFrame([(2,)], "doc_id long"), live
+            )
+        real_swap(path, write_to)
+
+    monkeypatch.setattr(sinks, "staged_swap", _swap_with_concurrent_removal)
+    compact_minhash_index(spark, live)
+    monkeypatch.setattr(sinks, "staged_swap", real_swap)
+
+    # doc 2's mid-run tombstone survived the retire and still applies
+    assert os.path.isdir(os.path.join(live, "tombstones"))
+    got = sorted(
+        minhash_lsh_pairs_indexed(
+            batch, live, "doc_id", "text", n=3, threshold=0.5, hash_fn="md5"
+        ).collect()
+    )
+    assert not any(r.doc_old in (1, 2) for r in got)
+    assert any(r.doc_old == 3 for r in got)
+    # doc 1 was physically dropped by the compaction
+    stored = {
+        r.doc_id
+        for r in spark.read.parquet(f"{live}/shingles")
+        .select("doc_id")
+        .collect()
+    }
+    assert 1 not in stored and 2 in stored
+    # the NEXT compaction applies the survivor and retires it
+    compact_minhash_index(spark, live)
+    assert not os.path.isdir(os.path.join(live, "tombstones"))
+    stored2 = {
+        r.doc_id
+        for r in spark.read.parquet(f"{live}/shingles")
+        .select("doc_id")
+        .collect()
+    }
+    assert stored2 == {3}
+    assert sorted(
+        minhash_lsh_pairs_indexed(
+            batch, live, "doc_id", "text", n=3, threshold=0.5, hash_fn="md5"
+        ).collect()
+    ) == got
+
+
+def test_clone_index_carries_sibling_tombstones(spark, sf_dir, tmp_path):
+    """ADVICE r12: IVF tombstones live at the SIBLING path
+    '<root>.tombstones' (the root is a partitioned parquet root), so a
+    bare copytree clone drops pending removals. clone_index must carry
+    them so a cloned index probes identically to its source."""
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        build_ivf_index_fixed,
+        ivf_topk,
+        read_ivf_index,
+        remove_from_ivf_index,
+        write_ivf_index,
+    )
+    from delfos_etl_pipeline_spark.sources.sinks import clone_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus0 = emb.where(F.col("vec_id") % 3 != 0)
+    qvec = [
+        float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]
+    ]
+    assigned0, cents = build_ivf_index_fixed(corpus0, n_clusters=8)
+    live = str(tmp_path / "ivf")
+    write_ivf_index(assigned0.select("vec_id", "embedding", "cluster"), live)
+    removed = corpus0.where(F.col("vec_id") % 5 == 1).select("vec_id")
+    remove_from_ivf_index(removed, live, "vec_id")
+
+    clone = str(tmp_path / "ivf_clone")
+    clone_index(live, clone)
+    assert os.path.isdir(clone + ".tombstones")
+
+    def _probe(path):
+        return ivf_topk(
+            read_ivf_index(spark, path), cents, qvec, k=10, n_probe=8
+        ).collect()
+
+    got = _probe(clone)
+    assert got == _probe(live)
+    removed_ids = {r.vec_id for r in removed.collect()}
+    assert not any(r.vec_id in removed_ids for r in got)
