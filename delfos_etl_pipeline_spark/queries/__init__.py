@@ -106,6 +106,66 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # cohort in one round). Same contract as every round: a name lands here
 # in the SAME commit that registers/changes it (_driver_order() and
 # tests/test_registry.py hard-fail on unknown names).
+# Round 13 window (VERDICT r12 items 1, 3): lead with the recerts —
+# every query whose code path the r13 compaction hardening touched:
+# curate_nightly_ingest_day2 + curate_nightly_ingest_day3 (their state
+# builders now clone via sinks.clone_index, which carries the IVF
+# sibling tombstone relation — ADVICE r12; behavior-identical here
+# because both clone pre-tombstone state, locally re-verified exact),
+# sim_pq_probe_compacted (compact_pq_index moved to the
+# snapshot-retired tombstone protocol) — then the NEW registration
+# curate_nightly_ingest_day4 (oracle-certified compaction for
+# gram/MinHash/IVF, closing the lifecycle), then the full 12-name
+# r6-evidence cohort and 34 oldest r7 names to fill exactly 50 (the
+# remaining 14 r7 names lead r14). Same contract as every round: a name
+# lands here in the SAME commit that registers/changes it
+# (_driver_order() and tests/test_registry.py hard-fail on unknown
+# names).
+_R13_RECERT: list[str] = [
+    "curate_nightly_ingest_day2",
+    "curate_nightly_ingest_day3",
+    "sim_pq_probe_compacted",
+]
+
+_R13_NEW: list[str] = [
+    "curate_nightly_ingest_day4",  # certified COMPACTION for the
+        # gram/MinHash/IVF families (VERDICT r12 item 1): the day-3
+        # post-takedown state cloned, physically rewritten by the three
+        # compact_* passes, and re-probed with the day-3 batch; shares
+        # _DAY3_ORACLE verbatim, so one hash pins
+        # compacted ≡ tombstoned ≡ rebuilt for all three families
+]
+
+# The full r6-evidence cohort (12 names, registry order): zero code
+# changes, fresh driver rows continue the oldest-first freshness
+# rotation (VERDICT r12 item 3).
+_R13_R6_REFRESH: list[str] = [
+    "dedup_embedding_cosine", "sim_knn_bruteforce", "sim_lsh_bucketed",
+    "emb_standardize", "emb_anova_f_topdims", "text_inverted_index",
+    "text_collocations_pmi", "sample_token_budget", "pack_sequences_ctx",
+    "emb_scalar_quantize", "text_lm_bigram_score", "user_event_entropy",
+]
+
+# 34 oldest r7-evidence names (registry order) to fill the window to
+# exactly 50 (the remaining 14 r7 names lead r14).
+_R13_R7_FILL: list[str] = [
+    "streaming_hopping_window_agg", "promo_uplift_did",
+    "revenue_waterfall", "orders_ship_latency_percentiles",
+    "layout_hilbert_key", "sample_systematic", "sample_domain_cap",
+    "sample_domain_temperature", "dedup_exact_substring",
+    "graph_degree_distribution", "dedup_cluster_keep_policy",
+    "dedup_threshold_sweep", "dedup_url_manifest",
+    "dedup_minhash_est_error", "dedup_rate_by_source", "emb_kmeans_step",
+    "emb_norm_profile", "emb_cosine_hist_sampled",
+    "sim_matryoshka_recall_eval", "text_zipf_fit",
+    "text_novelty_fraction", "curate_decontaminate_spans",
+    "curate_boilerplate_strip", "curate_ppl_buckets",
+    "curate_contamination_report", "mm_magic_profile",
+    "mm_audio_spectrogram", "mm_image_dhash_dedup", "mm_patch_grid",
+    "mm_video_scene_cuts", "asof_join_tolerance", "asof_join_nearest",
+    "text_readability", "shard_balance_report",
+]
+
 _R12_RECERT: list[str] = [
     "curate_nightly_ingest_day2",
     "curate_nightly_ingest",
@@ -774,19 +834,22 @@ _RECERTIFIED_R3 = {
 def _driver_order() -> list[str]:
     """Order queries() so the driver's ~50-query rotating correctness
     window always covers (a) everything new or behavior-changed this
-    round (the _R12_* lists — recerts lead per VERDICT r9 item 2), then
-    (b) the queries whose driver evidence is oldest (_R12_STALE_REFRESH
-    = the full r5 cohort + 4 r6 names), then (c) one flagship per
-    operator family, then the rest. As of r6 every registration has a
+    round (the _R13_* lists — recerts lead per VERDICT r9 item 2), then
+    (b) the queries whose driver evidence is oldest (_R13_R6_REFRESH +
+    _R13_R7_FILL = the full r6 cohort + 34 oldest r7 names), then (c)
+    one flagship per operator family, then the rest. As of r6 every registration has a
     hash-green driver row, so the tail order only controls evidence
     freshness."""
+    r13_front = (
+        _R13_RECERT + _R13_NEW + _R13_R6_REFRESH + _R13_R7_FILL
+    )
+    missing = [n for n in r13_front if n not in QUERIES]
+    assert not missing, (
+        f"window names not registered: {missing} — a _R13_* entry must "
+        "land in the same commit as its @query registration"
+    )
     r12_front = (
         _R12_RECERT + _R12_NEW + _R12_STALE_REFRESH + _R12_R6_FILL
-    )
-    missing = [n for n in r12_front if n not in QUERIES]
-    assert not missing, (
-        f"window names not registered: {missing} — a _R12_* entry must "
-        "land in the same commit as its @query registration"
     )
     r11_front = (
         _R11_RECERT + _R11_NEW + _R11_STALE_REFRESH + _R11_R5_FILL
@@ -798,7 +861,9 @@ def _driver_order() -> list[str]:
         _R9_NEW + _R9_RECERT + _R9_STALE_REFRESH + _R9_TWIN_RECERT
     )
     r8_front = _R8_NEW + _R8_RECERT + _R8_STALE_REFRESH
-    front = list(dict.fromkeys(r12_front))
+    front = list(dict.fromkeys(r13_front))
+    placed = set(front)
+    front += [n for n in r12_front if n in QUERIES and n not in placed]
     placed = set(front)
     front += [n for n in r11_front if n in QUERIES and n not in placed]
     placed = set(front)

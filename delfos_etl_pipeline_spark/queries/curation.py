@@ -1838,3 +1838,107 @@ def curate_nightly_ingest_day3(spark, sf_dir):
         cents,
         gram_net_counts=True,
     )
+
+
+#: curate_nightly_ingest_day4's compacted-index state, one per
+#: (process, sf_dir) — see _ensure_day4_state.
+_DAY4_STATE: dict = {}
+
+
+def _ensure_day4_state(spark, sf_dir):
+    """Day-4 COMPACTION state (VERDICT r12 item 1 — the last
+    uncertified lifecycle step), built ONCE per (process, corpus): a
+    private clone of the day-3 POST-TAKEDOWN state (clone_index, so the
+    IVF sibling tombstone relation travels with the clone — ADVICE
+    r12), then the out-of-band reclamation pass over all three
+    families: compact_gram_index nets the refcount generations and
+    physically drops dead grams (counted mode inferred from the stored
+    schema), compact_minhash_index / compact_ivf_index rewrite with the
+    tombstoned ids physically dropped and retire the tombstone
+    relations — every swap through sinks.staged_swap's crash-safe
+    protocol. The day-3 probe batch and frozen quantizer are reused
+    unchanged, so the day-4 query differs from day-3 in exactly one
+    respect: the indexes it probes hold compacted bytes instead of
+    append-log generations + pending deletes."""
+    import os
+
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        compact_minhash_index,
+    )
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        compact_gram_index,
+    )
+    from delfos_etl_pipeline_spark.similarity.ivf import compact_ivf_index
+    from delfos_etl_pipeline_spark.sources.sinks import clone_index
+
+    state = _DAY4_STATE.get(sf_dir)
+    if state is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        gram3, mh3, ivf3, cents, doc_manifest, vec_manifest = (
+            _ensure_day3_state(spark, sf_dir)
+        )
+        workdir = tempfile.mkdtemp(prefix="nightly_day4_")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+        gram = os.path.join(workdir, "grams")
+        mh = os.path.join(workdir, "lsh")
+        ivf = os.path.join(workdir, "ivf")
+        clone_index(gram3, gram)
+        clone_index(mh3, mh)
+        clone_index(ivf3, ivf)  # carries ivf's sibling tombstones
+
+        compact_gram_index(spark, gram)  # counted: inferred from schema
+        compact_minhash_index(spark, mh)
+        compact_ivf_index(spark, ivf, "vec_id")
+        # reclamation is REAL: no tombstone debt survives the pass
+        assert not os.path.isdir(os.path.join(mh, "tombstones"))
+        assert not os.path.isdir(ivf + ".tombstones")
+
+        state = (gram, mh, ivf, cents, doc_manifest, vec_manifest)
+        _DAY4_STATE[sf_dir] = state
+    return state
+
+
+@query("curate_nightly_ingest_day4", oracle=_DAY3_ORACLE)
+def curate_nightly_ingest_day4(spark, sf_dir):
+    """Certified index COMPACTION for the gram/MinHash/IVF families
+    (VERDICT r12 item 1): the day-3 post-takedown state — counted gram
+    index carrying negative-refcount takedown generations, MinHash and
+    IVF stores carrying tombstone relations — is cloned and PHYSICALLY
+    REWRITTEN by the three compact_* reclamation passes (netted
+    refcounts with dead grams dropped; tombstoned ids dropped and the
+    tombstone relations retired; each swap via staged_swap), and this
+    query re-runs the exact day-3 probe (the takedown manifest
+    re-ingested through _disposition_plan, gram netting mode on —
+    netting over a compacted single-generation index is the identity)
+    against the compacted state.
+
+    The oracle is day-3's, verbatim: the from-scratch three-generation
+    replay over (corpus ∪ k1 ∪ k2) ∖ manifest. One hash therefore pins
+    the full equivalence chain under the driver gate —
+    compacted ≡ tombstoned (day-3's green row) ≡ rebuilt-from-scratch
+    (the shared oracle) — for all three families at once, completing
+    what sim_pq_probe_compacted certified for PQ: every index family's
+    build → probe → merge → remove → compact lifecycle now ends in an
+    oracle-certified physical rewrite. Deletion-sensitivity carries
+    over from day-3 (the probe batch IS the removed set: a compaction
+    bug that resurrects or loses rows self-near-dups at jaccard 1.0 or
+    changes a disposition). At 100 TB compaction is the out-of-band
+    weekend job — O(index) scan + rewrite, never on the nightly path —
+    and this query is the proof that running it changes no answer."""
+    gram, mh, ivf, cents, doc_manifest, vec_manifest = _ensure_day4_state(
+        spark, sf_dir
+    )
+    return _disposition_plan(
+        spark,
+        sf_dir,
+        spark.createDataFrame([(i,) for i in doc_manifest], "doc_id bigint"),
+        spark.createDataFrame([(i,) for i in vec_manifest], "vec_id bigint"),
+        gram,
+        mh,
+        ivf,
+        cents,
+        gram_net_counts=True,
+    )

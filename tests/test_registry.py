@@ -119,7 +119,9 @@ def test_round_window_names_all_registered():
     from delfos_etl_pipeline_spark import queries as qpkg
 
     for n in (
-        qpkg._R12_RECERT + qpkg._R12_NEW + qpkg._R12_STALE_REFRESH
+        qpkg._R13_RECERT + qpkg._R13_NEW + qpkg._R13_R6_REFRESH
+        + qpkg._R13_R7_FILL
+        + qpkg._R12_RECERT + qpkg._R12_NEW + qpkg._R12_STALE_REFRESH
         + qpkg._R12_R6_FILL
         + qpkg._R11_RECERT + qpkg._R11_NEW + qpkg._R11_STALE_REFRESH
         + qpkg._R11_R5_FILL
@@ -134,13 +136,13 @@ def test_round_window_names_all_registered():
 
 
 def test_stale_refresh_no_duplicates():
-    """The r12 window is EXACTLY the driver's ~50-slot capacity — a
+    """The r13 window is EXACTLY the driver's ~50-slot capacity — a
     duplicate or an overflow silently pushes a claimed re-cert out."""
     from delfos_etl_pipeline_spark import queries as qpkg
 
     names = (
-        qpkg._R12_RECERT + qpkg._R12_NEW + qpkg._R12_STALE_REFRESH
-        + qpkg._R12_R6_FILL
+        qpkg._R13_RECERT + qpkg._R13_NEW + qpkg._R13_R6_REFRESH
+        + qpkg._R13_R7_FILL
     )
     assert len(names) == len(set(names))
     assert len(names) == 50, len(names)
