@@ -115,9 +115,13 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # sim_pq_probe_compacted (compact_pq_index moved to the
 # snapshot-retired tombstone protocol) — then the NEW registration
 # curate_nightly_ingest_day4 (oracle-certified compaction for
-# gram/MinHash/IVF, closing the lifecycle), then the full 12-name
-# r6-evidence cohort and 34 oldest r7 names to fill exactly 50 (the
-# remaining 14 r7 names lead r14). Same contract as every round: a name
+# gram/MinHash/IVF, closing the lifecycle) and emb_project_pca's
+# exact-oracle CONVERSION (VERDICT r12 item 4: the ml.feature.PCA
+# eigendecomposition replaced by the deterministic sign-pinned integer
+# power iteration, unrolled-HUGEINT-CTE oracle; the rows-only set drops
+# to five), then the full 12-name r6-evidence cohort and 33 oldest r7
+# names to fill exactly 50 (the remaining 15 r7 names lead r14). Same
+# contract as every round: a name
 # lands here in the SAME commit that registers/changes it
 # (_driver_order() and tests/test_registry.py hard-fail on unknown
 # names).
@@ -134,6 +138,10 @@ _R13_NEW: list[str] = [
         # compact_* passes, and re-probed with the day-3 batch; shares
         # _DAY3_ORACLE verbatim, so one hash pins
         # compacted ≡ tombstoned ≡ rebuilt for all three families
+    "emb_project_pca",  # exact-oracle conversion (VERDICT r12 item 4):
+        # deterministic sign-pinned integer power iteration, fit
+        # replayed bit-for-bit by the unrolled HUGEINT-CTE oracle;
+        # leaves the rows-only set (six → five)
 ]
 
 # The full r6-evidence cohort (12 names, registry order): zero code
@@ -146,8 +154,8 @@ _R13_R6_REFRESH: list[str] = [
     "emb_scalar_quantize", "text_lm_bigram_score", "user_event_entropy",
 ]
 
-# 34 oldest r7-evidence names (registry order) to fill the window to
-# exactly 50 (the remaining 14 r7 names lead r14).
+# 33 oldest r7-evidence names (registry order) to fill the window to
+# exactly 50 (the remaining 15 r7 names lead r14).
 _R13_R7_FILL: list[str] = [
     "streaming_hopping_window_agg", "promo_uplift_did",
     "revenue_waterfall", "orders_ship_latency_percentiles",
@@ -163,7 +171,7 @@ _R13_R7_FILL: list[str] = [
     "curate_contamination_report", "mm_magic_profile",
     "mm_audio_spectrogram", "mm_image_dhash_dedup", "mm_patch_grid",
     "mm_video_scene_cuts", "asof_join_tolerance", "asof_join_nearest",
-    "text_readability", "shard_balance_report",
+    "text_readability",
 ]
 
 _R12_RECERT: list[str] = [

@@ -48,3 +48,175 @@ def pca_fit_project(
         )
     )
     return out, model
+
+
+# --- deterministic power-iteration tier (exact-oracle-able) ------------
+
+#: fixed transform constants: micro-unit input pin, post-matvec
+#: downscale, component integer scale. Changing any of these changes the
+#: defined transform (and the oracle must change in lockstep).
+PCA_POWER_DOWN = 10**12
+PCA_POWER_SCALE = 10**9
+
+
+def pca_power_init_sign(c: int, j: int) -> int:
+    """±1 start-vector entry for component ``c``, dimension ``j`` —
+    md5-parity keyed, data-independent, shared verbatim by the Spark
+    plan and the DuckDB oracle generator."""
+    import hashlib
+
+    h = hashlib.md5(f"pca|{c}|{j}".encode()).hexdigest()
+    return 1 if int(h, 16) & 1 == 0 else -1
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating division toward zero via the non-negative form —
+    the one integer-division shape Python (floor) and DuckDB ``//``
+    (trunc) agree on."""
+    return (abs(a) // b) * (1 if a >= 0 else -1)
+
+
+def pca_power_iterate(
+    scatter: list[list[int]], d: int, k: int, iters: int
+) -> list[list[int]]:
+    """The DEFINED transform: ``k`` leading scatter-matrix directions
+    by fixed-budget power iteration over exact integers. Per step:
+    exact mat-vec, truncate-rescale by PCA_POWER_DOWN, Gram-Schmidt
+    against the previously extracted components (integer projection
+    coefficients, trunc division), max-abs renormalization to
+    PCA_POWER_SCALE. Component sign is pinned positive on its first
+    nonzero coordinate. Every operation is exact integer arithmetic,
+    so the unrolled-CTE SQL replay is bit-identical by construction —
+    the emb_kmeans_train trick (inductive exactness), with integers
+    instead of pinned decimals because eigenvector extraction iterates
+    30× deeper than Lloyd means."""
+    comps: list[list[int]] = []
+    for c in range(k):
+        v = [pca_power_init_sign(c, j) * PCA_POWER_SCALE for j in range(d)]
+        for _t in range(iters):
+            w = [
+                sum(scatter[j][kk] * v[kk] for kk in range(d))
+                for j in range(d)
+            ]
+            ws = [_tdiv(x, PCA_POWER_DOWN) for x in w]
+            g = list(ws)
+            for u in comps:
+                dot = sum(u[kk] * ws[kk] for kk in range(d))
+                n2 = sum(x * x for x in u)
+                for j in range(d):
+                    g[j] -= _tdiv(dot * u[j], n2)
+            m = max(abs(x) for x in g)
+            if m == 0:
+                continue  # degenerate direction: keep the previous v
+            v = [_tdiv(x * PCA_POWER_SCALE, m) for x in g]
+        s = 1
+        for x in v:
+            if x != 0:
+                s = 1 if x > 0 else -1
+                break
+        comps.append([x * s for x in v])
+    return comps
+
+
+def pca_power_fit_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 6,
+    dims: int = 64,
+):
+    """Deterministic sign-pinned power-iteration PCA (VERDICT r12
+    item 4): same (id, out_dim, value) long-form contract as
+    :func:`pca_fit_project`, but every step of the fit is a DEFINED
+    exact-integer transform, so a DuckDB oracle can replay it
+    bit-for-bit — the variance-optimal tier joins the exact-oracle
+    regime instead of resting on rows-only + property tests.
+
+    Distributed shape (100 TB-safe): one narrow pass pins each element
+    to micro-units and aggregates the 64 per-dimension sums (the pinned
+    mean — one IEEE division each, the emb_kmeans_step contract); one
+    explode pass emits each row's flattened 64×64 outer product and
+    map-side-combines into the d² = 4,096 exact scatter sums (shuffle
+    volume: 4,096 partials per partition, independent of row count);
+    ONLY model-sized state crosses to the driver (64 + 4,096 scalars),
+    where the fixed-budget iteration runs in exact Python integers; the
+    projection returns to the executors as a narrow whole-stage-codegen
+    expression over broadcast literal components — no UDF, no second
+    shuffle, no per-row driver work. Returns (projected DataFrame,
+    components as integer lists at scale PCA_POWER_SCALE)."""
+    import math
+
+    xd6 = F.transform(
+        _as_double(vec_col),
+        lambda x: F.floor(x * 1000000.0 + 0.5).cast("long"),
+    )
+    base = df.select(F.col(id_col), xd6.alias("_xd6"))
+
+    stats = (
+        base.select(F.posexplode("_xd6").alias("_j", "_v"))
+        .groupBy("_j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_v").cast("decimal(38,0)")).alias("s"),
+        )
+        .collect()
+    )
+    n = stats[0]["n"]
+    mean6 = [0] * dims
+    for r in stats:
+        # identical pin to the oracle: floor(CAST(sum AS DOUBLE)/n + 0.5)
+        mean6[r["_j"]] = int(math.floor(float(r["s"]) / n + 0.5))
+
+    mean_lit = F.array(*[F.lit(m) for m in mean6])
+    xc6 = F.zip_with("_xd6", mean_lit, lambda a, b: a - b)
+    centered = base.select(F.col(id_col), xc6.alias("_xc6"))
+
+    # flattened outer product: pos = i*dims + j. Products ≤ ~1.4e12 and
+    # per-partition partial sums are decimal-exact, so the 4,096-key
+    # aggregation is order-free.
+    outer = F.flatten(
+        F.transform(
+            "_xc6",
+            lambda xi: F.transform("_xc6", lambda xj: xi * xj),
+        )
+    )
+    srows = (
+        centered.select(F.posexplode(outer).alias("_p", "_prod"))
+        .groupBy("_p")
+        .agg(F.sum(F.col("_prod").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    scatter = [[0] * dims for _ in range(dims)]
+    for r in srows:
+        scatter[r["_p"] // dims][r["_p"] % dims] = int(r["s"])
+
+    comps = pca_power_iterate(scatter, dims, k, iters)
+
+    vals = []
+    for u in comps:
+        n2 = sum(x * x for x in u)
+        u_lit = F.array(*[F.lit(x) for x in u])
+        acc = F.aggregate(
+            F.zip_with("_xc6", u_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda s, t: s + t,
+        )
+        # micro = floor(acc/sqrt(n2) + 0.5); value = micro/1e6. sqrt of
+        # the exact integer norm is one correctly-rounded double each in
+        # Python and DuckDB, so the literal equals the oracle's
+        # sqrt(CAST(n2 AS DOUBLE)).
+        vals.append(
+            F.floor(
+                acc.cast("double") / F.lit(math.sqrt(float(n2))) + 0.5
+            ).cast("double")
+            / 1000000.0
+        )
+    out = centered.select(
+        F.col(id_col), F.posexplode(F.array(*vals)).alias("out_dim", "value")
+    ).select(
+        id_col,
+        F.col("out_dim").cast("bigint").alias("out_dim"),
+        "value",
+    )
+    return out, comps

@@ -518,3 +518,49 @@ def test_pq_index_merge_equals_rebuild(spark, sf_dir, tmp_path):
     assert got_c == want_c
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_pca_power_projection_properties(spark, sf_dir):
+    """The deterministic power-iteration tier (emb_project_pca's
+    engine): near-orthonormal components (GS deflation at integer
+    precision), energy ≥ the best-16-raw-axes baseline and ≥ 90% of the
+    true top-16 subspace energy, and the integer iteration reproduced
+    bit-for-bit from the collected scatter (determinism contract)."""
+    import numpy as np
+
+    from delfos_etl_pipeline_spark.similarity.pca import (
+        PCA_POWER_SCALE,
+        pca_power_fit_project,
+        pca_power_iterate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out, comps = pca_power_fit_project(emb, "vec_id", "embedding", k=16)
+    V = np.array(comps, dtype=float) / PCA_POWER_SCALE
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    assert np.abs(Vn @ Vn.T - np.eye(16)).max() < 1e-6
+
+    pdf = out.toPandas()
+    n = emb.count()
+    assert set(pdf.out_dim) == set(range(16))
+    assert len(pdf) == n * 16
+
+    vecs = np.array(
+        [[float(x) for x in v]
+         for v in emb.select("embedding").toPandas().embedding]
+    )
+    centered = vecs - vecs.mean(0)
+    pe = ((centered @ Vn.T) ** 2).sum()
+    ax = np.sort((centered ** 2).sum(0))[-16:].sum()
+    assert pe >= ax - 1e-6
+    sv = np.linalg.svd(centered, compute_uv=False)
+    assert pe >= 0.90 * (sv[:16] ** 2).sum()
+
+    # sign pin: first nonzero coordinate of every component positive
+    for u in comps:
+        nz = next(x for x in u if x != 0)
+        assert nz > 0
+    # determinism: a second full fit reproduces the integer components
+    # exactly (no RNG, no float accumulation anywhere in the fit)
+    _, comps2 = pca_power_fit_project(emb, "vec_id", "embedding", k=16)
+    assert comps2 == comps
