@@ -230,6 +230,9 @@ HEADLINE = [
     "curate_nightly_ingest_day3",
     "sim_pq_probe_deleted",
     "sim_pq_probe_compacted",
+    # round 13
+    "curate_nightly_ingest_day4",
+    "emb_project_pca",
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,
@@ -384,6 +387,53 @@ def _run_isolated(name: str, sf_dir: str, cpus: str, warm: int, iters: int):
     return {"error": (proc.stderr or proc.stdout)[-300:]}
 
 
+_STREAM_CHILD = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from delfos_etl_pipeline_spark import get_spark
+from delfos_etl_pipeline_spark.streaming.bench import measure_stream_rate
+spark = get_spark(
+    "delfos-bench-stream", master="local[" + {cpus!r} + "]",
+    shuffle_partitions=int({cpus!r}),
+    extra_conf={{"spark.ui.enabled": "false",
+                 "spark.ui.showConsoleProgress": "false",
+                 "spark.driver.memory": {mem!r}}},
+)
+spark.sparkContext.setLogLevel("ERROR")
+res = measure_stream_rate(spark, {topo!r})
+print("RESULT " + json.dumps({{"rows_per_sec": res["rows_per_sec"]}}))
+"""
+
+
+def _run_stream_isolated(topo: str, cpus: str):
+    """One streaming topology measured in a FULLY FRESH python+JVM
+    subprocess — the same isolate-or-anchor discipline the batch tier
+    earned (VERDICT r12 item 2: streaming rates fell 28-31% in lockstep
+    with the r12 host-window drift on untouched code, with no isolate
+    tier to separate harness state from host speed). A fresh process
+    per topology makes the rates same-recipe comparable across rounds;
+    residual round-over-round movement is then host window, which the
+    recorded host_probe anchor quantifies."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    child = _STREAM_CHILD.format(
+        repo=repo, topo=topo, cpus=cpus,
+        mem=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", child],
+            capture_output=True, text=True, timeout=900,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": "stream child timed out after 900s"}
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    return {"error": (proc.stderr or proc.stdout)[-300:]}
+
+
 def _md5_chain(_=None) -> float:
     """One fixed CPU workload unit for the host-speed anchor. Module
     level, because multiprocessing.Pool pickles the mapped callable by
@@ -478,6 +528,8 @@ def main() -> None:
                                        # state (r11 maintenance capstone)
         "curate_nightly_ingest_day3",  # probes the post-TAKEDOWN state
                                        # (r12 deletion capstone)
+        "curate_nightly_ingest_day4",  # probes the COMPACTED state
+                                       # (r13 compaction capstone)
         "sim_pq_probe_deleted",  # probes the tombstoned PQ codes clone
         "sim_pq_probe_compacted",  # probes the compacted rewrite
         # session-sensitive, not IO: the deliberately sequential 5-key
@@ -553,17 +605,17 @@ def main() -> None:
     # reproduces standalone truth. Disable with SPARK_GRAFT_STREAM_BENCH=0.
     streaming: dict[str, float | str] = {}
     if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
-        from delfos_etl_pipeline_spark.streaming.bench import measure_stream_rate
-
-        spark = _new_session(cpus)
+        # VERDICT r12 item 2: one fresh python+JVM subprocess per
+        # topology (the batch isolate tier's discipline) — the r12
+        # in-process rates fell 28-31% on untouched code with no way to
+        # tell harness state from host speed; a fresh process per
+        # topology plus the recorded host_probe anchor closes that.
         for topo in ("windowed_agg", "dedup", "stream_join"):
-            try:
-                streaming[f"{topo}_rows_per_sec"] = measure_stream_rate(
-                    spark, topo
-                )["rows_per_sec"]
-            except Exception as exc:  # a broken harness must be visible,
-                streaming[f"{topo}_error"] = str(exc)[:80]  # not a silent 0.0
-        spark.stop()
+            res = _run_stream_isolated(topo, cpus)
+            if "error" in res:  # a broken harness must be visible,
+                streaming[f"{topo}_error"] = str(res["error"])[:80]
+            else:               # not a silent 0.0
+                streaming[f"{topo}_rows_per_sec"] = res["rows_per_sec"]
     # Isolate tier: one fresh subprocess per name, sequential (bench
     # never runs Spark work concurrently with itself). 3 warmups — a
     # fresh process has cold C2 JIT; this is the recipe
@@ -693,6 +745,39 @@ def main() -> None:
         spread[name] = round(min(gaps) if gaps else 0.0, 2)
         rng[name] = round(times[-1] - times[0], 2)
 
+    # RELIABILITY GATE (VERDICT r12 item 2 — "a record must never
+    # contradict its own validator"): bench_validate rejects any
+    # measurement whose spread exceeds 0.5 x its median ("unreliable
+    # bench measurement") — r12's driver window published
+    # curate_nightly_ingest_day2 at a contended median the validator
+    # then rejected (spread 4.02s > 0.5 x 5.94s; isolated truth
+    # 2.4s). The same rule now runs INSIDE bench: every name failing it
+    # is re-timed with the isolate recipe (fresh process, up to 2
+    # retries); if no retry produces a reliable measurement, the name
+    # is listed under "unreliable" in the official record so no
+    # cross-round comparison treats the number as settled.
+    unreliable: list[str] = []
+    retries_diag: dict[str, int] = {}
+
+    def _is_reliable(name: str) -> bool:
+        return spread[name] <= 0.5 * per_query[name]
+
+    for name in sorted(per_query):
+        tries = 0
+        while not _is_reliable(name) and tries < 2:
+            res = _run_isolated(name, sf_dir, cpus, iso_warm, timed_iters)
+            tries += 1
+            if "error" in res:
+                break
+            per_query[name] = res["median"]
+            spread[name] = res["spread"]
+            rng[name] = res["range"]
+            warmups[name] = iso_warm
+        if tries:
+            retries_diag[name] = tries
+        if not _is_reliable(name):
+            unreliable.append(name)
+
     total = round(sum(per_query.values()), 2)
     # The driver captures only the tail of stdout, so the official record is
     # ONE compact JSON line: 2-decimal medians, no per-query spread (round 3's
@@ -718,6 +803,10 @@ def main() -> None:
         # cross-round comparison treats it as a full-coverage number.
         record["isolate_errors"] = len(isolate_errors)
         record["partial"] = True
+    if unreliable:
+        # validator-reject rule failed even after isolate retries: the
+        # number ships, but explicitly marked (VERDICT r12 item 2)
+        record["unreliable"] = sorted(unreliable)
     if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1":
         record["spread"] = spread
         record["iters"] = timed_iters
@@ -739,6 +828,8 @@ def main() -> None:
                         "streaming": streaming,
                         "second_opinion": second_opinion,
                         "host_probe": host_probe,
+                        "reliability_retries": retries_diag,
+                        "unreliable": unreliable,
                     },
                     f,
                 )
