@@ -1,0 +1,152 @@
+"""Streaming index maintenance — continuous ingest into the persisted
+dedup/similarity indexes via foreachBatch + committed_append.
+
+The batch lifecycle (build → probe → merge → remove → compact; certified
+end-to-end by the curate_nightly_ingest_day2/3/4 oracles) assumed a
+nightly cadence: one tagged ``merge_into_*`` call per day. A continuous
+crawl doesn't arrive nightly — it arrives as a stream, and the index
+maintenance step becomes a Structured Streaming sink. This module is
+that sink: each micro-batch of accepted documents/vectors is appended to
+the standing index materializations through the SAME ``merge_into_*``
+functions the nightly path uses, tagged with the micro-batch epoch id,
+so the streaming form inherits every property the batch form certified —
+O(batch) appends, standing files untouched, probes tombstone-aware, and
+EXACTLY-ONCE under failure replay.
+
+Exactly-once contract (the canonical foreachBatch recipe): Structured
+Streaming re-runs a failed micro-batch with the SAME epoch id and the
+same input rows; ``sinks.committed_append``'s done-marker protocol makes
+a replayed (batch, id) pair a no-op per target relation. A crash BETWEEN
+the per-family merges inside one batch (gram committed, MinHash not)
+re-runs the batch: the committed family skips on its marker, the
+uncommitted one applies — per-relation exactly-once, no cross-relation
+transaction needed because each relation is independently idempotent.
+The contract does NOT survive deleting the checkpoint directory: epoch
+ids restart and the id→content mapping changes, which no marker protocol
+can see. Keep the checkpoint; it IS the stream's identity.
+
+At 100 TB: the stream's shuffle volume per batch is the batch's gram /
+band+shingle / assigned-vector rows — corpus-independent, the measured
+invariant (SCALE.md round 13: merges flat across a 10× corpus on a fixed
+batch). Compaction stays out of band, exactly as in the nightly story.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def run_document_index_ingest(
+    stream: DataFrame,
+    gram_path: str,
+    mh_path: str,
+    checkpoint_dir: str,
+    stream_id: str = "docingest",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n: int = 3,
+    hash_fn: str = "md5",
+    accept: Callable[[DataFrame], DataFrame] | None = None,
+) -> StreamingQuery:
+    """Drain a document stream into the counted gram index and the
+    MinHash band/shingle index. ``accept`` (optional) filters each
+    micro-batch to the accepted documents — the disposition gate of the
+    nightly pipeline, applied per batch (e.g. a quality screen or a
+    dedup-probe-then-keep). ``stream_id`` namespaces the epoch ids so
+    two streams maintaining the same index cannot collide on markers.
+    availableNow trigger: drain everything staged, then stop — the
+    orchestrator-free incremental batch (T2), re-runnable on a cron."""
+    return (
+        stream.writeStream.foreachBatch(
+            document_index_batch_fn(
+                gram_path, mh_path, stream_id=stream_id, id_col=id_col,
+                text_col=text_col, k=k, n=n, hash_fn=hash_fn,
+                accept=accept,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def document_index_batch_fn(
+    gram_path: str,
+    mh_path: str,
+    stream_id: str = "docingest",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n: int = 3,
+    hash_fn: str = "md5",
+    accept: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The (batch_df, epoch_id) function behind
+    :func:`run_document_index_ingest`, exposed so callers composing
+    their own foreachBatch (e.g. disposition-write + index-merge in one
+    sink) reuse the tagged-merge discipline, and so the replay contract
+    is directly testable: calling it twice with the same epoch id must
+    change nothing (tests/test_streaming.py pins it)."""
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        merge_into_minhash_index,
+    )
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        merge_into_gram_index,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        keeps = batch_df if accept is None else accept(batch_df)
+        bid = f"{stream_id}-{batch_id}"
+        merge_into_gram_index(
+            keeps, gram_path, id_col, text_col, k=k, hashed=False,
+            counted=True, batch_id=bid,
+        )
+        merge_into_minhash_index(
+            keeps, mh_path, id_col, text_col, n=n, hash_fn=hash_fn,
+            batch_id=bid,
+        )
+
+    return _apply
+
+
+def run_vector_index_ingest(
+    stream: DataFrame,
+    ivf_path: str,
+    centroids: list[list[float]],
+    checkpoint_dir: str,
+    stream_id: str = "vecingest",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Drain an embedding stream into a persisted IVF index: each
+    micro-batch is assigned to the index's FROZEN quantizer cells
+    (IVF serving never re-trains on ingest) and appended into the
+    matching ``cluster=<cid>`` partition directories. Same epoch-id
+    idempotence as the document form. A PQ index composes identically —
+    ``pq_encode`` against frozen codebooks inside the batch function,
+    then ``merge_into_pq_index`` with the same tagged id."""
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        assign_fixed_centroids,
+        merge_into_ivf_index,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = assign_fixed_centroids(
+            batch_df, centroids, inline=True
+        ).select(F.col(id_col), F.col(vec_col), F.col("cluster"))
+        merge_into_ivf_index(
+            assigned, ivf_path, batch_id=f"{stream_id}-{batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
