@@ -79,6 +79,12 @@ DEFAULT_SAMPLE = [
     # the r9 residual-drift victims (VERDICT r9 item 1)
     "text_quality_classifier",
     "emb_standardize",
+    # the r13 registrations/conversions (VERDICT r12 items 1, 4) + the
+    # lifecycle chapters the day-4 state chains through
+    "curate_nightly_ingest_day4",
+    "emb_project_pca",
+    "curate_nightly_ingest_day2",
+    "curate_nightly_ingest_day3",
 ]
 
 _CHILD = r"""
