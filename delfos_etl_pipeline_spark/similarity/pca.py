@@ -172,19 +172,41 @@ def pca_power_fit_project(
     xc6 = F.zip_with("_xd6", mean_lit, lambda a, b: a - b)
     centered = base.select(F.col(id_col), xc6.alias("_xc6"))
 
-    # flattened outer product: pos = i*dims + j. Products ≤ ~1.4e12 and
-    # per-partition partial sums are decimal-exact, so the 4,096-key
-    # aggregation is order-free.
-    outer = F.flatten(
-        F.transform(
-            "_xc6",
-            lambda xi: F.transform("_xc6", lambda xj: xi * xj),
-        )
-    )
+    # Exact int64 scatter partials per Arrow batch: pos = i*dims + j,
+    # s = Σ_rows xc6_i·xc6_j. Spark does not whole-stage-codegen
+    # higher-order-function lambdas, so the per-row flattened outer
+    # product (dims² interpreted multiplies per row) measured 2.6s at
+    # sf0.1 where this Arrow-batched X.T @ X runs in ~0.3s — the
+    # documented exception to "built-ins first" (matrix-shaped work,
+    # interpreted HOF path). Chunked so every int64 partial is exact:
+    # k rows per chunk with k·max(|xc|)² < 2^62; partials are
+    # order-free integer sums, so the decimal(38,0) reduce is exact
+    # regardless of partitioning. At 100 TB this is the shape you want
+    # anyway: d² integers per partition cross the shuffle, nothing else.
+    import numpy as np
+    import pandas as pd
+
+    def _scatter_partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_xc6"].to_numpy()).astype(np.int64)
+            m = int(np.abs(X).max()) or 1
+            step = max(1, (2**62) // (m * m))
+            acc: dict[int, int] = {}
+            for lo in range(0, X.shape[0], step):
+                P = X[lo : lo + step].T @ X[lo : lo + step]
+                flat = P.ravel()
+                for pos in range(flat.shape[0]):
+                    acc[pos] = acc.get(pos, 0) + int(flat[pos])
+            yield pd.DataFrame(
+                {"_p": list(acc), "s": [str(v) for v in acc.values()]}
+            )
+
     srows = (
-        centered.select(F.posexplode(outer).alias("_p", "_prod"))
+        centered.mapInPandas(_scatter_partials, "_p int, s string")
         .groupBy("_p")
-        .agg(F.sum(F.col("_prod").cast("decimal(38,0)")).alias("s"))
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
         .collect()
     )
     scatter = [[0] * dims for _ in range(dims)]
@@ -193,30 +215,38 @@ def pca_power_fit_project(
 
     comps = pca_power_iterate(scatter, dims, k, iters)
 
-    vals = []
-    for u in comps:
-        n2 = sum(x * x for x in u)
-        u_lit = F.array(*[F.lit(x) for x in u])
-        acc = F.aggregate(
-            F.zip_with("_xc6", u_lit, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda s, t: s + t,
-        )
-        # micro = floor(acc/sqrt(n2) + 0.5); value = micro/1e6. sqrt of
-        # the exact integer norm is one correctly-rounded double each in
-        # Python and DuckDB, so the literal equals the oracle's
-        # sqrt(CAST(n2 AS DOUBLE)).
-        vals.append(
-            F.floor(
-                acc.cast("double") / F.lit(math.sqrt(float(n2))) + 0.5
-            ).cast("double")
-            / 1000000.0
-        )
-    out = centered.select(
-        F.col(id_col), F.posexplode(F.array(*vals)).alias("out_dim", "value")
-    ).select(
-        id_col,
-        F.col("out_dim").cast("bigint").alias("out_dim"),
-        "value",
+    # Projection, same Arrow-batched exactness: acc = X @ U.T is exact
+    # int64 (|xc6|·PCA_POWER_SCALE·dims < 2^63, asserted), then the
+    # pinned float64 steps elementwise — int64→float64 is one
+    # correctly-rounded conversion, the divisor literals are Python's
+    # correctly-rounded sqrt of the exact integer norms (equal to the
+    # oracle's sqrt(CAST(n2 AS DOUBLE))), and floor(x + 0.5) is the
+    # same IEEE op in numpy, Spark, and DuckDB.
+    U = np.array(comps, dtype=np.int64)
+    inv = np.array(
+        [math.sqrt(float(sum(x * x for x in u))) for u in comps],
+        dtype=np.float64,
     )
+    out_schema = f"{id_col} bigint, out_dim bigint, value double"
+
+    def _project(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_xc6"].to_numpy()).astype(np.int64)
+            bound = int(np.abs(X).max()) * int(np.abs(U).max()) * dims
+            assert bound < 2**63, "projection accumulator exceeds int64"
+            acc = X @ U.T  # rows × k, exact
+            micro = np.floor(acc.astype(np.float64) / inv + 0.5)
+            n_rows, n_k = micro.shape
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_k),
+                    "out_dim": np.tile(np.arange(n_k, dtype=np.int64),
+                                       n_rows),
+                    "value": (micro / 1e6).ravel(),
+                }
+            )
+
+    out = centered.mapInPandas(_project, out_schema)
     return out, comps
