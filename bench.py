@@ -233,6 +233,11 @@ HEADLINE = [
     # round 13
     "curate_nightly_ingest_day4",
     "emb_project_pca",
+    # curate_nightly_ingest_day2_streamed is deliberately NOT timed: its
+    # probe plan is byte-identical to curate_nightly_ingest_day2's (only
+    # the one-time state build differs — streaming vs batch merges), so
+    # timing it would re-pay a ~2-min fresh-process state build to
+    # record a number day2 already records.
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

@@ -119,9 +119,11 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # exact-oracle CONVERSION (VERDICT r12 item 4: the ml.feature.PCA
 # eigendecomposition replaced by the deterministic sign-pinned integer
 # power iteration, unrolled-HUGEINT-CTE oracle; the rows-only set drops
-# to five), then the full 12-name r6-evidence cohort and 33 oldest r7
-# names to fill exactly 50 (the remaining 15 r7 names lead r14). Same
-# contract as every round: a name
+# to five) and curate_nightly_ingest_day2_streamed (the STREAMING
+# maintenance path under the day-2 oracle verbatim: streaming-merged ≡
+# batch-merged ≡ rebuilt), then the full 12-name r6-evidence cohort and
+# 32 oldest r7 names to fill exactly 50 (the remaining 16 r7 names lead
+# r14). Same contract as every round: a name
 # lands here in the SAME commit that registers/changes it
 # (_driver_order() and tests/test_registry.py hard-fail on unknown
 # names).
@@ -142,6 +144,11 @@ _R13_NEW: list[str] = [
         # deterministic sign-pinned integer power iteration, fit
         # replayed bit-for-bit by the unrolled HUGEINT-CTE oracle;
         # leaves the rows-only set (six → five)
+    "curate_nightly_ingest_day2_streamed",  # the streaming sinks
+        # (streaming/index_ingest.py) under the oracle gate: day-1
+        # keeps drained through epoch-tagged foreachBatch merges, day-2
+        # batch probed against the streamed state; shares _DAY2_ORACLE
+        # verbatim, so one hash pins streaming ≡ batch maintenance
 ]
 
 # The full r6-evidence cohort (12 names, registry order): zero code
@@ -154,8 +161,8 @@ _R13_R6_REFRESH: list[str] = [
     "emb_scalar_quantize", "text_lm_bigram_score", "user_event_entropy",
 ]
 
-# 33 oldest r7-evidence names (registry order) to fill the window to
-# exactly 50 (the remaining 15 r7 names lead r14).
+# 32 oldest r7-evidence names (registry order) to fill the window to
+# exactly 50 (the remaining 16 r7 names lead r14).
 _R13_R7_FILL: list[str] = [
     "streaming_hopping_window_agg", "promo_uplift_did",
     "revenue_waterfall", "orders_ship_latency_percentiles",
@@ -171,7 +178,6 @@ _R13_R7_FILL: list[str] = [
     "curate_contamination_report", "mm_magic_profile",
     "mm_audio_spectrogram", "mm_image_dhash_dedup", "mm_patch_grid",
     "mm_video_scene_cuts", "asof_join_tolerance", "asof_join_nearest",
-    "text_readability",
 ]
 
 _R12_RECERT: list[str] = [

@@ -1620,6 +1620,130 @@ def curate_nightly_ingest_day2(spark, sf_dir):
     )
 
 
+#: curate_nightly_ingest_day2_streamed's streaming-merged state, one per
+#: (process, sf_dir) — see _ensure_day2_streamed_indexes.
+_DAY2_STREAMED_STATE: dict = {}
+
+
+def _ensure_day2_streamed_indexes(spark, sf_dir):
+    """The day-2 maintenance state built through the STREAMING sinks
+    (streaming/index_ingest.py) instead of the batch merge calls: fresh
+    day-0 clones of the shared standing-corpus materializations, the
+    day-1 keeps (read back from the materialized day-1 dispositions —
+    the same relation the batch path merges) staged as a 3-file parquet
+    source and drained availableNow through run_document_index_ingest /
+    run_vector_index_ingest — three micro-batches per stream, each an
+    epoch-tagged committed_append, the vector sink carrying the nightly
+    store's precomputed ``cv_n`` norm column. Returns (gram, mh, ivf,
+    cents): a merged state that must be bit-indistinguishable from the
+    batch-merged one, which curate_nightly_ingest_day2_streamed's
+    shared oracle certifies."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from delfos_etl_pipeline_spark.queries.dedup import (
+        ensure_gram_index,
+        ensure_minhash_index,
+    )
+    from delfos_etl_pipeline_spark.sources.sinks import clone_index
+    from delfos_etl_pipeline_spark.streaming.index_ingest import (
+        run_document_index_ingest,
+        run_vector_index_ingest,
+    )
+    from delfos_etl_pipeline_spark.streaming.runner import (
+        read_parquet_stream,
+    )
+
+    state = _DAY2_STREAMED_STATE.get(sf_dir)
+    if state is None:
+        workdir = tempfile.mkdtemp(prefix="nightly_day2s_")
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+        gram = os.path.join(workdir, "grams")
+        mh = os.path.join(workdir, "lsh")
+        ivf = os.path.join(workdir, "ivf")
+        clone_index(ensure_gram_index(spark, sf_dir), gram)
+        clone_index(ensure_minhash_index(spark, sf_dir), mh)
+        ivf_src, cents = _ensure_nightly_ivf_index(spark, sf_dir)
+        clone_index(ivf_src, ivf)
+
+        # the day-1 keeps: the SAME materialized dispositions the batch
+        # path merges (one day-1 probe per process, shared)
+        _g2, _m2, _i2, _c2, disp1 = _ensure_day2_indexes(spark, sf_dir)
+        keeps = (
+            spark.read.parquet(disp1)
+            .where(F.col("disposition").isin("keep", "keep_cleaned"))
+            .select("doc_id")
+        )
+        docs = _t(spark, sf_dir, "documents")
+        emb = _t(spark, sf_dir, "embeddings")
+        stage_docs = os.path.join(workdir, "stage_docs")
+        docs.join(keeps, "doc_id", "left_semi").select(
+            "doc_id", "text"
+        ).repartition(3).write.parquet(stage_docs)
+        stage_vecs = os.path.join(workdir, "stage_vecs")
+        emb.join(
+            keeps.withColumnRenamed("doc_id", "vec_id"), "vec_id",
+            "left_semi",
+        ).select("vec_id", "embedding").repartition(3).write.parquet(
+            stage_vecs
+        )
+
+        q = run_document_index_ingest(
+            read_parquet_stream(
+                spark, stage_docs,
+                spark.read.parquet(stage_docs).schema,
+                max_files_per_trigger=1,
+            ),
+            gram, mh, os.path.join(workdir, "ckpt_docs"),
+            stream_id="day1",
+        )
+        assert q.awaitTermination(240), "document ingest stream timed out"
+        q2 = run_vector_index_ingest(
+            read_parquet_stream(
+                spark, stage_vecs,
+                spark.read.parquet(stage_vecs).schema,
+                max_files_per_trigger=1,
+            ),
+            ivf, cents, os.path.join(workdir, "ckpt_vecs"),
+            stream_id="day1", with_norm=True,
+        )
+        assert q2.awaitTermination(240), "vector ingest stream timed out"
+        state = (gram, mh, ivf, cents)
+        _DAY2_STREAMED_STATE[sf_dir] = state
+    return state
+
+
+@query("curate_nightly_ingest_day2_streamed", oracle=_DAY2_ORACLE)
+def curate_nightly_ingest_day2_streamed(spark, sf_dir):
+    """Certified STREAMING index maintenance: identical to
+    curate_nightly_ingest_day2 except that the day-1 keeps reach the
+    standing indexes through the Structured Streaming sinks
+    (streaming/index_ingest.py — three availableNow micro-batches per
+    stream, each merge an epoch-tagged committed_append) instead of one
+    batch merge call. The oracle is _DAY2_ORACLE verbatim — the
+    from-scratch replay over corpus ∪ day-1 keeps — so one driver hash
+    pins the full equivalence: streaming-merged ≡ batch-merged
+    (day-2's green row) ≡ rebuilt-from-scratch, for all three index
+    families at once. This is the continuous-crawl shape at 100 TB: the
+    nightly close becomes a stream sink, exactly-once under micro-batch
+    failure replay (the done-marker protocol; pytest pins the replay
+    no-op), with the same O(batch) append cost the batch path measured
+    flat across a 10× corpus (SCALE.md round 13)."""
+    gram, mh, ivf, cents = _ensure_day2_streamed_indexes(spark, sf_dir)
+    return _disposition_plan(
+        spark,
+        sf_dir,
+        F.col("doc_id") % 6 == 3,
+        F.col("vec_id") % 6 == 3,
+        gram,
+        mh,
+        ivf,
+        cents,
+    )
+
+
 #: curate_nightly_ingest_day3's post-takedown state, one per
 #: (process, sf_dir) — see _ensure_day3_state.
 _DAY3_STATE: dict = {}

@@ -121,25 +121,33 @@ def run_vector_index_ingest(
     stream_id: str = "vecingest",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_norm: bool = False,
 ) -> StreamingQuery:
     """Drain an embedding stream into a persisted IVF index: each
     micro-batch is assigned to the index's FROZEN quantizer cells
     (IVF serving never re-trains on ingest) and appended into the
     matching ``cluster=<cid>`` partition directories. Same epoch-id
-    idempotence as the document form. A PQ index composes identically —
-    ``pq_encode`` against frozen codebooks inside the batch function,
-    then ``merge_into_pq_index`` with the same tagged id."""
+    idempotence as the document form. ``with_norm=True`` appends the
+    precomputed L2 norm column ``cv_n`` the nightly-pipeline IVF store
+    carries (the appended rows must match the standing relation's
+    schema). A PQ index composes identically — ``pq_encode`` against
+    frozen codebooks inside the batch function, then
+    ``merge_into_pq_index`` with the same tagged id."""
     from pyspark.sql import functions as F
 
     from delfos_etl_pipeline_spark.similarity.ivf import (
         assign_fixed_centroids,
         merge_into_ivf_index,
     )
+    from delfos_etl_pipeline_spark.similarity.knn import _as_double, _dot
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        assigned = assign_fixed_centroids(
-            batch_df, centroids, inline=True
-        ).select(F.col(id_col), F.col(vec_col), F.col("cluster"))
+        assigned = assign_fixed_centroids(batch_df, centroids, inline=True)
+        cols = [F.col(id_col), F.col(vec_col)]
+        if with_norm:
+            e = _as_double(vec_col)
+            cols.append(F.sqrt(_dot(e, e)).alias("cv_n"))
+        assigned = assigned.select(*cols, F.col("cluster"))
         merge_into_ivf_index(
             assigned, ivf_path, batch_id=f"{stream_id}-{batch_id}"
         )
