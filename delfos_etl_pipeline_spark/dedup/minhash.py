@@ -382,7 +382,23 @@ def merge_into_minhash_index(
 
     Pass a ``batch_id`` to make the two appends idempotent under
     crash/retry (the committed_append marker protocol, one marker per
-    relation); without one, the caller owns exactly-once."""
+    relation); without one, the caller owns exactly-once.
+
+    Re-adding a TOMBSTONED id raises (sinks.guard_tombstone_readd):
+    the anti-join cannot tell the old generation from the new — compact
+    first, then merge. Skipped on a retry of an already-committed
+    batch (tombstones appended since must not fail the replay no-op)."""
+    from delfos_etl_pipeline_spark.sources.sinks import (
+        guard_tombstone_readd,
+        is_committed,
+    )
+
+    if not is_committed(f"{path}/buckets", batch_id):
+        guard_tombstone_readd(
+            batch.select(id_col),
+            _minhash_tombstones(batch.sparkSession, path),
+            f"MinHash index {path!r}",
+        )
     _write_minhash_relations(
         batch, path, id_col, text_col, n, num_hashes, bands, hash_fn,
         mode="append", batch_id=batch_id,

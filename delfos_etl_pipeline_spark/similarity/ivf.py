@@ -146,9 +146,28 @@ def merge_into_ivf_index(
     rebuild over the union with the same frozen centroids. Pass a
     ``batch_id`` to make the append idempotent under crash/retry
     (sinks.committed_append moves staged files into the matching
-    ``cluster=<cid>`` partition dirs by relative path, ADVICE r11)."""
-    from delfos_etl_pipeline_spark.sources.sinks import committed_append
+    ``cluster=<cid>`` partition dirs by relative path, ADVICE r11).
 
+    Re-adding a TOMBSTONED id raises (sinks.guard_tombstone_readd):
+    compact first, then merge. Skipped on a retry of an
+    already-committed batch."""
+    import os
+
+    from delfos_etl_pipeline_spark.sources.sinks import (
+        committed_append,
+        guard_tombstone_readd,
+        is_committed,
+    )
+
+    if not is_committed(path, batch_id):
+        spark = assigned.sparkSession
+        tpath = f"{os.path.normpath(path)}.tombstones"
+        tomb = spark.read.parquet(tpath) if os.path.isdir(tpath) else None
+        if tomb is not None:
+            guard_tombstone_readd(
+                assigned.select(tomb.columns[0]), tomb,
+                f"IVF index {path!r}",
+            )
     committed_append(assigned, path, batch_id=batch_id, partition_by="cluster")
 
 

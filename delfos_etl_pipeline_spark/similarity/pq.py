@@ -404,9 +404,23 @@ def merge_into_pq_index(
     corpus ∪ batch up to file layout (pytest pins probe equality). The
     codebook sidecar is untouched — it IS the frozen quantizer. Pass a
     ``batch_id`` to make the append idempotent under crash/retry
-    (sinks.committed_append's marker protocol, ADVICE r11)."""
-    from delfos_etl_pipeline_spark.sources.sinks import committed_append
+    (sinks.committed_append's marker protocol, ADVICE r11).
 
+    Re-adding a TOMBSTONED id raises (sinks.guard_tombstone_readd):
+    compact first, then merge. Skipped on a retry of an
+    already-committed batch."""
+    from delfos_etl_pipeline_spark.sources.sinks import (
+        committed_append,
+        guard_tombstone_readd,
+        is_committed,
+    )
+
+    if not is_committed(f"{path}/codes", batch_id):
+        tomb = _pq_tombstones(codes.sparkSession, path)
+        if tomb is not None:
+            guard_tombstone_readd(
+                codes.select(tomb.columns[0]), tomb, f"PQ index {path!r}"
+            )
     committed_append(
         codes, f"{path}/codes", batch_id=batch_id, partition_by=partition_col
     )

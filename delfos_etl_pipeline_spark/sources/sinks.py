@@ -155,6 +155,49 @@ def snapshot_parquet_files(tomb_dir: str, snapshot: list[str]) -> list[str]:
     ]
 
 
+def is_committed(live_dir: str, batch_id: str | None) -> bool:
+    """True when :func:`committed_append` has already committed this
+    (relation, batch_id) pair — callers can skip pre-merge validation on
+    a retry of an already-applied merge (the validation ran when the
+    merge first committed; state created since must not fail it)."""
+    if batch_id is None:
+        return False
+    return os.path.exists(
+        os.path.normpath(live_dir) + f"._merged_{batch_id}"
+    )
+
+
+def guard_tombstone_readd(batch_ids, tomb, index_desc: str) -> None:
+    """Refuse a merge that would RE-ADD tombstoned ids to an id-keyed
+    index (MinHash/IVF/PQ). The tombstone cannot tell generations apart:
+    it would shadow the re-added rows, and clearing it would resurrect
+    the old physically-present rows beside the new ones — both wrong.
+    (The counted gram index is immune: its algebra is content-based
+    refcounts, and -old +new nets correctly.) The remedy is physical:
+    compact the index first (retires tombstones and drops the old
+    generation), then merge. Found by the lifecycle property fuzz
+    (tests/test_index_lifecycle.py: merge → remove → re-merge lost the
+    re-added document from probe output). O(manifest) broadcast
+    semi-join, run only when a tombstone relation exists."""
+    from pyspark.sql import functions as F
+
+    if tomb is None:
+        return
+    key = tomb.columns[0]
+    hit = (
+        batch_ids.select(F.col(batch_ids.columns[0]).alias(key))
+        .join(F.broadcast(tomb.select(key)), key, "left_semi")
+        .limit(1)
+        .count()
+    )
+    if hit:
+        raise ValueError(
+            f"merge into {index_desc} would re-add tombstoned ids; "
+            "compact the index first (physical removal retires the "
+            "tombstones), then merge the new generation"
+        )
+
+
 def retire_tombstones(tomb_dir: str, snapshot: list[str]) -> None:
     """Delete exactly the snapshotted tombstone entries after a
     compaction has physically applied them; files appended since the

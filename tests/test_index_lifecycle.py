@@ -616,3 +616,231 @@ def test_clone_index_carries_sibling_tombstones(spark, sf_dir, tmp_path):
     assert got == _probe(live)
     removed_ids = {r.vec_id for r in removed.collect()}
     assert not any(r.vec_id in removed_ids for r in got)
+
+
+# ------------------------------------------------ property-based lifecycle
+
+
+def _lifecycle_pool(spark):
+    """14 documents with deliberately overlapping 5-gram content, so
+    removals exercise shared-gram refcount algebra, plus a 3-doc probe
+    batch that near-dups across the pool."""
+    words = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "beta gamma delta epsilon zeta eta theta iota kappa lambda",
+        "gamma delta epsilon zeta eta theta iota kappa lambda mu",
+        "one two three four five six seven eight nine ten eleven",
+        "two three four five six seven eight nine ten eleven twelve",
+        "completely distinct body with its own private vocabulary here",
+        "another fully unique document text that shares nothing at all",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa extra",
+        "red orange yellow green blue indigo violet colors of the bow",
+        "orange yellow green blue indigo violet colors of the bow red",
+        "north south east west compass points navigation direction set",
+        "spark parquet shuffle broadcast partition codegen catalyst rows",
+        "parquet shuffle broadcast partition codegen catalyst rows spark",
+        "final filler document body with moderately overlapping words set",
+    ]
+    pool = spark.createDataFrame(
+        list(enumerate(words)), "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+            (101, "two three four five six seven eight nine ten eleven one"),
+            (102, "spark parquet shuffle broadcast partition codegen rows"),
+        ],
+        "doc_id long, text string",
+    )
+    return pool, probe
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# op codes: 0 = merge a batch of not-yet-indexed docs, 1 = remove a
+# batch of currently-indexed docs, 2 = compact both indexes. The test
+# maps codes onto VALID ops (gram removal requires exactly-as-indexed
+# documents), so every generated sequence is a legal maintenance
+# history; illegal ops degrade to no-ops instead of vacuous rejection.
+_op_st = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 13), st.integers(1, 4)),
+    min_size=3,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(ops=_op_st)
+def test_lifecycle_random_histories_equal_rebuild(spark, tmp_path_factory, ops):
+    """ANY legal interleaving of merges, removals, and compactions
+    leaves the counted gram index and the MinHash index probing
+    bit-identically to a from-scratch build over exactly the currently
+    indexed documents — the lifecycle's algebraic invariant, fuzzed
+    (the fixed-scenario tests above pin one history each)."""
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        compact_minhash_index,
+        merge_into_minhash_index,
+        minhash_lsh_pairs_indexed,
+        remove_from_minhash_index,
+        write_minhash_index,
+    )
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        compact_gram_index,
+        merge_into_gram_index,
+        remove_from_gram_index,
+        remove_spans_matching_indexed,
+        write_gram_index,
+    )
+
+    pool, probe = _lifecycle_pool(spark)
+    tmp = tmp_path_factory.mktemp("fuzz")
+    gram = str(tmp / "grams")
+    mh = str(tmp / "lsh")
+
+    # seed: docs 0-3 indexed. `tombstoned` tracks ids removed since the
+    # last compaction — re-merging those is refused by contract
+    # (sinks.guard_tombstone_readd; this fuzz originally FOUND that gap:
+    # merge → remove → re-merge silently lost the re-added doc from
+    # MinHash probe output), so legal histories exclude them until a
+    # compaction physically purges the old generation.
+    indexed = {0, 1, 2, 3}
+    tombstoned: set[int] = set()
+    seed = pool.where(F.col("doc_id").isin(list(indexed)))
+    write_gram_index(seed, gram, "doc_id", "text", k=5, hashed=False,
+                     counted=True)
+    write_minhash_index(seed, mh, "doc_id", "text", n=3, hash_fn="md5")
+
+    for i, (code, start, width) in enumerate(ops):
+        if code == 0:
+            cand = [
+                d for d in range(14)
+                if d not in indexed and d not in tombstoned
+            ]
+            batch = cand[start % (len(cand) or 1):][:width] if cand else []
+            if not batch:
+                continue
+            bdf = pool.where(F.col("doc_id").isin(batch))
+            merge_into_gram_index(
+                bdf, gram, "doc_id", "text", k=5, hashed=False,
+                counted=True, batch_id=f"m{i}",
+            )
+            merge_into_minhash_index(
+                bdf, mh, "doc_id", "text", n=3, hash_fn="md5",
+                batch_id=f"m{i}",
+            )
+            indexed |= set(batch)
+        elif code == 1:
+            cand = sorted(indexed)
+            batch = cand[start % (len(cand) or 1):][:width] if cand else []
+            if not batch:
+                continue
+            bdf = pool.where(F.col("doc_id").isin(batch))
+            remove_from_gram_index(
+                bdf, gram, "doc_id", "text", k=5, hashed=False,
+                batch_id=f"r{i}",
+            )
+            remove_from_minhash_index(bdf.select("doc_id"), mh)
+            indexed -= set(batch)
+            tombstoned |= set(batch)
+        else:
+            compact_gram_index(spark, gram)
+            compact_minhash_index(spark, mh)
+            tombstoned.clear()
+
+    # truth: from-scratch indexes over exactly the surviving documents
+    effective = pool.where(F.col("doc_id").isin(sorted(indexed)))
+    g2 = str(tmp / "g_rebuild")
+    m2 = str(tmp / "m_rebuild")
+    write_gram_index(effective, g2, "doc_id", "text", k=5, hashed=False,
+                     counted=True)
+    write_minhash_index(effective, m2, "doc_id", "text", n=3, hash_fn="md5")
+
+    def _probe(gp, mp):
+        cuts = sorted(
+            remove_spans_matching_indexed(
+                probe, gp, "doc_id", "text", k=5, hashed=False,
+                net_counts=True,
+            ).collect()
+        )
+        pairs = sorted(
+            minhash_lsh_pairs_indexed(
+                probe, mp, "doc_id", "text", n=3, threshold=0.4,
+                hash_fn="md5",
+            ).collect()
+        )
+        return cuts, pairs
+
+    assert _probe(gram, mh) == _probe(g2, m2)
+    # and the invariant survives one more compaction of the fuzzed state
+    compact_gram_index(spark, gram)
+    compact_minhash_index(spark, mh)
+    assert _probe(gram, mh) == _probe(g2, m2)
+
+
+def test_merge_refuses_tombstoned_readd_until_compaction(spark, tmp_path):
+    """The re-add contract (found by the lifecycle fuzz): merging a
+    tombstoned id back into an id-keyed index raises — the tombstone
+    cannot tell the old generation from the new — and after compaction
+    (which physically purges the old generation and retires the
+    tombstone) the same merge succeeds and probes like a rebuild. A
+    retry of an ALREADY-COMMITTED merge stays a no-op even if the ids
+    were tombstoned after it committed."""
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        compact_minhash_index,
+        merge_into_minhash_index,
+        minhash_lsh_pairs_indexed,
+        remove_from_minhash_index,
+        write_minhash_index,
+    )
+
+    corpus0, keeps, batch = _gram_fixture(spark)
+    live = str(tmp_path / "lsh")
+    write_minhash_index(corpus0, live, "doc_id", "text", n=3, hash_fn="md5")
+    merge_into_minhash_index(
+        keeps, live, "doc_id", "text", n=3, hash_fn="md5", batch_id="day1"
+    )
+    removed = keeps.where(F.col("doc_id") == 11)
+    remove_from_minhash_index(removed.select("doc_id"), live)
+
+    with pytest.raises(ValueError, match="re-add tombstoned ids"):
+        merge_into_minhash_index(
+            removed, live, "doc_id", "text", n=3, hash_fn="md5",
+            batch_id="readd",
+        )
+    # retrying the already-committed day1 merge (which contains doc 11)
+    # must stay a silent no-op — the guard is skipped on replay
+    merge_into_minhash_index(
+        keeps, live, "doc_id", "text", n=3, hash_fn="md5", batch_id="day1"
+    )
+
+    compact_minhash_index(spark, live)
+    merge_into_minhash_index(
+        removed, live, "doc_id", "text", n=3, hash_fn="md5",
+        batch_id="readd",
+    )
+    rebuilt = str(tmp_path / "lsh_rebuilt")
+    write_minhash_index(
+        corpus0.union(keeps), rebuilt, "doc_id", "text", n=3, hash_fn="md5"
+    )
+
+    def _probe(p):
+        return sorted(
+            minhash_lsh_pairs_indexed(
+                batch, p, "doc_id", "text", n=3, threshold=0.4,
+                hash_fn="md5",
+            ).collect()
+        )
+
+    assert _probe(live) == _probe(rebuilt)
