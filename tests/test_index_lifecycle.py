@@ -844,3 +844,125 @@ def test_merge_refuses_tombstoned_readd_until_compaction(spark, tmp_path):
         )
 
     assert _probe(live) == _probe(rebuilt)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(ops=_op_st)
+def test_lifecycle_random_histories_vector_families(
+    spark, tmp_path_factory, ops
+):
+    """The same fuzzed maintenance-history invariant for the VECTOR
+    families: any legal interleaving of merges, removals, and
+    compactions leaves the IVF index (frozen quantizer, partitioned
+    cells, sibling tombstones) and the PQ index (frozen codebooks,
+    in-root tombstones) probing identically to from-scratch state over
+    exactly the surviving vectors."""
+    from pyspark.sql import functions as F
+
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        assign_fixed_centroids,
+        compact_ivf_index,
+        ivf_topk,
+        merge_into_ivf_index,
+        read_ivf_index,
+        remove_from_ivf_index,
+        write_ivf_index,
+    )
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        compact_pq_index,
+        fit_pq_codebooks_fixed,
+        merge_into_pq_index,
+        pq_adc_topk,
+        pq_encode,
+        read_pq_index,
+        remove_from_pq_index,
+        write_pq_index,
+    )
+
+    dim = 8
+    pool_rows = [
+        (v, [((v * 7 + j * 3) % 17) / 7.0 - 1.0 for j in range(dim)])
+        for v in range(14)
+    ]
+    pool = spark.createDataFrame(
+        pool_rows, "vec_id long, embedding array<double>"
+    )
+    qvec = [((5 * 7 + j * 3) % 17) / 7.0 - 1.0 + 0.01 for j in range(dim)]
+    tmp = tmp_path_factory.mktemp("vfuzz")
+    ivf = str(tmp / "ivf")
+    pq = str(tmp / "pq")
+
+    indexed = {0, 1, 2, 3}
+    tombstoned: set[int] = set()
+    seed = pool.where(F.col("vec_id").isin(sorted(indexed)))
+    # frozen quantizer: the 3 lowest-id seed vectors
+    cents = [e for _, e in pool_rows[:3]]
+    write_ivf_index(
+        assign_fixed_centroids(seed, cents, inline=True).select(
+            "vec_id", "embedding", "cluster"
+        ),
+        ivf,
+    )
+    books = fit_pq_codebooks_fixed(seed, m=2, k=4, dim=dim)
+    write_pq_index(pq_encode(seed, books), books, pq)
+
+    for i, (code, start, width) in enumerate(ops):
+        if code == 0:
+            cand = [
+                v for v in range(14)
+                if v not in indexed and v not in tombstoned
+            ]
+            batch = cand[start % (len(cand) or 1):][:width] if cand else []
+            if not batch:
+                continue
+            bdf = pool.where(F.col("vec_id").isin(batch))
+            merge_into_ivf_index(
+                assign_fixed_centroids(bdf, cents, inline=True).select(
+                    "vec_id", "embedding", "cluster"
+                ),
+                ivf, batch_id=f"m{i}",
+            )
+            merge_into_pq_index(
+                pq_encode(bdf, books), pq, batch_id=f"m{i}"
+            )
+            indexed |= set(batch)
+        elif code == 1:
+            cand = sorted(indexed)
+            batch = cand[start % (len(cand) or 1):][:width] if cand else []
+            if not batch:
+                continue
+            ids = spark.createDataFrame(
+                [(v,) for v in batch], "vec_id long"
+            )
+            remove_from_ivf_index(ids, ivf, "vec_id")
+            remove_from_pq_index(ids, pq, "vec_id")
+            indexed -= set(batch)
+            tombstoned |= set(batch)
+        else:
+            compact_ivf_index(spark, ivf, "vec_id")
+            compact_pq_index(spark, pq)
+            tombstoned.clear()
+
+    effective = pool.where(F.col("vec_id").isin(sorted(indexed)))
+    got_ivf = ivf_topk(
+        read_ivf_index(spark, ivf), cents, qvec, k=14, n_probe=3
+    ).collect()
+    want_ivf = ivf_topk(
+        assign_fixed_centroids(effective, cents, inline=True),
+        cents, qvec, k=14, n_probe=3,
+    ).collect()
+    assert got_ivf == want_ivf
+    codes_r, books_r = read_pq_index(spark, pq)
+    assert books_r == books
+    got_pq = pq_adc_topk(codes_r, books, qvec, "vec_id", k=14).collect()
+    want_pq = pq_adc_topk(
+        pq_encode(effective, books), books, qvec, "vec_id", k=14
+    ).collect()
+    assert got_pq == want_pq
