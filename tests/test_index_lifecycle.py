@@ -966,3 +966,71 @@ def test_lifecycle_random_histories_vector_families(
         pq_encode(effective, books), books, qvec, "vec_id", k=14
     ).collect()
     assert got_pq == want_pq
+
+
+def test_index_stats_and_compaction_policy(spark, tmp_path):
+    """index_admin: the three debt axes (generations, tombstones,
+    negative refcount rows) are visible from the store, drive the
+    needs_compaction policy, and compaction zeroes them."""
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        compact_minhash_index,
+        merge_into_minhash_index,
+        remove_from_minhash_index,
+        write_minhash_index,
+    )
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        compact_gram_index,
+        merge_into_gram_index,
+        remove_from_gram_index,
+        write_gram_index,
+    )
+    from delfos_etl_pipeline_spark.sources.index_admin import (
+        index_stats,
+        needs_compaction,
+    )
+
+    corpus0, keeps, _batch = _gram_fixture(spark)
+    gram = str(tmp_path / "grams")
+    mh = str(tmp_path / "lsh")
+    write_gram_index(
+        corpus0, gram, "doc_id", "text", k=5, hashed=False, counted=True
+    )
+    write_minhash_index(corpus0, mh, "doc_id", "text", n=3, hash_fn="md5")
+    merge_into_gram_index(
+        keeps, gram, "doc_id", "text", k=5, hashed=False, counted=True,
+        batch_id="day1",
+    )
+    merge_into_minhash_index(
+        keeps, mh, "doc_id", "text", n=3, hash_fn="md5", batch_id="day1"
+    )
+    removed = keeps.where(F.col("doc_id") == 11)
+    remove_from_gram_index(
+        removed, gram, "doc_id", "text", k=5, hashed=False,
+        batch_id="takedown",
+    )
+    remove_from_minhash_index(removed.select("doc_id"), mh)
+
+    gs = index_stats(spark, gram, "gram")
+    ms = index_stats(spark, mh, "minhash")
+    assert gs["generations"] >= 2  # day1 merge + takedown refcounts
+    assert gs["negative_rows"] > 0
+    assert ms["generations"] >= 1 and ms["tombstone_rows"] == 1
+    assert gs["data_files"] > 0 and gs["bytes"] > 0
+
+    # tight thresholds: the debts trip the policy with named reasons
+    hit, reasons = needs_compaction(
+        gs, max_generations=1, max_negative_rows=0
+    )
+    assert hit and any("negative_rows" in r for r in reasons)
+    hit, reasons = needs_compaction(ms, max_tombstone_rows=0)
+    assert hit and any("tombstone_rows" in r for r in reasons)
+
+    compact_gram_index(spark, gram)
+    compact_minhash_index(spark, mh)
+    gs2 = index_stats(spark, gram, "gram")
+    ms2 = index_stats(spark, mh, "minhash")
+    assert gs2["negative_rows"] == 0
+    assert ms2["tombstone_rows"] == 0
+    # default thresholds: a freshly compacted index does not re-trip
+    assert not needs_compaction(gs2)[0]
+    assert not needs_compaction(ms2)[0]
