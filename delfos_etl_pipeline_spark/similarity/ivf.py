@@ -159,6 +159,10 @@ def merge_into_ivf_index(
         is_committed,
     )
 
+    from delfos_etl_pipeline_spark.sources.sinks import (
+        clear_plain_empty_root,
+    )
+
     if not is_committed(path, batch_id):
         spark = assigned.sparkSession
         tpath = f"{os.path.normpath(path)}.tombstones"
@@ -168,6 +172,10 @@ def merge_into_ivf_index(
                 assigned.select(tomb.columns[0]), tomb,
                 f"IVF index {path!r}",
             )
+        # a compaction that netted to zero left the plain-empty readable
+        # form; drop it so this partitioned append restores a clean
+        # partitionBy layout (mixed depths break partition discovery)
+        clear_plain_empty_root(spark, path)
     committed_append(assigned, path, batch_id=batch_id, partition_by="cluster")
 
 
@@ -228,6 +236,7 @@ def compact_ivf_index(spark, path: str, id_col: str = "vec_id") -> None:
     import os
 
     from delfos_etl_pipeline_spark.sources.sinks import (
+        ensure_readable_empty,
         retire_tombstones,
         snapshot_parquet_files,
         staged_swap,
@@ -248,6 +257,14 @@ def compact_ivf_index(spark, path: str, id_col: str = "vec_id") -> None:
         idx.repartition(F.col("cluster")).write.mode(
             "overwrite"
         ).partitionBy("cluster").parquet(tmp)
+        # a FULLY-emptied index nets to zero rows, and a partitionBy
+        # write of zero rows emits no schema-bearing file — the store
+        # would become unreadable (found by the vector-family lifecycle
+        # fuzz). Rewrite the empty state as a PLAIN relation (cluster as
+        # a data column): readable, probes see zero rows, and
+        # merge_into_ivf_index restores the partitioned layout on the
+        # next append (sinks.clear_plain_empty_root).
+        ensure_readable_empty(idx, tmp)
 
     staged_swap(path, _write)
     if snap is not None:

@@ -321,6 +321,10 @@ def compact_pq_index(
     tomb = spark.read.parquet(*snap_files) if snap_files else None
 
     def _write(tmp: str) -> None:
+        from delfos_etl_pipeline_spark.sources.sinks import (
+            ensure_readable_empty,
+        )
+
         rel = spark.read.parquet(codes_path)
         if tomb is not None:
             rel = rel.join(F.broadcast(tomb), tomb.columns[0], "left_anti")
@@ -328,6 +332,11 @@ def compact_pq_index(
         if partition_col is not None:
             w = w.repartition(F.col(partition_col))
             w.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+            # a fully-tombstoned codes relation nets to zero rows and a
+            # partitionBy write of zero rows emits no schema file — keep
+            # the store readable (lifecycle-fuzz finding; see
+            # compact_ivf_index)
+            ensure_readable_empty(w, tmp)
         else:
             w.write.mode("overwrite").parquet(tmp)
 
@@ -421,6 +430,12 @@ def merge_into_pq_index(
             guard_tombstone_readd(
                 codes.select(tomb.columns[0]), tomb, f"PQ index {path!r}"
             )
+        if partition_col is not None:
+            from delfos_etl_pipeline_spark.sources.sinks import (
+                clear_plain_empty_root,
+            )
+
+            clear_plain_empty_root(codes.sparkSession, f"{path}/codes")
     committed_append(
         codes, f"{path}/codes", batch_id=batch_id, partition_by=partition_col
     )

@@ -155,6 +155,49 @@ def snapshot_parquet_files(tomb_dir: str, snapshot: list[str]) -> list[str]:
     ]
 
 
+def ensure_readable_empty(rel, tmp: str) -> None:
+    """Keep a compaction output READABLE when it nets to zero rows. A
+    ``partitionBy`` write of an empty DataFrame emits only ``_SUCCESS``
+    — no schema-bearing file — so the next read fails with
+    UNABLE_TO_INFER_SCHEMA (found by the lifecycle fuzz compacting a
+    fully-tombstoned index). If ``tmp`` holds no parquet data file,
+    rewrite it as a PLAIN empty relation (the partition column becomes
+    an ordinary zero-row data column; plain empty writes DO emit one
+    schema file)."""
+    import shutil as _shutil
+
+    for _dirpath, _dirs, names in os.walk(tmp):
+        if any(n.endswith(".parquet") for n in names):
+            return
+    _shutil.rmtree(tmp)
+    rel.limit(0).write.parquet(tmp)
+
+
+def clear_plain_empty_root(spark, live_dir: str) -> None:
+    """Undo :func:`ensure_readable_empty`'s plain-empty form before a
+    PARTITIONED append: root-level schema files and incoming
+    ``col=<val>/`` partition dirs cannot coexist (mixed partition
+    depths break discovery), so if the live root is a plain EMPTY
+    relation, drop its root-level parquet files and let the append
+    restore the partitioned layout. Requires the same exclusive access
+    every merge already assumes; a crash between the delete and the
+    append leaves an empty dir that the retried merge completes."""
+    live_dir = os.path.normpath(live_dir)
+    if not os.path.isdir(live_dir):
+        return
+    entries = os.listdir(live_dir)
+    root_files = [n for n in entries if n.endswith(".parquet")]
+    has_part_dirs = any(
+        "=" in n and os.path.isdir(os.path.join(live_dir, n))
+        for n in entries
+    )
+    if not root_files or has_part_dirs:
+        return
+    if spark.read.parquet(live_dir).isEmpty():
+        for n in root_files:
+            os.remove(os.path.join(live_dir, n))
+
+
 def is_committed(live_dir: str, batch_id: str | None) -> bool:
     """True when :func:`committed_append` has already committed this
     (relation, batch_id) pair — callers can skip pre-merge validation on

@@ -1034,3 +1034,92 @@ def test_index_stats_and_compaction_policy(spark, tmp_path):
     # default thresholds: a freshly compacted index does not re-trip
     assert not needs_compaction(gs2)[0]
     assert not needs_compaction(ms2)[0]
+
+
+def test_compact_fully_emptied_partitioned_index_stays_usable(
+    spark, tmp_path
+):
+    """Lifecycle-fuzz regression, pinned deterministically: compacting a
+    FULLY-tombstoned partitioned store (IVF root, cluster-partitioned PQ
+    codes) must leave a READABLE empty relation — a partitionBy write of
+    zero rows emits no schema file — and the next merge must restore a
+    clean partitioned layout that probes like a from-scratch encode."""
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        assign_fixed_centroids,
+        compact_ivf_index,
+        ivf_topk,
+        merge_into_ivf_index,
+        read_ivf_index,
+        remove_from_ivf_index,
+        write_ivf_index,
+    )
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        compact_pq_index,
+        fit_pq_codebooks_fixed,
+        merge_into_pq_index,
+        pq_adc_topk,
+        pq_encode,
+        read_pq_index,
+        remove_from_pq_index,
+        write_pq_index,
+    )
+
+    dim = 8
+    rows = [
+        (v, [((v * 7 + j * 3) % 17) / 7.0 - 1.0 for j in range(dim)])
+        for v in range(8)
+    ]
+    pool = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [e for _, e in rows[:3]]
+    qvec = [x + 0.01 for x in rows[5][1]]
+    seed = pool.where(F.col("vec_id") < 4)
+    later = pool.where(F.col("vec_id") >= 4)
+
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(
+        assign_fixed_centroids(seed, cents, inline=True).select(
+            "vec_id", "embedding", "cluster"
+        ),
+        ivf,
+    )
+    remove_from_ivf_index(seed.select("vec_id"), ivf, "vec_id")
+    compact_ivf_index(spark, ivf, "vec_id")
+    # readable and empty — this read used to raise UNABLE_TO_INFER_SCHEMA
+    assert read_ivf_index(spark, ivf).count() == 0
+    merge_into_ivf_index(
+        assign_fixed_centroids(later, cents, inline=True).select(
+            "vec_id", "embedding", "cluster"
+        ),
+        ivf, batch_id="b2",
+    )
+    got = ivf_topk(read_ivf_index(spark, ivf), cents, qvec, k=8, n_probe=3)
+    want = ivf_topk(
+        assign_fixed_centroids(later, cents, inline=True),
+        cents, qvec, k=8, n_probe=3,
+    )
+    assert got.collect() == want.collect()
+    # the restored layout is partitioned again (pruning returns)
+    assert any(
+        n.startswith("cluster=") for n in os.listdir(ivf)
+    )
+
+    pq = str(tmp_path / "pq")
+    books = fit_pq_codebooks_fixed(seed, m=2, k=4, dim=dim)
+    codes0 = pq_encode(seed, books).withColumn(
+        "cluster", (F.col("vec_id") % 3).cast("int")
+    )
+    write_pq_index(codes0, books, pq, partition_col="cluster")
+    remove_from_pq_index(seed.select("vec_id"), pq, "vec_id")
+    compact_pq_index(spark, pq, partition_col="cluster")
+    codes_r, books_r = read_pq_index(spark, pq)
+    assert books_r == books and codes_r.count() == 0
+    codes1 = pq_encode(later, books).withColumn(
+        "cluster", (F.col("vec_id") % 3).cast("int")
+    )
+    merge_into_pq_index(codes1, pq, partition_col="cluster", batch_id="b2")
+    codes_r2, _ = read_pq_index(spark, pq)
+    got_pq = pq_adc_topk(codes_r2, books, qvec, "vec_id", k=8).collect()
+    want_pq = pq_adc_topk(
+        pq_encode(later, books), books, qvec, "vec_id", k=8
+    ).collect()
+    assert got_pq == want_pq
