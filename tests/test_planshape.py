@@ -853,3 +853,53 @@ def test_nightly_day3_probes_post_takedown_indexes(spark, sf_dir):
     assert not re.search(r"doc_id#\d+L? IN \(", plan)
     # no scan re-derives a prior day's batch
     assert not re.search(r"\((?:doc_id|vec_id)#\d+L? % 6\) = 0", plan)
+
+
+def test_nightly_day4_probes_compacted_indexes(spark, sf_dir):
+    """curate_nightly_ingest_day4: the post-compaction probe must read
+    ONLY the day-4 compacted state (nightly_day4_* — single-generation
+    relations, no tombstone relation left anywhere in the plan), with
+    the same batch-side scan budget as the other flagships and the
+    manifest still applied as a broadcast semi-join. Compaction buys the
+    plan LESS work, never more: versus day-3 there is no tombstone
+    anti-join left to pay."""
+    import re
+
+    plan = _plan(spark, sf_dir, "curate_nightly_ingest_day4")
+    locs = re.findall(r"Location: InMemoryFileIndex.*", plan)
+    doc = [ln for ln in locs if "documents.parquet" in ln]
+    emb = [ln for ln in locs if "embeddings.parquet" in ln]
+    idx = [ln for ln in locs if "nightly_day4_" in ln]
+    assert len(doc) <= 3, doc
+    assert len(emb) <= 2, emb
+    assert len(idx) >= 4, locs
+    # physical reclamation is visible in the plan: no tombstone relation
+    # is scanned anywhere
+    assert not any("tombstones" in ln for ln in locs), locs
+    # manifest selection is a broadcast semi-join, never literal isin
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+    assert not re.search(r"doc_id#\d+L? IN \(", plan)
+    # no scan re-derives a prior day's batch
+    assert not re.search(r"\((?:doc_id|vec_id)#\d+L? % 6\) = 0", plan)
+
+
+def test_nightly_day2_streamed_probes_streamed_indexes(spark, sf_dir):
+    """curate_nightly_ingest_day2_streamed: the probe must read the
+    STREAMING-merged state (nightly_day2s_* — day-0 clones plus the
+    epoch-tagged micro-batch appends), with exactly the batch-side scan
+    shape the batch-merged day-2 probe pins: the streaming sink changes
+    how bytes arrived, never what the probe plan reads."""
+    import re
+
+    plan = _plan(spark, sf_dir, "curate_nightly_ingest_day2_streamed")
+    locs = re.findall(r"Location: InMemoryFileIndex.*", plan)
+    doc = [ln for ln in locs if "documents.parquet" in ln]
+    emb = [ln for ln in locs if "embeddings.parquet" in ln]
+    idx = [ln for ln in locs if "nightly_day2s_" in ln]
+    assert len(doc) <= 3, doc
+    assert len(emb) <= 2, emb
+    assert len(idx) >= 4, locs
+    assert "dynamicpruning" in plan, plan
+    assert re.search(r"\((?:doc_id|vec_id)#\d+L? % 6\) = 3", plan)
+    assert not re.search(r"NOT \(\((?:doc_id|vec_id)#\d+L? % 3\) = 0\)", plan)
+    assert not re.search(r"\((?:doc_id|vec_id)#\d+L? % 6\) = 0", plan)
