@@ -460,6 +460,7 @@ def compact_minhash_index(spark, path: str) -> None:
     import os
 
     from delfos_etl_pipeline_spark.sources.sinks import (
+        record_compaction_watermark,
         retire_tombstones,
         snapshot_parquet_files,
         staged_swap,
@@ -486,6 +487,9 @@ def compact_minhash_index(spark, path: str) -> None:
 
     _rewrite(f"{path}/buckets", clustered=True)
     _rewrite(f"{path}/shingles", clustered=False)
+    # reset the generation-debt axis on both swapped relations
+    record_compaction_watermark(f"{path}/buckets")
+    record_compaction_watermark(f"{path}/shingles")
     if snap is not None:
         retire_tombstones(tpath, snap)
 

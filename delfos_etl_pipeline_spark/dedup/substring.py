@@ -453,8 +453,18 @@ def compact_gram_index(spark, path: str, counted: bool | None = None) -> None:
     old files. The nightly pipeline runs compaction out of band for
     exactly this reason; a table format's optimistic-commit conflict
     detection replaces the assumption at 100 TB."""
-    from delfos_etl_pipeline_spark.sources.sinks import staged_swap
+    from delfos_etl_pipeline_spark.sources.sinks import (
+        record_compaction_watermark,
+        recover_staged_swap,
+        staged_swap,
+    )
 
+    # this schema-inference read runs BEFORE staged_swap's own entry
+    # recovery, so a compaction retried after a crash between the swap's
+    # two renames (live dir missing, ._compact_bak holding the only
+    # copy) must self-heal HERE or the read throws PATH_NOT_FOUND and
+    # the documented rollback is never reached (ADVICE r13)
+    recover_staged_swap(path)
     schema_counted = "cnt" in spark.read.parquet(path).columns
     if counted is None:
         counted = schema_counted
@@ -479,3 +489,6 @@ def compact_gram_index(spark, path: str, counted: bool | None = None) -> None:
         out.repartition("gram").write.mode("overwrite").parquet(tmp)
 
     staged_swap(path, _write)
+    # reset the generation-debt axis: merge markers up to this rewrite
+    # no longer count toward needs_compaction (sinks docstring)
+    record_compaction_watermark(path)

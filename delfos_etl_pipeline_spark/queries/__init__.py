@@ -850,7 +850,7 @@ def _driver_order() -> list[str]:
     window always covers (a) everything new or behavior-changed this
     round (the _R13_* lists — recerts lead per VERDICT r9 item 2), then
     (b) the queries whose driver evidence is oldest (_R13_R6_REFRESH +
-    _R13_R7_FILL = the full r6 cohort + 34 oldest r7 names), then (c)
+    _R13_R7_FILL = the full r6 cohort + 32 oldest r7 names), then (c)
     one flagship per operator family, then the rest. As of r6 every registration has a
     hash-green driver row, so the tail order only controls evidence
     freshness."""

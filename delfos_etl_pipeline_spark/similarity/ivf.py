@@ -154,17 +154,14 @@ def merge_into_ivf_index(
     import os
 
     from delfos_etl_pipeline_spark.sources.sinks import (
+        clear_plain_empty_root,
         committed_append,
         guard_tombstone_readd,
         is_committed,
     )
 
-    from delfos_etl_pipeline_spark.sources.sinks import (
-        clear_plain_empty_root,
-    )
-
+    spark = assigned.sparkSession
     if not is_committed(path, batch_id):
-        spark = assigned.sparkSession
         tpath = f"{os.path.normpath(path)}.tombstones"
         tomb = spark.read.parquet(tpath) if os.path.isdir(tpath) else None
         if tomb is not None:
@@ -172,11 +169,17 @@ def merge_into_ivf_index(
                 assigned.select(tomb.columns[0]), tomb,
                 f"IVF index {path!r}",
             )
-        # a compaction that netted to zero left the plain-empty readable
-        # form; drop it so this partitioned append restores a clean
-        # partitionBy layout (mixed depths break partition discovery)
-        clear_plain_empty_root(spark, path)
-    committed_append(assigned, path, batch_id=batch_id, partition_by="cluster")
+    # a compaction that netted to zero left the plain-empty readable
+    # form; drop it so this partitioned append restores a clean
+    # partitionBy layout (mixed depths break partition discovery).
+    # Deferred via pre_move until the batch is fully STAGED (ADVICE
+    # r13): clearing the root's only schema-bearing files before the
+    # staging write left the store unreadable for the whole write if it
+    # crashed; now the window is two file operations, healed on retry.
+    committed_append(
+        assigned, path, batch_id=batch_id, partition_by="cluster",
+        pre_move=lambda: clear_plain_empty_root(spark, path),
+    )
 
 
 def remove_from_ivf_index(
@@ -237,6 +240,7 @@ def compact_ivf_index(spark, path: str, id_col: str = "vec_id") -> None:
 
     from delfos_etl_pipeline_spark.sources.sinks import (
         ensure_readable_empty,
+        record_compaction_watermark,
         retire_tombstones,
         snapshot_parquet_files,
         staged_swap,
@@ -267,6 +271,7 @@ def compact_ivf_index(spark, path: str, id_col: str = "vec_id") -> None:
         ensure_readable_empty(idx, tmp)
 
     staged_swap(path, _write)
+    record_compaction_watermark(path)
     if snap is not None:
         retire_tombstones(tpath, snap)
 

@@ -308,6 +308,7 @@ def compact_pq_index(
     import os
 
     from delfos_etl_pipeline_spark.sources.sinks import (
+        record_compaction_watermark,
         retire_tombstones,
         snapshot_parquet_files,
         staged_swap,
@@ -341,6 +342,7 @@ def compact_pq_index(
             w.write.mode("overwrite").parquet(tmp)
 
     staged_swap(codes_path, _write)
+    record_compaction_watermark(codes_path)
     if snap is not None:
         retire_tombstones(tpath, snap)
 
@@ -419,6 +421,7 @@ def merge_into_pq_index(
     compact first, then merge. Skipped on a retry of an
     already-committed batch."""
     from delfos_etl_pipeline_spark.sources.sinks import (
+        clear_plain_empty_root,
         committed_append,
         guard_tombstone_readd,
         is_committed,
@@ -430,12 +433,15 @@ def merge_into_pq_index(
             guard_tombstone_readd(
                 codes.select(tomb.columns[0]), tomb, f"PQ index {path!r}"
             )
-        if partition_col is not None:
-            from delfos_etl_pipeline_spark.sources.sinks import (
-                clear_plain_empty_root,
-            )
-
-            clear_plain_empty_root(codes.sparkSession, f"{path}/codes")
+    # plain-empty-root clear deferred until the batch is fully staged
+    # (pre_move, ADVICE r13) — see merge_into_ivf_index; only needed for
+    # the partitioned (IVF-PQ) layout, a plain append coexists fine
+    pre = (
+        (lambda: clear_plain_empty_root(codes.sparkSession, f"{path}/codes"))
+        if partition_col is not None
+        else None
+    )
     committed_append(
-        codes, f"{path}/codes", batch_id=batch_id, partition_by=partition_col
+        codes, f"{path}/codes", batch_id=batch_id,
+        partition_by=partition_col, pre_move=pre,
     )

@@ -41,15 +41,29 @@ def _dir_file_stats(root: str) -> tuple[int, int]:
 
 
 def _merge_markers(live_dir: str) -> int:
-    """Committed merge generations: ``<live>._merged_<batch_id>`` done
-    markers are SIBLINGS of the live dir (committed_append's protocol),
-    so they enumerate the appends that survived a retry storm exactly
-    once each."""
+    """Committed merge generations SINCE THE LAST COMPACTION:
+    ``<live>._merged_<batch_id>`` done markers are SIBLINGS of the live
+    dir (committed_append's protocol), so they enumerate the appends
+    that survived a retry storm exactly once each — but they can never
+    be deleted (they ARE the replay-idempotence record), so the raw
+    count is a lifetime total, not a debt (ADVICE r13: past
+    ``max_generations`` lifetime merges, ``needs_compaction`` tripped
+    permanently, even right after a compaction). Every compact_* records
+    the marker names present at rewrite time in ``<live>._compacted``
+    (sinks.record_compaction_watermark); only markers beyond that
+    watermark count as debt."""
+    from delfos_etl_pipeline_spark.sources.sinks import (
+        compaction_watermark,
+    )
+
     live_dir = os.path.normpath(live_dir)
     parent = os.path.dirname(live_dir) or "."
     prefix = os.path.basename(live_dir) + "._merged_"
+    compacted = compaction_watermark(live_dir)
     return sum(
-        1 for n in os.listdir(parent) if n.startswith(prefix)
+        1
+        for n in os.listdir(parent)
+        if n.startswith(prefix) and n not in compacted
     )
 
 

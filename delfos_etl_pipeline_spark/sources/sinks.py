@@ -261,6 +261,69 @@ def retire_tombstones(tomb_dir: str, snapshot: list[str]) -> None:
         os.rmdir(tomb_dir)
 
 
+def recover_staged_swap(path: str) -> None:
+    """:func:`staged_swap`'s crash self-heal, factored out (ADVICE r13)
+    so compactions that must READ the dataset before entering the swap
+    (compact_gram_index's counted-vs-set schema inference) can recover a
+    half-swapped store first — a crash between the swap's two renames
+    leaves the live dir missing and ``*._compact_bak`` holding the only
+    copy, and a pre-swap ``spark.read`` would throw PATH_NOT_FOUND
+    before the retry ever reached the recovery block. Idempotent; every
+    leftover combination identifies exactly where the crash hit."""
+    import shutil as _shutil
+
+    path = os.path.normpath(path)
+    tmp = path + "._compact_tmp"
+    bak = path + "._compact_bak"
+    if os.path.exists(bak):
+        if os.path.exists(path):
+            # crashed after rename(tmp, path), before rmtree(bak): the
+            # compacted data is already live — finish the cleanup.
+            _shutil.rmtree(bak)
+        else:
+            # crashed between the two renames: the original is intact
+            # under bak — roll it back.
+            os.rename(bak, path)
+    if os.path.exists(tmp):
+        # crashed mid-write: tmp is an incomplete copy — discard it.
+        _shutil.rmtree(tmp)
+
+
+def record_compaction_watermark(live_dir: str) -> None:
+    """Persist the compaction WATERMARK for the generation-debt axis
+    (ADVICE r13): ``committed_append``'s ``._merged_*`` done markers can
+    never be deleted (they are the replay-idempotence record), so
+    ``index_admin._merge_markers`` counting them raw made 'generations'
+    a lifetime append count — past ``max_generations`` lifetime merges,
+    ``needs_compaction`` returned True forever, even immediately after a
+    compaction, scheduling useless O(index) rewrites. Every compact_*
+    calls this after its swap: ``<live>._compacted`` records the marker
+    names present at compaction time, and the debt count becomes
+    'markers beyond the watermark' — merges SINCE the last rewrite.
+    Overwritten whole each compaction (the set only grows); a crash
+    after the swap but before this write merely over-counts generations
+    until the next compaction — conservative, never stuck-on."""
+    live_dir = os.path.normpath(live_dir)
+    parent = os.path.dirname(live_dir) or "."
+    prefix = os.path.basename(live_dir) + "._merged_"
+    names = sorted(n for n in os.listdir(parent) if n.startswith(prefix))
+    tmp = live_dir + "._compacted_tmp"
+    with open(tmp, "w") as f:
+        f.write("".join(n + "\n" for n in names))
+    os.replace(tmp, live_dir + "._compacted")
+
+
+def compaction_watermark(live_dir: str) -> set[str]:
+    """The marker names recorded by :func:`record_compaction_watermark`
+    at the last compaction (empty set if the index was never
+    compacted)."""
+    wm = os.path.normpath(live_dir) + "._compacted"
+    if not os.path.exists(wm):
+        return set()
+    with open(wm) as f:
+        return {ln.strip() for ln in f if ln.strip()}
+
+
 def staged_swap(path: str, write_to) -> None:
     """Crash-safe directory replacement for locally-stored datasets: the
     compaction-swap core of :func:`compact_partitions`, extracted (VERDICT
@@ -287,20 +350,9 @@ def staged_swap(path: str, write_to) -> None:
     path = os.path.normpath(path)
     tmp = path + "._compact_tmp"
     bak = path + "._compact_bak"
-    # Recover from a previous interrupted swap before touching anything:
-    # each leftover combination identifies exactly where the crash hit.
-    if os.path.exists(bak):
-        if os.path.exists(path):
-            # crashed after rename(tmp, path), before rmtree(bak): the
-            # compacted data is already live — finish the cleanup.
-            _shutil.rmtree(bak)
-        else:
-            # crashed between the two renames: the original is intact
-            # under bak — roll it back.
-            os.rename(bak, path)
-    if os.path.exists(tmp):
-        # crashed mid-write: tmp is an incomplete copy — discard it.
-        _shutil.rmtree(tmp)
+    # Recover from a previous interrupted swap before touching anything
+    # (factored so pre-swap readers can self-heal too, ADVICE r13).
+    recover_staged_swap(path)
 
     write_to(tmp)
 
@@ -314,6 +366,7 @@ def committed_append(
     live_dir: str,
     batch_id: str | None = None,
     partition_by: str | None = None,
+    pre_move: "Callable[[], None] | None" = None,
 ) -> None:
     """Append ``df``'s rows to a live parquet dataset as NEW files — the
     write primitive of the four index ``merge_into_*`` maintenance
@@ -346,11 +399,26 @@ def committed_append(
     interleaving. Markers and staging dirs are SIBLINGS of the live dir
     (suffix-named), so dataset scans never see them. Local-filesystem
     contract, like :func:`staged_swap`; a table format's transactional
-    append replaces this on an object store."""
+    append replaces this on an object store.
+
+    ``pre_move`` (optional): a destructive live-dir preparation step —
+    in practice :func:`clear_plain_empty_root` — deferred until AFTER
+    the batch is fully staged (``_SUCCESS`` verified) and run
+    immediately before the move loop (ADVICE r13: clearing the
+    plain-empty root's only schema-bearing files BEFORE the staging
+    write reopened the unreadable-empty crash window for the whole
+    duration of a Spark job; here the window shrinks to two file
+    operations, and a crash inside it is healed by the retry, which
+    re-runs ``pre_move`` as a no-op and completes the move). With
+    ``batch_id=None`` there is no staging protocol, so ``pre_move``
+    runs right before the append write — that mode's caller already
+    guarantees exactly-once (and therefore crash handling) externally."""
     import re as _re
     import shutil as _shutil
 
     if batch_id is None:
+        if pre_move is not None:
+            pre_move()
         w = df.write.mode("append")
         if partition_by is not None:
             w = w.partitionBy(partition_by)
@@ -371,6 +439,8 @@ def committed_append(
         if partition_by is not None:
             w = w.partitionBy(partition_by)
         w.parquet(staging)
+    if pre_move is not None:
+        pre_move()
     for root, _dirs, files in os.walk(staging):
         rel = os.path.relpath(root, staging)
         for fname in files:

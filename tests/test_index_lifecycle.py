@@ -1031,9 +1031,66 @@ def test_index_stats_and_compaction_policy(spark, tmp_path):
     ms2 = index_stats(spark, mh, "minhash")
     assert gs2["negative_rows"] == 0
     assert ms2["tombstone_rows"] == 0
+    # generation debt resets at compaction (ADVICE r13): the ._merged_*
+    # markers survive (replay idempotence), but the watermark makes them
+    # stop counting — otherwise an index past max_generations LIFETIME
+    # merges would re-trip needs_compaction forever, scheduling useless
+    # O(index) rewrites immediately after every compaction
+    assert gs2["generations"] == 0
+    assert ms2["generations"] == 0
+    assert not needs_compaction(gs2, max_generations=1)[0]
     # default thresholds: a freshly compacted index does not re-trip
     assert not needs_compaction(gs2)[0]
     assert not needs_compaction(ms2)[0]
+    # ...and only merges SINCE the rewrite count toward the next one
+    merge_into_gram_index(
+        keeps.where(F.col("doc_id") == 12), gram, "doc_id", "text", k=5,
+        hashed=False, counted=True, batch_id="day2",
+    )
+    assert index_stats(spark, gram, "gram")["generations"] == 1
+
+
+def test_compact_gram_index_self_heals_before_schema_read(spark, tmp_path):
+    """ADVICE r13: compact_gram_index's counted-vs-set schema inference
+    reads the live path BEFORE entering staged_swap, so a compaction
+    retried after a crash between the swap's two renames (live dir
+    missing, ._compact_bak holding the only copy) must self-heal first —
+    otherwise the read throws PATH_NOT_FOUND and the documented rollback
+    is never reached."""
+    import os
+    import shutil
+
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        compact_gram_index,
+        remove_spans_matching_indexed,
+        write_gram_index,
+    )
+
+    corpus0, _keeps, batch = _gram_fixture(spark)
+    gram = str(tmp_path / "grams")
+    write_gram_index(
+        corpus0, gram, "doc_id", "text", k=5, hashed=False, counted=True
+    )
+    want = sorted(
+        remove_spans_matching_indexed(
+            batch, gram, "doc_id", "text", k=5, hashed=False,
+            net_counts=True,
+        ).collect()
+    )
+    # simulate the crash window: live renamed aside, new copy not yet in
+    os.rename(gram, gram + "._compact_bak")
+    assert not os.path.exists(gram)
+    compact_gram_index(spark, gram)  # must roll back, then compact
+    assert os.path.exists(gram)
+    assert not os.path.exists(gram + "._compact_bak")
+    got = sorted(
+        remove_spans_matching_indexed(
+            batch, gram, "doc_id", "text", k=5, hashed=False,
+            net_counts=True,
+        ).collect()
+    )
+    assert got == want
+    shutil.rmtree(gram)
 
 
 def test_compact_fully_emptied_partitioned_index_stays_usable(
