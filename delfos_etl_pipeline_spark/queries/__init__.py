@@ -127,6 +127,61 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # lands here in the SAME commit that registers/changes it
 # (_driver_order() and tests/test_registry.py hard-fail on unknown
 # names).
+# --- round 14 window (exactly 50 names; leads _driver_order) ---
+# VERDICT r13 item 6: the 16 remaining r7-evidence names LEAD, then the
+# touched-path recerts (the lifecycle-admin fixes touched every
+# merge/compact path: generation-debt watermark in all four compact_*,
+# pre_move-deferred plain-empty clear in the IVF/PQ merges; the IVF
+# large-k assignment touched sim_ivf_build's path), then the one new
+# registration (sim_pq_probe_streamed — VERDICT item 1, the PQ
+# streaming sink under the oracle gate), then the 27 oldest r8 names.
+# Floor after this round: r8. Same contract as every round: a name
+# lands here in the SAME commit that registers/changes it.
+_R14_R7_LEAD: list[str] = [
+    "text_readability", "shard_balance_report",
+    "curate_quality_gate_sweep", "text_bpe_encode_corpus",
+    "text_blocklist_screen", "text_fertility_by_lang",
+    "streaks_gaps_islands", "risk_var_es_daily", "events_fano_hourly",
+    "dq_uniqueness_profile", "orders_median_gap_days", "ivm_agg_merge",
+    "funnel_negative_condition", "stats_bootstrap_ci_mean",
+    "dq_null_rate_daily", "funnel_time_to_convert",
+]
+
+_R14_RECERT: list[str] = [
+    "curate_nightly_ingest_day2",  # gram/MinHash/IVF merge paths
+        # (pre_move clear, watermark-recording compactors upstream)
+    "curate_nightly_ingest_day2_streamed",  # streaming sinks over the
+        # same touched merge paths
+    "curate_nightly_ingest_day4",  # the compaction flagship: all three
+        # compact_* now record the generation watermark; gram compaction
+        # self-heals before its schema read
+    "sim_pq_probe_compacted",  # PQ compaction (watermark + swap)
+    "sim_ivf_build",  # IVF assignment large-k form (matmul path)
+    "sim_ivfpq_probe",  # IVF+PQ composition end-to-end
+]
+
+_R14_NEW: list[str] = [
+    "sim_pq_probe_streamed",  # the PQ streaming ingest sink certified
+        # (VERDICT r13 item 1): partial-corpus index + availableNow
+        # drain through run_pq_index_ingest, probed against
+        # _PQ_ADC_ORACLE verbatim — streamed ≡ batch ≡ rebuilt
+]
+
+# 27 oldest r8-evidence names (registry order) to fill the window to
+# exactly 50 (the remaining 21 r8 names lead r15).
+_R14_R8_FILL: list[str] = [
+    "a1_tumbling_window_agg", "a5_group_multi_agg",
+    "streaming_stream_join", "streaming_stateful_totals", "j2_anti_join",
+    "j3_fact_dim_join", "j4_left_join_stats", "j5_outer_window_align",
+    "r1_unpivot", "r4_pivot", "o2_topk", "w1_latest_per_key",
+    "w2_lag_delta", "w3_running_sum", "a_percentiles", "agg_cube",
+    "agg_grouping_sets", "a_distinct_count", "a_approx_distinct",
+    "hypertable_rollup", "range_join_intervals", "agg_salted_skew",
+    "tpch_q4_order_priority", "tpch_q14_promo_effect",
+    "tpch_q10_returned_items", "tpch_q18_large_orders",
+    "tpch_q3_shipping_priority",
+]
+
 _R13_RECERT: list[str] = [
     "curate_nightly_ingest_day2",
     "curate_nightly_ingest_day3",
@@ -848,19 +903,23 @@ _RECERTIFIED_R3 = {
 def _driver_order() -> list[str]:
     """Order queries() so the driver's ~50-query rotating correctness
     window always covers (a) everything new or behavior-changed this
-    round (the _R13_* lists — recerts lead per VERDICT r9 item 2), then
-    (b) the queries whose driver evidence is oldest (_R13_R6_REFRESH +
-    _R13_R7_FILL = the full r6 cohort + 32 oldest r7 names), then (c)
+    round (the _R14_* lists — the 16 remaining r7-evidence names lead
+    per VERDICT r13 item 6, then the touched-path recerts, the new
+    registration, and the 27 oldest r8 names = exactly 50), then (b)
+    every earlier round's window in reverse-round order, then (c)
     one flagship per operator family, then the rest. As of r6 every registration has a
     hash-green driver row, so the tail order only controls evidence
     freshness."""
+    r14_front = (
+        _R14_R7_LEAD + _R14_RECERT + _R14_NEW + _R14_R8_FILL
+    )
+    missing = [n for n in r14_front if n not in QUERIES]
+    assert not missing, (
+        f"window names not registered: {missing} — a _R14_* entry must "
+        "land in the same commit as its @query registration"
+    )
     r13_front = (
         _R13_RECERT + _R13_NEW + _R13_R6_REFRESH + _R13_R7_FILL
-    )
-    missing = [n for n in r13_front if n not in QUERIES]
-    assert not missing, (
-        f"window names not registered: {missing} — a _R13_* entry must "
-        "land in the same commit as its @query registration"
     )
     r12_front = (
         _R12_RECERT + _R12_NEW + _R12_STALE_REFRESH + _R12_R6_FILL
@@ -875,7 +934,9 @@ def _driver_order() -> list[str]:
         _R9_NEW + _R9_RECERT + _R9_STALE_REFRESH + _R9_TWIN_RECERT
     )
     r8_front = _R8_NEW + _R8_RECERT + _R8_STALE_REFRESH
-    front = list(dict.fromkeys(r13_front))
+    front = list(dict.fromkeys(r14_front))
+    placed = set(front)
+    front += [n for n in r13_front if n in QUERIES and n not in placed]
     placed = set(front)
     front += [n for n in r12_front if n in QUERIES and n not in placed]
     placed = set(front)
