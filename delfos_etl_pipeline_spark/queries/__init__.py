@@ -132,9 +132,11 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # touched-path recerts (the lifecycle-admin fixes touched every
 # merge/compact path: generation-debt watermark in all four compact_*,
 # pre_move-deferred plain-empty clear in the IVF/PQ merges; the IVF
-# large-k assignment touched sim_ivf_build's path), then the one new
-# registration (sim_pq_probe_streamed — VERDICT item 1, the PQ
-# streaming sink under the oracle gate), then the 27 oldest r8 names.
+# large-k assignment touched sim_ivf_build's path), then the two new
+# registrations (sim_pq_probe_streamed — VERDICT item 1, the PQ
+# streaming sink under the oracle gate; curate_nightly_ingest_day3_streamed
+# — VERDICT item 5, remove/compact interleaved with a live drain), then
+# the 26 oldest r8 names.
 # Floor after this round: r8. Same contract as every round: a name
 # lands here in the SAME commit that registers/changes it.
 _R14_R7_LEAD: list[str] = [
@@ -165,10 +167,15 @@ _R14_NEW: list[str] = [
         # (VERDICT r13 item 1): partial-corpus index + availableNow
         # drain through run_pq_index_ingest, probed against
         # _PQ_ADC_ORACLE verbatim — streamed ≡ batch ≡ rebuilt
+    "curate_nightly_ingest_day3_streamed",  # remove + compact
+        # INTERLEAVED WITH A LIVE STREAM (VERDICT r13 item 5): takedown
+        # after epoch 0, full three-family compaction after epoch 1,
+        # epoch 2 merging onto the compacted store; shares _DAY3_ORACLE
+        # verbatim, so one hash pins the merge-vs-compact race contract
 ]
 
-# 27 oldest r8-evidence names (registry order) to fill the window to
-# exactly 50 (the remaining 21 r8 names lead r15).
+# 26 oldest r8-evidence names (registry order) to fill the window to
+# exactly 50 (the remaining 22 r8 names lead r15).
 _R14_R8_FILL: list[str] = [
     "a1_tumbling_window_agg", "a5_group_multi_agg",
     "streaming_stream_join", "streaming_stateful_totals", "j2_anti_join",
@@ -179,7 +186,6 @@ _R14_R8_FILL: list[str] = [
     "hypertable_rollup", "range_join_intervals", "agg_salted_skew",
     "tpch_q4_order_priority", "tpch_q14_promo_effect",
     "tpch_q10_returned_items", "tpch_q18_large_orders",
-    "tpch_q3_shipping_priority",
 ]
 
 _R13_RECERT: list[str] = [

@@ -29,6 +29,38 @@ At 100 TB: the stream's shuffle volume per batch is the batch's gram /
 band+shingle / assigned-vector rows — corpus-independent, the measured
 invariant (SCALE.md round 13: merges flat across a 10× corpus on a fixed
 batch). Compaction stays out of band, exactly as in the nightly story.
+
+Remove/compact DURING a live stream (VERDICT r13 item 5 — the pinned
+merge-vs-compact contract): takedowns and compactions may land BETWEEN
+the stream's micro-batch commits — in practice from inside the
+foreachBatch callback after its merges, the only place the driver can
+order them against epochs — under three rules, each fuzz/pytest-pinned
+(tests/test_index_lifecycle.py, tests/test_streaming.py,
+curate_nightly_ingest_day3_streamed's oracle):
+
+1. **A removal must target already-merged ids that are not still
+   arriving on the stream.** Tombstoning an id a later epoch will merge
+   makes that merge REFUSE (sinks.guard_tombstone_readd — the refusal
+   is the contract working, not a race bug): compact first, then
+   re-submit. Id-disjointness of in-flight batches from takedown
+   manifests is the caller's invariant, exactly as in the nightly
+   story.
+2. **Mid-stream operations must be replay-idempotent on their own**,
+   because a crash inside an epoch re-runs the whole callback: gram
+   removals need a ``batch_id`` (negative refcounts would otherwise
+   stack), MinHash/IVF/PQ tombstone appends and every compact_* are
+   idempotent by construction (duplicate tombstones anti-join
+   identically; compaction is a semantic no-op on compacted state).
+3. **Compaction between commits never perturbs the stream's own
+   protocol**: the ``._merged_*`` epoch markers are SIBLINGS of the
+   swapped directory, so staged_swap preserves them, replayed epochs
+   still no-op, and the generation watermark the compaction records
+   counts later epochs as fresh debt.
+
+Exclusive-writer still holds WITHIN an instant: these rules order
+remove/compact against a SINGLE stream's commits; two writers racing
+the same index concurrently remain out of contract (table-format
+optimistic commits at 100 TB).
 """
 
 from __future__ import annotations
@@ -134,6 +166,33 @@ def run_vector_index_ingest(
     :func:`run_pq_index_ingest` — ``pq_encode`` against frozen
     codebooks inside the batch function, then ``merge_into_pq_index``
     with the same tagged id."""
+    return (
+        stream.writeStream.foreachBatch(
+            vector_index_batch_fn(
+                ivf_path, centroids, stream_id=stream_id, id_col=id_col,
+                vec_col=vec_col, with_norm=with_norm,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def vector_index_batch_fn(
+    ivf_path: str,
+    centroids: list[list[float]],
+    stream_id: str = "vecingest",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_norm: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """The (batch_df, epoch_id) function behind
+    :func:`run_vector_index_ingest`, exposed — like the document and PQ
+    forms — so callers composing their own foreachBatch (e.g. the
+    day-3-streamed chapter's interleaved takedown/compaction wrapper)
+    reuse the tagged-merge discipline, and replay is directly
+    testable."""
     from pyspark.sql import functions as F
 
     from delfos_etl_pipeline_spark.similarity.ivf import (
@@ -153,12 +212,7 @@ def run_vector_index_ingest(
             assigned, ivf_path, batch_id=f"{stream_id}-{batch_id}"
         )
 
-    return (
-        stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _apply
 
 def pq_index_batch_fn(
     pq_path: str,

@@ -587,3 +587,98 @@ def test_streaming_pq_index_ingest(spark, tmp_path):
     )
     got2 = pq_adc_topk(codes2, books, qvec, "vec_id", k=14).collect()
     assert got2 == want
+
+def test_streaming_pq_remove_compact_interleaved(spark, tmp_path):
+    """Remove + compact landing WHILE a PQ ingest stream is live (the
+    index_ingest.py merge-vs-compact contract, VERDICT r13 item 5; the
+    gram/MinHash/IVF families are driver-certified by
+    curate_nightly_ingest_day3_streamed): after epoch 0's merge commits,
+    standing ids are tombstoned; after epoch 1, the index is compacted
+    mid-drain; epoch 2 merges onto the compacted store. The post-drain
+    ADC ranking must equal a from-scratch encode over the effective
+    set, and the tombstone-readd guard must refuse a mid-stream
+    takedown of ids still arriving (contract rule 1)."""
+    import pytest
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        compact_pq_index,
+        fit_pq_codebooks_fixed,
+        pq_adc_topk,
+        pq_encode,
+        read_pq_index,
+        remove_from_pq_index,
+        write_pq_index,
+    )
+    from delfos_etl_pipeline_spark.streaming.index_ingest import (
+        pq_index_batch_fn,
+    )
+    from delfos_etl_pipeline_spark.streaming.runner import (
+        read_parquet_stream,
+    )
+
+    dim = 8
+    pool_rows = [
+        (v, [((v * 7 + j * 3) % 17) / 7.0 - 1.0 for j in range(dim)])
+        for v in range(14)
+    ]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    pool = spark.createDataFrame(pool_rows, schema)
+    corpus0 = pool.where(F.col("vec_id") < 8)
+    stream_rows = pool.where(F.col("vec_id") >= 8)
+    qvec = [x + 0.01 for x in pool_rows[5][1]]
+
+    books = fit_pq_codebooks_fixed(corpus0, m=2, k=4, dim=dim)
+    live = str(tmp_path / "pq")
+    write_pq_index(pq_encode(corpus0, books), books, live)
+
+    removed = spark.createDataFrame([(2,), (5,)], "vec_id long")
+    merge = pq_index_batch_fn(live, books, stream_id="crawl")
+
+    def _apply(batch_df, batch_id):
+        merge(batch_df, batch_id)
+        if batch_id == 0:
+            # standing ids, id-disjoint from the arriving rows (rule 1)
+            remove_from_pq_index(removed, live, "vec_id")
+        elif batch_id == 1:
+            compact_pq_index(spark, live)
+
+    src = str(tmp_path / "pq_src")
+    stream_rows.repartition(3).write.parquet(src)
+    q = (
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240), "PQ ingest stream timed out"
+
+    effective = pool.where(~F.col("vec_id").isin(2, 5))
+    want = pq_adc_topk(
+        pq_encode(effective, books), books, qvec, "vec_id", k=14
+    ).collect()
+    codes_r, books_r = read_pq_index(spark, live)
+    assert books_r == books
+    got = pq_adc_topk(codes_r, books, qvec, "vec_id", k=14).collect()
+    assert got == want
+    # mid-drain compaction physically reclaimed the epoch-0 tombstones
+    import os
+    assert not os.path.isdir(f"{live}/tombstones")
+
+    # contract rule 1: tombstoning an id a later epoch will merge makes
+    # that merge refuse — the guard fires, not a silent loss
+    remove_from_pq_index(
+        spark.createDataFrame([(13,)], "vec_id long"), live, "vec_id"
+    )
+    with pytest.raises(ValueError, match="re-add tombstoned"):
+        merge(pool.where(F.col("vec_id") == 13), 99)
