@@ -73,11 +73,25 @@ def build_ivf_index_fixed(
     return assign_fixed_centroids(df, cents, vec_col, inline=True), cents
 
 
+#: Above this cell count the expression engines are the wrong shape —
+#: both pay k cosine trees PER ROW (inline: k codegen'd copies whose
+#: plan size grows linearly in k; lambda: k interpreted evaluations), so
+#: per-row cost grows with the FULL cell count even though only the
+#: argmax is needed (VERDICT r13 item 4: merge_ivf's decade ratio 4.2×
+#: was exactly this — 8 → 53 cells ≈ 6.6× arithmetic under inline
+#: codegen). The Arrow matmul engine pays one vectorized batch × k
+#: accumulation instead. 32 keeps every current oracle-certified plan
+#: (k ≤ 16) byte-stable on the expression engines and routes the
+#: production shape (k in the thousands at 100 TB) to the batched form.
+_INLINE_MAX_CELLS = 32
+
+
 def assign_fixed_centroids(
     df: DataFrame,
     cents: list[list[float]],
     vec_col: str = "embedding",
     inline: bool = False,
+    engine: str = "auto",
 ) -> DataFrame:
     """Nearest-centroid assignment against DRIVER-SIDE centroid literals:
     one argmax-cosine projection per row, zero joins, zero shuffles —
@@ -86,7 +100,9 @@ def assign_fixed_centroids(
     lexicographic, so ties on sim resolve to the LOWEST centroid id —
     mirrors the oracle's ORDER BY sim DESC, cid ASC.
 
-    Two bit-identical physical forms (same folds, same doubles):
+    Three bit-identical physical forms (same folds, same IEEE doubles;
+    tests/test_similarity_ops.py pins three-way assignment equality,
+    ties included):
 
     - ``inline=False`` (default): ONE transform() lambda over a literal
       centroid matrix. Catalyst analyzes the cosine tree once —
@@ -97,7 +113,33 @@ def assign_fixed_centroids(
     - ``inline=True``: k inlined, codegen-visible cosine copies. More
       plan-construction work, fastest execution — right for one-shot
       builds that construct the plan exactly once (sim_ivf_build
-      regressed 1.23s -> 2.15s at sf0.1 on the lambda form; VERDICT r8)."""
+      regressed 1.23s -> 2.15s at sf0.1 on the lambda form; VERDICT r8).
+    - ``engine="matmul"`` (selected automatically when
+      ``len(cents) > _INLINE_MAX_CELLS``, overriding ``inline``): the
+      LARGE-K form (VERDICT r13 item 4) — an Arrow-batched mapInPandas
+      accumulation, the similarity/pca.py chunked pattern adapted to
+      doubles. Bit-identity is by construction, not tolerance: the
+      batch × k similarity matrix is accumulated SEQUENTIALLY over the
+      dimension axis (``acc += a[:, j] ⊗ C[:, j]``), which is the same
+      left-fold association per element as the expression engines'
+      ``aggregate(zip_with(...))``, in the same correctly-rounded IEEE
+      doubles; norms use the same fold; the final expression keeps the
+      same ``dot / (‖a‖·‖c‖)`` op order; np.argmax's first-max rule is
+      array_max's lowest-cid tie-break. Per row this is k fused
+      multiply-adds per dimension in one BLAS-free vectorized pass —
+      per-batch cost tracks the BATCH, reviving the decade invariant
+      for large-k merges (SCALE.md round 14). At 100 TB with thousands
+      of cells this is the only viable shape: the expression engines'
+      plans grow linearly in k before a single row is read.
+
+    ``engine``: ``"auto"`` (threshold rule above), or force ``"expr"``
+    (the two expression forms, per ``inline``) / ``"matmul"``."""
+    if engine == "auto":
+        engine = "matmul" if len(cents) > _INLINE_MAX_CELLS else "expr"
+    if engine == "matmul":
+        return _assign_matmul(df, cents, vec_col)
+    if engine != "expr":
+        raise ValueError(f"unknown engine {engine!r}")
     v = _as_double(vec_col)
     if inline:
         scored = F.array(
@@ -123,6 +165,56 @@ def assign_fixed_centroids(
     return df.withColumn(
         "cluster", (-F.array_max(scored)["negcid"]).cast("int")
     )
+
+
+def _assign_matmul(
+    df: DataFrame, cents: list[list[float]], vec_col: str
+) -> DataFrame:
+    """The large-k engine behind :func:`assign_fixed_centroids` (see its
+    docstring for the bit-identity argument). The centroid matrix rides
+    into the Arrow workers via closure capture — k·d doubles, the same
+    driver-side-literal footprint the expression engines embed in the
+    plan, without the plan growing with k."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(cents, dtype=np.float64)  # k × d
+    k, d = C.shape
+    # centroid self-dots via the SAME sequential-in-j fold the
+    # expression form's _norm evaluates (then one sqrt each)
+    cn_acc = np.zeros(k)
+    for j in range(d):
+        cn_acc = cn_acc + C[:, j] * C[:, j]
+    cn = np.sqrt(cn_acc)
+    # a FRESH StructType — StructType.add mutates in place, and df.schema
+    # hands back the DataFrame's cached instance
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("cluster", IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(pdf), k))
+            an = np.zeros(len(pdf))
+            # sequential over the dimension axis, vectorized over rows:
+            # per element this is ((0 + x0·c0) + x1·c1) + … — the exact
+            # association (and therefore the exact IEEE rounding) of the
+            # aggregate(zip_with(...)) left fold in the expression forms
+            for j in range(d):
+                acc = acc + a[:, j : j + 1] * C[:, j]
+                an = an + a[:, j] * a[:, j]
+            sim = acc / (np.sqrt(an)[:, None] * cn[None, :])
+            out = pdf.copy()
+            # first-max == lowest cid on ties == array_max's
+            # lexicographic (sim, -cid) rule; NaN propagates as the
+            # maximum in both engines (Spark orders NaN greatest)
+            out["cluster"] = np.argmax(sim, axis=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(assign, out_schema)
 
 
 def write_ivf_index(assigned: DataFrame, path: str) -> None:

@@ -564,3 +564,55 @@ def test_pca_power_projection_properties(spark, sf_dir):
     # exactly (no RNG, no float accumulation anywhere in the fit)
     _, comps2 = pca_power_fit_project(emb, "vec_id", "embedding", k=16)
     assert comps2 == comps
+
+def test_assign_engines_bit_identical(spark, sf_dir):
+    """The three assign_fixed_centroids engines (lambda-expr,
+    inline-expr, Arrow matmul) must agree BIT-FOR-BIT on every
+    assignment — the large-k form (VERDICT r13 item 4) is a physical
+    rewrite, not an approximation: same sequential-fold association,
+    same IEEE doubles, same lowest-cid tie-break. Checked at k=40
+    (above _INLINE_MAX_CELLS, so 'auto' routes to matmul) over the real
+    embeddings, plus a crafted duplicate-centroid tie."""
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        _INLINE_MAX_CELLS,
+        assign_fixed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 40
+    assert k > _INLINE_MAX_CELLS
+    rows = sorted(
+        emb.orderBy("vec_id").limit(k).collect(), key=lambda r: r["vec_id"]
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+
+    def got(**kw):
+        return sorted(
+            (r["vec_id"], r["cluster"])
+            for r in assign_fixed_centroids(emb, cents, **kw)
+            .select("vec_id", "cluster").collect()
+        )
+
+    lam = got(engine="expr", inline=False)
+    inl = got(engine="expr", inline=True)
+    mm = got(engine="matmul")
+    auto = got()  # k=40 > threshold: auto must route to matmul
+    assert lam == inl == mm == auto
+    # real spread: the 40 cells are actually used, not degenerate
+    assert len({c for _, c in mm}) > 10
+
+    # ties: duplicate centroids give identical sims; every engine must
+    # resolve to the LOWEST cid (array_max lexicographic == np.argmax
+    # first-max)
+    dup = [cents[0]] * 3 + [cents[1]] * 2
+    for eng, kw in (
+        ("lambda", dict(engine="expr", inline=False)),
+        ("inline", dict(engine="expr", inline=True)),
+        ("matmul", dict(engine="matmul")),
+    ):
+        out = {
+            r["vec_id"]: r["cluster"]
+            for r in assign_fixed_centroids(emb.limit(50), dup, **kw)
+            .select("vec_id", "cluster").collect()
+        }
+        assert set(out.values()) <= {0, 3}, (eng, set(out.values()))
