@@ -136,13 +136,30 @@ def needs_compaction(
 ) -> tuple[bool, list[str]]:
     """The out-of-band scheduling decision: (compact?, reasons).
 
-    Defaults target the measured cost model: ~30 nightly generations
-    before listing/open overhead is worth one O(index) rewrite; a
-    tombstone relation past ~100k rows stops being a cheap broadcast;
-    negative gram rows past the same bound make probe-time netting
-    re-aggregate real volume; and more than ~256 files per GiB means
-    appends fragmented far below the 128 MB scan-split target. Every
-    threshold is a parameter — the numbers are a policy, not physics."""
+    Defaults rest on the MEASURED debt curve (tools/debt_curve.py;
+    SCALE.md round 14 "The compaction-debt curve, measured"), fixed
+    corpus and probe batch, one axis accumulated at a time:
+
+    - ``max_generations=30``: probe latency is flat through ~20
+      generations and the MinHash probe climbs ~25-40% by 30-50
+      (521-860 files per scan) — 30 is the measured onset of the
+      file-count knee. At 100 TB the same knee arrives at higher
+      absolute cost (listing is a metadata-service RPC, not a local
+      readdir), so the local onset is the conservative bound.
+    - ``max_tombstone_rows=100_000``: the tombstone anti-join's cost is
+      dominated by a fixed plan step (IVF probe 0.17 → 0.29 s at the
+      FIRST thousand rows), with a measurable slope after — ~2× the
+      clean-state probe at 100k rows and steepening beyond. 100k is
+      where the debt stops being the fixed step and starts being the
+      rows.
+    - ``max_negative_rows``: the gram netting analogue of the tombstone
+      axis (same re-aggregation shape, same bound).
+    - ``max_files_per_gib=256``: appends fragmented far below the
+      128 MB scan-split target; the generations table's files column
+      shows nightly closes reaching it within tens of generations.
+
+    Every threshold is a parameter — the numbers are a policy read off
+    one measured curve, not physics."""
     reasons = []
     if stats["generations"] > max_generations:
         reasons.append(
@@ -166,3 +183,25 @@ def needs_compaction(
             f"{max_files_per_gib}/GiB at {gib:.3f} GiB"
         )
     return bool(reasons), reasons
+
+
+def nightly_close_report(
+    spark, indexes: dict[str, tuple[str, str]], **thresholds
+) -> dict:
+    """The post-close metrics struct (VERDICT r13 item 3 wiring): one
+    call after a nightly close (or an availableNow drain) returns, per
+    index family, the debt axes plus the scheduling decision —
+    ``{family: {**index_stats, "compact": bool, "reasons": [...]}}`` —
+    the dict a nightly orchestration records beside its RunResult.stats
+    (plans/pipeline.py) and alerts on. ``indexes`` maps a family label
+    to ``(path, kind)``; ``thresholds`` pass through to
+    :func:`needs_compaction` (defaults are the measured policy). Cost:
+    driver-side listings plus one row count per tombstone relation and
+    one column-pruned cnt scan per counted gram index — cheap enough to
+    run after every close, by design (module doc)."""
+    report: dict = {}
+    for family, (path, kind) in indexes.items():
+        stats = index_stats(spark, path, kind)
+        compact, reasons = needs_compaction(stats, **thresholds)
+        report[family] = {**stats, "compact": compact, "reasons": reasons}
+    return report

@@ -1180,3 +1180,57 @@ def test_compact_fully_emptied_partitioned_index_stays_usable(
         pq_encode(later, books), books, qvec, "vec_id", k=8
     ).collect()
     assert got_pq == want_pq
+
+
+def test_nightly_close_report_shapes_the_metrics_struct(spark, tmp_path):
+    """nightly_close_report: one post-close call returns the debt axes +
+    scheduling decision per family — the metrics struct a nightly
+    orchestration records beside RunResult.stats and alerts on."""
+    from delfos_etl_pipeline_spark.dedup.minhash import (
+        merge_into_minhash_index,
+        remove_from_minhash_index,
+        write_minhash_index,
+    )
+    from delfos_etl_pipeline_spark.dedup.substring import (
+        merge_into_gram_index,
+        write_gram_index,
+    )
+    from delfos_etl_pipeline_spark.sources.index_admin import (
+        nightly_close_report,
+    )
+
+    corpus0, keeps, _batch = _gram_fixture(spark)
+    gram = str(tmp_path / "grams")
+    mh = str(tmp_path / "lsh")
+    write_gram_index(
+        corpus0, gram, "doc_id", "text", k=5, hashed=False, counted=True
+    )
+    write_minhash_index(corpus0, mh, "doc_id", "text", n=3, hash_fn="md5")
+    merge_into_gram_index(
+        keeps, gram, "doc_id", "text", k=5, hashed=False, counted=True,
+        batch_id="day1",
+    )
+    merge_into_minhash_index(
+        keeps, mh, "doc_id", "text", n=3, hash_fn="md5", batch_id="day1"
+    )
+    remove_from_minhash_index(
+        keeps.where(F.col("doc_id") == 11).select("doc_id"), mh
+    )
+
+    rep = nightly_close_report(
+        spark, {"gram": (gram, "gram"), "minhash": (mh, "minhash")}
+    )
+    assert set(rep) == {"gram", "minhash"}
+    for fam in rep.values():
+        assert {"generations", "tombstone_rows", "data_files", "bytes",
+                "compact", "reasons"} <= set(fam)
+    assert rep["gram"]["generations"] == 1
+    assert rep["minhash"]["tombstone_rows"] == 1
+    # defaults (the measured policy): a one-merge index does not trip
+    assert not rep["gram"]["compact"] and not rep["minhash"]["compact"]
+    # tight thresholds trip with named reasons — the alerting contract
+    rep2 = nightly_close_report(
+        spark, {"minhash": (mh, "minhash")}, max_tombstone_rows=0
+    )
+    assert rep2["minhash"]["compact"]
+    assert any("tombstone_rows" in r for r in rep2["minhash"]["reasons"])
