@@ -85,6 +85,13 @@ DEFAULT_SAMPLE = [
     "emb_project_pca",
     "curate_nightly_ingest_day2",
     "curate_nightly_ingest_day3",
+    # the two r13 in-window drifters the validator never adjudicated
+    # (VERDICT r13 item 2: 1.5-1.6x window drift on untouched code)
+    "dq_referential_orphans",
+    "profile_spearman_corr",
+    # the r14 registrations
+    "sim_pq_probe_streamed",
+    "curate_nightly_ingest_day3_streamed",
 ]
 
 _CHILD = r"""
