@@ -233,11 +233,18 @@ HEADLINE = [
     # round 13
     "curate_nightly_ingest_day4",
     "emb_project_pca",
+    # round 14: the large-k Arrow matmul assignment engine (40 cells —
+    # above _INLINE_MAX_CELLS, so this prices _assign_matmul end-to-end)
+    "sim_ivf_build_bigk",
     # curate_nightly_ingest_day2_streamed is deliberately NOT timed: its
     # probe plan is byte-identical to curate_nightly_ingest_day2's (only
     # the one-time state build differs — streaming vs batch merges), so
     # timing it would re-pay a ~2-min fresh-process state build to
-    # record a number day2 already records.
+    # record a number day2 already records. The r14 streamed chapters
+    # follow the same policy: sim_pq_probe_streamed's ADC probe plan is
+    # sim_pq_probe's, and curate_nightly_ingest_day3_streamed's probe
+    # plan is day3's — their cost is the one-time state build, already
+    # priced by the batch twins plus the streaming rows/sec tier below.
 ]
 # Streaming queries (streaming_*) are deliberately NOT in the timed batch
 # list: their timed path includes temp-dir writes and sink-table drains,

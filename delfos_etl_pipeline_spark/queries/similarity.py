@@ -268,6 +268,69 @@ def sim_ivf_build(spark, sf_dir):
     )
 
 
+@query(
+    "sim_ivf_build_bigk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v
+      WHERE vec_id <> 0 ORDER BY vec_id LIMIT 40
+    ),
+    m AS (
+      SELECT cid, CAST(row_number() OVER (ORDER BY cid) - 1 AS BIGINT)
+               AS cluster
+      FROM cent
+    ),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             list_dot_product(v.e, c.ce) /
+               (sqrt(list_dot_product(v.e, v.e)) *
+                sqrt(list_dot_product(c.ce, c.ce))) AS sim
+      FROM v JOIN cent c ON true
+      WHERE v.vec_id <> 0
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+    )
+    SELECT a.vec_id, m.cluster
+    FROM assign a JOIN m ON m.cid = a.cid
+    """,
+)
+def sim_ivf_build_bigk(spark, sf_dir):
+    """The LARGE-K build (VERDICT r13 item 4, under the driver's hash
+    gate — the pytest pins engine equality, this pins the engine against
+    an independent SQL replay): identical to sim_ivf_build but with 40
+    quantizer cells, which crosses assign_fixed_centroids'
+    _INLINE_MAX_CELLS threshold and routes the full-corpus assignment
+    through the Arrow-batched matmul engine (similarity/ivf.py
+    _assign_matmul) instead of inlined codegen cosines. The oracle is
+    the same deterministic argmax-cosine replay with LIMIT 40, so a
+    hash match certifies the matmul engine's sequential-fold doubles
+    and first-max tie-break bit-for-bit against DuckDB. At 100 TB this
+    is the production build shape — thousands of cells make expression
+    plans grow linearly in k before a row is read, while this plan is
+    constant-size with the k×d centroid matrix riding the Arrow
+    workers (SCALE.md round 14: merge_ivf's decade ratio 4.22 → 1.17
+    on this engine)."""
+    from delfos_etl_pipeline_spark.similarity.ivf import (
+        _INLINE_MAX_CELLS,
+        build_ivf_index_fixed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 40
+    assert k > _INLINE_MAX_CELLS  # the whole point: the matmul route
+    assigned, _ = build_ivf_index_fixed(
+        emb.where(F.col("vec_id") != 0), "vec_id", "embedding",
+        n_clusters=k,
+    )
+    return assigned.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
 #: sim_ivf_probe's persisted index, one per (process, sf_dir) — the
 #: build-once/search-many contract: repeat invocations (bench iterations)
 #: time ONLY the partition-pruned probe.
