@@ -89,9 +89,10 @@ DEFAULT_SAMPLE = [
     # (VERDICT r13 item 2: 1.5-1.6x window drift on untouched code)
     "dq_referential_orphans",
     "profile_spearman_corr",
-    # the r14 registrations
-    "sim_pq_probe_streamed",
-    "curate_nightly_ingest_day3_streamed",
+    # the r14 registration that is actually timed (the two streamed
+    # chapters are deliberately NOT benched — bench.py HEADLINE comment:
+    # their probe plans are byte-identical to their batch twins')
+    "sim_ivf_build_bigk",
 ]
 
 _CHILD = r"""
