@@ -80,9 +80,17 @@ def build_ivf_index_fixed(
 #: argmax is needed (VERDICT r13 item 4: merge_ivf's decade ratio 4.2×
 #: was exactly this — 8 → 53 cells ≈ 6.6× arithmetic under inline
 #: codegen). The Arrow matmul engine pays one vectorized batch × k
-#: accumulation instead. 32 keeps every current oracle-certified plan
-#: (k ≤ 16) byte-stable on the expression engines and routes the
-#: production shape (k in the thousands at 100 TB) to the batched form.
+#: accumulation instead. The measured crossover (SCALE.md round 14
+#: "Engine crossover, measured": full sf0.1 assignment, warm
+#: median-of-3) shows the matmul engine FLAT at ~0.25 s from k=8
+#: through k=128 while inline-expr grows linearly in k (0.97 → 10.1 s)
+#: — on this host the knee is effectively k=0, and the threshold is a
+#: BYTE-STABILITY choice, not a performance one: 32 keeps every
+#: oracle-certified plan (k ≤ 16) on the expression engines it was
+#: certified and benched with, and routes every larger k (including
+#: the production thousands-of-cells shape at 100 TB) to the batched
+#: form. Callers free of that compatibility constraint may pass
+#: engine="matmul" at any k — bit-identity is pinned three ways.
 _INLINE_MAX_CELLS = 32
 
 
