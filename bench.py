@@ -233,9 +233,11 @@ HEADLINE = [
     # round 13
     "curate_nightly_ingest_day4",
     "emb_project_pca",
-    # round 14: the large-k Arrow matmul assignment engine (40 cells —
-    # above _INLINE_MAX_CELLS, so this prices _assign_matmul end-to-end)
+    # round 14: the large-k Arrow matmul engines (40 cells / 40
+    # centroids per subspace — above the expression thresholds, so
+    # these price _assign_matmul and _pq_encode_matmul end-to-end)
     "sim_ivf_build_bigk",
+    "sim_pq_adc_bigk",
     # curate_nightly_ingest_day2_streamed is deliberately NOT timed: its
     # probe plan is byte-identical to curate_nightly_ingest_day2's (only
     # the one-time state build differs — streaming vs batch merges), so

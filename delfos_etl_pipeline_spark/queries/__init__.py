@@ -132,12 +132,13 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # touched-path recerts (the lifecycle-admin fixes touched every
 # merge/compact path: generation-debt watermark in all four compact_*,
 # pre_move-deferred plain-empty clear in the IVF/PQ merges; the IVF
-# large-k assignment touched sim_ivf_build's path), then the three new
+# large-k assignment touched sim_ivf_build's path), then the four new
 # registrations (sim_pq_probe_streamed — VERDICT item 1, the PQ
 # streaming sink under the oracle gate; curate_nightly_ingest_day3_streamed
 # — VERDICT item 5, remove/compact interleaved with a live drain;
-# sim_ivf_build_bigk — VERDICT item 4's matmul engine hash-gated), then
-# the 25 oldest r8 names.
+# sim_ivf_build_bigk + sim_pq_adc_bigk — VERDICT item 4's matmul
+# engines, assignment and encode, hash-gated), then the 24 oldest r8
+# names.
 # Floor after this round: r8. Same contract as every round: a name
 # lands here in the SAME commit that registers/changes it.
 _R14_R7_LEAD: list[str] = [
@@ -178,10 +179,14 @@ _R14_NEW: list[str] = [
         # _INLINE_MAX_CELLS, the full-corpus assignment routes through
         # _assign_matmul, and the LIMIT-40 argmax-cosine oracle replays
         # it bit-for-bit
+    "sim_pq_adc_bigk",  # the pq_encode twin: 40 centroids per subspace
+        # cross _EXPR_MAX_CENTROIDS, the encode routes through
+        # _pq_encode_matmul, and the LIMIT-40 ADC oracle replays every
+        # code and LUT term bit-for-bit
 ]
 
-# 25 oldest r8-evidence names (registry order) to fill the window to
-# exactly 50 (the remaining 23 r8 names lead r15).
+# 24 oldest r8-evidence names (registry order) to fill the window to
+# exactly 50 (the remaining 24 r8 names lead r15).
 _R14_R8_FILL: list[str] = [
     "a1_tumbling_window_agg", "a5_group_multi_agg",
     "streaming_stream_join", "streaming_stateful_totals", "j2_anti_join",
@@ -191,7 +196,6 @@ _R14_R8_FILL: list[str] = [
     "agg_grouping_sets", "a_distinct_count", "a_approx_distinct",
     "hypertable_rollup", "range_join_intervals", "agg_salted_skew",
     "tpch_q4_order_priority", "tpch_q14_promo_effect",
-    "tpch_q10_returned_items",
 ]
 
 _R13_RECERT: list[str] = [

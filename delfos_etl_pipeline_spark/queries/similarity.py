@@ -662,6 +662,51 @@ def sim_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(codes, books, qvec, "vec_id", k=10)
 
 
+# The large-k ADC replay: the same from-scratch encode+LUT oracle with
+# a 40-centroid codebook per subspace — the k that crosses
+# _EXPR_MAX_CENTROIDS, so the Spark side's encode runs on the Arrow
+# matmul engine while DuckDB re-derives every code independently.
+_PQ_ADC_BIGK_ORACLE = _PQ_ADC_ORACLE.replace(
+    "ORDER BY vec_id LIMIT 16", "ORDER BY vec_id LIMIT 40"
+)
+assert _PQ_ADC_BIGK_ORACLE != _PQ_ADC_ORACLE
+
+
+@query("sim_pq_adc_bigk", oracle=_PQ_ADC_BIGK_ORACLE)
+def sim_pq_adc_bigk(spark, sf_dir):
+    """The LARGE-K PQ encode (the pq_encode twin of sim_ivf_build_bigk,
+    under the driver's hash gate): 40 centroids per subspace cross
+    _EXPR_MAX_CENTROIDS, so the full-corpus encode routes through the
+    Arrow-batched matmul engine (similarity/pq.py _pq_encode_matmul)
+    instead of m interpreted transform() lambdas over literal
+    codebooks, and the ADC top-10 runs over those codes with the
+    LIMIT-40 from-scratch oracle replaying every code and LUT term
+    bit-for-bit. At 100 TB the standard PQ configuration is k=256 per
+    subspace — 2,048 literal centroid arrays in the expression plan,
+    evaluated interpreted per corpus row; the matmul engine's plan is
+    constant-size with the codebooks riding closure capture, which is
+    the only shape that survives production k (the SCALE.md round-14
+    crossover: expression engines linear in k, the Arrow form flat)."""
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        _EXPR_MAX_CENTROIDS,
+        fit_pq_codebooks_fixed,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    corpus = emb.where(F.col("vec_id") != 0)
+    k = 40
+    assert k > _EXPR_MAX_CENTROIDS  # the point: the matmul encode route
+    books = fit_pq_codebooks_fixed(corpus, "vec_id", "embedding", m=8, k=k)
+    codes = pq_encode(corpus, books, "vec_id", "embedding")
+    return pq_adc_topk(codes, books, qvec, "vec_id", k=10)
+
+
 #: sim_pq_probe's persisted index, one per (process, sf_dir) —
 #: build-once/search-many like _IVF_FIXED_INDEX: repeat invocations
 #: (bench iterations) time ONLY the ADC scan over the restored codes.

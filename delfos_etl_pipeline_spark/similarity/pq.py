@@ -71,17 +71,48 @@ def fit_pq_codebooks_fixed(
     ]
 
 
+#: Above this per-subspace centroid count the expression engine is the
+#: wrong shape — the per-row cost and the PLAN both grow with m·k
+#: (every subspace's transform() lambda carries its whole literal
+#: codebook and evaluates interpreted), the same large-k disease the
+#: IVF assignment had (VERDICT r13 item 4; the measured crossover in
+#: SCALE.md round 14 applies: expression forms linear in k, the Arrow
+#: form flat). 32 keeps the certified k=16 fixed-codebook queries
+#: byte-stable on the expression engine and routes the production
+#: shape (k=256 per subspace is the standard PQ configuration) to the
+#: batched form. Bit-identity pinned in tests/test_similarity.py.
+_EXPR_MAX_CENTROIDS = 32
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "auto",
 ) -> DataFrame:
     """(id, code_0..code_{m-1}): per-subspace nearest-centroid index
     (argmin squared-L2, lowest-index tie-break via lexicographic
     array_min over (dist, cid) structs). Pure codegen'd expressions over
     a narrow scan — encoding 100 TB is an embarrassingly parallel
-    projection writing 1 byte per subspace."""
+    projection writing 1 byte per subspace.
+
+    ``engine``: ``"auto"`` routes to the Arrow-batched matmul form
+    (:func:`_pq_encode_matmul`) when any codebook exceeds
+    ``_EXPR_MAX_CENTROIDS`` centroids, else the expression form below;
+    force with ``"expr"`` / ``"matmul"``. The two are bit-identical by
+    construction — same sequential-fold doubles, same
+    ``(ss − 2·dot) + cc`` association, same first-min tie-break."""
+    if engine == "auto":
+        engine = (
+            "matmul"
+            if max(len(b) for b in codebooks) > _EXPR_MAX_CENTROIDS
+            else "expr"
+        )
+    if engine == "matmul":
+        return _pq_encode_matmul(df, codebooks, id_col, vec_col)
+    if engine != "expr":
+        raise ValueError(f"unknown engine {engine!r}")
     m = len(codebooks)
     sub = len(codebooks[0][0])
     e = _as_double(vec_col)
@@ -138,6 +169,64 @@ def pq_encode(
             for j, book in enumerate(codebooks)
         ],
     )
+
+
+def _pq_encode_matmul(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The large-k encode engine behind :func:`pq_encode` — the
+    similarity/ivf.py ``_assign_matmul`` pattern per subspace. Bit
+    identity with the expression form is by construction, not
+    tolerance: per subspace the self-dot ``ss`` and the batch × k dot
+    matrix are accumulated SEQUENTIALLY over the subspace dimension
+    (the exact left-fold association, hence the exact IEEE rounding, of
+    the ``aggregate(zip_with(...))`` folds), centroid self-dots use the
+    same fold, the distance keeps the expression form's
+    ``(ss − 2.0·dot) + cc`` op order, and np.argmin's first-min rule is
+    array_min's lexicographic lowest-cid tie-break. The m codebooks
+    ride closure capture (m·k·(dim/m) doubles — driver-sized), so the
+    plan is constant-size regardless of k: at the standard k=256 the
+    expression form would carry 2,048 literal centroid arrays and
+    evaluate them interpreted per row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    C = [np.asarray(book, dtype=np.float64) for book in codebooks]
+    cc = []
+    for j in range(m):
+        acc = np.zeros(len(C[j]))
+        for t in range(sub):
+            acc = acc + C[j][:, t] * C[j][:, t]
+        cc.append(acc)
+    out_schema = StructType(
+        [df.schema[id_col]]
+        + [StructField(f"code_{j}", IntegerType()) for j in range(m)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = {id_col: pdf[id_col]}
+            for j in range(m):
+                s = a[:, j * sub : (j + 1) * sub]
+                ss = np.zeros(len(pdf))
+                dot = np.zeros((len(pdf), len(C[j])))
+                for t in range(sub):
+                    ss = ss + s[:, t] * s[:, t]
+                    dot = dot + s[:, t : t + 1] * C[j][:, t]
+                d2 = (ss[:, None] - 2.0 * dot) + cc[j]
+                out[f"code_{j}"] = np.argmin(d2, axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
 
 
 def pq_adc_topk(

@@ -616,3 +616,48 @@ def test_assign_engines_bit_identical(spark, sf_dir):
             .select("vec_id", "cluster").collect()
         }
         assert set(out.values()) <= {0, 3}, (eng, set(out.values()))
+
+def test_pq_encode_engines_bit_identical(spark, sf_dir):
+    """The two pq_encode engines (expression, Arrow matmul) must agree
+    bit-for-bit on every code — same sequential-fold doubles, same
+    (ss − 2·dot) + cc association, same lowest-cid tie-break. Checked at
+    k=40 (above _EXPR_MAX_CENTROIDS, so 'auto' routes to matmul) over
+    the real embeddings, plus a duplicate-centroid tie."""
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        _EXPR_MAX_CENTROIDS,
+        fit_pq_codebooks_fixed,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 40
+    assert k > _EXPR_MAX_CENTROIDS
+    books = fit_pq_codebooks_fixed(emb, m=8, k=k, dim=64)
+
+    def got(**kw):
+        return sorted(
+            tuple(r) for r in pq_encode(emb, books, **kw).collect()
+        )
+
+    expr = got(engine="expr")
+    mm = got(engine="matmul")
+    auto = got()  # k=40: auto must route to matmul
+    assert expr == mm == auto
+    # codes actually spread across the 40 centroids
+    spread = {c for row in mm for c in row[1:]}
+    assert len(spread) > 10
+
+    # ties: duplicated codebook entries — both engines pick the LOWEST
+    # cid (array_min lexicographic == np.argmin first-min)
+    dup_books = [[book[0]] * 3 + [book[1]] * 2 for book in books]
+    e2 = got(engine="expr")  # noqa: F841 — warm path above reused
+    for eng in ("expr", "matmul"):
+        out = sorted(
+            tuple(r)
+            for r in pq_encode(
+                emb.limit(50), dup_books, engine=eng
+            ).collect()
+        )
+        codes = {c for row in out for c in row[1:]}
+        assert codes <= {0, 3}, (eng, codes)
+    assert got(engine="expr") == got(engine="matmul")

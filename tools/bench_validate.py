@@ -93,6 +93,7 @@ DEFAULT_SAMPLE = [
     # chapters are deliberately NOT benched — bench.py HEADLINE comment:
     # their probe plans are byte-identical to their batch twins')
     "sim_ivf_build_bigk",
+    "sim_pq_adc_bigk",
 ]
 
 _CHILD = r"""
