@@ -920,8 +920,8 @@ def _driver_order() -> list[str]:
     """Order queries() so the driver's ~50-query rotating correctness
     window always covers (a) everything new or behavior-changed this
     round (the _R14_* lists — the 16 remaining r7-evidence names lead
-    per VERDICT r13 item 6, then the touched-path recerts, the new
-    registration, and the 27 oldest r8 names = exactly 50), then (b)
+    per VERDICT r13 item 6, then the touched-path recerts, the four new
+    registrations, and the 24 oldest r8 names = exactly 50), then (b)
     every earlier round's window in reverse-round order, then (c)
     one flagship per operator family, then the rest. As of r6 every registration has a
     hash-green driver row, so the tail order only controls evidence

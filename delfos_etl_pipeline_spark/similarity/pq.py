@@ -223,6 +223,14 @@ def _pq_encode_matmul(
                     ss = ss + s[:, t] * s[:, t]
                     dot = dot + s[:, t : t + 1] * C[j][:, t]
                 d2 = (ss[:, None] - 2.0 * dot) + cc[j]
+                # NaN ordering (ADVICE r14): array_min orders NaN
+                # GREATEST, so the expression form never selects a NaN
+                # distance unless all are NaN — but np.argmin returns
+                # the FIRST NaN index. Mask NaNs to +inf so a non-finite
+                # embedding encodes identically on both engines. (The
+                # argmax/assign path needs no mask: NaN-greatest happens
+                # to agree with np.argmax; the asymmetry is argmin-only.)
+                d2 = np.where(np.isnan(d2), np.inf, d2)
                 out[f"code_{j}"] = np.argmin(d2, axis=1).astype("int32")
             yield pd.DataFrame(out)
 

@@ -650,7 +650,7 @@ def test_pq_encode_engines_bit_identical(spark, sf_dir):
     # ties: duplicated codebook entries — both engines pick the LOWEST
     # cid (array_min lexicographic == np.argmin first-min)
     dup_books = [[book[0]] * 3 + [book[1]] * 2 for book in books]
-    e2 = got(engine="expr")  # noqa: F841 — warm path above reused
+    dup_out = {}
     for eng in ("expr", "matmul"):
         out = sorted(
             tuple(r)
@@ -660,4 +660,51 @@ def test_pq_encode_engines_bit_identical(spark, sf_dir):
         )
         codes = {c for row in out for c in row[1:]}
         assert codes <= {0, 3}, (eng, codes)
-    assert got(engine="expr") == got(engine="matmul")
+        dup_out[eng] = out
+    # cross-engine equality ON THE TIE CASE itself (ADVICE r14: the old
+    # final assert re-evaluated the original books, re-proving the
+    # assertion already made above)
+    assert dup_out["expr"] == dup_out["matmul"]
+
+
+def test_pq_encode_engines_agree_on_nonfinite(spark):
+    """NaN/Inf embeddings must encode identically on both engines
+    (ADVICE r14): the expression form's array_min orders NaN GREATEST
+    (a NaN distance is never selected unless all are), while a bare
+    np.argmin returns the FIRST NaN index — _pq_encode_matmul masks
+    NaN→+inf before argmin to restore the equality. A NaN element
+    poisons every distance in its subspace (all-NaN → lowest-cid
+    tie-break on both engines); an Inf element yields the same IEEE
+    inf/NaN pattern on both sides, masked identically."""
+    import math
+
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        _EXPR_MAX_CENTROIDS,
+        pq_encode,
+    )
+
+    m, sub, k = 2, 2, _EXPR_MAX_CENTROIDS + 1
+    books = [
+        [[float(c + j), float(c - j)] for c in range(k)] for j in range(m)
+    ]
+    rows = [
+        (1, [0.5, 1.5, 2.5, 3.5]),          # finite control row
+        (2, [float("nan"), 1.0, 2.0, 3.0]),  # NaN poisons subspace 0
+        (3, [1.0, 2.0, math.inf, 4.0]),      # Inf in subspace 1
+        (4, [float("nan")] * 4),             # all-NaN: lowest-cid ties
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def got(engine):
+        return sorted(
+            tuple(r)
+            for r in pq_encode(
+                df, books, "vec_id", "embedding", engine=engine
+            ).collect()
+        )
+
+    expr, mm = got("expr"), got("matmul")
+    assert expr == mm
+    # the all-NaN row resolves to code 0 in every subspace on BOTH sides
+    all_nan = [row for row in mm if row[0] == 4][0]
+    assert all(c == 0 for c in all_nan[1:])
