@@ -238,6 +238,13 @@ HEADLINE = [
     # these price _assign_matmul and _pq_encode_matmul end-to-end)
     "sim_ivf_build_bigk",
     "sim_pq_adc_bigk",
+    # round 15: the certified large-k MAINTENANCE chapters — their
+    # timed cost is the one-time state build (build + 2 merges +
+    # remove + compact, every assignment/encode on the matmul
+    # engines) plus the persisted-store probe; isolate tier, like the
+    # other state builders
+    "sim_ivf_lifecycle_bigk",
+    "sim_pq_lifecycle_bigk",
     # curate_nightly_ingest_day2_streamed is deliberately NOT timed: its
     # probe plan is byte-identical to curate_nightly_ingest_day2's (only
     # the one-time state build differs — streaming vs batch merges), so
@@ -546,6 +553,9 @@ def main() -> None:
                                        # (r13 compaction capstone)
         "sim_pq_probe_deleted",  # probes the tombstoned PQ codes clone
         "sim_pq_probe_compacted",  # probes the compacted rewrite
+        "sim_ivf_lifecycle_bigk",  # builds+maintains the 40-cell index
+                                   # (r15 large-k maintenance capstone)
+        "sim_pq_lifecycle_bigk",   # the PQ twin (40-centroid codes)
         # session-sensitive, not IO: the deliberately sequential 5-key
         # single-task window — measured 3.84s in-chunk vs 3.2s in ANY
         # fresh session (bench-style warmup+iters, reproduced across all

@@ -141,6 +141,64 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # names.
 # Floor after this round: r8. Same contract as every round: a name
 # lands here in the SAME commit that registers/changes it.
+# --- round 15 window (exactly 50 names; leads _driver_order) ---
+# VERDICT r14 item 5: the 24 remaining r8-evidence names LEAD (the
+# floor rotates r8 -> r9), then the touched-path recert
+# (sim_pq_adc_bigk — ADVICE r14's NaN mask landed inside
+# _pq_encode_matmul, this name's engine route), then the two new
+# registrations (sim_ivf_lifecycle_bigk + sim_pq_lifecycle_bigk —
+# VERDICT r14 item 3's certified large-k maintenance chapters: every
+# merge/re-merge assignment and encode routed through the Arrow matmul
+# engines, sharing the bigk build/ADC oracles verbatim), then the 23
+# oldest r9 names (registry order) to fill exactly 50 (the remaining
+# 24 r9 names lead r16). Same contract as every round: a name lands
+# here in the SAME commit that registers/changes it.
+_R15_R8_LEAD: list[str] = [
+    "tpch_q10_returned_items", "tpch_q18_large_orders",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q13_cust_order_dist",
+    "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_suppliers",
+    "dedup_embedding_lsh", "dedup_semdedup_survivors",
+    "dedup_top_duplicate_spans", "emb_mutual_knn_clusters",
+    "emb_kmeans_train", "curate_pipeline_substr", "curate_dsir_resample",
+    "curate_semantic_decontaminate", "mm_image_dhash_wide",
+    "mm_audio_vad", "asof_join_events", "text_quality_classifier",
+]
+
+_R15_RECERT: list[str] = [
+    "sim_pq_adc_bigk",  # _pq_encode_matmul gained the NaN->+inf mask
+        # before argmin (ADVICE r14: array_min orders NaN greatest, a
+        # bare np.argmin returned the first NaN index) — behavior-
+        # identical on finite embeddings, locally re-verified exact
+]
+
+_R15_NEW: list[str] = [
+    "sim_ivf_lifecycle_bigk",  # certified large-k IVF MAINTENANCE
+        # (VERDICT r14 item 3): 40 cells live through build -> merge ->
+        # remove -> compact -> re-merge with every assignment on
+        # _assign_matmul; shares _IVF_BUILD_BIGK_ORACLE verbatim, so
+        # one hash pins maintained ≡ rebuilt at production-k routing
+    "sim_pq_lifecycle_bigk",  # the PQ twin: 40 centroids/subspace live
+        # through the same history with every encode on
+        # _pq_encode_matmul; shares _PQ_ADC_BIGK_ORACLE verbatim
+]
+
+# 23 oldest r9-evidence names (registry order) to fill the window to
+# exactly 50 (the remaining 24 r9 names lead r16).
+_R15_R9_FILL: list[str] = [
+    "s1_scan_project_filter", "a1_pipeline_long", "streaming_window_agg",
+    "j1_broadcast_dim_join", "f_scalar_suite", "tpch_q1_pricing_summary",
+    "tpch_q12_priority_by_status", "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_count", "tpch_q20_promotable_suppliers",
+    "w4_trailing_range_frame", "f_array_unnest_stats", "f_array_ops",
+    "sql_facade_text_query", "j_null_safe_join", "set_ops_user_segments",
+    "ts_gap_fill", "f_json_extract", "tpcds_q3_brand_by_year",
+    "tpcds_q27_rollup_avgs", "tpcds_q36_margin_rank",
+]
+
 _R14_R7_LEAD: list[str] = [
     "text_readability", "shard_balance_report",
     "curate_quality_gate_sweep", "text_bpe_encode_corpus",
@@ -919,20 +977,23 @@ _RECERTIFIED_R3 = {
 def _driver_order() -> list[str]:
     """Order queries() so the driver's ~50-query rotating correctness
     window always covers (a) everything new or behavior-changed this
-    round (the _R14_* lists — the 16 remaining r7-evidence names lead
-    per VERDICT r13 item 6, then the touched-path recerts, the four new
-    registrations, and the 24 oldest r8 names = exactly 50), then (b)
+    round (the _R15_* lists — the 24 remaining r8-evidence names lead
+    per VERDICT r14 item 5, then the touched-path recert, the two new
+    registrations, and the 23 oldest r9 names = exactly 50), then (b)
     every earlier round's window in reverse-round order, then (c)
     one flagship per operator family, then the rest. As of r6 every registration has a
     hash-green driver row, so the tail order only controls evidence
     freshness."""
+    r15_front = (
+        _R15_R8_LEAD + _R15_RECERT + _R15_NEW + _R15_R9_FILL
+    )
+    missing = [n for n in r15_front if n not in QUERIES]
+    assert not missing, (
+        f"window names not registered: {missing} — a _R15_* entry must "
+        "land in the same commit as its @query registration"
+    )
     r14_front = (
         _R14_R7_LEAD + _R14_RECERT + _R14_NEW + _R14_R8_FILL
-    )
-    missing = [n for n in r14_front if n not in QUERIES]
-    assert not missing, (
-        f"window names not registered: {missing} — a _R14_* entry must "
-        "land in the same commit as its @query registration"
     )
     r13_front = (
         _R13_RECERT + _R13_NEW + _R13_R6_REFRESH + _R13_R7_FILL
@@ -950,7 +1011,9 @@ def _driver_order() -> list[str]:
         _R9_NEW + _R9_RECERT + _R9_STALE_REFRESH + _R9_TWIN_RECERT
     )
     r8_front = _R8_NEW + _R8_RECERT + _R8_STALE_REFRESH
-    front = list(dict.fromkeys(r14_front))
+    front = list(dict.fromkeys(r15_front))
+    placed = set(front)
+    front += [n for n in r14_front if n in QUERIES and n not in placed]
     placed = set(front)
     front += [n for n in r13_front if n in QUERIES and n not in placed]
     placed = set(front)

@@ -119,7 +119,9 @@ def test_round_window_names_all_registered():
     from delfos_etl_pipeline_spark import queries as qpkg
 
     for n in (
-        qpkg._R14_R7_LEAD + qpkg._R14_RECERT + qpkg._R14_NEW
+        qpkg._R15_R8_LEAD + qpkg._R15_RECERT + qpkg._R15_NEW
+        + qpkg._R15_R9_FILL
+        + qpkg._R14_R7_LEAD + qpkg._R14_RECERT + qpkg._R14_NEW
         + qpkg._R14_R8_FILL
         + qpkg._R13_RECERT + qpkg._R13_NEW + qpkg._R13_R6_REFRESH
         + qpkg._R13_R7_FILL
@@ -138,13 +140,13 @@ def test_round_window_names_all_registered():
 
 
 def test_stale_refresh_no_duplicates():
-    """The r14 window is EXACTLY the driver's ~50-slot capacity — a
+    """The r15 window is EXACTLY the driver's ~50-slot capacity — a
     duplicate or an overflow silently pushes a claimed re-cert out."""
     from delfos_etl_pipeline_spark import queries as qpkg
 
     names = (
-        qpkg._R14_R7_LEAD + qpkg._R14_RECERT + qpkg._R14_NEW
-        + qpkg._R14_R8_FILL
+        qpkg._R15_R8_LEAD + qpkg._R15_RECERT + qpkg._R15_NEW
+        + qpkg._R15_R9_FILL
     )
     assert len(names) == len(set(names))
     assert len(names) == 50, len(names)
