@@ -627,13 +627,19 @@ def main() -> None:
     # (JVM-lifetime accumulation — code-cache/fragmentation — survives
     # the py4j-reused session restarts), while the front placement
     # reproduces standalone truth. Disable with SPARK_GRAFT_STREAM_BENCH=0.
-    streaming: dict[str, float | str] = {}
+    streaming: dict[str, float | str | dict] = {}
     if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
         # VERDICT r12 item 2: one fresh python+JVM subprocess per
         # topology (the batch isolate tier's discipline) — the r12
         # in-process rates fell 28-31% on untouched code with no way to
         # tell harness state from host speed; a fresh process per
         # topology plus the recorded host_probe anchor closes that.
+        # VERDICT r14 item 4: the anchor must sit BESIDE the rates it
+        # governs — the r14 driver and builder streaming rates disagreed
+        # in SIGN on the same recipe, and the run-start anchor (measured
+        # minutes earlier) could not arbitrate. Probed here, immediately
+        # before the three topology subprocesses launch.
+        streaming["host_probe"] = _host_speed_probe()
         for topo in ("windowed_agg", "dedup", "stream_join"):
             res = _run_stream_isolated(topo, cpus)
             if "error" in res:  # a broken harness must be visible,
@@ -647,6 +653,10 @@ def main() -> None:
     # same-recipe comparable with the validator BY CONSTRUCTION.
     isolate_errors: dict[str, str] = {}
     iso_warm = max(warm_iters, 3)
+    # per-tier anchor (VERDICT r14 item 4): the isolate tier runs for
+    # many minutes after the run-start probe; stamp the host speed at
+    # tier entry so a tier-local window shift is attributable.
+    tier_probes: dict[str, dict] = {"isolate_start": _host_speed_probe()}
     for name in [n for n in HEADLINE if n in isolate]:
         res = _run_isolated(name, sf_dir, cpus, iso_warm, timed_iters)
         if "error" in res:
@@ -656,6 +666,7 @@ def main() -> None:
         spread[name] = res["spread"]
         rng[name] = res["range"]
         warmups[name] = iso_warm
+    tier_probes["pooled_start"] = _host_speed_probe()
     for chunk in chunks:
         spark = _new_session(cpus)
         # Warmup, not counted: a trivial scan, then one pass of the
@@ -827,8 +838,14 @@ def main() -> None:
     if streaming:
         record["streaming"] = streaming
     # ~55 chars: the host-speed anchor travels WITH the record, so the
-    # round's official numbers carry their own window calibration
+    # round's official numbers carry their own window calibration;
+    # host_probe_tiers adds the tier-entry anchors (streaming's rides
+    # inside the streaming section) so every tier's numbers carry the
+    # window they were measured in (VERDICT r14 item 4)
     record["host_probe"] = host_probe
+    record["host_probe_tiers"] = {
+        k: v["md5_single_s"] for k, v in tier_probes.items()
+    }
     if isolate_errors:
         # a failed isolate query is missing from per_query, so the
         # headline sum covers FEWER queries and would read as an
@@ -861,6 +878,7 @@ def main() -> None:
                         "streaming": streaming,
                         "second_opinion": second_opinion,
                         "host_probe": host_probe,
+                        "host_probe_tiers": tier_probes,
                         "reliability_retries": retries_diag,
                         "unreliable": unreliable,
                     },

@@ -150,3 +150,41 @@ def test_stale_refresh_no_duplicates():
     )
     assert len(names) == len(set(names))
     assert len(names) == 50, len(names)
+
+
+def test_bench_validate_record_stamped_at_head():
+    """The committed bench_validate.json must be produced by the SHIPPED
+    engine (VERDICT r14 item 1, third round of the stale-record genus:
+    code landing after the validated record shipped an unvalidated
+    number every time, and nothing failed). The validator stamps
+    engine_tree_hash() — a content hash of every timing-relevant file —
+    into the record when it writes it; this test FAILS whenever the
+    working tree's engine no longer matches the record's stamp, so an
+    engine commit after the record breaks the build instead of
+    shipping. Fix = re-run `python bench.py` then
+    `python tools/bench_validate.py` (ALONE) and commit the record."""
+    import importlib.util
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_validate", os.path.join(repo, "tools", "bench_validate.py")
+    )
+    bv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bv)
+    with open(os.path.join(repo, "bench_validate.json")) as f:
+        rec = json.load(f)
+    stamp = rec.get("engine_tree_sha256")
+    assert stamp is not None, (
+        "bench_validate.json carries no engine_tree_sha256 stamp — it "
+        "predates the round-15 record discipline (or was written by an "
+        "external tool); re-run bench.py + tools/bench_validate.py"
+    )
+    head = bv.engine_tree_hash()
+    assert stamp == head, (
+        "bench_validate.json was recorded on a DIFFERENT engine tree "
+        f"(record {stamp[:12]}…, working tree {head[:12]}…) — the "
+        "validated numbers do not describe the shipped code; re-run "
+        "bench.py + tools/bench_validate.py at HEAD and commit the record"
+    )

@@ -65,6 +65,42 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+
+def engine_tree_hash(repo: str = REPO) -> str:
+    """Content hash of every file whose change can move a benched number
+    — the engine package, the bench harness, the driver entry, and this
+    validator. Stamped into bench_validate.json when the record is
+    written; tests/test_registry.py FAILS when the committed record's
+    stamp doesn't match the working tree (VERDICT r14 item 1: the
+    validated record shipped stale-by-one-commit three rounds running —
+    the discipline "the record is produced by the shipped code" is now
+    structural, not procedural). Tests/docs are deliberately excluded:
+    they cannot change a timing. A content hash, not a git SHA, so the
+    check needs no git state and an amend/rebase that doesn't touch the
+    engine doesn't invalidate a valid record."""
+    import hashlib
+
+    h = hashlib.sha256()
+    paths = [
+        os.path.join(repo, "bench.py"),
+        os.path.join(repo, "__spark_entry__.py"),
+        os.path.join(repo, "tools", "bench_validate.py"),
+    ]
+    pkg = os.path.join(repo, "delfos_etl_pipeline_spark")
+    for dirpath, dirs, names in os.walk(pkg):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        paths.extend(
+            os.path.join(dirpath, n) for n in names if n.endswith(".py")
+        )
+    for path in sorted(paths):
+        h.update(os.path.relpath(path, repo).encode())
+        h.update(b"\0")
+        with open(path, "rb") as f:
+            h.update(f.read())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
 DEFAULT_SAMPLE = [
     "tpch_q1_pricing_summary",
     "w6_rolling_median",
@@ -94,6 +130,17 @@ DEFAULT_SAMPLE = [
     # their probe plans are byte-identical to their batch twins')
     "sim_ivf_build_bigk",
     "sim_pq_adc_bigk",
+    # VERDICT r14 item 1: the top of the expensive tail must always have
+    # a validated row — the #1 headline cost (curate_nightly_ingest,
+    # 11.95s in the r14 driver window vs 3.6-4.3s isolated) shipped with
+    # no row to answer it, and the other isolate-tier state builders
+    # were equally unadjudicable
+    "curate_nightly_ingest",
+    "sim_ivfpq_probe",
+    "dedup_minhash_incremental_indexed",
+    # the r15 registrations: the certified large-k maintenance chapters
+    "sim_ivf_lifecycle_bigk",
+    "sim_pq_lifecycle_bigk",
 ]
 
 _CHILD = r"""
@@ -361,7 +408,16 @@ def main() -> int:
             f"tol={tol}s (envelope={envelope}s){flag}"
         )
     with open(os.path.join(REPO, "bench_validate.json"), "w") as f:
-        json.dump({"sf_dir": sf_dir, "results": report}, f, indent=1)
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                # the record's provenance stamp — see engine_tree_hash
+                "engine_tree_sha256": engine_tree_hash(),
+                "results": report,
+            },
+            f,
+            indent=1,
+        )
     print("OK" if all_ok else "NOT OK")
     return 0 if all_ok else 1
 
