@@ -151,7 +151,15 @@ def needs_compaction(
       FIRST thousand rows), with a measurable slope after — ~2× the
       clean-state probe at 100k rows and steepening beyond. 100k is
       where the debt stops being the fixed step and starts being the
-      rows.
+      rows. The PQ family is measured on its own curve (round 15,
+      SCALE.md "the PQ debt curve"): the ADC probe's larger base cost
+      hides the fixed step (1.29 s clean ≈ 1.27 s at 1k rows), the
+      slope appears from 10k (~+24% at 100k, +35% at 200k) — the same
+      100k bound holds, read off a PQ measurement rather than the IVF
+      analogy. Generations are FLAT for PQ through 50 merges / 1,051
+      code files (the ADC scan is bytes-bound, not files-bound, at
+      this corpus) — the files-per-GiB bound is what eventually trips,
+      by design.
     - ``max_negative_rows``: the gram netting analogue of the tombstone
       axis (same re-aggregation shape, same bound).
     - ``max_files_per_gib=256``: appends fragmented far below the

@@ -17,6 +17,12 @@ curve instead of asserted:
   Probe cost grows with the broadcast anti-join — the curve says when a
   tombstone relation stops being cheap.
 
+Round 15 (VERDICT r14 item 2): the PQ family is measured on BOTH axes —
+``merge_into_pq_index`` filler generations and never-indexed tombstones
+against the persisted codes store, probe = ``pq_adc_topk`` over
+``read_pq_index`` — so ``needs_compaction``'s PQ thresholds cite a PQ
+curve instead of the IVF anti-join analogy.
+
 The probe batch is fixed (500 docs / 1 query vector) at every step;
 probes are warm median-of-3 in one session per axis. index_stats is
 read at each checkpoint so the table's x-axis is the store's own debt
@@ -66,17 +72,34 @@ def run_generations(spark, work: str) -> list[dict]:
         remove_spans_matching_indexed,
         write_gram_index,
     )
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        fit_pq_codebooks_fixed,
+        merge_into_pq_index,
+        pq_adc_topk,
+        pq_encode,
+        read_pq_index,
+        write_pq_index,
+    )
     from delfos_etl_pipeline_spark.sources.index_admin import index_stats
     from delfos_etl_pipeline_spark.sources.parquet import load_table
 
     docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
     corpus = docs.where(F.col("doc_id") % 3 != 0)
     batch = docs.where((F.col("doc_id") % 6 == 0) & (F.col("doc_id") < 3000))
+    vcorpus = emb.where(F.col("vec_id") % 3 != 0)
+    qvec = [float(x)
+            for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
     gram = os.path.join(work, "grams")
     mh = os.path.join(work, "lsh")
+    pq = os.path.join(work, "pq")
     write_gram_index(corpus, gram, "doc_id", "text", k=5, hashed=False,
                      counted=True)
     write_minhash_index(corpus, mh, "doc_id", "text", n=3, hash_fn="md5")
+    books = fit_pq_codebooks_fixed(vcorpus, "vec_id", "embedding", m=8, k=16)
+    write_pq_index(
+        pq_encode(vcorpus, books, "vec_id", "embedding"), books, pq
+    )
 
     def probe_gram():
         remove_spans_matching_indexed(
@@ -88,6 +111,26 @@ def run_generations(spark, work: str) -> list[dict]:
         minhash_lsh_pairs_indexed(
             batch, mh, "doc_id", "text", n=3, threshold=0.6, hash_fn="md5"
         ).write.format("noop").mode("overwrite").save()
+
+    def probe_pq():
+        codes, bks = read_pq_index(spark, pq)
+        pq_adc_topk(codes, bks, qvec, "vec_id", k=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    # deterministic 20-vector filler batches, encoded against the FROZEN
+    # codebooks (the merge contract): new ids, never probed
+    def vfiller(g: int):
+        rows = [
+            (
+                FILLER_BASE + g * 100 + i,
+                [float((g * 31 + i * 7 + j) % 17) / 16.0 for j in range(64)],
+            )
+            for i in range(20)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
 
     # distinct 20-doc filler batches: every merge is a legal new-id
     # append; texts overlap nothing in the probe batch
@@ -104,7 +147,7 @@ def run_generations(spark, work: str) -> list[dict]:
 
     out = []
     done = 0
-    probe_gram(), probe_mh()  # warm (codegen + file index)
+    probe_gram(), probe_mh(), probe_pq()  # warm (codegen + file index)
     for cp in GEN_CHECKPOINTS:
         while done < cp:
             done += 1
@@ -114,20 +157,27 @@ def run_generations(spark, work: str) -> list[dict]:
                                   batch_id=f"g{done}")
             merge_into_minhash_index(b, mh, "doc_id", "text", n=3,
                                      hash_fn="md5", batch_id=f"g{done}")
+            merge_into_pq_index(
+                pq_encode(vfiller(done), books, "vec_id", "embedding"),
+                pq, batch_id=f"g{done}",
+            )
         gs = index_stats(spark, gram, "gram")
         ms = index_stats(spark, mh, "minhash")
+        ps = index_stats(spark, pq, "pq")
         out.append({
             "generations": gs["generations"],
             "gram_files": gs["data_files"],
             "mh_files": ms["data_files"],
+            "pq_files": ps["data_files"],
             "probe_gram": _median3(probe_gram),
             "probe_minhash": _median3(probe_mh),
+            "probe_pq": _median3(probe_pq),
         })
     return out
 
 
 def run_tombstones(spark, work: str) -> list[dict]:
-    """Probe latency vs pending tombstone rows (MinHash + IVF)."""
+    """Probe latency vs pending tombstone rows (MinHash + IVF + PQ)."""
     from pyspark.sql import functions as F
 
     from delfos_etl_pipeline_spark.dedup.minhash import (
@@ -142,6 +192,14 @@ def run_tombstones(spark, work: str) -> list[dict]:
         remove_from_ivf_index,
         write_ivf_index,
     )
+    from delfos_etl_pipeline_spark.similarity.pq import (
+        fit_pq_codebooks_fixed,
+        pq_adc_topk,
+        pq_encode,
+        read_pq_index,
+        remove_from_pq_index,
+        write_pq_index,
+    )
     from delfos_etl_pipeline_spark.sources.index_admin import index_stats
     from delfos_etl_pipeline_spark.sources.parquet import load_table
 
@@ -154,9 +212,14 @@ def run_tombstones(spark, work: str) -> list[dict]:
             for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
     mh = os.path.join(work, "lsh_t")
     ivf = os.path.join(work, "ivf_t")
+    pq = os.path.join(work, "pq_t")
     write_minhash_index(corpus, mh, "doc_id", "text", n=3, hash_fn="md5")
     assigned, cents = build_ivf_index_fixed(vcorpus, n_clusters=8)
     write_ivf_index(assigned.select("vec_id", "embedding", "cluster"), ivf)
+    books = fit_pq_codebooks_fixed(vcorpus, "vec_id", "embedding", m=8, k=16)
+    write_pq_index(
+        pq_encode(vcorpus, books, "vec_id", "embedding"), books, pq
+    )
 
     def probe_mh():
         minhash_lsh_pairs_indexed(
@@ -168,9 +231,15 @@ def run_tombstones(spark, work: str) -> list[dict]:
             read_ivf_index(spark, ivf), cents, qvec, k=10, n_probe=2
         ).write.format("noop").mode("overwrite").save()
 
+    def probe_pq():
+        codes, bks = read_pq_index(spark, pq)
+        pq_adc_topk(codes, bks, qvec, "vec_id", k=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     out = []
     done = 0
-    probe_mh(), probe_ivf()  # warm
+    probe_mh(), probe_ivf(), probe_pq()  # warm
     for cp in TOMB_CHECKPOINTS:
         if cp > done:
             # synthetic never-indexed ids: output-invariant, build-side real
@@ -181,14 +250,20 @@ def run_tombstones(spark, work: str) -> list[dict]:
             remove_from_ivf_index(
                 ids.withColumnRenamed("doc_id", "vec_id"), ivf, "vec_id"
             )
+            remove_from_pq_index(
+                ids.withColumnRenamed("doc_id", "vec_id"), pq, "vec_id"
+            )
             done = cp
         ms = index_stats(spark, mh, "minhash")
         ivs = index_stats(spark, ivf, "ivf")
+        ps = index_stats(spark, pq, "pq")
         out.append({
             "tombstone_rows": ms["tombstone_rows"],
             "ivf_tombstone_rows": ivs["tombstone_rows"],
+            "pq_tombstone_rows": ps["tombstone_rows"],
             "probe_minhash": _median3(probe_mh),
             "probe_ivf": _median3(probe_ivf),
+            "probe_pq": _median3(probe_pq),
         })
     return out
 
