@@ -105,6 +105,12 @@ DEFAULT_SAMPLE = [
     "tpch_q1_pricing_summary",
     "w6_rolling_median",
     "sim_ivf_recall_eval",
+    # variance rationale (SCALE.md round 15 "emb_kmeans_step's variance,
+    # pinned"): 74% of this name's cost is single-threaded plan
+    # CONSTRUCTION (two collect jobs + Catalyst on 64 decimal sum trees),
+    # the component most sensitive to host window — expect its isolated
+    # medians to track the md5 single-core anchor, and classify whole-
+    # number drift as window before suspecting the stable ~1s execution
     "emb_kmeans_step",
     "er_fuzzy_blocked",
     # the r8 chunk-inflation victims + the r8 code regression — the
