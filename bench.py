@@ -627,7 +627,7 @@ def main() -> None:
     # (JVM-lifetime accumulation — code-cache/fragmentation — survives
     # the py4j-reused session restarts), while the front placement
     # reproduces standalone truth. Disable with SPARK_GRAFT_STREAM_BENCH=0.
-    streaming: dict[str, float | str | dict] = {}
+    streaming: dict[str, float | str | dict | list] = {}
     if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
         # VERDICT r12 item 2: one fresh python+JVM subprocess per
         # topology (the batch isolate tier's discipline) — the r12
@@ -640,12 +640,36 @@ def main() -> None:
         # minutes earlier) could not arbitrate. Probed here, immediately
         # before the three topology subprocesses launch.
         streaming["host_probe"] = _host_speed_probe()
+        # Reliability gate (round 15): the r15 first run recorded the
+        # dedup topology at 33.0k rows/s against 118-124k isolated
+        # re-runs — a single-subprocess stall (GC/compile pause inside
+        # the measurement window) with nothing to catch it, the exact
+        # class the batch tier's validator rejects. Each topology now
+        # runs up to three subprocesses: two runs agreeing within 20%
+        # publish their mean; otherwise a third arbitrates and the
+        # MEDIAN publishes. All raw runs land in the diag so a
+        # published rate is never a lone sample.
         for topo in ("windowed_agg", "dedup", "stream_join"):
-            res = _run_stream_isolated(topo, cpus)
-            if "error" in res:  # a broken harness must be visible,
-                streaming[f"{topo}_error"] = str(res["error"])[:80]
-            else:               # not a silent 0.0
-                streaming[f"{topo}_rows_per_sec"] = res["rows_per_sec"]
+            runs: list[float] = []
+            err = None
+            for _attempt in range(3):
+                res = _run_stream_isolated(topo, cpus)
+                if "error" in res:
+                    err = str(res["error"])[:80]
+                    break
+                runs.append(res["rows_per_sec"])
+                if len(runs) == 2 and min(runs) >= 0.8 * max(runs):
+                    break
+            if err is not None and not runs:
+                # a broken harness must be visible, not a silent 0.0
+                streaming[f"{topo}_error"] = err
+                continue
+            if len(runs) >= 3:
+                rate = sorted(runs)[1]
+            else:
+                rate = round(sum(runs) / len(runs), 1)
+            streaming[f"{topo}_rows_per_sec"] = rate
+            streaming[f"{topo}_runs"] = runs
     # Isolate tier: one fresh subprocess per name, sequential (bench
     # never runs Spark work concurrently with itself). 3 warmups — a
     # fresh process has cold C2 JIT; this is the recipe
