@@ -49,3 +49,50 @@ def query(
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def spread_scan(
+    df: DataFrame, sf_dir: str, table: str, *key_cols: str
+) -> DataFrame:
+    """Conditionally repartition a scan whose file layout yields fewer
+    splits than the cluster has cores, so a CPU-DENSE narrow stage
+    (crypto hashes, explodes, per-row expression storms) doesn't run as
+    a near-single task (guide §2.5 "input skew: one huge unsplittable
+    file" — parquet can't split inside a row group, so a one-row-group
+    file is ONE scan task at any core count; the driver testdata is
+    exactly that shape). Scale-adaptive, not a local[32] constant: the
+    expected split count is derived from the actual input bytes and the
+    session's maxPartitionBytes, and when the scan already yields at
+    least defaultParallelism splits (any real multi-file/multi-row-group
+    table at scale) the df is returned UNCHANGED — no exchange is added
+    at 100 TB, where the scan parallelizes by itself and the repartition
+    would be pure shuffle overhead. The keyed repartition (deterministic
+    key, never rand — SPARK-38388) is the dedup/ngram.py idiom: pinned
+    count because AQE would coalesce the small exchange to one partition
+    and serialize the work it exists to spread."""
+    import os
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        max_split = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+    except Exception:
+        max_split = 128 * 1024 * 1024
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return df
+    splits = max(1, -(-size // max_split))
+    if splits >= par:
+        return df
+    return df.repartition(par, *key_cols)

@@ -10,7 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from delfos_etl_pipeline_spark.functions.stable import round_half_up
-from delfos_etl_pipeline_spark.queries._registry import _t, query
+from delfos_etl_pipeline_spark.queries._registry import _t, query, spread_scan
 
 # ---------------------------------------------------------------------------
 # Similarity search (SURVEY §7 M5)
@@ -737,6 +737,24 @@ _PQ_ADC_ORACLE = """
     """
 
 
+def _qvec_and_lowest(emb, k):
+    """ONE TakeOrderedAndProject job for the vec_id=0 query vector AND
+    the k lowest CORPUS ids' embeddings (vec_id != 0) — round 15, guide
+    §5 (driver-job count): the certified form paid one first() job for
+    the query row plus a separate collect per model fetch; vec_id 0 is
+    the global minimum id, so the k+1 lowest rows contain exactly the
+    same values, fetched once. Raises (as the old ``first()[0]`` path
+    did, just legibly) when the query row is absent."""
+    rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(k + 1).collect()
+    )
+    if not rows or rows[0]["vec_id"] != 0:
+        raise ValueError("expected the vec_id=0 query row in the corpus")
+    qvec = [float(x) for x in rows[0]["embedding"]]
+    vecs = [[float(x) for x in r["embedding"]] for r in rows[1:]]
+    return qvec, vecs
+
+
 @query("sim_pq_adc_topk", oracle=_PQ_ADC_ORACLE)
 def sim_pq_adc_topk(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011, similarity/pq.py):
@@ -751,18 +769,15 @@ def sim_pq_adc_topk(spark, sf_dir):
     than float32), so the 100 TB corpus scan that dominates ANN cost
     reads 1/32 of the bytes, stays narrow, and never shuffles."""
     from delfos_etl_pipeline_spark.similarity.pq import (
-        fit_pq_codebooks_fixed,
         pq_adc_topk,
+        pq_books_from_vecs,
         pq_encode,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    qvec, vecs = _qvec_and_lowest(emb, 16)
+    books = pq_books_from_vecs(vecs, m=8, k=16)
     corpus = emb.where(F.col("vec_id") != 0)
-    books = fit_pq_codebooks_fixed(corpus, "vec_id", "embedding", m=8, k=16)
     codes = pq_encode(corpus, books, "vec_id", "embedding")
     return pq_adc_topk(codes, books, qvec, "vec_id", k=10)
 
@@ -794,20 +809,17 @@ def sim_pq_adc_bigk(spark, sf_dir):
     crossover: expression engines linear in k, the Arrow form flat)."""
     from delfos_etl_pipeline_spark.similarity.pq import (
         _EXPR_MAX_CENTROIDS,
-        fit_pq_codebooks_fixed,
         pq_adc_topk,
+        pq_books_from_vecs,
         pq_encode,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
-    corpus = emb.where(F.col("vec_id") != 0)
     k = 40
     assert k > _EXPR_MAX_CENTROIDS  # the point: the matmul encode route
-    books = fit_pq_codebooks_fixed(corpus, "vec_id", "embedding", m=8, k=k)
+    qvec, vecs = _qvec_and_lowest(emb, k)
+    books = pq_books_from_vecs(vecs, m=8, k=k)
+    corpus = emb.where(F.col("vec_id") != 0)
     codes = pq_encode(corpus, books, "vec_id", "embedding")
     return pq_adc_topk(codes, books, qvec, "vec_id", k=10)
 
@@ -1278,27 +1290,28 @@ def sim_ivfpq_topk(spark, sf_dir):
     probe reads n_probe/n_clusters of an 8-byte/vector table — a
     ~128× byte reduction over a full float scan before any ranking."""
     from delfos_etl_pipeline_spark.similarity.ivf import (
-        build_ivf_index_fixed,
+        assign_fixed_centroids,
         probe_cells,
     )
     from delfos_etl_pipeline_spark.similarity.pq import (
-        fit_pq_codebooks_fixed,
         pq_adc_topk,
+        pq_books_from_vecs,
         pq_encode,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    # one driver fetch serves all three models (round 15, guide §5):
+    # the 16 lowest corpus ids carry the 8 IVF centroids (their prefix)
+    # and the 16 PQ codebook rows; the old form paid four driver jobs
+    # (query first(), centroid ids, centroid rows, codebook rows) for
+    # the same values.
+    qvec, vecs = _qvec_and_lowest(emb, 16)
+    cents = vecs[:8]
+    books = pq_books_from_vecs(vecs, m=8, k=16)
     corpus = emb.where(F.col("vec_id") != 0)
-    assigned, cents = build_ivf_index_fixed(
-        corpus, "vec_id", "embedding", n_clusters=8
-    )
+    assigned = assign_fixed_centroids(corpus, cents, "embedding", inline=True)
     cells = probe_cells(qvec, cents, n_probe=2)
     cand = assigned.where(F.col("cluster").isin(cells))
-    books = fit_pq_codebooks_fixed(corpus, "vec_id", "embedding", m=8, k=16)
     codes = pq_encode(cand, books, "vec_id", "embedding")
     return pq_adc_topk(codes, books, qvec, "vec_id", k=10)
 
@@ -1634,7 +1647,15 @@ def emb_silhouette_centroid(spark, sf_dir):
     integer nano-units. 100 TB: one fact scan exploded ×dims×k with
     map-side partial aggregation; nothing driver-side but the result."""
     dims = 64
-    emb = _t(spark, sf_dir, "embeddings")
+    # Round 15 (guide §2.5): everything up to the first aggregation —
+    # the ×64 explode, the broadcast-join ×k fan-out, and the
+    # decimal(30,12) micro-term storm — pipelines inside the SCAN stage,
+    # and a one-row-group input runs that stage as one task; spread_scan
+    # parallelizes it only on such inputs (no-op at scale).
+    emb = spread_scan(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"),
+        sf_dir, "embeddings", "vec_id",
+    )
     x = emb.select(
         "vec_id",
         "label",
@@ -1996,38 +2017,39 @@ def emb_kmeans_step(spark, sf_dir):
     — matches bitwise."""
     from delfos_etl_pipeline_spark.similarity.ivf import build_ivf_index_fixed
 
-    dims = 64
     emb = _t(spark, sf_dir, "embeddings")
     assigned, _ = build_ivf_index_fixed(emb, n_clusters=8)
-    sums = assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        *[
-            F.sum(
-                (
-                    F.floor(
-                        F.element_at("embedding", i + 1).cast("double")
-                        * 1000000.0
-                        + 0.5
-                    )
-                    / 1000000.0
-                ).cast("decimal(18,6)")
-            ).alias(f"s{i}")
-            for i in range(dims)
-        ],
+    # Round 15 (guide §1 split: 2.06 s of this name's 2.9 s was driver-
+    # side CONSTRUCTION — py4j-building 64 wide decimal-sum columns plus
+    # two centroid-fetch jobs): the update now uses the posexplode-then-
+    # group shape emb_kmeans_train's _means already measured ~3× cheaper
+    # to construct — the SAME per-element floor-pin into DECIMAL(18,6)
+    # and the same order-free exact sum, grouped by (cluster, dim_idx)
+    # instead of 64 wide columns. count(*) per (cluster, dim_idx) equals
+    # the cluster's member count (every embedding contributes exactly
+    # one element per dimension), so n, every sum, and every mean are
+    # bit-identical to the certified wide form; the oracle is unchanged.
+    pin = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: (F.floor(x * 1000000.0 + 0.5) / 1000000.0).cast(
+            "decimal(18,6)"
+        ),
     )
-    return sums.select(
-        F.col("cluster").cast("bigint").alias("cluster"),
-        "n",
-        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(dims)])).alias(
-            "dim_idx", "s"
-        ),
-    ).select(
-        "cluster",
-        F.col("dim_idx").cast("bigint").alias("dim_idx"),
-        "n",
-        round_half_up(F.col("s").cast("double") / F.col("n"), 6).alias(
-            "centroid"
-        ),
+    return (
+        assigned.select("cluster", F.posexplode(pin).alias("dim_idx", "x"))
+        .groupBy("cluster", "dim_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("s"),
+        )
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.col("dim_idx").cast("bigint").alias("dim_idx"),
+            "n",
+            round_half_up(F.col("s").cast("double") / F.col("n"), 6).alias(
+                "centroid"
+            ),
+        )
     )
 
 
@@ -2371,11 +2393,9 @@ def emb_kmeans_train(spark, sf_dir):
     # 3 assignment passes + the final consumption: cache the (small
     # relative to its re-scan cost) corpus once.
     emb = emb.persist()
-    ids = [
-        r[0]
-        for r in emb.select("vec_id").orderBy("vec_id").limit(k).collect()
-    ]
-    rows = emb.where(F.col("vec_id").isin(ids)).collect()
+    # one TakeOrderedAndProject job for the k seed vectors (round 15 —
+    # the build_ivf_index_fixed single-fetch; vec_id is unique)
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     cents = [
         [float(x) for x in r["embedding"]]
         for r in sorted(rows, key=lambda r: r["vec_id"])

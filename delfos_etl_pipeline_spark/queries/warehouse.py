@@ -13,7 +13,7 @@ from delfos_etl_pipeline_spark.functions.stable import (
     round_half_up,
     sql_round_half_up,
 )
-from delfos_etl_pipeline_spark.queries._registry import _t, query
+from delfos_etl_pipeline_spark.queries._registry import _t, query, spread_scan
 from delfos_etl_pipeline_spark.queries.windows_olap import _approx_rank_ok
 
 # ---------------------------------------------------------------------------
@@ -1405,7 +1405,16 @@ def profile_corr_matrix(spark, sf_dir):
     row count (lineitem measures are NOT NULL per TPC-H, so one shared
     n serves every pair)."""
     dec = "decimal(18,6)"
-    li = _t(spark, sf_dir, "lineitem")
+    # Round 15 (guide §2.5): the partial-agg stage is a per-row DECIMAL
+    # storm (every d*d lands in decimal(37,12) — BigDecimal, not the
+    # long-backed fast path) and a one-row-group input runs it as ONE
+    # task; spread_scan parallelizes it only when the file layout is
+    # that shape (measured 2.11 s -> see OPTIMIZATION_r15.md), and is a
+    # no-op at scale where the scan splits by itself.
+    li = spread_scan(
+        _t(spark, sf_dir, "lineitem").select(*_CORR_MEASURES),
+        sf_dir, "lineitem", _CORR_MEASURES[0],
+    )
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
     for m in _CORR_MEASURES:
         d = F.col(m).cast(dec)
@@ -1727,9 +1736,15 @@ def basket_association_rules(spark, sf_dir):
     rounded half-up at 6, so the DuckDB twin matches bitwise. min
     support 2 drops the singleton-pair noise tier."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
-    ).distinct()
+    # one exchange on the basket key serves dedup AND the self-join
+    # (round 15, guide §2.4 — the recsys_item_cosine rationale)
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+        )
+        .repartition("ok")
+        .distinct()
+    )
     nn = items.agg(
         F.count_distinct("ok").cast("bigint").alias("n")
     )
@@ -3567,7 +3582,17 @@ def recsys_item_cosine(spark, sf_dir):
     orderkey + one on the pair — both combinable map-side; degrees
     broadcast at |parts| ≪ fact scale."""
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # Round 15 (guide §2.4 "two operations keyed the same way can share
+    # one exchange"): repartition on the ORDER key once — hash(order)
+    # clusters (order, part) too, so the dedup aggregate runs on that
+    # partitioning AND both sides of the within-order self-join arrive
+    # co-partitioned; the plan drops from three data-row exchanges
+    # (distinct on the pair + one per join side) to this single one.
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+    )
     deg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
     b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
@@ -5274,46 +5299,76 @@ def stats_bootstrap_ci_mean(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
 
     B = 40
-    reps = ev.select(
-        "event_type",
-        "value",
-        "event_id",
-        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
-    )
     # One md5 yields FIVE replicate draws (6-hex slices -> 24-bit
-    # buckets): 8 crypto hashes per row instead of 40 (measured 7.0 s
-    # -> 6.3 s warm at sf0.1 — the explode+combine dominates once the
-    # hash count drops). The ladder cutoffs are
-    # floor(16^6 * P(Poisson(1) <= k)) integers.
-    md = F.md5(
-        F.concat_ws(
-            ":",
-            F.col("event_id").cast("string"),
-            F.floor(F.col("b") / 5).cast("int").cast("string"),
-        )
-    )
-    u = F.conv(
-        md.substr(
-            (F.lit(1) + 6 * F.pmod(F.col("b"), F.lit(5))).cast("int"),
-            F.lit(6),
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    wt = (
-        F.when(u < 6171992, 0)
-        .when(u < 12343985, 1)
-        .when(u < 15429982, 2)
-        .when(u < 16458647, 3)
-        .when(u < 16715813, 4)
-        .when(u < 16767247, 5)
-        .otherwise(6)
-    )
+    # buckets): 8 crypto hashes per row instead of 40. Round 15 (guide
+    # §1 measurement: 4.79 s execution, ~all of it the single scan task
+    # — one-row-group parquet means the explode+hash+partial-agg stage
+    # ran on ONE core): the 8 hashes are now computed ONCE per SOURCE
+    # row in a pre-explode array (the old form re-evaluated the md5
+    # expression per exploded row — 40 evaluations/row with only 8
+    # distinct values), each hash is exploded to its 5 draws, and the
+    # scan is spread across cores first (spread_scan — scale-adaptive,
+    # a no-op whenever the input yields enough splits by itself). Same
+    # md5 inputs, same 6-hex slices, same integer ladder
+    # (floor(16^6 · P(Poisson(1) <= k)) cutoffs), so every weight —
+    # and every decimal sum below — is bit-identical to the certified
+    # form; only the evaluation count and the stage parallelism change.
     dec = (
         F.floor(F.col("value") * 1000000.0 + 0.5) / 1000000.0
     ).cast("decimal(18,6)")
+    md_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("event_id").cast("string"), F.lit(str(g))
+                )
+            )
+            for g in range(B // 5)
+        ]
+    )
+    base = spread_scan(
+        ev.select("event_type", "event_id", "value"),
+        sf_dir, "events", "event_id",
+    )
+    hashed = base.select(
+        "event_type",
+        dec.alias("vd"),
+        F.posexplode(md_arr).alias("g", "_md"),
+    )
+
+    def _wt(u):
+        return (
+            F.when(u < 6171992, 0)
+            .when(u < 12343985, 1)
+            .when(u < 15429982, 2)
+            .when(u < 16458647, 3)
+            .when(u < 16715813, 4)
+            .when(u < 16767247, 5)
+            .otherwise(6)
+        )
+
+    wt5 = F.transform(
+        F.sequence(F.lit(0), F.lit(4)),
+        lambda s: _wt(
+            F.conv(
+                F.col("_md").substr(
+                    (F.lit(1) + 6 * s).cast("int"), F.lit(6)
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ),
+    )
     m = (
-        reps.select("event_type", "b", wt.alias("wt"), dec.alias("vd"))
+        hashed.select(
+            "event_type", "vd", "g", F.posexplode(wt5).alias("s", "wt")
+        )
+        .select(
+            "event_type",
+            (F.col("g") * 5 + F.col("s")).cast("int").alias("b"),
+            "wt",
+            "vd",
+        )
         .groupBy("event_type", "b")
         .agg(
             F.sum("wt").alias("sw"),

@@ -67,8 +67,15 @@ def build_ivf_index_fixed(
     so the ANN query gets an exact DuckDB oracle; ``build_ivf_index``
     (seeded k-means) remains the quantizer-quality path — the cell-probe
     search plan is identical either way."""
-    ids = [r[0] for r in df.select(id_col).orderBy(id_col).limit(n_clusters).collect()]
-    rows = df.where(F.col(id_col).isin(ids)).select(id_col, vec_col).collect()
+    # ONE TakeOrderedAndProject job fetches the k lowest ids WITH their
+    # embeddings (round 15, guide §5 "the driver should do almost no
+    # data work" — the old two-step (ids collect, then a second full
+    # scan filtered by isin) paid two driver jobs per build for the same
+    # k rows; id_col is unique in every caller, so the fetched vectors
+    # are identical).
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
+    )
     cents = [[float(x) for x in r[1]] for r in sorted(rows, key=lambda r: r[0])]
     return assign_fixed_centroids(df, cents, vec_col, inline=True), cents
 
@@ -150,15 +157,23 @@ def assign_fixed_centroids(
         raise ValueError(f"unknown engine {engine!r}")
     v = _as_double(vec_col)
     if inline:
-        scored = F.array(
-            *[
-                F.struct(
-                    cosine_similarity_col(v, _lit_vec(c)).alias("sim"),
-                    F.lit(-i).alias("negcid"),
-                )
-                for i, c in enumerate(cents)
-            ]
+        # ONE parsed SQL string instead of k py4j-built cosine trees
+        # (round 15): the text parses to the same expression — identical
+        # zip_with/aggregate folds, struct fields, argmax tie-break —
+        # but Column construction drops from hundreds of py4j round
+        # trips to one; the plan, execution, and results are unchanged.
+        from delfos_etl_pipeline_spark.similarity.knn import (
+            _cosine_sql,
+            _vec_sql,
         )
+
+        vs = f"cast(`{vec_col}` as array<double>)"
+        parts = ",".join(
+            f"named_struct('sim', {_cosine_sql(vs, _vec_sql(c))}, "
+            f"'negcid', {-i})"
+            for i, c in enumerate(cents)
+        )
+        scored = F.expr(f"array({parts})")
     else:
         from delfos_etl_pipeline_spark.similarity.knn import _lit_mat
 

@@ -52,6 +52,28 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`_dot` — the same zip_with/aggregate left
+    fold, emitted as text so builders that assemble MANY dot trees
+    (k centroids × 3 folds each) parse ONE expression string instead of
+    paying hundreds of py4j round trips (round 15: Column construction,
+    not Catalyst and not execution, dominated the PQ/IVF query
+    construction — measured in OPTIMIZATION_r15.md)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast('0.0' as double), (acc, x) -> acc + x)"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`cosine_similarity_col` (same op order:
+    dot / (sqrt(self-dot) * sqrt(self-dot)))."""
+    return (
+        f"({_dot_sql(a, b)}) / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
 # NOTE (measured, r10): an unrolled element_at chain as a "codegen-
 # visible" substitute for the _dot HOF fold on column-column pairs is
 # SLOWER (nightly semantic probe 5.2s -> 7.7s at sf0.1): 64 separate

@@ -38,8 +38,6 @@ from delfos_etl_pipeline_spark.functions.stable import round_half_up
 from delfos_etl_pipeline_spark.similarity.knn import (
     _as_double,
     _dot,
-    _lit_mat,
-    _lit_vec,
 )
 
 
@@ -60,12 +58,23 @@ def fit_pq_codebooks_fixed(
     """codebooks[j][c] = subspace-j slice of the c-th lowest-id vector —
     the deterministic, SQL-reproducible codebook (k full rows collected;
     codebooks are always driver-sized: m·k·(dim/m) floats)."""
-    sub = dim // m
     rows = sorted(
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect(),
         key=lambda r: r[0],
     )
     vecs = [[float(x) for x in r[1]] for r in rows]
+    return pq_books_from_vecs(vecs, m, k, dim)
+
+
+def pq_books_from_vecs(
+    vecs: list[list[float]], m: int, k: int, dim: int = 64
+) -> list[list[list[float]]]:
+    """The driver-side slicing of :func:`fit_pq_codebooks_fixed`, split
+    out so callers that already hold the k lowest-id vectors (e.g. from
+    a combined query-vector + codebook fetch — one TakeOrderedAndProject
+    job instead of two) build identical codebooks without a second scan."""
+    sub = dim // m
+    vecs = vecs[:k]
     return [
         [v[j * sub : (j + 1) * sub] for v in vecs] for j in range(m)
     ]
@@ -115,7 +124,6 @@ def pq_encode(
         raise ValueError(f"unknown engine {engine!r}")
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    e = _as_double(vec_col)
     # hoist the per-subspace slice AND its self-dot into named columns:
     # d2 = (dot(s,s) - 2·dot(s,c)) + dot(c,c) re-reads dot(s,s) for all k
     # centroids — naming it cuts the fold count per row from m·k·3 to
@@ -128,46 +136,48 @@ def pq_encode(
     # operator (measured 3.5-5.3 s plan build vs ~2 s execution at
     # sf0.1; batching to 3 selects removes the quadratic re-analysis
     # with a bit-identical expression tree).
-    sliced = df.select(
-        id_col,
+    #
+    # Round 15: each select's columns are emitted as SQL TEXT
+    # (selectExpr) — the m·k literal centroid arrays made PYTHON-side
+    # Column construction (py4j round trips) the dominant remaining
+    # build cost (~0.9-1.9 s measured); one parsed string per column
+    # yields the same trees: same slices, same zip_with/aggregate
+    # folds, same ((ss − 2·dot) + cc) association, same
+    # lexicographic-min tie-break.
+    from delfos_etl_pipeline_spark.similarity.knn import _dot_sql, _vec_sql
+
+    idq = f"`{id_col}`"
+    es = f"cast(`{vec_col}` as array<double>)"
+    sliced = df.selectExpr(
+        idq,
         *[
-            F.slice(e, j * sub + 1, sub).alias(f"_s_{j}")
+            f"slice({es}, {j * sub + 1}, {sub}) AS _s_{j}"
             for j in range(m)
         ],
     )
-    dotted = sliced.select(
-        id_col,
-        *[F.col(f"_s_{j}") for j in range(m)],
+    dotted = sliced.selectExpr(
+        idq,
+        *[f"`_s_{j}`" for j in range(m)],
         *[
-            _dot(F.col(f"_s_{j}"), F.col(f"_s_{j}")).alias(f"_ss_{j}")
+            f"{_dot_sql(f'`_s_{j}`', f'`_s_{j}`')} AS _ss_{j}"
             for j in range(m)
         ],
     )
 
-    # one transform() lambda per subspace over the literal codebook matrix
-    # (instead of k inlined distance trees): identical arithmetic and
-    # association, ~k× fewer expression nodes — plan size is paid per
-    # submitted query, so keep the tree small.
-    def _scorer(s, ss):
-        def fn(c, i):
-            return F.struct(
-                (ss - F.lit(2.0) * _dot(s, c) + _dot(c, c)).alias("d2"),
-                i.alias("cid"),
-            )
+    def _code_sql(j, book):
+        mat = "array(" + ",".join(_vec_sql(c) for c in book) + ")"
+        d2 = (
+            f"(`_ss_{j}` - cast('2.0' as double) * "
+            f"{_dot_sql(f'`_s_{j}`', 'c')}) + {_dot_sql('c', 'c')}"
+        )
+        return (
+            f"array_min(transform({mat}, "
+            f"(c, i) -> named_struct('d2', {d2}, 'cid', i))).cid AS code_{j}"
+        )
 
-        return fn
-
-    def _code(j, book):
-        s, ss = F.col(f"_s_{j}"), F.col(f"_ss_{j}")
-        books_lit = _lit_mat(book)
-        return F.array_min(F.transform(books_lit, _scorer(s, ss)))["cid"]
-
-    return dotted.select(
-        id_col,
-        *[
-            _code(j, book).alias(f"code_{j}")
-            for j, book in enumerate(codebooks)
-        ],
+    return dotted.selectExpr(
+        idq,
+        *[_code_sql(j, book) for j, book in enumerate(codebooks)],
     )
 
 
@@ -251,19 +261,32 @@ def pq_adc_topk(
     Returns (id, approx_dist) ordered by (approx_dist, id)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    total: Column | None = None
-    def _lut(qs):
-        def fn(c):
-            return round_half_up(_sq_l2(qs, c), 9).cast("decimal(18,9)")
+    # Round 15: the m per-subspace LUT expressions are emitted as ONE
+    # SQL string (the pq_encode rationale — Column construction, not
+    # Catalyst or execution, dominated the ADC build). Same trees:
+    # the same (dot(q,q) − 2·dot(q,c)) + dot(c,c) fold order, the same
+    # floor-pin into DECIMAL(18,9), the same left-associated sum of m
+    # element_at lookups; Catalyst still constant-folds each LUT into a
+    # literal array exactly as before.
+    from delfos_etl_pipeline_spark.similarity.knn import _dot_sql, _vec_sql
 
-        return fn
-
+    terms_sql = []
     for j, book in enumerate(codebooks):
-        qs = _lit_vec(query_vec[j * sub : (j + 1) * sub])
-        books_lit = _lit_mat(book)
-        terms = F.transform(books_lit, _lut(qs))
-        term = F.element_at(terms, F.col(f"code_{j}") + 1)
-        total = term if total is None else total + term
+        qs = _vec_sql(query_vec[j * sub : (j + 1) * sub])
+        mat = "array(" + ",".join(_vec_sql(c) for c in book) + ")"
+        sq = (
+            f"({_dot_sql(qs, qs)} - cast('2.0' as double) * "
+            f"{_dot_sql(qs, 'c')}) + {_dot_sql('c', 'c')}"
+        )
+        pinned = (
+            f"cast(floor(({sq}) * cast('1000000000.0' as double) + "
+            f"cast('0.5' as double)) / cast('1000000000.0' as double) "
+            f"as decimal(18,9))"
+        )
+        terms_sql.append(
+            f"element_at(transform({mat}, c -> {pinned}), `code_{j}` + 1)"
+        )
+    total = F.expr(" + ".join(terms_sql))
     return (
         codes.select(
             id_col,

@@ -279,11 +279,16 @@ def test_zorder_key_is_pure_projection(spark, sf_dir):
 
 
 def test_corr_matrix_single_reduce(spark, sf_dir):
-    """All 6 correlations from ONE scan + one scalar aggregate: exactly
-    the partial/final agg pair over a single exchange, no join at all."""
+    """All 6 correlations from ONE scan + one scalar aggregate: the
+    partial/final agg pair over a single exchange, no join at all. A
+    second exchange is allowed ONLY for the conditional spread_scan
+    repartition (round 15, guide §2.5 — fired here because the test
+    corpus is a one-row-group file, a no-op on any input that yields
+    >= defaultParallelism splits); the data-row shuffle ceiling is
+    therefore 2, never more."""
     plan = _plan(spark, sf_dir, "profile_corr_matrix")
     assert _count(plan, "Join") == 0, plan
-    assert _count(plan, "Exchange") <= 1, plan
+    assert _count(plan, "Exchange") <= 2, plan
 
 
 def test_spearman_rank_tables_broadcast(spark, sf_dir):
