@@ -517,18 +517,17 @@ def emb_centroid_by_label(spark, sf_dir):
     decimal)."""
     dims = 64
     emb = _t(spark, sf_dir, "embeddings")
+    # the 64 pinned decimal sums are built as SQL-parsed expressions
+    # (round 15, the emb_standardize precedent: one py4j call each
+    # instead of ~7 — Column construction, not Catalyst or execution,
+    # dominated this name's cost); same trees, same plan, same sums
     sums = emb.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         *[
-            F.sum(
-                (
-                    F.floor(
-                        F.element_at("embedding", i + 1).cast("double")
-                        * 1000000.0
-                        + 0.5
-                    )
-                    / 1000000.0
-                ).cast("decimal(18,6)")
+            F.expr(
+                f"sum(cast(floor(cast(element_at(embedding, {i + 1}) as"
+                " double) * 1000000.0D + 0.5D) / 1000000.0D"
+                " as decimal(18,6)))"
             ).alias(f"s{i}")
             for i in range(dims)
         ],
@@ -537,9 +536,9 @@ def emb_centroid_by_label(spark, sf_dir):
     return sums.select(
         "label",
         "n",
-        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(dims)])).alias(
-            "dim_idx", "s"
-        ),
+        F.posexplode(
+            F.expr("array(" + ",".join(f"s{i}" for i in range(dims)) + ")")
+        ).alias("dim_idx", "s"),
     ).select(
         "label",
         F.col("dim_idx").cast("long").alias("dim_idx"),
@@ -618,7 +617,15 @@ def emb_standardize(spark, sf_dir):
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5) / 1000000.0,
     )
-    base = emb.select("vec_id", "label", xr.alias("xd"))
+    # spread the one-split scan (round 15, guide §2.5) BEFORE the pin
+    # transform, so the interpreted per-element work — the pin, the 129
+    # aggregates' inputs, and the z transform — runs after the exchange
+    # with full parallelism instead of inside a single scan task;
+    # no-op at scale
+    base = spread_scan(
+        emb.select("vec_id", "label", "embedding"),
+        sf_dir, "embeddings", "vec_id",
+    ).select("vec_id", "label", xr.alias("xd"))
     # The 129 aggregates and 128 derived parameters are built as
     # SQL-parsed expressions (one py4j call each) rather than Column
     # arithmetic (~15 py4j round-trips each): plan construction was
@@ -1656,24 +1663,15 @@ def emb_silhouette_centroid(spark, sf_dir):
         _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"),
         sf_dir, "embeddings", "vec_id",
     )
+    pinned = "array(" + ",".join(
+        f"floor(cast(element_at(embedding, {i + 1}) as double)"
+        " * 1000000.0D + 0.5D) / 1000000.0D"
+        for i in range(dims)
+    ) + ")"
     x = emb.select(
         "vec_id",
         "label",
-        F.posexplode(
-            F.array(
-                *[
-                    (
-                        F.floor(
-                            F.element_at("embedding", i + 1).cast("double")
-                            * 1000000.0
-                            + 0.5
-                        )
-                        / 1000000.0
-                    )
-                    for i in range(dims)
-                ]
-            )
-        ).alias("dim_idx", "xd"),
+        F.posexplode(F.expr(pinned)).alias("dim_idx", "xd"),
     )
     ct = (
         x.groupBy(F.col("label").alias("label_c"), "dim_idx")
@@ -1792,23 +1790,16 @@ def emb_anova_f_topdims(spark, sf_dir):
     ranking is a window over |dims| rows."""
     dims = 64
     emb = _t(spark, sf_dir, "embeddings")
+    # one SQL-parsed pinned-decimal array (round 15, the
+    # emb_centroid_by_label rationale — same tree, ~64× fewer py4j calls)
+    pinned = "array(" + ",".join(
+        f"cast(floor(cast(element_at(embedding, {i + 1}) as double)"
+        " * 1000000.0D + 0.5D) / 1000000.0D as decimal(18,6))"
+        for i in range(dims)
+    ) + ")"
     x = emb.select(
         "label",
-        F.posexplode(
-            F.array(
-                *[
-                    (
-                        F.floor(
-                            F.element_at("embedding", i + 1).cast("double")
-                            * 1000000.0
-                            + 0.5
-                        )
-                        / 1000000.0
-                    ).cast("decimal(18,6)")
-                    for i in range(dims)
-                ]
-            )
-        ).alias("dim_idx", "xd"),
+        F.posexplode(F.expr(pinned)).alias("dim_idx", "xd"),
     )
     g = x.groupBy("dim_idx", "label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
