@@ -207,14 +207,27 @@ def jaccard_pairs_prefix(
     UNDER-estimated ceil only lengthens the prefix, which costs a few
     candidates but can never lose a pair.
 
+    Round 16 (VERDICT r15 item 5, guide §2.3/§2.4): verification joins
+    the candidate PAIRS to the per-doc shingle ARRAYS and counts the
+    overlap with ``array_intersect`` — the minhash_lsh_pairs_indexed
+    verify shape — instead of fanning the full exploded (doc, shingle)
+    relation through a doc_a join, a (doc_b, shingle) join, and a
+    pair-keyed count. |A∩B| over the distinct arrays is exactly the old
+    shared-row count, and sz_a/sz_b ride from the candidate row, so the
+    jaccard expression sees identical integers. The array relation is
+    already hash-partitioned on doc_id (shingle_arrays' spread), so
+    both verification joins reuse that partitioning — the only new
+    shuffles are the candidate side's two small exchanges; the O(corpus
+    shingles) verification traffic is gone.
+
     Shuffle inventory: shingle-frequency agg, one per-doc rank window
     (keyed doc_id), the prefix self-join (keyed shingle, post-prune),
-    and the two verification joins (keyed doc+shingle). All bounded;
-    no driver state."""
-    arrs = shingle_arrays(df, id_col, text_col, n, hashed=True)
-    # four consumers (frequency agg, prefix build, both verification
-    # sides) — persist so the tokenize+shingle subtree runs once
-    sh = explode_shingles(arrs, with_size=True).persist()
+    and the candidate-pair attach joins (keyed doc, arrays move only
+    for candidate docs). All bounded; no driver state."""
+    # the cached tokenize+shingle arrays feed the exploded consumers
+    # (frequency agg, prefix build) AND both verification sides
+    arrs = shingle_arrays(df, id_col, text_col, n, hashed=True).persist()
+    sh = explode_shingles(arrs, with_size=True)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
 
@@ -222,11 +235,17 @@ def jaccard_pairs_prefix(
     prefix_len = (
         F.col("sz") - F.ceil(F.col("sz") * threshold - F.lit(1e-9)) + 1
     )
+    # persisted: BOTH self-join sides consume it — without the cache the
+    # freq-join + per-doc rank window subtree is planned (and executed)
+    # once per side (seen in plans/r16/dedup_jaccard_prefix_before.txt:
+    # two Window nodes, each over its own Exchange of the shingle
+    # relation). Same no-paired-unpersist discipline as the arrays above.
     prefix = (
         sh.join(freq, "shingle")
         .withColumn("_r", F.row_number().over(rankw))
         .where(F.col("_r") <= prefix_len)
         .select("doc_id", "sz", "shingle")
+        .persist()
     )
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle"
@@ -244,22 +263,31 @@ def jaccard_pairs_prefix(
         .select("doc_a", "doc_b", "sz_a", "sz_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    va = arrs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sa")
+    )
+    vb = arrs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sb")
+    )
+    # `shared` materialized in its OWN projection so the intersect runs
+    # once per pair (CollapseProject keeps non-cheap exprs split), not
+    # once per reference in the jaccard expression.
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("shared"),
-            F.min("sz_a").alias("sz_a"),
-            F.min("sz_b").alias("sz_b"),
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("_sa", "_sb")).alias("shared"),
         )
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+                F.col("shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
                 6,
             ).alias("jaccard"),
         )

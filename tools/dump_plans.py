@@ -1,7 +1,8 @@
-"""Dump .explain("formatted") for named queries to plans/r15/<name>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/<round>/<name>_<tag>.txt.
 
 Usage: python tools/dump_plans.py <tag> <query ...>
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_PLANS_ROUND (default r16).
 
 Plan capture only — no timed execution; safe to run while other work is
 in flight (plans are timing-independent). State-building accessors
@@ -22,7 +23,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r15",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
     )
     os.makedirs(outdir, exist_ok=True)
 
