@@ -153,6 +153,52 @@ from delfos_etl_pipeline_spark.queries import (  # noqa: E402,F401
 # oldest r9 names (registry order) to fill exactly 50 (the remaining
 # 24 r9 names lead r16). Same contract as every round: a name lands
 # here in the SAME commit that registers/changes it.
+# --- round 16 window (exactly 50 names; leads _driver_order) ---
+# VERDICT r15 item 8: lead with the touched-path recerts — every query
+# whose code path this optimization round OR round 15's engine commits
+# changed and whose newest driver row predates the change. First the
+# r16-touched set (array_intersect verification + persisted prefix in
+# dedup_jaccard_prefix; the silhouette broadcast-fold rewrite;
+# spread_scan placements/re-key in simpson/spearman/corr/classifier;
+# the spread_scan sizing refactor shared by stats_bootstrap_ci_mean and
+# emb_standardize), then the r15 SQL-text/one-job-fetch/posexplode
+# family the r15 window did not sample (VERDICT r15 item 8's explicit
+# list: emb_kmeans_step and the PQ/IVF probes), then 24 oldest
+# remaining r9-evidence names (registry order) to fill exactly 50
+# (a_distinct_rollup_hll + emb_project_pca remain for the next window).
+# Same contract as every round: a name lands here in the SAME commit
+# that registers/changes it.
+_R16_RECERT: list[str] = [
+    # round 16 touched paths
+    "dedup_jaccard_prefix", "emb_silhouette_centroid",
+    "text_simpson_diversity", "text_quality_classifier",
+    "profile_spearman_corr", "profile_corr_matrix",
+    "stats_bootstrap_ci_mean", "emb_standardize",
+    # round 15 touched paths whose newest driver row predates the change
+    "emb_kmeans_step", "sim_ivfpq_topk", "sim_ivfpq_probe",
+    "sim_pq_probe", "sim_pq_probe_compacted", "sim_pq_probe_deleted",
+    "sim_pq_adc_topk", "sim_ivf_build", "sim_ivf_build_bigk",
+    "emb_centroid_by_label", "emb_anova_f_topdims",
+    "sim_ivf_recall_eval", "recsys_item_cosine",
+    "basket_association_rules", "curate_nightly_ingest",
+    "curate_nightly_ingest_day2", "curate_nightly_ingest_day3",
+    "curate_nightly_ingest_day4",
+]
+
+# 24 oldest remaining r9-evidence names (registry order) to fill the
+# window to exactly 50.
+_R16_R9_FILL: list[str] = [
+    "sim_ivf_probe", "dedup_minhash_incremental_indexed", "text_langid",
+    "mm_binary_meta", "text_stats", "text_token_count",
+    "sim_knn_allpairs", "dedup_fuzzy_levenshtein", "sim_ivf_topk",
+    "dedup_clusters", "dedup_exact", "dedup_exact_rows",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "sample_bernoulli", "sample_stratified", "sample_train_test_split",
+    "text_fingerprint", "tpcds_q67_topk_rollup",
+    "dedup_minhash_lsh_prod", "dedup_simhash_prod", "sim_ivf_topk_prod",
+    "shard_train_split_prod",
+]
+
 _R15_R8_LEAD: list[str] = [
     "tpch_q10_returned_items", "tpch_q18_large_orders",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
@@ -977,20 +1023,20 @@ _RECERTIFIED_R3 = {
 def _driver_order() -> list[str]:
     """Order queries() so the driver's ~50-query rotating correctness
     window always covers (a) everything new or behavior-changed this
-    round (the _R15_* lists — the 24 remaining r8-evidence names lead
-    per VERDICT r14 item 5, then the touched-path recert, the two new
-    registrations, and the 23 oldest r9 names = exactly 50), then (b)
-    every earlier round's window in reverse-round order, then (c)
-    one flagship per operator family, then the rest. As of r6 every registration has a
-    hash-green driver row, so the tail order only controls evidence
-    freshness."""
+    round (the _R16_* lists — the touched-path recerts of rounds 16 and
+    15 lead per VERDICT r15 item 8, then 24 oldest remaining r9 names =
+    exactly 50), then (b) every earlier round's window in reverse-round
+    order, then (c) one flagship per operator family, then the rest. As
+    of r6 every registration has a hash-green driver row, so the tail
+    order only controls evidence freshness."""
+    r16_front = _R16_RECERT + _R16_R9_FILL
+    missing = [n for n in r16_front if n not in QUERIES]
+    assert not missing, (
+        f"window names not registered: {missing} — a _R16_* entry must "
+        "land in the same commit as its @query registration"
+    )
     r15_front = (
         _R15_R8_LEAD + _R15_RECERT + _R15_NEW + _R15_R9_FILL
-    )
-    missing = [n for n in r15_front if n not in QUERIES]
-    assert not missing, (
-        f"window names not registered: {missing} — a _R15_* entry must "
-        "land in the same commit as its @query registration"
     )
     r14_front = (
         _R14_R7_LEAD + _R14_RECERT + _R14_NEW + _R14_R8_FILL
@@ -1011,7 +1057,9 @@ def _driver_order() -> list[str]:
         _R9_NEW + _R9_RECERT + _R9_STALE_REFRESH + _R9_TWIN_RECERT
     )
     r8_front = _R8_NEW + _R8_RECERT + _R8_STALE_REFRESH
-    front = list(dict.fromkeys(r15_front))
+    front = list(dict.fromkeys(r16_front))
+    placed = set(front)
+    front += [n for n in r15_front if n in QUERIES and n not in placed]
     placed = set(front)
     front += [n for n in r14_front if n in QUERIES and n not in placed]
     placed = set(front)

@@ -76,42 +76,13 @@ def spread_scan(
     stores — sizes correctly, instead of silently no-opping off local
     disk. Local-path fast path avoids the py4j round trips in the
     common case. Any sizing failure returns ``df`` unchanged (fail-safe:
-    never adds an exchange it cannot justify)."""
+    never adds an exchange it cannot justify). Catalog-table sugar over
+    :func:`...sources.parquet.spread_small_scan` (the explicit-path
+    form, shared with the staged pipeline boundaries)."""
     import os
 
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    try:
-        max_split = int(
-            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
-        )
-    except Exception:
-        max_split = 128 * 1024 * 1024
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    size = None
-    try:
-        if os.path.isdir(path):
-            size = sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
-        elif os.path.isfile(path):
-            size = os.path.getsize(path)
-    except OSError:
-        size = None
-    if size is None:
-        # non-local URI (or racing layout change): ask the Hadoop FS
-        try:
-            jvm = spark.sparkContext._jvm
-            hpath = jvm.org.apache.hadoop.fs.Path(path)
-            fs = hpath.getFileSystem(
-                spark.sparkContext._jsc.hadoopConfiguration()
-            )
-            size = int(fs.getContentSummary(hpath).getLength())
-        except Exception:
-            return df
-    splits = max(1, -(-size // max_split))
-    if splits >= par:
-        return df
-    return df.repartition(par, *key_cols)
+    from delfos_etl_pipeline_spark.sources.parquet import spread_small_scan
+
+    return spread_small_scan(
+        df, os.path.join(sf_dir, f"{table}.parquet"), *key_cols
+    )

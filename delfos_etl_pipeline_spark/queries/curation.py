@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from delfos_etl_pipeline_spark.queries._registry import _t, query, spread_scan
+from delfos_etl_pipeline_spark.queries._registry import _t, query
 
 # ---------------------------------------------------------------------------
 # Corpus curation — decontamination, budget sampling, packing, mixture

@@ -19,7 +19,7 @@ from delfos_etl_pipeline_spark.plans.pipeline import (
     to_long,
     windowed_stats,
 )
-from delfos_etl_pipeline_spark.queries._registry import _t, query, spread_scan
+from delfos_etl_pipeline_spark.queries._registry import _t, query
 from delfos_etl_pipeline_spark.sources.parquet import load_table
 
 # ---------------------------------------------------------------------------

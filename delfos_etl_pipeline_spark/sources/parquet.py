@@ -190,3 +190,57 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     /root/reference/api/app/database.py:50-62)."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def spread_small_scan(df: DataFrame, path: str, *key_cols: str) -> DataFrame:
+    """Conditionally repartition a parquet-backed relation whose file
+    layout yields fewer splits than the cluster has cores, so CPU-dense
+    narrow work downstream (tokenize/shingle storms, per-row folds)
+    doesn't run as a near-single task (guide §2.5 "input skew: one huge
+    unsplittable file" — parquet can't split inside a row group). The
+    generic, explicit-path form of ``queries._registry.spread_scan``,
+    usable on staged pipeline boundaries as well as catalog tables.
+    Scale-adaptive: when the input already yields at least
+    defaultParallelism splits (any real multi-file/multi-row-group
+    layout at scale) the relation is returned UNCHANGED — no exchange
+    exists at 100 TB. Deterministic keyed repartition (never rand —
+    SPARK-38388), pinned count (AQE would coalesce the small exchange
+    to one partition and re-serialize the work). Sizing: local-path
+    fast path, Hadoop FileSystem API for any other URI; any sizing
+    failure returns ``df`` unchanged (fail-safe — never adds an
+    exchange it cannot justify)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        max_split = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+    except Exception:
+        max_split = 128 * 1024 * 1024
+    size = None
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        elif os.path.isfile(path):
+            size = os.path.getsize(path)
+    except OSError:
+        size = None
+    if size is None:
+        # non-local URI (or racing layout change): ask the Hadoop FS
+        try:
+            jvm = spark.sparkContext._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(
+                spark.sparkContext._jsc.hadoopConfiguration()
+            )
+            size = int(fs.getContentSummary(hpath).getLength())
+        except Exception:
+            return df
+    splits = max(1, -(-size // max_split))
+    if splits >= par:
+        return df
+    return df.repartition(par, *key_cols)

